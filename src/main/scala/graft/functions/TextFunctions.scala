@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale document pipelines: tokenization
+  * stats, quality scoring, language identification, fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * higher-order array functions / regexp) — no Scala UDFs — so the whole
+  * document scan stays inside WholeStageCodegen and distributes trivially:
+  * each function is a per-row projection, no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Ratio of tokens appearing in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+      size(toks)
+  }
+
+  /** Ratio of ASCII punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", "")))
+      .cast("double") / length(text)
+
+  /** Mean token length (chars), assuming single-space separation overhead. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text)
+
+  /** Composite quality score in [0,1]: rewards lexical diversity, penalizes
+    * stopword stuffing, saturates length at `fullLengthTokens` tokens.
+    * Deterministic double arithmetic (fixed evaluation order). */
+  def qualityScore(text: Column, stopwords: Seq[String],
+      fullLengthTokens: Int = 100): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val stop = size(filter(toks, t => t.isInCollection(stopwords)))
+      .cast("double") / n
+    val lenNorm = least(lit(1.0), n / lit(fullLengthTokens.toDouble))
+    (uniq + (lit(1.0) - stop) + lenNorm) / lit(3.0)
+  }
+
+  /** Per-language marker-word profiles for the n-gram/function-word
+    * language-ID heuristic. Public function words only. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Language ID: score = number of distinct profile words present; argmax
+    * with a fixed alphabetical tie-break so results are deterministic. */
+  def languageId(text: Column): Column = {
+    val uniqToks = array_distinct(tokens(text))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(uniqToks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.sortBy(_._1).foldRight(lit("und"): Column) {
+      case ((lang, score), elseExpr) =>
+        when(score === best && score > 0, lang).otherwise(elseExpr)
+    }
+  }
+
+  /** Content fingerprint: stable 128-bit digest of the normalized token
+    * stream (whitespace-insensitive exact fingerprint). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Rolling hash over the token stream (chained xxhash64: each step hashes
+    * the running state with the next token) — an order-sensitive fingerprint
+    * cheap enough for 100 TB scans, and overflow-free under ANSI mode.
+    * Computed with the `aggregate` higher-order function: no shuffle. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single projection +
+  * TakeOrderedAndProject, embarrassingly parallel (the score is computed
+  * where the vectors live; only k rows per partition reach the driver).
+  * Scale path: random-hyperplane LSH buckets so candidate generation
+  * touches ~1/2^H of the corpus per query, plus an embedding-cosine
+  * near-dup join that shuffles bucket keys, not vectors.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns, computed in
+    * double with fixed evaluation order (zip_with + aggregate — codegen'd
+    * higher-order functions, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(ad, bd) / sqrt(dot(ad, ad) * dot(bd, bd))
+  }
+
+  /** Brute-force cosine top-k against one query vector (given as the row of
+    * `df` with id == queryId). The query row is broadcast; the scan computes
+    * one score per row and top-k is TakeOrderedAndProject — no sort of the
+    * full corpus, no shuffle of vectors. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit h = sign of dot(vec, plane_h). Vectors with
+    * high cosine similarity collide with high probability. Pure projection. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val vd = vec.cast("array<double>")
+    planes.zipWithIndex.map { case (plane, h) =>
+      val dot = aggregate(
+        zip_with(vd, typedLit(plane), (x, p) => x * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << h)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: restrict the cosine scan to the query's bucket (and
+    * optionally its Hamming-1 neighbor buckets via `multiProbe`). At corpus
+    * scale this reads a ~1/2^numPlanes slice; bucketing the table on
+    * `bucket` turns it into partition pruning. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, numPlanes: Int = 8, dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val withBucket = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("bucket").as("__qbucket"))
+    val probed = withBucket.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+    val inProbe =
+      if (multiProbe)
+        bit_count(col("bucket").bitwiseXOR(col("__qbucket"))) <= 1
+      else col("bucket") === col("__qbucket")
+    probed.filter(inProbe)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos"),
+        col("bucket"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket + exact
+    * cosine verify (the vector analogue of NearDup.minhashPairs). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val b = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"), Seq("bucket"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

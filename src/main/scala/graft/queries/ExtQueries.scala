@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, NearDup, Similarity}
+
+/** Extension query surface: the operators a large-scale training-data
+  * pipeline needs beyond the reference's own inventory — deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard), text analysis, and
+  * similarity search over embeddings. Rows-only entries (no DuckDB oracle)
+  * are hash-based algorithms whose primitives (xxhash64) the oracle engine
+  * lacks; each is covered by ScalaTest golden/property specs instead.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val stop = Seq("the", "a")
+
+  /** Token statistics per document (whitespace + regex tokenizer). */
+  def q20TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_uniq"),
+      TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
+
+  /** Quality scoring: lexical diversity, stopword ratio, composite score. */
+  def q21TextQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      (TextFunctions.distinctTokenCount(col("text")).cast("double") /
+        TextFunctions.tokenCount(col("text"))).as("uniq_ratio"),
+      TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"),
+      TextFunctions.qualityScore(col("text"), stop).as("quality"))
+
+  /** Exact dedup summary: one row per distinct content digest. */
+  def q22DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSummary(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Language ID via function-word profiles (declared lang kept for
+    * comparison). */
+  def q23LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFunctions.languageId(col("text")).as("predicted_lang"))
+
+  /** Whitespace-normalized exact content fingerprint (md5). */
+  def q24Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+
+  /** Order-sensitive rolling-hash fingerprint (xxhash64-based; no oracle). */
+  def q25RollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.rollingHash(col("text")).as("rolling_hash"))
+
+  /** MinHash LSH banding (signature layer; no oracle). */
+  def q26MinhashBands(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashBands(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, bands = 8, rowsPerBand = 2)
+
+  /** MinHash near-dup candidate pairs verified with exact Jaccard over
+    * token sets (no oracle). */
+  def q27MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 2, bands = 8, rowsPerBand = 2, threshold = 0.5)
+
+  /** SimHash signatures + banded near-dup pairs by Hamming distance
+    * (no oracle). */
+  def q28SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      bands = 4, maxHamming = 16)
+
+  /** Exact n-gram Jaccard similarity join via inverted shingle index
+    * (no oracle). */
+  def q29NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.2, maxDocFreq = 1000)
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector. Scores are
+    * rounded to 6dp in the output (and in the oracle): Spark's and DuckDB's
+    * cosine accumulation orders differ in the last ~bit (<1e-12), so the
+    * raw doubles are not bit-comparable; selection still uses raw scores. */
+  def q30CosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 20)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+
+  /** Sign-LSH bucket assignment for every vector (scale path for ANN;
+    * no oracle — deterministic hyperplanes seeded in-code). */
+  def q31LshBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      Similarity.lshBucket(col("embedding"),
+        Similarity.hyperplanes(8, 64)).as("bucket"))
+
+  /** LSH-bucketed ANN top-k (multi-probe Hamming<=1; no oracle). */
+  def q32LshTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, numPlanes = 8, dim = 64)
+
+  /** Embedding-cosine near-dup pairs via LSH bucket + exact verify
+    * (no oracle). */
+  def q33CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.2, numPlanes = 4, dim = 64)
+
+  // ------------------------------------------------------------- registries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats" -> (q20TokenStats _),
+    "q21_text_quality" -> (q21TextQuality _),
+    "q22_dedup_exact" -> (q22DedupExact _),
+    "q23_langid" -> (q23LangId _),
+    "q24_fingerprint" -> (q24Fingerprint _),
+    "q25_rolling_fingerprint" -> (q25RollingFingerprint _),
+    "q26_minhash_bands" -> (q26MinhashBands _),
+    "q27_minhash_pairs" -> (q27MinhashPairs _),
+    "q28_simhash_pairs" -> (q28SimhashPairs _),
+    "q29_ngram_jaccard" -> (q29NgramJaccard _),
+    "q30_cosine_topk" -> (q30CosineTopK _),
+    "q31_lsh_buckets" -> (q31LshBuckets _),
+    "q32_lsh_topk" -> (q32LshTopK _),
+    "q33_cosine_neardup" -> (q33CosineNearDup _))
+
+  private val splitToks = "regexp_split_to_array(text, '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len($splitToks) AS INTEGER) AS n_tokens,
+         | CAST(len(list_distinct($splitToks)) AS INTEGER) AS n_uniq,
+         | CAST(length(text) - (len($splitToks) - 1) AS DOUBLE) / len($splitToks) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "q21_text_quality" ->
+      s"""SELECT doc_id,
+         | CAST(len(list_distinct($splitToks)) AS DOUBLE) / len($splitToks) AS uniq_ratio,
+         | CAST(len(list_filter($splitToks, t -> t IN ('the','a'))) AS DOUBLE) / len($splitToks) AS stop_ratio,
+         | (CAST(len(list_distinct($splitToks)) AS DOUBLE) / len($splitToks)
+         |  + (1.0 - CAST(len(list_filter($splitToks, t -> t IN ('the','a'))) AS DOUBLE) / len($splitToks))
+         |  + least(1.0, CAST(len($splitToks) AS DOUBLE) / 100.0)) / 3.0 AS quality
+         |FROM documents""".stripMargin,
+    "q22_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "q23_langid" ->
+      s"""WITH scored AS (
+         | SELECT doc_id, lang,
+         |  len(list_intersect(list_distinct($splitToks), ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+         |  len(list_intersect(list_distinct($splitToks), ['el','la','de','que','y','en','un','una','los','es'])) AS s_es,
+         |  len(list_intersect(list_distinct($splitToks), ['der','die','das','und','ist','ein','eine','zu','den','nicht'])) AS s_de,
+         |  len(list_intersect(list_distinct($splitToks), ['le','la','les','de','et','un','une','est','que','pour'])) AS s_fr,
+         |  len(list_intersect(list_distinct($splitToks), ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+         | FROM documents)
+         |SELECT doc_id, lang,
+         | CASE WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_de > 0 THEN 'de'
+         |      WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_en > 0 THEN 'en'
+         |      WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_es > 0 THEN 'es'
+         |      WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+         |      WHEN s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_zh > 0 THEN 'zh'
+         |      ELSE 'und' END AS predicted_lang
+         |FROM scored""".stripMargin,
+    "q24_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(array_to_string($splitToks, ' ')) AS fingerprint
+         |FROM documents""".stripMargin,
+    "q30_cosine_topk" ->
+      """SELECT vec_id, ROUND(list_cosine_similarity(
+        |   CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 20""".stripMargin)
+}

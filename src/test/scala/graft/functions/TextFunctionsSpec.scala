@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column) =
+    spark.range(1).select(c.as("v")).rows.head
+
+  test("token counts and distinct counts") {
+    assert(one(TextFunctions.tokenCount(lit("a b  c\td"))).getInt(0) == 4)
+    assert(one(TextFunctions.distinctTokenCount(lit("a b a b c"))).getInt(0) == 3)
+  }
+
+  test("stopwordRatio and punctRatio") {
+    assert(one(TextFunctions.stopwordRatio(lit("the cat and the dog"),
+      Seq("the", "and"))).getDouble(0) == 3.0 / 5.0)
+    assert(one(TextFunctions.punctRatio(lit("ab.,"))).getDouble(0) == 0.5)
+  }
+
+  test("qualityScore is in [0,1] and rewards diversity") {
+    val rich = one(TextFunctions.qualityScore(
+      lit(((1 to 100).map(i => s"w$i")).mkString(" ")), Seq("the"))).getDouble(0)
+    val poor = one(TextFunctions.qualityScore(
+      lit(Seq.fill(100)("the").mkString(" ")), Seq("the"))).getDouble(0)
+    assert(rich > 0.9 && poor < 0.5 && rich <= 1.0 && poor >= 0.0)
+  }
+
+  test("languageId picks the profile with most distinct marker words") {
+    val samples = Seq(
+      "the cat is in the house and it is warm" -> "en",
+      "el perro es un animal que vive en la casa" -> "es",
+      "der hund ist ein tier und die katze ist nicht" -> "de",
+      "le chat est un animal et les chiens pour la maison" -> "fr",
+      "qwerty zxcvb asdfgh" -> "und")
+    samples.foreach { case (text, expected) =>
+      assert(one(TextFunctions.languageId(lit(text))).getString(0) == expected,
+        s"for: $text")
+    }
+  }
+
+  test("fingerprint is whitespace-insensitive, rollingHash is order-sensitive") {
+    assert(one(TextFunctions.fingerprint(lit("a  b\tc"))) ==
+      one(TextFunctions.fingerprint(lit("a b c"))))
+    assert(one(TextFunctions.rollingHash(lit("a b c"))) !=
+      one(TextFunctions.rollingHash(lit("c b a"))))
+    assert(one(TextFunctions.rollingHash(lit("a b c"))) ==
+      one(TextFunctions.rollingHash(lit("a b c"))))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 and 2 are near-duplicates (one word changed); 3 is unrelated.
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox leaps over the lazy dog again and again"),
+    (3L, "completely different content about spark catalyst optimizer rules")
+  ).toDF("doc_id", "text")
+
+  test("shingles produces n-grams; n=1 passes tokens through") {
+    val toks = TextFunctions.tokens(lit("a b c d"))
+    val out = spark.range(1)
+      .select(NearDup.shingles(toks, 2).as("sh")).rows.head.getSeq[String](0)
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhashPairs finds the planted near-dup pair and only it") {
+    val out = NearDup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).rows
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    val j = out.head.getDouble(2)
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("identical texts have identical simhash; near-dups are close") {
+    val sigs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("id", "text")
+      .select(col("id"), NearDup.simhash64(TextFunctions.tokens(col("text"))).as("sig"))
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhashPairs reports hamming distance for banded candidates") {
+    val out = NearDup.simhashPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 20).rows
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard over shingle sets") {
+    val out = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3, maxDocFreq = 10).rows
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    // 12 tokens -> 11 bigrams each; one word changed kills bigrams i-1,i
+    // shared = 9 distinct bigrams, union = 13 -> jaccard = 9/13
+    assert(math.abs(out.head.getDouble(2) - 9.0 / 13.0) < 1e-12)
+  }
+
+  test("maxDocFreq drops ubiquitous shingles from the index") {
+    val many = (1L to 20L).map(i => (i, "common words everywhere")).toDF("doc_id", "text")
+    val out = NearDup.ngramJaccardPairs(many, "doc_id", "text",
+      shingleSize = 2, threshold = 0.9, maxDocFreq = 5)
+    assert(out.count() == 0) // every shingle has df=20 > 5
+  }
+}

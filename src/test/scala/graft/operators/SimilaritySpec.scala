@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column) =
+    spark.range(1).select(c.as("v")).rows.head
+
+  test("cosine of identical / orthogonal / opposite vectors") {
+    val a = typedLit(Seq(1.0, 0.0, 2.0))
+    val b = typedLit(Seq(0.0, 3.0, 0.0))
+    assert(math.abs(one(Similarity.cosine(a, a)).getDouble(0) - 1.0) < 1e-15)
+    assert(one(Similarity.cosine(a, b)).getDouble(0) == 0.0)
+    val negA = typedLit(Seq(-1.0, 0.0, -2.0))
+    assert(math.abs(one(Similarity.cosine(a, negA)).getDouble(0) + 1.0) < 1e-15)
+  }
+
+  test("bruteForceTopK returns k rows ranked by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(-1.0f, 0.0f)),  // opposite
+      (4L, Seq(0.7f, 0.7f))    // diagonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3).rows
+    assert(out.map(_.getLong(0)) == Seq(1L, 4L, 2L))
+    assert(out.head.getDouble(1) > 0.99)
+  }
+
+  test("lshBucket: same direction -> same bucket, opposite -> complement") {
+    val planes = Similarity.hyperplanes(8, 4)
+    val v = typedLit(Seq(0.3, -0.2, 0.9, 0.1))
+    val scaled = typedLit(Seq(0.6, -0.4, 1.8, 0.2))
+    val opposite = typedLit(Seq(-0.3, 0.2, -0.9, -0.1))
+    val bv = one(Similarity.lshBucket(v, planes)).getLong(0)
+    val bs = one(Similarity.lshBucket(scaled, planes)).getLong(0)
+    val bo = one(Similarity.lshBucket(opposite, planes)).getLong(0)
+    assert(bv == bs)
+    assert((bv ^ bo) == 255L) // all 8 sign bits flip
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+  }
+
+  test("lshTopK finds the nearest vector when it shares the bucket") {
+    val base = Seq.fill(64)(0.5)
+    val near = base.updated(0, 0.51)
+    val far = base.map(-_)
+    val vecs = Seq(
+      (0L, base.map(_.toFloat)),
+      (1L, near.map(_.toFloat)),
+      (2L, far.map(_.toFloat))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", 0L, 2,
+      numPlanes = 8, dim = 64).rows
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getDouble(1) > 0.999)
+  }
+
+  test("cosineNearDupPairs finds high-cosine pairs within buckets") {
+    val a = Seq.fill(16)(1.0f)
+    val b = a.updated(3, 1.05f)
+    val c = (1 to 16).map(i => (if (i % 2 == 0) -1.0f else 1.0f))
+    val vecs = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 4, dim = 16).rows
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+  }
+}
