@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus batch-wise decode/feature-extraction.
+  *
+  * The Spark-side contracts here — schema, partitioning, batch shape — are
+  * real and tested; the actual byte decode is stubbed behind [[Decoder]]
+  * (no image/audio codecs in this environment) with a deterministic fake,
+  * exactly where a JNI/codec call would slot in.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width_px", IntegerType),
+      StructField("height_px", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("sample_rate_hz", IntegerType))))))
+
+  /** Build a media table from the documents table: payload = utf-8 bytes of
+    * the text (opaque stand-in for real media bytes), metadata derived
+    * deterministically from doc_id. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width_px"),
+        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height_px"),
+        (pmod(col("doc_id"), lit(60)) * 1000 + 5000).as("duration_ms"),
+        lit(16000).as("sample_rate_hz")).as("meta"))
+
+  /** Decode boundary. A production implementation wraps an image/audio
+    * library (JNI or vectorized codec); this container has none, so the
+    * stub derives a deterministic feature vector from the bytes — the
+    * Spark-side plumbing (batching, schema, distribution) is identical. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte], kind: String): Array[Float]
+  }
+
+  /** Deterministic fake decode: dim float features folded from byte
+    * content. Stands in for `???` (real codec) — see [[Decoder]]. */
+  final class StubDecoder(dim: Int = 8) extends Decoder {
+    def decode(payload: Array[Byte], kind: String): Array[Float] = {
+      val acc = new Array[Float](dim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          acc(i % dim) += payload(i).toInt / 128.0f
+          i += 1
+        }
+      }
+      acc
+    }
+  }
+
+  /** Batch-wise feature extraction: processes each partition in batches of
+    * `batchSize` rows (the JVM analogue of a Pandas-UDF `mapInPandas`
+    * iterator-of-batches contract — a real decoder amortizes model/codec
+    * setup per batch, not per row). Output: media_id, kind, features. */
+  def extractFeatures(df: DataFrame, decoder: Decoder,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val src = df.select("media_id", "kind", "payload")
+    val rdd = src.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would happen here (codec init, model load)
+        batch.iterator.map { r =>
+          val features = decoder.decode(r.getAs[Array[Byte]]("payload"),
+            r.getAs[String]("kind"))
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            features.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Video frame sampling plumbing: one row per sampled frame timestamp
+    * (every `everyMs` ms across meta.duration_ms). Pure expression —
+    * explode(sequence(...)), no UDF. */
+  def frameSample(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs)))
+          .as("frame_ts_ms"))
+
+  /** Metadata-level resize: aspect-preserving target dimensions bounded by
+    * `maxDim` (the compute a resize UDF would read per row). */
+  def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width_px")
+    val h = col("meta.height_px")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
+    df.select(col("media_id"), col("kind"), w.as("width_px"), h.as("height_px"),
+      round(w * scale).cast("int").as("target_width_px"),
+      round(h * scale).cast("int").as("target_height_px"))
+  }
+}

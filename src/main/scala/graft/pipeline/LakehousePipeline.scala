@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleanse, Dedup, Dims}
+
+/** End-to-end daily pipeline over the events table: the reference's linear
+  * Step Functions DAG `Ingest → BronzeToSilver → SilverToGold → Maintenance`
+  * (reference: terraform/stepfunctions.tf:72-179) as plain Scala stages with
+  * per-stage retry.
+  *
+  * Zone semantics mirror the reference:
+  *  - bronze: raw immutable files, idempotent landing
+  *  - silver: cleansed + deduplicated, partitioned by event_date (the
+  *    proper version of the reference's unpartitioned year/month/day
+  *    columns — SURVEY.md §1.3)
+  *  - gold: star schema — fact (append) + dims (overwrite), exactly the
+  *    reference's write-mode split
+  *    (reference: glue-jobs/noaa_ghcn_silver_to_gold.py:99-121)
+  */
+object LakehousePipeline {
+
+  final case class RunReport(
+      ingested: Int, skipped: Int, silverRows: Long, factRows: Long,
+      maintenance: Seq[Maintenance.Report])
+
+  def run(spark: SparkSession, srcEventsParquet: String, wh: Warehouse,
+      factAppend: Boolean = false): RunReport = {
+
+    // Stage 1 — ingest (idempotent file landing; S8 analog)
+    val srcFiles =
+      if (Files.isDirectory(Paths.get(srcEventsParquet)))
+        Files.list(Paths.get(srcEventsParquet)).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).toSeq
+      else Seq(Paths.get(srcEventsParquet))
+    val (copied, skipped) = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
+      Medallion.ingest(srcFiles, wh, "events")
+    }
+
+    // Stage 2 — bronze → silver: cleanse + dedup + partition columns
+    val silverRows = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
+      // Bronze events carry TIMESTAMP(NANOS); read as raw nanos and
+      // floor-convert (same contract as graft.Tables.load).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(wh.table(Medallion.Bronze, "events"))
+      val bronze =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val cleansed = Cleanse.rangeRules(bronze,
+        Seq(col("value").isNotNull, col("value") >= 0,
+          col("event_type").isNotNull && col("event_type") =!= ""))
+      val deduped = Dedup.byKey(cleansed,
+        keys = Seq("user_id", "event_type", "ts"),
+        tieBreak = Seq(col("event_id")))
+      val silver = deduped
+        .withColumn("event_date", to_date(col("ts")))
+      Medallion.writeTable(silver, wh, Medallion.Silver, "events",
+        SaveMode.Overwrite, partitionBy = Seq("event_date"))
+      spark.read.parquet(wh.table(Medallion.Silver, "events")).count()
+    }
+
+    // Stage 3 — silver → gold: dims overwrite, fact append
+    val factRows = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
+      val silver = Medallion.readTable(spark, wh, Medallion.Silver, "events")
+      val dimDate = Dims.calendarDim(silver, "ts")
+      val dimType = Dims.distinctDim(silver, Seq("event_type"))
+      val fact = silver.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("event_date"), col("value"))
+      Medallion.writeTable(dimDate, wh, Medallion.Gold, "dim_date")
+      Medallion.writeTable(dimType, wh, Medallion.Gold, "dim_event_type")
+      Medallion.writeTable(fact, wh, Medallion.Gold, "fact_events",
+        if (factAppend) SaveMode.Append else SaveMode.Overwrite,
+        partitionBy = Seq("event_date"))
+      Medallion.readTable(spark, wh, Medallion.Gold, "fact_events").count()
+    }
+
+    // Stage 4 — maintenance (per-table isolation, continue on error; M4)
+    val reports = Maintenance.runAll(spark,
+      Seq(wh.table(Medallion.Silver, "events"),
+        wh.table(Medallion.Gold, "fact_events")),
+      targetFileBytes = 256L * 1024 * 1024)
+
+    RunReport(copied, skipped, silverRows, factRows, reports)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance over parquet tables — the M1–M4 surface of the
+  * reference (reference: glue-jobs/iceberg_maintenance.py:41-84) re-expressed
+  * for the parquet degradation path. On an Iceberg deployment these map 1:1
+  * to `CALL system.rewrite_data_files/expire_snapshots/remove_orphan_files`.
+  */
+object Maintenance {
+
+  final case class Report(table: String, action: String, ok: Boolean,
+      detail: String)
+
+  /** M2 analog: binpack small-file compaction — rewrite a table directory
+    * into files of ~`targetFileBytes` (reference default 256 MB,
+    * glue-jobs/iceberg_maintenance.py:66). Atomic-ish: writes to a temp dir,
+    * then swaps. Partitioned layouts are compacted per-partition via a
+    * repartition sized from the on-disk footprint. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetFileBytes: Long = 256L * 1024 * 1024): Report = {
+    try {
+      val size = dirSize(new File(tableDir))
+      val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
+      val df = spark.read.parquet(tableDir)
+      val tmp = tableDir + ".compact_tmp"
+      df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
+      val old = tableDir + ".compact_old"
+      Files.move(Paths.get(tableDir), Paths.get(old))
+      Files.move(Paths.get(tmp), Paths.get(tableDir))
+      deleteRecursively(new File(old))
+      Report(tableDir, "compact", ok = true,
+        s"rewrote ${size}B into <=$numFiles files")
+    } catch {
+      case e: Throwable => Report(tableDir, "compact", ok = false, e.toString)
+    }
+  }
+
+  /** M3 analog: remove orphan working files (committer temp dirs, crc
+    * leftovers, failed-compaction temps) not referenced by the table. */
+  def removeOrphans(tableDir: String): Report = {
+    try {
+      var removed = 0
+      val root = new File(tableDir)
+      def walk(f: File): Unit = {
+        if (f.isDirectory) {
+          if (f.getName == "_temporary" || f.getName.endsWith(".compact_tmp")
+              || f.getName.endsWith(".compact_old")) {
+            deleteRecursively(f); removed += 1
+          } else f.listFiles().foreach(walk)
+        } else if (f.getName.endsWith(".crc") && f.getName.startsWith(".")) {
+          f.delete(); removed += 1
+        }
+      }
+      if (root.exists()) walk(root)
+      Report(tableDir, "remove_orphans", ok = true, s"removed $removed")
+    } catch {
+      case e: Throwable => Report(tableDir, "remove_orphans", ok = false, e.toString)
+    }
+  }
+
+  /** M1 analog (snapshot expiry): parquet tables have no snapshots; on the
+    * Iceberg path this is `CALL system.expire_snapshots(older_than => now()
+    * - retention)`. Kept as an explicit no-op so pipeline wiring matches the
+    * reference DAG. */
+  def expireSnapshots(tableDir: String, retentionDays: Int = 7): Report =
+    Report(tableDir, "expire_snapshots", ok = true,
+      s"no-op on parquet tables (retention=${retentionDays}d applies on Iceberg)")
+
+  /** M4: per-table isolation driver — run all actions on every table,
+    * continue on error (reference: glue-jobs/iceberg_maintenance.py:46-84). */
+  def runAll(spark: SparkSession, tableDirs: Seq[String],
+      targetFileBytes: Long = 256L * 1024 * 1024): Seq[Report] =
+    tableDirs.flatMap { dir =>
+      Seq(
+        expireSnapshots(dir),
+        compact(spark, dir, targetFileBytes),
+        removeOrphans(dir))
+    }
+
+  private def dirSize(f: File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

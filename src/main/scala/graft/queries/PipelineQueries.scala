@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.IncrementalIngest
+
+/** Query entries for the multimodal plumbing and the streaming-shaped
+  * (event-time windowed) aggregation. The windowed agg runs the exact plan
+  * the streaming path uses — in batch mode the watermark is a no-op, so the
+  * DuckDB oracle can check it. */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Media table stats: schema + metadata plumbing over binary payloads. */
+  def q34MediaStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(t(s, dir, "documents")).select(
+      col("media_id"), col("kind"),
+      octet_length(col("payload")).as("n_bytes"),
+      col("meta.width_px").as("width_px"),
+      col("meta.duration_ms").as("duration_ms"))
+
+  /** Video frame sampling: one row per sampled frame timestamp. */
+  def q35FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.fromDocuments(t(s, dir, "documents")), everyMs = 10000L)
+
+  /** Aspect-preserving resize plan (metadata compute for a resize kernel). */
+  def q36ResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.fromDocuments(t(s, dir, "documents")), maxDim = 512)
+
+  /** Batch-wise stub decode + feature extraction (RDD mapPartitions batch
+    * contract; no oracle — exercised by ScalaTest). */
+  def q37ExtractFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.fromDocuments(t(s, dir, "documents")),
+      new Multimodal.StubDecoder(8))
+
+  /** Event-time windowed aggregation (streaming plan in batch mode).
+    * Window bounds exported as epoch seconds to keep the comparison
+    * timezone-free. */
+  def q38WindowedAgg(s: SparkSession, dir: String): DataFrame =
+    IncrementalIngest.windowedCounts(t(s, dir, "events"), "ts", "event_type",
+        windowDuration = "1 hour")
+      .select(col("window_start").cast("long").as("ws"),
+        col("event_type"), col("n"), col("total_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_media_stats" -> (q34MediaStats _),
+    "q35_frame_sample" -> (q35FrameSample _),
+    "q36_resize_plan" -> (q36ResizePlan _),
+    "q37_extract_features" -> (q37ExtractFeatures _),
+    "q38_windowed_agg" -> (q38WindowedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q34_media_stats" ->
+      """SELECT doc_id AS media_id,
+        | (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        | octet_length(encode(text)) AS n_bytes,
+        | CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS width_px,
+        | (doc_id % 60) * 1000 + 5000 AS duration_ms
+        |FROM documents""".stripMargin,
+    "q35_frame_sample" ->
+      """SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 60) * 1000 + 5000, 10000)) AS frame_ts_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q36_resize_plan" ->
+      """SELECT doc_id AS media_id,
+        | (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        | CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS width_px,
+        | CAST((doc_id % 8) * 90 + 180 AS INTEGER) AS height_px,
+        | CAST(round(((doc_id % 8) * 160 + 320) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180))) AS INTEGER) AS target_width_px,
+        | CAST(round(((doc_id % 8) * 90 + 180) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180))) AS INTEGER) AS target_height_px
+        |FROM documents""".stripMargin,
+    "q38_windowed_agg" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_test_").toString
+
+  test("full medallion run: ingest -> silver -> gold -> maintenance") {
+    val wh = Warehouse(tmpDir())
+    val report = LakehousePipeline.run(spark,
+      "/root/testdata/sf0.001/events.parquet", wh)
+    assert(report.ingested == 1 && report.skipped == 0)
+    assert(report.silverRows > 0 && report.silverRows <= 1000)
+    assert(report.factRows == report.silverRows)
+    assert(report.maintenance.forall(_.ok))
+    // silver is partitioned by event_date (hive layout)
+    val silverDirs = Files.list(Paths.get(wh.table(Medallion.Silver, "events")))
+    assert(silverDirs.iterator().hasNext)
+    // gold dims exist
+    assert(Medallion.readTable(spark, wh, Medallion.Gold, "dim_date").count() > 0)
+    assert(Medallion.readTable(spark, wh, Medallion.Gold, "dim_event_type").count() == 5)
+  }
+
+  test("rerun is idempotent at the ingest layer (skip-if-exists)") {
+    val wh = Warehouse(tmpDir())
+    val first = LakehousePipeline.run(spark,
+      "/root/testdata/sf0.001/events.parquet", wh)
+    val second = LakehousePipeline.run(spark,
+      "/root/testdata/sf0.001/events.parquet", wh)
+    assert(first.ingested == 1)
+    assert(second.ingested == 0 && second.skipped == 1)
+    assert(second.factRows == first.factRows) // overwrite mode: no dup rows
+  }
+
+  test("registerZone exposes tables to the SQL surface") {
+    val wh = Warehouse(tmpDir())
+    LakehousePipeline.run(spark, "/root/testdata/sf0.001/events.parquet", wh)
+    Medallion.registerZone(spark, wh, Medallion.Gold)
+    val n = spark.sql(
+      "SELECT event_type, count(*) n FROM gold_fact_events GROUP BY 1").count()
+    assert(n == 5)
+  }
+
+  test("compact rewrites many small files into few") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    (1 to 100).toDF("x").repartition(50).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val rep = Maintenance.compact(spark, dir, targetFileBytes = 256L * 1024 * 1024)
+    assert(rep.ok)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 50 && after == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("removeOrphans clears temp dirs, retry retries") {
+    val dir = tmpDir() + "/t2"
+    import spark.implicits._
+    (1 to 10).toDF("x").write.parquet(dir)
+    Files.createDirectories(Paths.get(dir, "_temporary"))
+    val rep = Maintenance.removeOrphans(dir)
+    assert(rep.ok && !Files.exists(Paths.get(dir, "_temporary")))
+
+    var calls = 0
+    val out = Retry.withRetry(attempts = 3, baseDelayMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    intercept[RuntimeException] {
+      Retry.withRetry(attempts = 2, baseDelayMs = 1)(sys.error("always"))
+    }
+  }
+}
