@@ -8,11 +8,14 @@ import graft.functions.TextFunctions
 /** Near-duplicate detection: MinHash+LSH, SimHash, and n-gram Jaccard.
   *
   * Scale design: the naive near-dup join is O(n²). Both LSH families here
-  * reduce it to (1) a per-row signature projection (no shuffle), (2) a
-  * shuffle on (band, band_hash) — i.e. on a few bytes per row, never the
-  * document — and (3) an equi self-join within buckets, which Catalyst
-  * executes as a shuffled hash join on the bucket key. Only candidate pairs
-  * (a tiny fraction of n²) are verified with exact Jaccard.
+  * reduce it to (1) signature construction as an explode + codegen'd hash
+  * aggregation (higher-order-function lambdas are interpreted in Spark, so
+  * per-seed `transform` passes over shingle arrays are deliberately
+  * avoided), (2) a shuffle on (band, band_hash) — a few bytes per row,
+  * never the document — and (3) an equi self-join within buckets. Candidate
+  * pairs are verified with exact Jaccard computed by *counting* shared
+  * shingles through the inverted index, so no shingle arrays are ever
+  * shuffled or joined.
   */
 object NearDup {
 
@@ -22,28 +25,68 @@ object NearDup {
     else transform(sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
 
-  /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; element j = min hash of any shingle under seed j. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
+  /** (id, sh) rows — distinct shingle *hashes* per doc (set semantics).
+    * Shingles are hashed to longs immediately after the explode: all
+    * downstream joins/aggregations key on 8-byte longs instead of n-gram
+    * strings, and set-dedup happens in a codegen'd hash aggregate (the
+    * per-row `array_distinct` would be interpreted O(len²) string compares).
+    * Duplicate rows are co-located at explode time, so partial aggregation
+    * dedups map-side before any shuffle. */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol),
+        explode(shingles(TextFunctions.tokens(col(textCol)), shingleSize))
+          .as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+
+  /** MinHash signature per document: k seeded xxhash64 minima, built with a
+    * single explode + hash-aggregate (map-side partial min → the shuffle
+    * carries k longs per doc, and everything stays in codegen). Documents
+    * with fewer tokens than the shingle size produce no shingles and are
+    * omitted. Output: (idCol, sig: array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, k: Int): DataFrame =
+    // No set-dedup needed: duplicates cannot change a minimum.
+    df.select(col(idCol),
+        explode(shingles(TextFunctions.tokens(col(textCol)), shingleSize))
+          .as("shingle"))
+      .groupBy(col(idCol))
+      .agg(array((0 until k).map { seed =>
+        min(xxhash64(lit(seed), col("shingle")))
+      }: _*).as("sig"))
 
   /** doc_id, band, band_hash — one row per LSH band. Docs agreeing on all
     * `rowsPerBand` signature slots of any band land in the same bucket.
     * numHashes = bands * rowsPerBand. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = df.select(col(idCol),
-      minhashSignature(shingles(TextFunctions.tokens(col(textCol)), shingleSize), k)
-        .as("sig"))
-    sig.select(col(idCol), posexplode(
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashSignatures(df, idCol, textCol, shingleSize, bands * rowsPerBand)
+      .select(col(idCol), posexplode(
         array((0 until bands).map { b =>
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
               .cast("array<string>")))
         }: _*)).as(Seq("band", "band_hash")))
+
+  /** Exact Jaccard for candidate pairs, by counting shingles shared through
+    * the inverted index (never joining the arrays themselves). `exploded`
+    * must have distinct (id, shingle) rows. */
+  private def verifyJaccard(candidates: DataFrame, exploded: DataFrame,
+      idCol: String): DataFrame = {
+    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(exploded.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(exploded.select(col(idCol).as("id_b"), col("sh")),
+        Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
   /** Candidate pairs from shared LSH buckets, verified with exact Jaccard
@@ -58,22 +101,15 @@ object NearDup {
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val sets = df.select(col(idCol),
-      array_distinct(shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-        .as("sh"))
-    candidates
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+    verifyJaccard(candidates,
+        explodedShingles(df, idCol, textCol, shingleSize), idCol)
       .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of (+1/-1 according to bit i of the token's hash). Near-dups
-    * differ in few bits (small Hamming distance). Pure expression — one
-    * projection, no shuffle. */
+    * differ in few bits (small Hamming distance). Column form — prefer
+    * [[simhashSignatures]] for corpus-scale use. */
   def simhash64(toks: Column): Column = {
     val hashed = transform(toks, t => xxhash64(t))
     (0 until 64).map { i =>
@@ -84,27 +120,40 @@ object NearDup {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** SimHash per document via explode + codegen'd hash-aggregate: 64
+    * per-bit vote sums in one aggregation pass (token multiplicity counts,
+    * matching [[simhash64]]). Output: (idCol, sig: long). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    val votes = ex.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col(idCol),
+      (0 until 64).map { i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
   /** SimHash near-dup candidates: bucket by `bands` slices of the simhash
     * (docs equal on any slice are candidates), verify by Hamming distance
     * <= maxHamming. Output: id_a < id_b, hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     val bits = 64 / bands
-    val sigs = df.select(col(idCol),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until bands).map { b =>
         shiftrightunsigned(col("sig"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1))
       }: _*)).as(Seq("band", "band_val")))
-    val hamming = {
-      val x = col("a.sig").bitwiseXOR(col("b.sig"))
-      bit_count(x)
-    }
     banded.as("a").join(banded.as("b"), Seq("band", "band_val"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hamming.as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -116,32 +165,38 @@ object NearDup {
     * `maxDocFreq` is the scale guard: shingles present in more than that
     * many documents are dropped from the *index* (their posting lists would
     * dominate the join quadratically, and a shingle shared by everything
-    * carries no near-dup signal). Jaccard itself is then computed exactly
-    * over the full shingle sets of each surviving candidate pair, so the
-    * guard only bounds recall for pairs whose overlap is exclusively
-    * ultra-common shingles. Output: id_a < id_b, jaccard >= threshold. */
+    * carries no near-dup signal). Candidate generation and the common-count
+    * both use the guarded index, so similarity is Jaccard over the indexed
+    * shingle space — exact when nothing exceeds the guard, conservative
+    * (never inflated) when something does.
+    * Output: id_a < id_b, jaccard >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = 1000): DataFrame = {
-    val sets = df.select(col(idCol),
-      array_distinct(shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-        .as("sh"))
-    val inverted = sets.select(col(idCol), explode(col("sh")).as("shingle"))
-    val rare = inverted.groupBy("shingle")
+    // Repartition on the shingle hash: every consumer below (df-guard,
+    // semi-join, self-join) keys on `sh`, so they all reuse this single
+    // exchange — the tokenize/shingle/explode pipeline runs once, not 3×.
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+      .repartition(col("sh"))
+    val rare = exploded.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-      .select("shingle")
-    val indexed = inverted.join(rare, Seq("shingle"), "left_semi")
-    val candidates = indexed.as("a").join(indexed.as("b"), Seq("shingle"))
+      .select("sh")
+    val indexed = exploded.join(rare, Seq("sh"), "left_semi")
+    // One pass: the co-occurrence join itself yields the common-shingle
+    // count per pair (map-side partial count), so candidate pairs are never
+    // materialized separately and the index is never re-joined.
+    val common = indexed.as("a").join(indexed.as("b"), Seq("sh"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    candidates
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = indexed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
