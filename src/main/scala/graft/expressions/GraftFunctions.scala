@@ -1,0 +1,19 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.VectorFunctions
+
+/** Public facade for the custom Catalyst vector expressions (implemented
+  * under org.apache.spark.sql.graft, where the spark-private expression
+  * APIs are accessible). */
+object GraftFunctions {
+  /** Codegen'd cosine similarity over two array<float|double> columns. */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+
+  /** Codegen'd inner product over two array<float|double> columns. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+
+  /** Register `graft_cosine` / `graft_dot` with the session's SQL function
+    * registry. */
+  def register(spark: SparkSession): Unit = VectorFunctions.register(spark)
+}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — a single projection +
@@ -14,16 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns, computed in
-    * double with fixed evaluation order (zip_with + aggregate — codegen'd
-    * higher-order functions, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(ad, bd) / sqrt(dot(ad, ad) * dot(bd, bd))
-  }
+  /** Cosine similarity between two array<float|double> columns — a custom
+    * codegen'd Catalyst expression (one fused primitive loop inside
+    * WholeStageCodegen; see [[graft.expressions.CosineSimilarity]]). The
+    * `zip_with`+`aggregate` built-in route evaluates its lambdas
+    * interpreted per element, which dominates ANN scan cost. */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
   /** Brute-force cosine top-k against one query vector (given as the row of
     * `df` with id == queryId). The query row is broadcast; the scan computes
@@ -47,14 +45,13 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit h = sign of dot(vec, plane_h). Vectors with
-    * high cosine similarity collide with high probability. Pure projection. */
+    * high cosine similarity collide with high probability. Pure projection
+    * (codegen'd dot products against literal planes). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val vd = vec.cast("array<double>")
     planes.zipWithIndex.map { case (plane, h) =>
-      val dot = aggregate(
-        zip_with(vd, typedLit(plane), (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << h)).otherwise(0L)
+      when(GraftFunctions.dot(vd, typedLit(plane)) > 0, lit(1L << h))
+        .otherwise(0L)
     }.reduce(_.bitwiseOR(_))
   }
 

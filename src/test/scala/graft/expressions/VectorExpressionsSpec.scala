@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column) =
+    spark.range(1).select(c.as("v")).rows.head
+
+  test("CosineSimilarity matches the HOF formulation bit-for-bit") {
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val ad = a.cast("array<double>")
+      val bd = b.cast("array<double>")
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    }
+    val vecs = Seq(
+      (Seq(0.3f, -0.7f, 0.2f, 0.9f), Seq(0.1f, 0.5f, -0.4f, 0.8f)),
+      (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(4.0f, 3.0f, 2.0f, 1.0f))
+    ).toDF("a", "b")
+    val out = vecs.select(
+      GraftFunctions.cosine(col("a"), col("b")).as("fast"),
+      hofCosine(col("a"), col("b")).as("ref")).rows
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("DotProduct computes the inner product") {
+    val d = one(GraftFunctions.dot(
+      typedLit(Seq(1.0, 2.0, 3.0)), typedLit(Seq(4.0, 5.0, 6.0)))).getDouble(0)
+    assert(d == 32.0)
+  }
+
+  test("null inputs propagate null") {
+    val r = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).rows.head
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL surface: graft_cosine / graft_dot registered functions") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs_test")
+    val r = spark.sql(
+      "SELECT graft_cosine(a, b) c, graft_dot(a, b) d FROM vecs_test").rows.head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("expression works inside WholeStageCodegen (no fallback errors)") {
+    val df = spark.range(1000).select(
+      col("id"),
+      transform(sequence(lit(0), lit(63)), i => (i + col("id")).cast("double"))
+        .as("vec"))
+    val q = df.select(GraftFunctions.cosine(col("vec"), col("vec")).as("c"))
+    assert(q.filter(abs(col("c") - 1.0) < 1e-9).count() == 1000)
+  }
+}
