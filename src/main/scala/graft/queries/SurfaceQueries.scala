@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sessionize
+import graft.typed.TypedOps
+
+/** Remaining surface coverage: the typed Dataset API, the literal-SQL
+  * entry point (the reference's Athena surface is SQL text over catalog
+  * tables — reference: README.md:245-276), sessionization, and
+  * exact/approximate distinct counting. */
+object SurfaceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Typed Dataset[Order] + custom Aggregator (exact BigDecimal sum). */
+  def q19TypedAgg(s: SparkSession, dir: String): DataFrame =
+    TypedOps.spendByCustomer(TypedOps.orders(s, dir))
+
+  /** Gaps-and-islands sessionization (declarative batch path). */
+  def q39Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.batch(t(s, dir, "events"), gapSeconds = 3600L)
+
+  /** Literal SQL over registered views — the spark.sql entry point. */
+  def q40SqlBrand(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY gross DESC
+        |LIMIT 5""".stripMargin)
+  }
+
+  /** HLL++ approximate distinct (no oracle: DuckDB's sketch differs). */
+  def q41ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** Exact distinct counting per group. */
+  def q42DistinctCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_typed_agg" -> (q19TypedAgg _),
+    "q39_sessionize" -> (q39Sessionize _),
+    "q40_sql_brand" -> (q40SqlBrand _),
+    "q41_approx_distinct" -> (q41ApproxDistinct _),
+    "q42_distinct_counts" -> (q42DistinctCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "q19_typed_agg" ->
+      """SELECT o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q39_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |       WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |            - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT) > 3600
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g)
+        |SELECT user_id,
+        | min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS session_start,
+        | max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS session_end,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q40_sql_brand" ->
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY gross DESC
+        |LIMIT 5""".stripMargin,
+    "q42_distinct_counts" ->
+      """SELECT o_orderpriority,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+}
