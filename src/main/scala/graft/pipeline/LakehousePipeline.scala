@@ -44,9 +44,16 @@ object LakehousePipeline {
     // Stage 2 — bronze → silver: cleanse + dedup + partition columns
     val silverRows = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
       // Bronze events carry TIMESTAMP(NANOS); read as raw nanos and
-      // floor-convert (same contract as graft.Tables.load).
+      // floor-convert (same contract as graft.Tables.load). The scan is
+      // recursive (the reference reads below the partition root,
+      // glue-jobs/noaa_ghcn_bronze_to_silver.py:46-50) and each row keeps
+      // its source file for provenance (input_file_name, F1).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(wh.table(Medallion.Bronze, "events"))
+      val raw = spark.read
+        .option("recursiveFileLookup", "true")
+        .parquet(wh.table(Medallion.Bronze, "events"))
+        .withColumn("source_file",
+          regexp_extract(input_file_name(), "([^/]+)$", 1))
       val bronze =
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -66,15 +66,33 @@ object Medallion {
   /** Register all tables of a zone as `<zone>_<table>` temp views, the
     * local stand-in for the Glue catalog the SQL surface queries
     * (reference: README.md:245-276). */
-  def registerZone(spark: SparkSession, wh: Warehouse, zone: String): Unit = {
-    val dir = Paths.get(wh.zone(zone))
-    if (Files.isDirectory(dir)) {
-      Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
-        .foreach { t =>
-          readTable(spark, wh, zone, t.getFileName.toString)
-            .createOrReplaceTempView(s"${zone}_${t.getFileName.toString}")
-        }
+  def registerZone(spark: SparkSession, wh: Warehouse, zone: String): Unit =
+    tableDirs(wh, zone).foreach { t =>
+      readTable(spark, wh, zone, t).createOrReplaceTempView(s"${zone}_$t")
     }
+
+  /** S7 analog: register the warehouse in the session catalog with real DDL
+    * — `CREATE DATABASE` per zone + `CREATE TABLE ... USING parquet
+    * LOCATION ...` per table (the reference's explicit create-if-absent,
+    * glue-jobs/noaa_ghcn_bronze_to_silver.py:117-138, minus the Iceberg
+    * TBLPROPERTIES). Queries then address `silver.events`, `gold.fact_events`
+    * etc. exactly as the reference's Athena surface does. */
+  def registerCatalog(spark: SparkSession, wh: Warehouse,
+      zones: Seq[String] = Seq(Silver, Gold)): Unit =
+    zones.foreach { zone =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $zone")
+      tableDirs(wh, zone).foreach { t =>
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $zone.$t
+             |USING parquet LOCATION '${wh.table(zone, t)}'""".stripMargin)
+      }
+    }
+
+  private def tableDirs(wh: Warehouse, zone: String): Seq[String] = {
+    val dir = Paths.get(wh.zone(zone))
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq
   }
 }
 

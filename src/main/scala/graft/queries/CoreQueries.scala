@@ -162,6 +162,8 @@ object CoreQueries {
       substring(col("source"), 4, 3).as("src_suffix"),
       concat_ws("-", col("lang"), col("source")).as("tag"),
       regexp_replace(col("source"), "src", "source_").as("src_renamed"),
+      col("source").rlike("^src[0-9]+$").as("is_src"),
+      length(trim(col("text"))).as("trimmed_len"),
       length(col("text")).as("text_len"))
 
   /** A3 extension: ROLLUP grouping-sets aggregate. */
@@ -306,6 +308,8 @@ object CoreQueries {
         | substring(source, 4, 3) AS src_suffix,
         | concat_ws('-', lang, source) AS tag,
         | regexp_replace(source, 'src', 'source_') AS src_renamed,
+        | regexp_matches(source, '^src[0-9]+$') AS is_src,
+        | length(trim(text)) AS trimmed_len,
         | length(text) AS text_len
         |FROM documents""".stripMargin,
     "q14_rollup_agg" ->

@@ -53,7 +53,32 @@ object SurfaceQueries {
         countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"))
 
+  /** J3-shape expression-key equi join: the join key is a computed
+    * expression (cast/truncation), not a stored column — the reference's
+    * country-prefix join shape (SURVEY.md §2.3 J3). */
+  def q43ExprJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev.select(to_date(col("ts")).as("date")).distinct()
+      .select(col("date"), dayofweek(col("date")).as("day_of_week"))
+    ev.join(dim, to_date(ev("ts")) === dim("date"))
+      .groupBy(col("day_of_week"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Set op: INTERSECT (distinct semantics). */
+  def q44Intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** Set op: EXCEPT (distinct semantics). */
+  def q45Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_expr_join" -> (q43ExprJoin _),
+    "q44_intersect" -> (q44Intersect _),
+    "q45_except" -> (q45Except _),
     "q19_typed_agg" -> (q19TypedAgg _),
     "q39_sessionize" -> (q39Sessionize _),
     "q40_sql_brand" -> (q40SqlBrand _),
@@ -61,6 +86,18 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q43_expr_join" ->
+      """SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS day_of_week,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q44_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q45_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
     "q19_typed_agg" ->
       """SELECT o_custkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

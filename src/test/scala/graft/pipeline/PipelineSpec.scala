@@ -45,6 +45,17 @@ class PipelineSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("registerCatalog: DDL databases + tables, queried as zone.table") {
+    val wh = Warehouse(tmpDir())
+    LakehousePipeline.run(spark, "/root/testdata/sf0.001/events.parquet", wh)
+    Medallion.registerCatalog(spark, wh)
+    assert(spark.sql("SELECT count(*) FROM silver.events").rows.head.getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM gold.dim_event_type").rows.head.getLong(0) == 5)
+    // silver carries per-row provenance from the recursive bronze scan
+    val files = spark.sql("SELECT DISTINCT source_file FROM silver.events").rows
+    assert(files.map(_.getString(0)) == Seq("events.parquet"))
+  }
+
   test("compact rewrites many small files into few") {
     import spark.implicits._
     val dir = tmpDir() + "/t"
