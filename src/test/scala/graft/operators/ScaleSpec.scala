@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount equals the unsalted aggregate bit-for-bit") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_l_quantity"), count(lit(1)).as("n"))
+      .rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted
+    val salted = Scale.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 16)
+      .rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted
+    assert(salted == direct)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val salted = Scale.saltedJoin(li, o, "l_orderkey", factor = 4).count()
+    assert(salted == plain && plain > 0)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    Scale.writeBucketed(o.select("o_orderkey", "o_totalprice"),
+      "bt_orders", "o_orderkey", 4)
+    Scale.writeBucketed(o.select("o_orderkey", "o_orderpriority"),
+      "bt_orders2", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_orders")
+        .join(spark.table("bt_orders2"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() == o.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bt_orders")
+      spark.sql("DROP TABLE IF EXISTS bt_orders2")
+    }
+  }
+
+  test("GraftExtensions injects without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+  }
+}
