@@ -56,6 +56,19 @@ class PipelineSpec extends SparkSpec {
     assert(files.map(_.getString(0)) == Seq("events.parquet"))
   }
 
+  test("silver partition layout supports partition pruning") {
+    val wh = Warehouse(tmpDir())
+    LakehousePipeline.run(spark, "/root/testdata/sf0.001/events.parquet", wh)
+    val silver = Medallion.readTable(spark, wh, Medallion.Silver, "events")
+    val someDate = silver.select("event_date").limit(1).rows.head.getDate(0)
+    val pruned = silver.filter(org.apache.spark.sql.functions.col("event_date")
+      === someDate)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_date"), s"no partition pruning in:\n$scan")
+    assert(pruned.count() > 0)
+  }
+
   test("compact rewrites many small files into few") {
     import spark.implicits._
     val dir = tmpDir() + "/t"

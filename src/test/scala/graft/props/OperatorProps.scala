@@ -1,0 +1,58 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.operators.{Cleanse, Dedup}
+import graft.functions.TextFunctions
+
+/** ScalaCheck property tests for the invariants SURVEY.md §5 calls out:
+  * dedup outputs are unique and a subset of the input; cleanse filters are
+  * idempotent; normalization arithmetic is exact. */
+object OperatorProps extends Properties("graft.operators") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowGen = for {
+    user <- Gen.choose(0L, 5L)
+    typ <- Gen.oneOf("a", "b", "c")
+    id <- Gen.choose(0L, 1000000L)
+    value <- Gen.choose(-100.0, 100.0)
+  } yield (id, user, typ, value)
+
+  private val rowsGen = Gen.listOfN(60, rowGen).map(_.distinctBy(_._1))
+
+  property("dedup.byKey: unique keys, subset of input, deterministic") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "value")
+      val out = Dedup.byKey(df, Seq("user_id", "event_type"), Seq(col("event_id")))
+        .collect().toSeq
+      val keys = out.map(r => (r.getLong(1), r.getString(2)))
+      val inputIds = rows.map(_._1).toSet
+      val expectedKeys = rows.map(r => (r._2, r._3)).distinct.toSet
+      keys.distinct.size == keys.size &&
+        out.forall(r => inputIds.contains(r.getLong(0))) &&
+        keys.toSet == expectedKeys
+    }
+
+  property("cleanse.rangeRules is idempotent") =
+    Prop.forAll(Gen.listOfN(40, Gen.choose(-50.0, 150.0))) { vals =>
+      val df = vals.toDF("v")
+      val rules = Seq(col("v").between(0, 100))
+      val once = Cleanse.rangeRules(df, rules)
+      val twice = Cleanse.rangeRules(once, rules)
+      once.count() == twice.count() &&
+        once.collect().map(_.getDouble(0)).forall(v => v >= 0 && v <= 100)
+    }
+
+  property("tokenCount >= distinctTokenCount >= 1 for non-empty text") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4"))) { words =>
+      val text = words.mkString(" ")
+      val r = spark.range(1).select(
+        TextFunctions.tokenCount(lit(text)).as("n"),
+        TextFunctions.distinctTokenCount(lit(text)).as("d")).collect().head
+      r.getInt(0) == words.size && r.getInt(1) == words.distinct.size &&
+        r.getInt(0) >= r.getInt(1) && r.getInt(1) >= 1
+    }
+}

@@ -33,6 +33,30 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("windowedCounts runs as a real stream (AvailableNow + memory sink)") {
+    val root = Files.createTempDirectory("graft_stream_agg_").toString
+    val src = s"$root/src"
+    Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 4.0)
+    ).toDF("ts", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = IncrementalIngest
+      .windowedCounts(stream, "ts", "event_type", "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("win_agg").orderBy("window_start", "event_type").rows
+    assert(out.size == 2)
+    assert(out.head.getLong(3) == 2 && out.head.getDouble(4) == 3.0)
+  }
+
   test("windowedCounts buckets by event time") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
