@@ -80,6 +80,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Top-k similarity join: for EVERY query vector, its k nearest corpus
+    * vectors — the batch form of ANN (SURVEY.md §7.1's "top-k similarity
+    * join"). Candidates meet in an equi join on the LSH bucket (multi-probe
+    * Hamming<=1 via bucket expansion on the smaller query side), then a
+    * per-query window rank keeps k. The corpus is never cross-joined: the
+    * shuffle keys on the bucket id. */
+  def topKJoin(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
+      corpusIdCol: String, vecCol: String, k: Int, numPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    // Expand each query into its own bucket + all Hamming-1 neighbors so
+    // the candidate meet stays an equi join.
+    val probes = typedLit(0L +: (0 until numPlanes).map(1L << _))
+    val qb = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+        lshBucket(col(vecCol), planes).as("__b0"))
+      .withColumn("__probe", explode(probes))
+      .select(col(queryIdCol), col("__qvec"),
+        col("__b0").bitwiseXOR(col("__probe")).as("bucket"))
+    val cb = corpus.select(col(corpusIdCol), col(vecCol).as("__cvec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(desc("cos"), col(corpusIdCol))
+    qb.join(cb, Seq("bucket"))
+      .filter(col(queryIdCol) =!= col(corpusIdCol))
+      .select(col(queryIdCol), col(corpusIdCol),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket + exact
     * cosine verify (the vector analogue of NearDup.minhashPairs). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -112,6 +112,16 @@ object ExtQueries {
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
       "embedding", threshold = 0.2, numPlanes = 4, dim = 64)
 
+  /** Batch top-k similarity join: 3 nearest neighbors for every vector
+    * (LSH-bucketed candidate meet + per-query rank; no oracle). */
+  def q46TopKJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.topKJoin(
+      emb.select(col("vec_id").as("query_id"), col("embedding")),
+      emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+      "query_id", "corpus_id", "embedding", k = 3, numPlanes = 8, dim = 64)
+  }
+
   // ------------------------------------------------------------- registries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -128,7 +138,8 @@ object ExtQueries {
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_lsh_buckets" -> (q31LshBuckets _),
     "q32_lsh_topk" -> (q32LshTopK _),
-    "q33_cosine_neardup" -> (q33CosineNearDup _))
+    "q33_cosine_neardup" -> (q33CosineNearDup _),
+    "q46_topk_join" -> (q46TopKJoin _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 

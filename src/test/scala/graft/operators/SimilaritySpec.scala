@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getDouble(1) > 0.999)
   }
 
+  test("topKJoin returns k nearest per query via bucketed candidates") {
+    val base = (1 to 64).map(i => math.sin(i.toDouble))
+    def jitter(eps: Double) = base.map(v => (v + eps).toFloat)
+    val corpus = Seq(
+      (10L, jitter(0.01)), (11L, jitter(0.02)), (12L, jitter(0.05)),
+      (13L, base.map(-_).map(_.toFloat))
+    ).toDF("corpus_id", "embedding")
+    val queries = Seq((1L, base.map(_.toFloat))).toDF("query_id", "embedding")
+    val out = Similarity.topKJoin(queries, corpus, "query_id", "corpus_id",
+      "embedding", k = 2).rows
+    assert(out.size == 2)
+    assert(out.map(_.getLong(1)).toSet == Set(10L, 11L)) // two closest
+    assert(out.forall(_.getDouble(2) > 0.99))
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs within buckets") {
     val a = Seq.fill(16)(1.0f)
     val b = a.updated(3, 1.05f)
