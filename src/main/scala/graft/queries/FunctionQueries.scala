@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Breadth coverage of the relational/function surface a reference user
+  * would expect to keep working: pivot/unpivot reshaping, outer joins,
+  * CUBE grouping sets, ranking-function variants, and the string/date
+  * scalar families. All oracle-checked. */
+object FunctionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Pivot: order counts per priority × status (fixed value list so the
+    * output schema is stable; absent combos are 0, matching FILTER aggs). */
+  def q47Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+
+  /** Unpivot (melt) part attributes into (attr, val) long format. */
+  def q48Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val")
+
+  /** Left outer join: every customer with their order count (0 included). */
+  def q49LeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Full outer join with presence flags over the two nation-key sets. */
+  def q50FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("ck")).distinct()
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("sk")).distinct()
+    c.join(su, c("ck") === su("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("ck").isNotNull.as("has_customer"),
+        col("sk").isNotNull.as("has_supplier"))
+  }
+
+  /** CUBE grouping sets. */
+  def q51Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Ranking-function variants over one window. */
+  def q52RankVariants(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderstatus"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** String scalar family: pad/reverse/repeat/position/edit distance. */
+  def q54StringZoo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      lpad(col("lang"), 5, "_").as("lang_pad"),
+      rpad(col("lang"), 4, ".").as("lang_rpad"),
+      reverse(col("source")).as("src_rev"),
+      repeat(col("lang"), 2).as("lang2"),
+      instr(col("source"), "rc").as("pos_rc"),
+      levenshtein(col("lang"), col("source")).as("lev"))
+
+  /** Date scalar family: arithmetic, truncation, boundaries. */
+  def q55DateZoo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      last_day(col("o_orderdate")).as("month_end"),
+      trunc(col("o_orderdate"), "MM").as("month_start"),
+      add_months(col("o_orderdate"), 2).as("plus2m"),
+      datediff(lit(java.sql.Date.valueOf("2020-01-01")),
+        col("o_orderdate").cast("date")).as("days_to_2020"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_pivot" -> (q47Pivot _),
+    "q48_unpivot" -> (q48Unpivot _),
+    "q49_left_outer" -> (q49LeftOuter _),
+    "q50_full_outer" -> (q50FullOuter _),
+    "q51_cube" -> (q51Cube _),
+    "q52_rank_variants" -> (q52RankVariants _),
+    "q54_string_zoo" -> (q54StringZoo _),
+    "q55_date_zoo" -> (q55DateZoo _))
+
+  val oracles: Map[String, String] = Map(
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q48_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+    "q49_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q50_full_outer" ->
+      """SELECT coalesce(ck, sk) AS nationkey,
+        | ck IS NOT NULL AS has_customer,
+        | sk IS NOT NULL AS has_supplier
+        |FROM (SELECT DISTINCT c_nationkey AS ck FROM customer) c
+        |FULL JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) s
+        |  ON c.ck = s.sk""".stripMargin,
+    "q51_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q52_rank_variants" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | percent_rank() OVER w AS prnk,
+        | cume_dist() OVER w AS cdist,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q54_string_zoo" ->
+      """SELECT doc_id,
+        | lpad(lang, 5, '_') AS lang_pad,
+        | rpad(lang, 4, '.') AS lang_rpad,
+        | reverse(source) AS src_rev,
+        | repeat(lang, 2) AS lang2,
+        | CAST(instr(source, 'rc') AS INTEGER) AS pos_rc,
+        | CAST(levenshtein(lang, source) AS INTEGER) AS lev
+        |FROM documents""".stripMargin,
+    "q55_date_zoo" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2020-01-01') AS INTEGER) AS days_to_2020
+        |FROM orders""".stripMargin)
+}
