@@ -19,11 +19,34 @@ import graft.functions.TextFunctions
   */
 object NearDup {
 
-  /** Word n-gram shingles of a token array (n=1 → token set). */
+  /** Word n-gram shingles of a token array (n=1 → token set). Column form,
+    * for composing inside other expressions; corpus-scale paths use
+    * [[shingleRows]] instead (HOF lambdas evaluate interpreted). */
   def shingles(toks: Column, n: Int): Column =
     if (n <= 1) toks
     else transform(sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+
+  /** (id, shingle) rows built codegen-only: posexplode the tokens, then
+    * assemble each n-gram from window `lead`s over (id, pos). The window
+    * sort and every downstream per-doc aggregation share one hash
+    * partitioning on the id, and nothing evaluates interpreted. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+    if (n <= 1) tok.select(col(idCol), col("t").as("shingle"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("pos"))
+      val parts = (0 until n).map(i =>
+        if (i == 0) col("t") else lead(col("t"), i).over(w))
+      tok.select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
+          parts.last.isNotNull.as("__full"))
+        .filter(col("__full"))
+        .select(col(idCol), col("shingle"))
+    }
+  }
 
   /** (id, sh) rows — distinct shingle *hashes* per doc (set semantics).
     * Shingles are hashed to longs immediately after the explode: all
@@ -34,9 +57,7 @@ object NearDup {
     * dedups map-side before any shuffle. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
-    df.select(col(idCol),
-        explode(shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-          .as("shingle"))
+    shingleRows(df, idCol, textCol, shingleSize)
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))
       .distinct()
 
@@ -48,9 +69,7 @@ object NearDup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, k: Int): DataFrame =
     // No set-dedup needed: duplicates cannot change a minimum.
-    df.select(col(idCol),
-        explode(shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-          .as("shingle"))
+    shingleRows(df, idCol, textCol, shingleSize)
       .groupBy(col(idCol))
       .agg(array((0 until k).map { seed =>
         min(xxhash64(lit(seed), col("shingle")))
@@ -173,11 +192,15 @@ object NearDup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = 1000): DataFrame = {
-    // Repartition on the shingle hash: every consumer below (df-guard,
-    // semi-join, self-join) keys on `sh`, so they all reuse this single
-    // exchange — the tokenize/shingle/explode pipeline runs once, not 3×.
-    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    // Repartition on the shingle hash BEFORE the set-dedup: hash
+    // partitioning by sh satisfies the (id, sh) grouping distribution, so
+    // the distinct adds no exchange, and every consumer below (df-guard,
+    // semi-join, self-join) keys on `sh` and reuses this single exchange —
+    // the tokenize/shingle pipeline runs once, not 3×.
+    val exploded = shingleRows(df, idCol, textCol, shingleSize)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
       .repartition(col("sh"))
+      .distinct()
     val rare = exploded.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
