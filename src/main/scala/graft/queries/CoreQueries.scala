@@ -309,15 +309,15 @@ object CoreQueries {
         | concat_ws('-', lang, source) AS tag,
         | regexp_replace(source, 'src', 'source_') AS src_renamed,
         | regexp_matches(source, '^src[0-9]+$') AS is_src,
-        | length(trim(text)) AS trimmed_len,
-        | length(text) AS text_len
+        | CAST(length(trim(text)) AS INTEGER) AS trimmed_len,
+        | CAST(length(text) AS INTEGER) AS text_len
         |FROM documents""".stripMargin,
     "q14_rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q15_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         | FROM orders) WHERE rn <= 3""".stripMargin,

@@ -130,11 +130,11 @@ object FunctionQueries {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q52_rank_variants" ->
       """SELECT o_orderstatus, o_orderkey,
-        | rank() OVER w AS rnk,
-        | dense_rank() OVER w AS drnk,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
         | percent_rank() OVER w AS prnk,
         | cume_dist() OVER w AS cdist,
-        | ntile(4) OVER w AS quartile
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q54_string_zoo" ->

@@ -61,7 +61,7 @@ object PipelineQueries {
     "q34_media_stats" ->
       """SELECT doc_id AS media_id,
         | (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        | octet_length(encode(text)) AS n_bytes,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS width_px,
         | (doc_id % 60) * 1000 + 5000 AS duration_ms
         |FROM documents""".stripMargin,

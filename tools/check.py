@@ -54,6 +54,10 @@ def main(outdir, sfdir):
         rcols, ocols = sorted(res.column_names), sorted(ora.column_names)
         if rcols != ocols:
             print(f"FAIL  {name}: columns {rcols} vs oracle {ocols}"); n_fail += 1; continue
+        for c in rcols:
+            rt, ot = res.schema.field(c).type, ora.schema.field(c).type
+            if str(rt) != str(ot):
+                print(f"  TYPE? {name}.{c}: spark={rt} oracle={ot}")
         res_s = res.select(rcols); ora_s = ora.select(ocols)
         if res.num_rows != ora.num_rows:
             print(f"FAIL  {name}: rows {res.num_rows} vs oracle {ora.num_rows}"); n_fail += 1; continue
