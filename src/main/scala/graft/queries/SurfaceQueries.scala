@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Sessionize
+import graft.operators.{AsOfJoin, Sessionize}
 import graft.typed.TypedOps
 
 /** Remaining surface coverage: the typed Dataset API, the literal-SQL
@@ -65,6 +65,21 @@ object SurfaceQueries {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** As-of join: every click enriched with the user's most recent
+    * prior-or-simultaneous purchase value. */
+  def q56AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.leftAsOf(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("value"),
+        leftTieBreak = col("event_id"), rightTieBreak = col("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_value").as("last_purchase_value"))
+  }
+
   /** Set op: INTERSECT (distinct semantics). */
   def q44Intersect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -77,6 +92,7 @@ object SurfaceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_expr_join" -> (q43ExprJoin _),
+    "q56_asof_join" -> (q56AsofJoin _),
     "q44_intersect" -> (q44Intersect _),
     "q45_except" -> (q45Except _),
     "q19_typed_agg" -> (q19TypedAgg _),
@@ -90,6 +106,13 @@ object SurfaceQueries {
       """SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS day_of_week,
         | COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "q56_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "q44_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
