@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Structural plan assertions: these queries must keep the physical shape
+  * that makes them scale (pushdown into the scan, broadcast for bounded
+  * dims, TakeOrderedAndProject for top-k). A regression here is a
+  * performance bug even while results stay correct. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 cleanse pushes every predicate into the parquet scan") {
+    val p = plan("q03_cleanse_lineitem")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.01)"), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("q02 star join broadcasts the dimension sides") {
+    val p = plan("q02_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q18 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q30 cosine top-k broadcasts the query vector (no shuffle of the corpus)") {
+    val p = plan("q30_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("graft_cosine"), p) // custom codegen'd expression in use
+  }
+
+  test("q01 aggregate is partial+final (map-side combine)") {
+    val p = plan("q01_lineitem_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+}

@@ -57,6 +57,28 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(out.head.getLong(3) == 2 && out.head.getDouble(4) == 3.0)
   }
 
+  test("streaming dedup within watermark (W1 in streaming form)") {
+    val root = Files.createTempDirectory("graft_stream_dedup_").toString
+    val src = s"$root/src"
+    Seq(
+      (1L, 10L, "click", "2024-01-01 00:00:01"),
+      (2L, 10L, "click", "2024-01-01 00:00:01"), // duplicate key
+      (3L, 11L, "view", "2024-01-01 00:00:02")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dedup_stream").count() == 2)
+  }
+
   test("windowedCounts buckets by event time") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
