@@ -93,7 +93,26 @@ object FunctionQueries {
       datediff(lit(java.sql.Date.valueOf("2020-01-01")),
         col("o_orderdate").cast("date")).as("days_to_2020"))
 
+  /** JSON parsing over the semi-structured props column: both the path
+    * extractor and the schema-ful from_json route. */
+  def q57Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k_schema"))
+
+  /** Array aggregation: deterministic (sorted) collect_set per group. */
+  def q58Collect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_set(col("user_id"))).as("users"))
+      .withColumn("n_users", size(col("users")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_json" -> (q57Json _),
+    "q58_collect" -> (q58Collect _),
     "q47_pivot" -> (q47Pivot _),
     "q48_unpivot" -> (q48Unpivot _),
     "q49_left_outer" -> (q49LeftOuter _),
@@ -104,6 +123,16 @@ object FunctionQueries {
     "q55_date_zoo" -> (q55DateZoo _))
 
   val oracles: Map[String, String] = Map(
+    "q57_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_schema
+        |FROM events""".stripMargin,
+    "q58_collect" ->
+      """SELECT event_type,
+        | list_sort(list(DISTINCT user_id)) AS users,
+        | CAST(len(list(DISTINCT user_id)) AS INTEGER) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "q47_pivot" ->
       """SELECT o_orderpriority,
         | COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
