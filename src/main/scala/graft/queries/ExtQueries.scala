@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, NearDup, Similarity}
+import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Similarity}
 
 /** Extension query surface: the operators a large-scale training-data
   * pipeline needs beyond the reference's own inventory — deduplication
@@ -122,6 +122,24 @@ object ExtQueries {
       "query_id", "corpus_id", "embedding", k = 3, numPlanes = 8, dim = 64)
   }
 
+  /** IVF ANN: k-means cells fit on the corpus, probe-limited cosine top-k
+    * (no oracle — centroid means are float-order dependent). */
+  def q59IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    Ivf.topK(emb, "vec_id", "embedding", model, queryId = 0L, k = 10,
+      nProbe = 2)
+  }
+
+  /** Composed document-cleaning pipeline: lang filter → quality filter →
+    * exact dedup → near-dup cluster dedup; returns the surviving corpus
+    * ids (no oracle — MinHash stage). */
+  def q60DocPipeline(s: SparkSession, dir: String): DataFrame =
+    DocPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
+        DocPipeline.Config(allowedLangs = Seq("en"), minQuality = 0.3,
+          shingleSize = 2, jaccardThreshold = 0.5))
+      .cleaned.select(col("doc_id"), col("lang"), col("n_chars"))
+
   // ------------------------------------------------------------- registries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,7 +157,9 @@ object ExtQueries {
     "q31_lsh_buckets" -> (q31LshBuckets _),
     "q32_lsh_topk" -> (q32LshTopK _),
     "q33_cosine_neardup" -> (q33CosineNearDup _),
-    "q46_topk_join" -> (q46TopKJoin _))
+    "q46_topk_join" -> (q46TopKJoin _),
+    "q59_ivf_topk" -> (q59IvfTopK _),
+    "q60_doc_pipeline" -> (q60DocPipeline _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 

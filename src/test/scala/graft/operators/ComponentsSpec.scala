@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains collapse to one component (a-b, b-c -> min id)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(pairs)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("long path converges within iteration budget") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(pairs)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("keepClusterRepresentatives keeps min-id per cluster + untouched rows") {
+    val docs = Seq((1L, "x"), (2L, "x'"), (3L, "x''"), (7L, "y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Components.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .rows.map(_.getLong(0)).sorted
+    assert(out == Seq(1L, 7L))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Three well-separated directions + jitter; ids interleaved across
+  // clusters so the deterministic init sees all three.
+  private def corpus = {
+    def v(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => (x + (if (i % 2 == 0) eps else -eps)).toFloat }.toSeq
+    val a = Array.fill(16)(1.0)
+    val b = Array.tabulate(16)(i => if (i < 8) 1.0 else -1.0)
+    val c = Array.fill(16)(-1.0)
+    Seq(
+      (0L, v(a, 0.01), "a"), (1L, v(b, 0.01), "b"), (2L, v(c, 0.01), "c"),
+      (3L, v(a, 0.02), "a"), (4L, v(b, 0.02), "b"), (5L, v(c, 0.02), "c"),
+      (6L, v(a, 0.03), "a"), (7L, v(b, 0.03), "b"), (8L, v(c, 0.03), "c")
+    ).toDF("vec_id", "embedding", "truth")
+  }
+
+  test("fit + assign recovers the planted clusters") {
+    val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val assigned = Ivf.assign(corpus, "vec_id", "embedding", m)
+      .join(corpus.select("vec_id", "truth"), Seq("vec_id"))
+      .collect().map(r => r.getAs[String]("truth") -> r.getAs[Int]("cluster"))
+    val byTruth = assigned.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // each planted group lands wholly in one distinct cell
+    assert(byTruth.values.forall(_.size == 1))
+    assert(byTruth.values.flatten.toSet.size == 3)
+  }
+
+  test("topK probes the query's cell and ranks by cosine") {
+    val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val out = Ivf.topK(corpus, "vec_id", "embedding", m, queryId = 0L,
+      k = 2, nProbe = 1).rows
+    assert(out.map(_.getLong(0)).toSet == Set(3L, 6L)) // same planted cluster
+    assert(out.forall(_.getDouble(2) > 0.99))
+  }
+}
