@@ -27,27 +27,34 @@ object DocPipeline {
 
   final case class Report(stages: Seq[(String, Long)], cleaned: DataFrame)
 
+  /** `collectStats = false` skips the intermediate stage counts (each is a
+    * separate action recomputing the lineage so far) — use it when only the
+    * cleaned corpus matters. The exact-dedup result is locally checkpointed
+    * either way: the near-dup stage consumes it from several plan branches. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): Report = {
+      cfg: Config = Config(), collectStats: Boolean = true): Report = {
     val stages = Seq.newBuilder[(String, Long)]
-    stages += "input" -> docs.count()
+    def stat(name: String, df: DataFrame): Unit =
+      if (collectStats) stages += name -> df.count()
+    stat("input", docs)
 
     val langOk = docs.filter(
       TextFunctions.languageId(col(textCol)).isInCollection(cfg.allowedLangs))
-    stages += "lang_filter" -> langOk.count()
+    stat("lang_filter", langOk)
 
     val qualityOk = langOk.filter(
       TextFunctions.qualityScore(col(textCol), cfg.stopwords) >= cfg.minQuality)
-    stages += "quality_filter" -> qualityOk.count()
+    stat("quality_filter", qualityOk)
 
     val exactDeduped = Dedup.exactKeepFirst(qualityOk, textCol, idCol)
-    stages += "exact_dedup" -> exactDeduped.count()
+      .localCheckpoint()
+    stat("exact_dedup", exactDeduped)
 
     val pairs = NearDup.minhashPairs(exactDeduped, idCol, textCol,
       cfg.shingleSize, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)
     val cleaned = Components.keepClusterRepresentatives(
       exactDeduped, idCol, pairs)
-    stages += "neardup_dedup" -> cleaned.count()
+    stat("neardup_dedup", cleaned)
 
     Report(stages.result(), cleaned)
   }

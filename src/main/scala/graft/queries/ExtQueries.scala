@@ -137,7 +137,8 @@ object ExtQueries {
   def q60DocPipeline(s: SparkSession, dir: String): DataFrame =
     DocPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
         DocPipeline.Config(allowedLangs = Seq("en"), minQuality = 0.3,
-          shingleSize = 2, jaccardThreshold = 0.5))
+          shingleSize = 2, jaccardThreshold = 0.5),
+        collectStats = false)
       .cleaned.select(col("doc_id"), col("lang"), col("n_chars"))
 
   // ------------------------------------------------------------- registries
