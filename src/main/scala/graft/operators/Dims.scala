@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Silver→Gold dimension builders (star schema).
@@ -21,6 +22,35 @@ object Dims {
     * Distinct FIRST over the 4-byte date, then derive the seven calendar
     * attributes — at 100 TB this shuffles dates (≤ a few K distinct values
     * after partial aggregation), not the derived row. */
+  /** SCD Type-2 merge without a table-format MERGE INTO: rebuild the
+    * versioned dimension from the current version table plus an updates
+    * batch. Attribute changes close the previous version
+    * (`valid_to` = new `valid_from`) and open a new current one; unchanged
+    * keys pass through. One window pass per key — no row-by-row upserts.
+    *
+    * Inputs: `current` with (key, attrs..., valid_from, valid_to NULL for
+    * open rows); `updates` with (key, attrs..., effective ts). */
+  def scd2Merge(current: DataFrame, updates: DataFrame, keyCol: String,
+      attrCols: Seq[String], updateTs: Column): DataFrame = {
+    val upd = updates.select(
+      (col(keyCol) +: attrCols.map(col)) ++ Seq(
+        updateTs.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to")): _*)
+    val all = current
+      .select((col(keyCol) +: attrCols.map(col)) ++ Seq(
+        col("valid_from"), col("valid_to")): _*)
+      .unionByName(upd)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    // Drop consecutive versions with identical attributes, then re-close
+    // each version at the next version's start.
+    val attrStruct = struct(attrCols.map(col): _*)
+    all
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attrStruct)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .drop("__prev")
+  }
+
   def calendarDim(df: DataFrame, dateCol: String): DataFrame =
     df.select(to_date(col(dateCol)).as("date")).distinct()
       .select(

@@ -40,6 +40,33 @@ object Maintenance {
     }
   }
 
+  /** Compaction + data clustering: like [[compact]], but sorts rows by
+    * `sortCols` within each output file so parquet min/max row-group stats
+    * become selective — scans filtered on those columns skip most row
+    * groups (the parquet-table analogue of Iceberg's sort-order rewrite). */
+  def compactSorted(spark: SparkSession, tableDir: String,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 256L * 1024 * 1024): Report = {
+    try {
+      val size = dirSize(new File(tableDir))
+      val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
+      val df = spark.read.parquet(tableDir)
+      val sorted = df.repartitionByRange(numFiles,
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      val tmp = tableDir + ".compact_tmp"
+      sorted.write.mode("overwrite").parquet(tmp)
+      val old = tableDir + ".compact_old"
+      Files.move(Paths.get(tableDir), Paths.get(old))
+      Files.move(Paths.get(tmp), Paths.get(tableDir))
+      deleteRecursively(new File(old))
+      Report(tableDir, "compact_sorted", ok = true,
+        s"rewrote ${size}B into <=$numFiles files sorted by ${sortCols.mkString(",")}")
+    } catch {
+      case e: Throwable => Report(tableDir, "compact_sorted", ok = false, e.toString)
+    }
+  }
+
   /** M3 analog: remove orphan working files (committer temp dirs, crc
     * leftovers, failed-compaction temps) not referenced by the table. */
   def removeOrphans(tableDir: String): Report = {

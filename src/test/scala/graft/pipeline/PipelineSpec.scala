@@ -2,6 +2,8 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class PipelineSpec extends SparkSpec {
@@ -79,6 +81,31 @@ class PipelineSpec extends SparkSpec {
     val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(before == 50 && after == 1)
     assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("compactSorted clusters data so min/max stats are selective") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t3"
+    // write shuffled keys across many files -> every file spans the range
+    (1 to 10000).map(i => ((i * 7919) % 10000, s"v$i")).toDF("k", "v")
+      .repartition(20).write.parquet(dir)
+    val rep = Maintenance.compactSorted(spark, dir, Seq("k"),
+      targetFileBytes = 64L * 1024)
+    assert(rep.ok)
+    // data is range-partitioned + sorted by k: each file covers a narrow
+    // k range, so the global ordering concatenated per file is sorted
+    val df = spark.read.parquet(dir)
+    assert(df.count() == 10000)
+    val perFile = df
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .rows.map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(perFile.size > 1)
+    // non-overlapping ranges across files
+    perFile.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
   }
 
   test("removeOrphans clears temp dirs, retry retries") {
