@@ -110,7 +110,24 @@ object FunctionQueries {
       .agg(sort_array(collect_set(col("user_id"))).as("users"))
       .withColumn("n_users", size(col("users")))
 
+  /** Exact percentiles (linear interpolation) per group. */
+  def q61Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+
+  /** regexp_extract_all: every digit run in the props string. */
+  def q62ExtractAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)).as("nums"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_percentiles" -> (q61Percentiles _),
+    "q62_extract_all" -> (q62ExtractAll _),
     "q57_json" -> (q57Json _),
     "q58_collect" -> (q58Collect _),
     "q47_pivot" -> (q47Pivot _),
@@ -123,6 +140,15 @@ object FunctionQueries {
     "q55_date_zoo" -> (q55DateZoo _))
 
   val oracles: Map[String, String] = Map(
+    "q61_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q62_extract_all" ->
+      """SELECT event_id, regexp_extract_all(props, '(\d+)', 1) AS nums
+        |FROM events""".stripMargin,
     "q57_json" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
