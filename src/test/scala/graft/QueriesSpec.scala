@@ -1,0 +1,33 @@
+package graft
+
+/** Contract guard over the whole driver surface: every registered query
+  * runs at sf0.001, every oracle key points at a real query, and the
+  * rows-only set stays non-empty (an empty rows-only result would make the
+  * driver's weaker check meaningless). */
+class QueriesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("every query executes at sf0.001; rows-only queries are non-empty") {
+    val oracle = SparkEntry.oracleSql.keySet
+    val failures = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, dir).count()
+        if (!oracle.contains(name) && n == 0)
+          failures += s"$name: rows-only query returned 0 rows"
+      } catch {
+        case e: Throwable => failures += s"$name: ${e.getMessage}"
+      }
+    }
+    assert(failures.result().isEmpty, failures.result().mkString("\n"))
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
