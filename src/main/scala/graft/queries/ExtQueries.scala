@@ -204,6 +204,18 @@ object ExtQueries {
       s"""SELECT doc_id,
          | md5(array_to_string($splitToks, ' ')) AS fingerprint
          |FROM documents""".stripMargin,
+    "q31_lsh_buckets" -> {
+      // The sign-LSH planes are deterministic (seed 42); embed them as SQL
+      // literals so the bucket assignment itself is oracle-checked. Bit h
+      // is the sign of dot(embedding, plane_h) — same formula as
+      // Similarity.lshBucket, computed in double on both sides.
+      val planes = graft.operators.Similarity.hyperplanes(8, 64)
+      val terms = planes.zipWithIndex.map { case (p, h) =>
+        val lit = p.map(v => java.lang.Double.toString(v)).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lit) > 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM embeddings"
+    },
     "q30_cosine_topk" ->
       """SELECT vec_id, ROUND(list_cosine_similarity(
         |   CAST(embedding AS DOUBLE[]),
