@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write/read/time-travel/expire lifecycle") {
+    val table = Files.createTempDirectory("graft_vt_").toString + "/t"
+    assert(VersionedTable.latestVersion(table).isEmpty)
+
+    val v1 = VersionedTable.write(Seq(1, 2).toDF("x"), table)
+    val v2 = VersionedTable.write(Seq(1, 2, 3).toDF("x"), table)
+    val v3 = VersionedTable.write(Seq(9).toDF("x"), table)
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+
+    // latest + time travel
+    assert(VersionedTable.read(spark, table).count() == 1)
+    assert(VersionedTable.read(spark, table, Some(2L)).count() == 3)
+
+    // expiry keeps the newest two; reading an expired version fails loudly
+    assert(VersionedTable.expire(table, keepLast = 2) == Seq(1L))
+    assert(VersionedTable.versions(table) == Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, table, Some(1L))
+    }
+    assert(VersionedTable.read(spark, table, Some(2L)).count() == 3)
+  }
+
+  test("torn write is invisible: data dir without manifest is not a version") {
+    val table = Files.createTempDirectory("graft_vt2_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table)
+    // simulate a crash between data write and manifest creation
+    Seq(7, 8).toDF("x").write.parquet(s"$table/v=99")
+    assert(VersionedTable.versions(table) == Seq(1L))
+    assert(VersionedTable.read(spark, table).count() == 1)
+  }
+}
