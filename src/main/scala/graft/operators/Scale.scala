@@ -50,6 +50,23 @@ object Scale {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** 32-bit Morton (z-order) interleave of two int columns — sort by this
+    * before writing and parquet min/max stats become selective for filters
+    * on EITHER column (multi-dimensional clustering; the Iceberg/Delta
+    * Z-ORDER rewrite). Pure bit arithmetic, codegen'd. */
+  def zOrder2(a: Column, b: Column): Column = {
+    // spread the low 16 bits of x to even bit positions
+    def spread(x: Column): Column = {
+      var v = x.cast("bigint").bitwiseAND(lit(0xFFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+      v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+      v
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
   /** Write a bucketed + sorted catalog table: joins and aggregations on the
     * bucket column then run shuffle-free (the write pays the partitioning
     * once; every subsequent query reuses it — the reference's Iceberg

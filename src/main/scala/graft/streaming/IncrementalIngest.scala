@@ -35,6 +35,26 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Stream → medallion table: drain available files and append each
+    * microbatch to a warehouse zone table via foreachBatch — the streaming
+    * form of the pipeline's incremental fact load (checkpoint = bookmark,
+    * batch writes go through the same Medallion writer as the batch path). */
+  def streamToTable(spark: SparkSession, srcDir: String, schema: StructType,
+      wh: graft.pipeline.Warehouse, zone: String, table: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val q = transform(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Medallion.writeTable(batch.toDF(), wh, zone, table,
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time windowed aggregation with a watermark — counts + exact sums
     * per (window, key). Usable both on a stream (late data beyond the
     * watermark is dropped, state is bounded) and in batch (same plan,

@@ -50,6 +50,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zOrder2 interleaves bits (locality for both dimensions)") {
+    val out = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (0xFFFF, 0xFFFF))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Scale.zOrder2(col("x"), col("y")).as("z"))
+      .rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((0, 0)) == 0L)
+    assert(out((1, 0)) == 1L)      // x in even bits
+    assert(out((0, 1)) == 2L)      // y in odd bits
+    assert(out((1, 1)) == 3L)
+    assert(out((2, 0)) == 4L)
+    assert(out((0, 2)) == 8L)
+    assert(out((0xFFFF, 0xFFFF)) == 0xFFFFFFFFL)
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

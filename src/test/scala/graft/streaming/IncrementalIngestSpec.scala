@@ -57,6 +57,23 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(out.head.getLong(3) == 2 && out.head.getDouble(4) == 3.0)
   }
 
+  test("streamToTable appends microbatches to a medallion zone table") {
+    val root = Files.createTempDirectory("graft_stream_tbl_").toString
+    val src = s"$root/src"
+    val wh = graft.pipeline.Warehouse(s"$root/wh")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    IncrementalIngest.streamToTable(spark, src, schema, wh,
+      graft.pipeline.Medallion.Silver, "stream_t", s"$root/ckpt")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(src)
+    IncrementalIngest.streamToTable(spark, src, schema, wh,
+      graft.pipeline.Medallion.Silver, "stream_t", s"$root/ckpt")
+    val out = graft.pipeline.Medallion.readTable(spark, wh,
+      graft.pipeline.Medallion.Silver, "stream_t")
+    assert(out.count() == 2) // exactly-once across drains
+  }
+
   test("streaming dedup within watermark (W1 in streaming form)") {
     val root = Files.createTempDirectory("graft_stream_dedup_").toString
     val src = s"$root/src"
