@@ -31,7 +31,7 @@ object NearDup {
     * assemble each n-gram from window `lead`s over (id, pos). The window
     * sort and every downstream per-doc aggregation share one hash
     * partitioning on the id, and nothing evaluates interpreted. */
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val tok = df.select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))

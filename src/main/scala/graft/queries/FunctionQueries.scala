@@ -125,7 +125,32 @@ object FunctionQueries {
       col("event_id"),
       regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)).as("nums"))
 
+  /** Corpus-level n-gram frequency: top bigrams with deterministic
+    * tie-break (codegen shingle path + hash aggregate + top-k). */
+  def q63TopNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.shingleRows(t(s, dir, "documents"),
+        "doc_id", "text", 2)
+      .groupBy(col("shingle").as("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("ngram"))
+      .limit(20)
+      .select(col("ngram"), col("n"))
+
+  /** IEEE-exact math scalar family (no libm-dependent fns: ln/exp differ
+    * in the last bit between JVM and C runtimes). */
+  def q64MathZoo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - 0.05).as("disc_dev"),
+      ceil(col("l_quantity") / 7.0).as("qty_ceil"),
+      floor(col("l_quantity") / 7.0).as("qty_floor"),
+      round(col("l_extendedprice") / 100.0, 1).as("price_h"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_top_ngrams" -> (q63TopNgrams _),
+    "q64_math_zoo" -> (q64MathZoo _),
     "q61_percentiles" -> (q61Percentiles _),
     "q62_extract_all" -> (q62ExtractAll _),
     "q57_json" -> (q57Json _),
@@ -140,6 +165,20 @@ object FunctionQueries {
     "q55_date_zoo" -> (q55DateZoo _))
 
   val oracles: Map[String, String] = Map(
+    "q63_top_ngrams" ->
+      """WITH t AS (SELECT regexp_split_to_array(text, '\s+') w FROM documents),
+        |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM t)
+        |SELECT g AS ngram, COUNT(*) AS n FROM b
+        |GROUP BY g ORDER BY n DESC, g ASC LIMIT 20""".stripMargin,
+    "q64_math_zoo" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS disc_dev,
+        | CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+        | CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+        | round(l_extendedprice / 100.0, 1) AS price_h,
+        | sqrt(l_quantity) AS qty_sqrt,
+        | l_quantity * l_quantity AS qty_sq
+        |FROM lineitem""".stripMargin,
     "q61_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS median_qty,
