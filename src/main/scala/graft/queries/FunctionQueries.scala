@@ -103,12 +103,17 @@ object FunctionQueries {
         org.apache.spark.sql.types.StructType.fromDDL("k INT"))
         .getField("k").as("k_schema"))
 
-  /** Array aggregation: deterministic (sorted) collect_set per group. */
+  /** Array aggregation: deterministic (sorted) collect_set per group.
+    * The array is exported joined to a string: parquet and DuckDB name
+    * nested list fields differently ("element" vs "l"), which a strict
+    * schema compare would flag even though values match. */
   def q58Collect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_set(col("user_id"))).as("users"))
-      .withColumn("n_users", size(col("users")))
+      .agg(sort_array(collect_set(col("user_id"))).as("users_arr"))
+      .select(col("event_type"),
+        array_join(col("users_arr"), ",").as("users"),
+        size(col("users_arr")).as("n_users"))
 
   /** Exact percentiles (linear interpolation) per group. */
   def q61Percentiles(s: SparkSession, dir: String): DataFrame =
@@ -123,7 +128,8 @@ object FunctionQueries {
   def q62ExtractAll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(
       col("event_id"),
-      regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)).as("nums"))
+      array_join(regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)), ",")
+        .as("nums"))
 
   /** Corpus-level n-gram frequency: top bigrams with deterministic
     * tie-break (codegen shingle path + hash aggregate + top-k). */
@@ -186,7 +192,8 @@ object FunctionQueries {
         | quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q62_extract_all" ->
-      """SELECT event_id, regexp_extract_all(props, '(\d+)', 1) AS nums
+      """SELECT event_id,
+        | array_to_string(regexp_extract_all(props, '(\d+)', 1), ',') AS nums
         |FROM events""".stripMargin,
     "q57_json" ->
       """SELECT event_id,
@@ -195,7 +202,7 @@ object FunctionQueries {
         |FROM events""".stripMargin,
     "q58_collect" ->
       """SELECT event_type,
-        | list_sort(list(DISTINCT user_id)) AS users,
+        | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
         | CAST(len(list(DISTINCT user_id)) AS INTEGER) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
     "q47_pivot" ->
