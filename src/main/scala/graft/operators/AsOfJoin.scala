@@ -44,7 +44,7 @@ object AsOfJoin {
     unioned
       .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         valueCols.map(v => col(s"__carried.$v").as(s"asof_$v")): _*)
   }
 }
