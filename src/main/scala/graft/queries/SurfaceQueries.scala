@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import graft.typed.TypedOps
 
 /** Remaining surface coverage: the typed Dataset API, the literal-SQL
@@ -80,6 +80,19 @@ object SurfaceQueries {
         col("asof_value").as("last_purchase_value"))
   }
 
+  /** Range join: classify each event value into a tier interval via the
+    * bucketed equi-join decomposition. */
+  def q65RangeJoin(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.byBucket(
+        t(s, dir, "events").select("event_id", "value"),
+        "value",
+        Seq(
+          RangeJoin.Interval(0.0, 50.0, "low"),
+          RangeJoin.Interval(50.0, 150.0, "mid"),
+          RangeJoin.Interval(150.0, 1000.0, "high")),
+        bucketWidth = 64.0)
+      .select(col("event_id"), col("value"), col("label"))
+
   /** Set op: INTERSECT (distinct semantics). */
   def q44Intersect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -93,6 +106,7 @@ object SurfaceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
+    "q65_range_join" -> (q65RangeJoin _),
     "q44_intersect" -> (q44Intersect _),
     "q45_except" -> (q45Except _),
     "q19_typed_agg" -> (q19TypedAgg _),
@@ -113,6 +127,11 @@ object SurfaceQueries {
         |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |      FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q65_range_join" ->
+      """WITH tiers(lo, hi, label) AS (VALUES
+        |  (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000.0, 'high'))
+        |SELECT event_id, value, label
+        |FROM events JOIN tiers ON value >= lo AND value < hi""".stripMargin,
     "q44_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
