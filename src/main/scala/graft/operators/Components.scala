@@ -16,8 +16,48 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** pairs: (id_a, id_b) edges. Returns (id, comp) with comp = min node id
-    * reachable; only nodes appearing in some edge are returned. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * reachable; only nodes appearing in some edge are returned.
+    *
+    * The edge set of a near-dup graph is orders of magnitude smaller than
+    * the corpus (it is already the output of LSH + verification), so below
+    * `driverThreshold` edges the components are solved with driver-side
+    * union-find in one pass — no iterative jobs. Above it, distributed
+    * label propagation takes over. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val cached = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .cache()
+    val n = cached.count()
+    val out =
+      if (n <= driverThreshold) driverUnionFind(cached)
+      else propagate(cached, maxIters)
+    cached.unpersist()
+    out
+  }
+
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by minimum so the representative is the smallest id
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+  }
+
+  private def propagate(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

@@ -20,6 +20,18 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L))
   }
 
+  test("driver union-find and distributed propagation agree") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (30L, 31L), (2L, 1L), (40L, 40L))
+      .toDF("id_a", "id_b")
+    val fast = Components.connectedComponents(pairs)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(pairs, driverThreshold = 0L)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast(5L) == 1L && fast(9L) == 1L && fast(2L) == 1L && fast(1L) == 1L)
+    assert(fast(30L) == 30L && fast(31L) == 30L)
+  }
+
   test("keepClusterRepresentatives keeps min-id per cluster + untouched rows") {
     val docs = Seq((1L, "x"), (2L, "x'"), (3L, "x''"), (7L, "y"))
       .toDF("doc_id", "text")
