@@ -7,11 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * A warmup pass at sf0.001 runs first (unmeasured) so JIT/codegen/classload
   * cost lands there instead of inflating whichever measured query happens to
-  * run first; queries are then timed in name order. */
+  * run first. Each query then runs `reps` times (default 3) and reports the
+  * MINIMUM — on a shared box a single rep can catch a 10x contention spike
+  * and record it as the official number (r1's q02 did exactly that). A query
+  * that throws reports the string "err" instead of a bogus ~0s time. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,16 +33,28 @@ object Bench {
       }
     }
 
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // name -> Right(min seconds over reps) | Left(error class)
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => System.err.println(
+          s"BENCH ERR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+        }
+      }
+      name -> (if (times.isEmpty) Left("err") else Right(times.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * into clusters so dedup can keep exactly one representative per cluster
   * (greedy pair-dropping mishandles chains a–b, b–c).
   *
-  * Algorithm: iterative minimum-label propagation. Each round every node
-  * adopts the minimum component id among itself and its neighbors; rounds
-  * run until a fixed point (checked with one count per round — the label
-  * table is (id, comp) longs, so each round is one join + one aggregation
-  * on a tiny relation compared to the corpus). Converges in O(diameter)
-  * rounds; near-dup clusters are dense, so diameter is small. */
+  * Distributed algorithm: alternating large-star/small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014).
+  * Each round rewires edges toward per-neighborhood minima, so path
+  * diameter roughly halves per round — O(log n) rounds to a fixed point,
+  * unlike plain min-label propagation whose round count equals the graph
+  * diameter (a 1M-edge chain would silently exceed any fixed budget).
+  * Non-convergence within `maxIters` throws rather than returning
+  * partially-merged (wrong) labels. */
 object Components {
 
   /** pairs: (id_a, id_b) edges. Returns (id, comp) with comp = min node id
@@ -30,7 +32,7 @@ object Components {
     val n = cached.count()
     val out =
       if (n <= driverThreshold) driverUnionFind(cached)
-      else propagate(cached, maxIters)
+      else starContract(cached, maxIters)
     cached.unpersist()
     out
   }
@@ -57,37 +59,56 @@ object Components {
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
   }
 
-  private def propagate(pairs: DataFrame, maxIters: Int): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .cache()
-    // localCheckpoint truncates the lineage each round — an iterative plan
-    // otherwise grows exponentially (each round embeds the previous plan
-    // twice: once in the update, once in the convergence check).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+  /** One large-star round: every node u with minimum m over N(u) ∪ {u}
+    * rewires each strictly-larger neighbor v > u to m. One small-star
+    * round: rewires each smaller-or-equal neighbor (and u itself) to the
+    * minimum of that smaller neighborhood. Edges are kept canonical
+    * (u > v); at the fixed point every node points directly at its
+    * component root. */
+  private def starContract(pairs: DataFrame, maxIters: Int): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint()
+
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+
+    // localCheckpoint per round truncates the lineage — an iterative plan
+    // otherwise grows exponentially round over round.
+    var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
       .localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (iter < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "src", "comp" -> "nc")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("nc")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // large-star over both edge directions
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = canon(nbrs.filter(col("v") > col("u"))
+        .join(lmins, Seq("u")).select(col("v").as("a"), col("m").as("b")))
+      // small-star over canonical (u > v) edges: v-side mins plus (u, m)
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = canon(
+        large.join(smins, Seq("u")).select(col("v").as("a"), col("m").as("b"))
+          .unionAll(smins.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnsRenamed(Map("comp" -> "old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = updated
+      val changed = small.except(edges).unionAll(edges.except(small)).count()
+      edges = small
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters star rounds " +
+        "(raise maxIters; star contraction needs ~log2(n) rounds)")
+    // fixed point is a star graph: each non-root u points at its root v;
+    // roots (and self-loop-only nodes) never appear as u
+    val labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    nodes.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Dedup survivors given near-dup pairs: every id in a cluster maps to

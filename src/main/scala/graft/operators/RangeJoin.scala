@@ -25,9 +25,13 @@ object RangeJoin {
     val ivals = intervals.toDF("lo", "hi", "label")
       .withColumn("__b", explode(sequence(
         floor(col("lo") / bucketWidth).cast("long"),
-        // hi is exclusive: a hi exactly on a bucket edge does not reach
-        // the next bucket
-        ceil(col("hi") / bucketWidth).cast("long") - 1)))
+        // hi is exclusive: a hi exactly on a bucket edge does not reach the
+        // next bucket. Degenerate intervals (hi <= lo on a bucket edge)
+        // would make stop < start — sequence() then counts DOWN, spraying
+        // spurious candidate buckets — so clamp stop to start.
+        greatest(
+          floor(col("lo") / bucketWidth).cast("long"),
+          ceil(col("hi") / bucketWidth).cast("long") - 1))))
     fact
       .withColumn("__b", floor(col(valueCol) / bucketWidth).cast("long"))
       .join(broadcast(ivals), Seq("__b"))

@@ -34,12 +34,18 @@ object PipelineQueries {
     Multimodal.resizePlan(
       Multimodal.fromDocuments(t(s, dir, "documents")), maxDim = 512)
 
-  /** Batch-wise stub decode + feature extraction (RDD mapPartitions batch
-    * contract; no oracle — exercised by ScalaTest). */
+  /** Batch-wise stub decode + feature extraction. Features are exported as
+    * an integer-scaled joined string (x128): every stub-decode term is a
+    * multiple of 1/128 and per-bucket sums stay far below 2^17, so the
+    * float32 accumulation is exact and DuckDB reproduces it bit-for-bit. */
   def q37ExtractFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.fromDocuments(t(s, dir, "documents")),
       new Multimodal.StubDecoder(8))
+      .select(col("media_id"), col("kind"),
+        array_join(transform(col("features"),
+          f => round(f * 128).cast("long").cast("string")), ",")
+          .as("features_x128"))
 
   /** Event-time windowed aggregation (streaming plan in batch mode).
     * Window bounds exported as epoch seconds to keep the comparison
@@ -75,6 +81,13 @@ object PipelineQueries {
         | CAST((doc_id % 8) * 90 + 180 AS INTEGER) AS height_px,
         | CAST(round(((doc_id % 8) * 160 + 320) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180))) AS INTEGER) AS target_width_px,
         | CAST(round(((doc_id % 8) * 90 + 180) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180))) AS INTEGER) AS target_height_px
+        |FROM documents""".stripMargin,
+    "q37_extract_features" ->
+      """SELECT doc_id AS media_id,
+        | (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        | array_to_string(
+        |   [coalesce(list_sum([ascii(text[i+1]) for i in generate_series(0, length(text)-1) if i % 8 = j]), 0)
+        |    for j in generate_series(0, 7)], ',') AS features_x128
         |FROM documents""".stripMargin,
     "q38_windowed_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,

@@ -41,6 +41,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("zero-norm and empty vectors score 0.0, never NaN (top-k safety)") {
+    // NaN sorts above every double in Spark, so a NaN cosine would rank
+    // first in every descending top-k — both eval paths must emit 0.0.
+    val rows = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 2.0), Seq(0.0, 0.0)),
+      (Seq.empty[Double], Seq(1.0, 2.0))
+    ).toDF("a", "b")
+    // codegen path
+    rows.select(GraftFunctions.cosine(col("a"), col("b")).as("c"))
+      .rows.foreach(r => assert(r.getDouble(0) == 0.0))
+    // interpreted path (eval via filter on a literal-free projection)
+    val interp = rows.select(
+      GraftFunctions.cosine(col("a"), col("b")).as("c")).rows
+    assert(interp.forall(_.getDouble(0) == 0.0))
+  }
+
   test("SQL surface: graft_cosine / graft_dot registered functions") {
     GraftFunctions.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")

@@ -32,6 +32,16 @@ class ComponentsSpec extends SparkSpec {
     assert(fast(30L) == 30L && fast(31L) == 30L)
   }
 
+  test("distributed star contraction collapses a 60-node chain (diameter 59)") {
+    // The old min-label propagation needed diameter rounds and silently
+    // returned wrong labels past maxIters=20; star contraction needs ~log2.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(pairs, driverThreshold = 0L)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 60)
+    assert(comp.values.toSet == Set(1L))
+  }
+
   test("keepClusterRepresentatives keeps min-id per cluster + untouched rows") {
     val docs = Seq((1L, "x"), (2L, "x'"), (3L, "x''"), (7L, "y"))
       .toDF("doc_id", "text")

@@ -61,7 +61,7 @@ def main(outdir, sfdir):
         res_s = res.select(rcols); ora_s = ora.select(ocols)
         if res.num_rows != ora.num_rows:
             print(f"FAIL  {name}: rows {res.num_rows} vs oracle {ora.num_rows}"); n_fail += 1; continue
-        a = canon([tuple(r) for r in res_s.to_pylist() and [tuple(d[c] for c in rcols) for d in res_s.to_pylist()]])
+        a = canon([tuple(d[c] for c in rcols) for d in res_s.to_pylist()])
         b = canon([tuple(d[c] for c in ocols) for d in ora_s.to_pylist()])
         if a == b:
             print(f"PASS  {name}: rows={res.num_rows}"); n_pass += 1
