@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.GraftFunctions
@@ -10,10 +9,14 @@ import graft.expressions.GraftFunctions
   * into k centroid cells, search only the `nProbe` cells nearest the query
   * — the standard scale path when sign-LSH recall is not enough.
   *
-  * The centroid model is tiny (k × dim doubles) and lives on the driver;
-  * assignment is a broadcast join + codegen'd distance expressions + one
-  * window rank. At corpus scale, writing the table partitioned/bucketed by
-  * `cluster` turns probing into partition pruning. */
+  * The centroid model is tiny (k × dim doubles) and lives on the driver,
+  * so nearest-centroid assignment needs no join at all: the k distances
+  * fold into ONE codegen'd projection per row (array of (dist, cluster)
+  * structs → array_min → argmin). No explode to N×k rows, no window, no
+  * shuffle. At corpus scale, [[writeIndex]] materializes the assignment
+  * once per model as a cluster-partitioned table and [[topKIndexed]]
+  * probes it with partition pruning — the scan reads ~nProbe/k of the
+  * files instead of re-deriving assignments per query. */
 object Ivf {
 
   final case class Model(centroids: IndexedSeq[IndexedSeq[Double]]) {
@@ -34,36 +37,41 @@ object Ivf {
     s
   }
 
-  private def centroidDf(df: DataFrame, m: Model): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    m.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cluster", "__cvec")
+  /** Nearest-centroid id for a double-array column, as a single codegen'd
+    * projection. Ranks by ||c||² − 2·v·c — the ||v||² term is constant per
+    * row so it cancels in the argmin; ||c||² is folded on the driver.
+    * Ties break toward the lower cluster id (struct comparison orders by
+    * dist, then cluster). */
+  private def nearestCluster(vd: Column, m: Model): Column = {
+    val cands = m.centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * GraftFunctions.dot(vd, typedLit(c.toSeq))).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
   }
 
-  /** Squared L2 distance ||v||² − 2·v·c + ||c||², from codegen'd dots. */
-  private def distSq(v: Column, c: Column): Column =
-    GraftFunctions.dot(v, v) - lit(2.0) * GraftFunctions.dot(v, c) +
-      GraftFunctions.dot(c, c)
+  /** Add the nearest-centroid cell as a `cluster` column — a pure
+    * projection over the scan, nothing else. */
+  def withCluster(df: DataFrame, vecCol: String, m: Model): DataFrame =
+    df.withColumn("cluster",
+      nearestCluster(col(vecCol).cast("array<double>"), m))
 
-  /** Assign every vector to its nearest centroid: broadcast the centroid
-    * table, one distance per (vector, centroid), window-rank per vector.
-    * Output: (idCol, cluster). */
-  def assign(df: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame = {
-    val vd = col(vecCol).cast("array<double>")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cluster"))
-    df.select(col(idCol), vd.as("__v"))
-      .crossJoin(broadcast(centroidDf(df, m)))
-      .select(col(idCol), col("cluster"), distSq(col("__v"), col("__cvec")).as("__d"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("cluster"))
-  }
+  /** Assign every vector to its nearest centroid. Output: (idCol, cluster). */
+  def assign(df: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame =
+    withCluster(df, vecCol, m).select(col(idCol), col("cluster"))
+
+  /** Materialize the assignment once per model: the corpus written
+    * partitioned by cluster, so every later probe is partition pruning
+    * instead of a recomputed assignment (SCALING.md's prescription). */
+  def writeIndex(df: DataFrame, vecCol: String, m: Model, path: String): Unit =
+    withCluster(df, vecCol, m)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** Lloyd's k-means with deterministic init (the k lowest-id vectors) and
-    * a fixed iteration count. Centroid means are computed distributed
-    * (posexplode → per-(cluster, position) average) and collected — k × dim
-    * doubles per round. */
+    * a fixed iteration count. Per round: one projection (assignment) + one
+    * posexplode aggregation; k × dim doubles collected. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5): Model = {
     val vd = col(vecCol).cast("array<double>")
@@ -72,9 +80,8 @@ object Ivf {
         .select(vd.as("__v")).collect()
         .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq)
     (1 to iters).foreach { _ =>
-      val assigned = assign(df, idCol, vecCol, model)
-      val means = df.select(col(idCol), vd.as("__v"))
-        .join(assigned, Seq(idCol))
+      val means = df.select(vd.as("__v"))
+        .withColumn("cluster", nearestCluster(col("__v"), model))
         .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -95,18 +102,33 @@ object Ivf {
   }
 
   /** IVF top-k: probe the `nProbe` cells nearest the query vector and rank
-    * by cosine inside them — the scan touches ~nProbe/k of the corpus. */
+    * by cosine inside them. Assignment is inlined as a projection (no
+    * join); the cluster filter sits directly on the scan. */
   def topK(df: DataFrame, idCol: String, vecCol: String, m: Model,
       queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     val q = df.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>")).collect()
       .head.getSeq[Double](0).toIndexedSeq
     val probes = m.nearestClusters(q, nProbe)
-    val assigned = assign(df, idCol, vecCol, m)
-    df.join(assigned, Seq(idCol))
+    withCluster(df, vecCol, m)
       .filter(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
       .select(col(idCol), col("cluster"),
         GraftFunctions.cosine(col(vecCol), typedLit(q.toSeq)).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k against a materialized [[writeIndex]] table: the `cluster`
+    * isin-filter lands on the partition column, so only the probed cells'
+    * files are read. */
+  def topKIndexed(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: IndexedSeq[Double], m: Model,
+      queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = m.nearestClusters(query, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("cluster"),
+        GraftFunctions.cosine(col(vecCol), typedLit(query.toSeq)).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }

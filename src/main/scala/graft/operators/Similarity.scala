@@ -112,17 +112,44 @@ object Similarity {
       .drop("__rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH bucket + exact
-    * cosine verify (the vector analogue of NearDup.minhashPairs). */
+  /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
+    * generation + exact cosine verify (the vector analogue of
+    * NearDup.minhashPairs).
+    *
+    * A pair is a candidate iff all `planesPerBand` sign bits agree in at
+    * least one of `bands` bands — recall for cosine s is 1−(1−p^P)^B with
+    * p = 1 − arccos(s)/π, so bands buy recall while planesPerBand bounds
+    * within-bucket pair counts (2^P cells per band; grow P with log2 of
+    * the corpus — 8 planes = 256 cells/band already keeps the per-cell
+    * self-join linear-ish on real skewed corpora, vs the single-bucket
+    * form whose cell count was fixed).
+    *
+    * Shuffle discipline: the bucket self-join carries only (id, band,
+    * bucket); vectors meet the DISTINCT candidate pairs afterwards in id
+    * equi-joins (AQE broadcasts the candidate set when it is small). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val b = df.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    b.as("a").join(b.as("b"), Seq("bucket"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(col(vecCol),
+          planes.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))
+    }
+    val ids = df.select(col(idCol).as("__id"),
+        explode(array(bandStructs: _*)).as("__bb"))
+      .select(col("__bb.band").as("__band"), col("__bb.bkt").as("__bkt"),
+        col("__id"))
+    val cands = ids.select(col("__band"), col("__bkt"), col("__id").as("id_a"))
+      .join(ids.select(col("__band"), col("__bkt"), col("__id").as("id_b")),
+        Seq("__band", "__bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

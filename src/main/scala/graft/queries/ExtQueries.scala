@@ -106,11 +106,13 @@ object ExtQueries {
     Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, numPlanes = 8, dim = 64)
 
-  /** Embedding-cosine near-dup pairs via LSH bucket + exact verify
-    * (no oracle). */
+  /** Embedding-cosine near-dup pairs via banded LSH + exact verify
+    * (no oracle). 8 bands × 8 planes = 256 cells per band with 8 collision
+    * chances — bucket sizes stay bounded at corpus scale, unlike a single
+    * fixed 16-cell bucketing. */
   def q33CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.2, numPlanes = 4, dim = 64)
+      "embedding", threshold = 0.2, bands = 8, planesPerBand = 8, dim = 64)
 
   /** Batch top-k similarity join: 3 nearest neighbors for every vector
     * (LSH-bucketed candidate meet + per-query rank; no oracle). */

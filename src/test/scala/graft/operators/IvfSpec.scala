@@ -31,6 +31,35 @@ class IvfSpec extends SparkSpec {
     assert(byTruth.values.flatten.toSet.size == 3)
   }
 
+  test("assign is a pure projection: no window, no join, no exchange") {
+    val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 2)
+    val plan = Ivf.assign(corpus, "vec_id", "embedding", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Join"), s"join in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"exchange in plan:\n$plan")
+  }
+
+  test("materialized index: topKIndexed prunes to probed cells, same result") {
+    val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Ivf.writeIndex(corpus, "embedding", m, path)
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).collect()
+      .head.getSeq[Double](0).toIndexedSeq
+    val probes = m.nearestClusters(q, 1).toSet
+    val idx = Ivf.topKIndexed(spark, path, "vec_id", "embedding", q, m,
+      queryId = 0L, k = 2, nProbe = 1)
+    // the cluster isin-filter lands on the partition column: only the
+    // probed cell's files are read
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on cluster (probes=$probes):\n$plan")
+    val direct = Ivf.topK(corpus, "vec_id", "embedding", m, queryId = 0L,
+      k = 2, nProbe = 1).rows.map(r => (r.getLong(0), r.getDouble(2)))
+    assert(idx.rows.map(r => (r.getLong(0), r.getDouble(2))) == direct)
+  }
+
   test("topK probes the query's cell and ranks by cosine") {
     val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 4)
     val out = Ivf.topK(corpus, "vec_id", "embedding", m, queryId = 0L,

@@ -84,7 +84,37 @@ class SimilaritySpec extends SparkSpec {
     val c = (1 to 16).map(i => (if (i % 2 == 0) -1.0f else 1.0f))
     val vecs = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.99, numPlanes = 4, dim = 16).rows
+      threshold = 0.99, bands = 4, planesPerBand = 4, dim = 16).rows
     assert(out.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+  }
+
+  test("banded near-dup recall vs brute-force ground truth >= 0.9") {
+    // 12 planted clusters of 3 near-identical vectors + 24 decoys; ground
+    // truth = every pair with exact cosine >= threshold. Deterministic:
+    // fixed RNG seed and fixed hyperplane seed.
+    val rnd = new scala.util.Random(7)
+    def unit() = IndexedSeq.fill(16)(rnd.nextGaussian())
+    val rows = (0 until 12).flatMap { c =>
+      val base = unit()
+      (0 until 3).map { j =>
+        val v = base.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+        ((c * 3 + j).toLong, v.toSeq)
+      }
+    } ++ (0 until 24).map(i => ((100 + i).toLong, unit().map(_.toFloat).toSeq))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val thr = 0.9
+    val truth = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= thr)
+      .rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = thr, bands = 8, planesPerBand = 8, dim = 16)
+      .rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(found.subsetOf(truth)) // exact verify: no false positives
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${found.size}/${truth.size})")
   }
 }
