@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.VectorFunctions
+import org.apache.spark.sql.graft.{TextExpressionFunctions, VectorFunctions}
 
 /** Public facade for the custom Catalyst vector expressions (implemented
   * under org.apache.spark.sql.graft, where the spark-private expression
@@ -12,6 +12,12 @@ object GraftFunctions {
 
   /** Codegen'd inner product over two array<float|double> columns. */
   def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+
+  /** Codegen'd chained-xxhash64 fold over an array<string> column
+    * (bit-identical to `aggregate(toks, 0L, (acc, t) => xxhash64(acc, t))`
+    * without the interpreted lambda). */
+  def rollingXxHash64(tokens: Column): Column =
+    TextExpressionFunctions.rollingXxHash64(tokens)
 
   /** Register `graft_cosine` / `graft_dot` with the session's SQL function
     * registry. */

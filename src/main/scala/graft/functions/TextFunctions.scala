@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * stats, quality scoring, language identification, fingerprinting.
   *
   * Everything is built from codegen'd Catalyst expressions (split /
-  * higher-order array functions / regexp) — no Scala UDFs — so the whole
-  * document scan stays inside WholeStageCodegen and distributes trivially:
-  * each function is a per-row projection, no shuffle.
+  * array collection expressions / regexp / one custom expression for the
+  * rolling hash) — no Scala UDFs and no lambda higher-order functions
+  * (`filter`/`aggregate` evaluate their lambdas interpreted per element)
+  * — so the whole document scan stays inside WholeStageCodegen and
+  * distributes trivially: each function is a per-row projection, no
+  * shuffle.
   */
 object TextFunctions {
 
@@ -21,12 +24,21 @@ object TextFunctions {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
+  /** Count of tokens equal to one of `words`, as a codegen'd regexp count
+    * over the raw text: a token is a maximal non-whitespace run, so
+    * "preceded by start/whitespace and followed by whitespace/end" is
+    * exactly token equality — same result as filtering the split array,
+    * without the interpreted `filter` lambda or the array materialization. */
+  private def tokenInSetCount(text: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(0)
+    else {
+      val alts = words.map(java.util.regex.Pattern.quote).mkString("|")
+      regexp_count(text, lit(s"(?:^|(?<=\\s))(?:$alts)(?=\\s|$$)"))
+    }
+
   /** Ratio of tokens appearing in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
-      size(toks)
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    tokenInSetCount(text, stopwords).cast("double") / tokenCount(text)
 
   /** Ratio of ASCII punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
@@ -46,8 +58,7 @@ object TextFunctions {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val uniq = size(array_distinct(toks)).cast("double") / n
-    val stop = size(filter(toks, t => t.isInCollection(stopwords)))
-      .cast("double") / n
+    val stop = tokenInSetCount(text, stopwords).cast("double") / n
     val lenNorm = least(lit(1.0), n / lit(fullLengthTokens.toDouble))
     (uniq + (lit(1.0) - stop) + lenNorm) / lit(3.0)
   }
@@ -83,7 +94,8 @@ object TextFunctions {
   /** Rolling hash over the token stream (chained xxhash64: each step hashes
     * the running state with the next token) — an order-sensitive fingerprint
     * cheap enough for 100 TB scans, and overflow-free under ANSI mode.
-    * Computed with the `aggregate` higher-order function: no shuffle. */
+    * A custom codegen'd expression (bit-identical to the `aggregate` HOF
+    * fold, minus the interpreted per-element lambda). */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+    graft.expressions.GraftFunctions.rollingXxHash64(tokens(text))
 }

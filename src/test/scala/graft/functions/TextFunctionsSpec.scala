@@ -42,6 +42,29 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rollingHash is bit-identical to the aggregate+xxhash64 HOF fold") {
+    val df = Seq("a b c", "  leading space", "onetoken", "", "x \t y\nz")
+      .toDF("text")
+    val out = df.select(
+      TextFunctions.rollingHash(col("text")).as("fast"),
+      aggregate(TextFunctions.tokens(col("text")), lit(0L),
+        (acc, t) => xxhash64(acc, t)).as("ref")).rows
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("regexp stopword count matches the filter-lambda formulation") {
+    val stop = Seq("the", "a")
+    val df = Seq("the cat a hat", "a", "theater the", "aa the  a", " the", "ab")
+      .toDF("text")
+    val out = df.select(
+      TextFunctions.stopwordRatio(col("text"), stop).as("fast"),
+      (size(filter(TextFunctions.tokens(col("text")),
+        t => t.isInCollection(stop))).cast("double") /
+        size(TextFunctions.tokens(col("text")))).as("ref")).rows
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fast=${r.getDouble(0)} ref=${r.getDouble(1)}"))
+  }
+
   test("fingerprint is whitespace-insensitive, rollingHash is order-sensitive") {
     assert(one(TextFunctions.fingerprint(lit("a  b\tc"))) ==
       one(TextFunctions.fingerprint(lit("a b c"))))
