@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Multimodal
+import graft.operators.ParseFixedWidth
 import graft.streaming.IncrementalIngest
 
 /** Query entries for the multimodal plumbing and the streaming-shaped
@@ -47,6 +48,23 @@ object PipelineQueries {
           f => round(f * 128).cast("long").cast("string")), ",")
           .as("features_x128"))
 
+  /** Checked-in NOAA-format fixtures for the fixed-width dimension path
+    * (the reference's largest job,
+    * glue-jobs/noaa_dimensions_bronze_to_silver.py:39-213). Input is a raw
+    * text file, not the sf parquet tables, so the oracle reads the same
+    * file with read_text — absolute path because the driver's DuckDB run
+    * has its own cwd. */
+  private val stationsFixture = "/root/repo/src/test/resources/noaa/ghcnd-stations.txt"
+  private val inventoryFixture = "/root/repo/src/test/resources/noaa/ghcnd-inventory.txt"
+
+  /** Fixed-offset stations dimension parse (S2/F7/F8 + flag booleans). */
+  def q66ParseStations(s: SparkSession, dir: String): DataFrame =
+    ParseFixedWidth.parseStations(s.read.text(stationsFixture))
+
+  /** Whitespace-split inventory parse (S2/F9 + casts). */
+  def q67ParseInventory(s: SparkSession, dir: String): DataFrame =
+    ParseFixedWidth.parseInventory(s.read.text(inventoryFixture))
+
   /** Event-time windowed aggregation (streaming plan in batch mode).
     * Window bounds exported as epoch seconds to keep the comparison
     * timezone-free. */
@@ -61,7 +79,9 @@ object PipelineQueries {
     "q35_frame_sample" -> (q35FrameSample _),
     "q36_resize_plan" -> (q36ResizePlan _),
     "q37_extract_features" -> (q37ExtractFeatures _),
-    "q38_windowed_agg" -> (q38WindowedAgg _))
+    "q38_windowed_agg" -> (q38WindowedAgg _),
+    "q66_parse_stations" -> (q66ParseStations _),
+    "q67_parse_inventory" -> (q67ParseInventory _))
 
   val oracles: Map[String, String] = Map(
     "q34_media_stats" ->
@@ -93,5 +113,38 @@ object PipelineQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q66_parse_stations" ->
+      s"""WITH lines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS value
+         |  FROM read_text('$stationsFixture')
+         |), f AS (
+         |  SELECT
+         |    trim(substr(value, 1, 11)) AS station_id,
+         |    CAST(nullif(trim(substr(value, 13, 8)), '') AS DOUBLE) AS latitude,
+         |    CAST(nullif(trim(substr(value, 22, 9)), '') AS DOUBLE) AS longitude,
+         |    CAST(nullif(trim(substr(value, 32, 6)), '') AS DOUBLE) AS elevation,
+         |    trim(substr(value, 39, 2)) AS state,
+         |    trim(substr(value, 42, 30)) AS station_name,
+         |    trim(substr(value, 73, 3)) AS gsn_flag,
+         |    trim(substr(value, 77, 3)) AS hcn_crn_flag,
+         |    trim(substr(value, 81, 5)) AS wmo_id
+         |  FROM lines
+         |)
+         |SELECT f.*, gsn_flag = 'GSN' AS is_gsn,
+         |  hcn_crn_flag IN ('HCN', 'CRN') AS is_hcn_crn
+         |FROM f WHERE station_id <> ''""".stripMargin,
+    "q67_parse_inventory" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_split_to_array(trim(value), '\\s+') AS t
+         |  FROM (SELECT unnest(string_split(content, chr(10))) AS value
+         |        FROM read_text('$inventoryFixture'))
+         |)
+         |SELECT t[1] AS station_id,
+         |  CAST(t[2] AS DOUBLE) AS latitude,
+         |  CAST(t[3] AS DOUBLE) AS longitude,
+         |  t[4] AS element,
+         |  CAST(t[5] AS INTEGER) AS first_year,
+         |  CAST(t[6] AS INTEGER) AS last_year
+         |FROM toks WHERE t[1] IS NOT NULL AND t[1] <> ''""".stripMargin)
 }
