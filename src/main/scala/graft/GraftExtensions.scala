@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_version"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_version"),
+      pipeline.VersionedTable.tvfBuilder))
   }
 }

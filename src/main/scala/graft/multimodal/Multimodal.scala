@@ -63,30 +63,35 @@ object Multimodal {
     }
   }
 
+  /** Typed rows at the decode boundary (kept at object level so their
+    * Encoders derive once). */
+  final case class MediaIn(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String,
+      features: Array[Float])
+
   /** Batch-wise feature extraction: processes each partition in batches of
     * `batchSize` rows (the JVM analogue of a Pandas-UDF `mapInPandas`
     * iterator-of-batches contract — a real decoder amortizes model/codec
-    * setup per batch, not per row). Output: media_id, kind, features. */
+    * setup per batch, not per row). Output: media_id, kind, features.
+    *
+    * Implemented as typed `Dataset.mapPartitions`, not `df.rdd`: the
+    * decode stays a node INSIDE the query plan (DeserializeToObject →
+    * MapPartitions → SerializeFromObject), so column pruning still reaches
+    * the scan below it and codegen stages resume above it — an RDD
+    * round-trip would cut the plan in two and re-apply the schema. */
   def extractFeatures(df: DataFrame, decoder: Decoder,
       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType),
-      StructField("features", ArrayType(FloatType))))
-    val src = df.select("media_id", "kind", "payload")
-    val rdd = src.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would happen here (codec init, model load)
-        batch.iterator.map { r =>
-          val features = decoder.decode(r.getAs[Array[Byte]]("payload"),
-            r.getAs[String]("kind"))
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-            features.toSeq)
+    import spark.implicits._
+    df.select(col("media_id"), col("kind"), col("payload")).as[MediaIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would happen here (codec init, model load)
+          batch.iterator.map { m =>
+            MediaFeatures(m.media_id, m.kind, decoder.decode(m.payload, m.kind))
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      }.toDF()
   }
 
   /** Video frame sampling plumbing: one row per sampled frame timestamp

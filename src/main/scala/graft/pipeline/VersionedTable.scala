@@ -4,6 +4,8 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Minimal snapshot/time-travel layer over parquet: every write creates an
   * immutable `v=N` directory; reads address the latest or any retained
@@ -46,6 +48,20 @@ object VersionedTable {
       throw new IllegalStateException(s"no versions in $table"))
     require(versions(table).contains(v), s"version $v not retained in $table")
     spark.read.parquet(s"$table/v=$v")
+  }
+
+  /** Logical-plan builder for the `graft_version('table'[, version])` SQL
+    * table-valued function (registered via GraftExtensions /
+    * GraftFunctions.register) — the reference's time-travel user feature
+    * (reference: README.md:87-88) from plain SQL:
+    * `SELECT * FROM graft_version('/path/t', 2)`. Omitting the version
+    * reads the latest manifest. */
+  def tvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
+      "graft_version expects literal arguments: (table_path[, version])")
+    val table = exprs.head.eval().toString
+    val version = exprs.lift(1).map(_.eval().toString.toLong)
+    read(SparkSession.active, table, version).queryExecution.analyzed
   }
 
   /** M1: expire old snapshots, keeping the newest `keepLast`. The manifest

@@ -128,12 +128,15 @@ object VectorFunctions {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Expose `graft_cosine` / `graft_dot` to the SQL surface. */
+  /** Expose `graft_cosine` / `graft_dot` (scalar) and `graft_version`
+    * (table-valued, time travel) to the SQL surface. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_version", graft.pipeline.VersionedTable.tvfBuilder, "built-in")
   }
 }

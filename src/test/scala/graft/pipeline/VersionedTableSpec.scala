@@ -29,6 +29,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, table, Some(2L)).count() == 3)
   }
 
+  test("SQL time travel: graft_version TVF reads retained versions") {
+    graft.expressions.GraftFunctions.register(spark)
+    val table = Files.createTempDirectory("graft_vt3_").toString + "/t"
+    VersionedTable.write(Seq(1, 2).toDF("x"), table)
+    VersionedTable.write(Seq(1, 2, 3).toDF("x"), table)
+    assert(spark.sql(s"SELECT * FROM graft_version('$table', 1)").count() == 2)
+    assert(spark.sql(
+      s"SELECT sum(x) s FROM graft_version('$table', 2)").rows.head.getLong(0) == 6)
+    // no version argument -> latest manifest
+    assert(spark.sql(s"SELECT * FROM graft_version('$table')").count() == 3)
+    // expired/unknown version fails loudly, from SQL too
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_version('$table', 9)").collect()
+    }
+  }
+
   test("torn write is invisible: data dir without manifest is not a version") {
     val table = Files.createTempDirectory("graft_vt2_").toString + "/t"
     VersionedTable.write(Seq(1).toDF("x"), table)
