@@ -56,5 +56,12 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // An erroring query must fail the run: its 0-contribution would
+    // otherwise make a regression-to-throw read as a faster total.
+    val nErrs = results.count(_._2.isLeft)
+    if (nErrs > 0) {
+      System.err.println(s"BENCH FAILED: $nErrs queries errored")
+      sys.exit(2)
+    }
   }
 }

@@ -53,10 +53,15 @@ object Ivf {
   }
 
   /** Add the nearest-centroid cell as a `cluster` column — a pure
-    * projection over the scan, nothing else. */
-  def withCluster(df: DataFrame, vecCol: String, m: Model): DataFrame =
+    * projection over the scan, nothing else. The name is part of the index
+    * contract ([[writeIndex]] partitions by it), so a pre-existing
+    * `cluster` column is rejected instead of silently overwritten. */
+  def withCluster(df: DataFrame, vecCol: String, m: Model): DataFrame = {
+    require(!df.columns.contains("cluster"),
+      "input already has a 'cluster' column; rename it before IVF assignment")
     df.withColumn("cluster",
       nearestCluster(col(vecCol).cast("array<double>"), m))
+  }
 
   /** Assign every vector to its nearest centroid. Output: (idCol, cluster). */
   def assign(df: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame =

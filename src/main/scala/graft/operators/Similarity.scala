@@ -124,27 +124,43 @@ object Similarity {
     * self-join linear-ish on real skewed corpora, vs the single-bucket
     * form whose cell count was fixed).
     *
-    * Shuffle discipline: the bucket self-join carries only (id, band,
-    * bucket); vectors meet the DISTINCT candidate pairs afterwards in id
-    * equi-joins (AQE broadcasts the candidate set when it is small). */
+    * Shuffle discipline: the bucket self-join carries (id, band, bucket)
+    * plus the doc's `bands`-long bucket ARRAY (8 longs — never the
+    * vector). The array makes pair dedup free: a pair colliding in
+    * several bands is emitted only at its FIRST agreeing band, decided by
+    * a codegen'd filter on the two arrays — no `distinct()` exchange over
+    * the (much larger) candidate set. Vectors then meet the already-unique
+    * pairs in id equi-joins (AQE broadcasts the vector side when small;
+    * sort-merge on id at corpus scale). One shuffle stage total at small
+    * SF (the band self-join's exchange is computed once and reused for
+    * both sides), three bounded ones at scale. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(bands * planesPerBand, dim)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        lshBucket(col(vecCol),
-          planes.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))
-    }
-    val ids = df.select(col(idCol).as("__id"),
-        explode(array(bandStructs: _*)).as("__bb"))
-      .select(col("__bb.band").as("__band"), col("__bb.bkt").as("__bkt"),
-        col("__id"))
-    val cands = ids.select(col("__band"), col("__bkt"), col("__id").as("id_a"))
-      .join(ids.select(col("__band"), col("__bkt"), col("__id").as("id_b")),
-        Seq("__band", "__bkt"))
+    val bucketArr = array((0 until bands).map { b =>
+      lshBucket(col(vecCol),
+        planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }: _*)
+    val ids = df.select(col(idCol).as("__id"), bucketArr.as("__bks"))
+      .select(col("__id"), col("__bks"),
+        posexplode(col("__bks")).as(Seq("__band", "__bkt")))
+    val a = ids.select(col("__band"), col("__bkt"),
+      col("__id").as("id_a"), col("__bks").as("__bksa"))
+    val b = ids.select(col("__band"), col("__bkt"),
+      col("__id").as("id_b"), col("__bks").as("__bksb"))
+    val joined = a.join(b, Seq("__band", "__bkt"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Keep a pair only where no EARLIER band also agreed (unrolled over the
+    // static band count so the predicate stays inside WholeStageCodegen —
+    // zip_with/exists would fall back to interpreted lambdas).
+    val cands = (if (bands <= 1) joined else {
+      val earlierBandAgrees = (0 until bands - 1).map { j =>
+        col("__band") > j &&
+          col("__bksa").getItem(j) === col("__bksb").getItem(j)
+      }.reduce(_ || _)
+      joined.filter(!earlierBandAgrees)
+    }).select("id_a", "id_b")
     cands
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))

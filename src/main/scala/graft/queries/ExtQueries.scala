@@ -101,27 +101,36 @@ object ExtQueries {
       Similarity.lshBucket(col("embedding"),
         Similarity.hyperplanes(8, 64)).as("bucket"))
 
-  /** LSH-bucketed ANN top-k (multi-probe Hamming<=1; no oracle). */
+  /** LSH-bucketed ANN top-k (multi-probe Hamming<=1). Selection ranks on
+    * raw scores; the exported score is rounded to 6dp (q30's determinism
+    * contract — the two engines' accumulation orders differ in the last
+    * bit). */
   def q32LshTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, k = 10, numPlanes = 8, dim = 64)
+        queryId = 0L, k = 10, numPlanes = 8, dim = 64)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"), col("bucket"))
 
-  /** Embedding-cosine near-dup pairs via banded LSH + exact verify
-    * (no oracle). 8 bands × 8 planes = 256 cells per band with 8 collision
-    * chances — bucket sizes stay bounded at corpus scale, unlike a single
-    * fixed 16-cell bucketing. */
+  /** Embedding-cosine near-dup pairs via banded LSH + exact verify.
+    * 8 bands × 8 planes = 256 cells per band with 8 collision chances —
+    * bucket sizes stay bounded at corpus scale, unlike a single fixed
+    * 16-cell bucketing. Threshold filter runs on raw scores; exported
+    * score rounded to 6dp. */
   def q33CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.2, bands = 8, planesPerBand = 8, dim = 64)
+        "embedding", threshold = 0.2, bands = 8, planesPerBand = 8, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
   /** Batch top-k similarity join: 3 nearest neighbors for every vector
-    * (LSH-bucketed candidate meet + per-query rank; no oracle). */
+    * (LSH-bucketed candidate meet + per-query rank); score exported at
+    * 6dp. */
   def q46TopKJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.topKJoin(
-      emb.select(col("vec_id").as("query_id"), col("embedding")),
-      emb.select(col("vec_id").as("corpus_id"), col("embedding")),
-      "query_id", "corpus_id", "embedding", k = 3, numPlanes = 8, dim = 64)
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+        "query_id", "corpus_id", "embedding", k = 3, numPlanes = 8, dim = 64)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** IVF ANN: k-means cells fit on the corpus, probe-limited cosine top-k
@@ -166,6 +175,17 @@ object ExtQueries {
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
+  /** Sign-LSH bucket as DuckDB SQL over literal hyperplanes: bit h is the
+    * sign of dot(vec, plane_h) — the exact formula of
+    * [[Similarity.lshBucket]], computed in double on both sides (the
+    * planes are deterministic, seed 42, and Double.toString round-trips,
+    * so the dot products are bit-identical — q31 proves the contract). */
+  private def bucketSql(planes: Seq[Seq[Double]], vecExpr: String): String =
+    planes.zipWithIndex.map { case (p, h) =>
+      val lit = p.map(v => java.lang.Double.toString(v)).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lit) > 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
       s"""SELECT doc_id,
@@ -207,16 +227,53 @@ object ExtQueries {
          | md5(array_to_string($splitToks, ' ')) AS fingerprint
          |FROM documents""".stripMargin,
     "q31_lsh_buckets" -> {
-      // The sign-LSH planes are deterministic (seed 42); embed them as SQL
-      // literals so the bucket assignment itself is oracle-checked. Bit h
-      // is the sign of dot(embedding, plane_h) — same formula as
-      // Similarity.lshBucket, computed in double on both sides.
-      val planes = graft.operators.Similarity.hyperplanes(8, 64)
-      val terms = planes.zipWithIndex.map { case (p, h) =>
-        val lit = p.map(v => java.lang.Double.toString(v)).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lit) > 0 THEN ${1L << h} ELSE 0 END)"
-      }.mkString(" + ")
+      val terms = bucketSql(graft.operators.Similarity.hyperplanes(8, 64),
+        "CAST(embedding AS DOUBLE[])")
       s"SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM embeddings"
+    },
+    "q32_lsh_topk" -> {
+      // Multi-probe = Hamming<=1 between query and candidate buckets.
+      val terms = bucketSql(graft.operators.Similarity.hyperplanes(8, 64), "e")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cos,
+         |  b.bucket
+         |FROM b, q
+         |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+         |ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "q33_cosine_neardup" -> {
+      // Candidate = the pair agrees in >= 1 of the 8 banded buckets;
+      // verify = exact cosine >= threshold. Same plane slices per band as
+      // Similarity.cosineNearDupPairs (bands=8, planesPerBand=8).
+      val planes = graft.operators.Similarity.hyperplanes(64, 64)
+      val bandCols = (0 until 8).map { b =>
+        s"CAST(${bucketSql(planes.slice(b * 8, (b + 1) * 8), "e")} AS BIGINT) AS b$b"
+      }.mkString(", ")
+      val anyBand = (0 until 8).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bandCols FROM v)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($anyBand)
+         |WHERE list_cosine_similarity(a.e, c.e) >= 0.2""".stripMargin
+    },
+    "q46_topk_join" -> {
+      val terms = bucketSql(graft.operators.Similarity.hyperplanes(8, 64), "e")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM v),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_cosine_similarity(q.e, c.e) AS raw
+         |  FROM b q JOIN b c ON q.vec_id <> c.vec_id
+         |    AND bit_count(xor(q.bucket, c.bucket)) <= 1),
+         |r AS (
+         |  SELECT query_id, corpus_id, raw, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY raw DESC, corpus_id) AS rn
+         |  FROM p)
+         |SELECT query_id, corpus_id, ROUND(raw, 6) AS cos FROM r WHERE rn <= 3""".stripMargin
     },
     "q30_cosine_topk" ->
       """SELECT vec_id, ROUND(list_cosine_similarity(

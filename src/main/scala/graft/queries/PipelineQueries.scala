@@ -54,8 +54,10 @@ object PipelineQueries {
     * text file, not the sf parquet tables, so the oracle reads the same
     * file with read_text — absolute path because the driver's DuckDB run
     * has its own cwd. */
-  private val stationsFixture = "/root/repo/src/test/resources/noaa/ghcnd-stations.txt"
-  private val inventoryFixture = "/root/repo/src/test/resources/noaa/ghcnd-inventory.txt"
+  private val fixtureDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+    "/root/repo/src/test/resources/noaa")
+  private val stationsFixture = s"$fixtureDir/ghcnd-stations.txt"
+  private val inventoryFixture = s"$fixtureDir/ghcnd-inventory.txt"
 
   /** Fixed-offset stations dimension parse (S2/F7/F8 + flag booleans). */
   def q66ParseStations(s: SparkSession, dir: String): DataFrame =

@@ -52,10 +52,19 @@ class VectorExpressionsSpec extends SparkSpec {
     // codegen path
     rows.select(GraftFunctions.cosine(col("a"), col("b")).as("c"))
       .rows.foreach(r => assert(r.getDouble(0) == 0.0))
-    // interpreted path (eval via filter on a literal-free projection)
-    val interp = rows.select(
-      GraftFunctions.cosine(col("a"), col("b")).as("c")).rows
-    assert(interp.forall(_.getDouble(0) == 0.0))
+    // interpreted path: call nullSafeEval directly on the expression tree
+    // (a projection would re-enter codegen and never exercise it)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.CosineSimilarity
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def litArr(xs: Seq[Double]) = Literal.create(xs, ArrayType(DoubleType))
+    val cases = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 2.0), Seq(0.0, 0.0)),
+      (Seq.empty[Double], Seq(1.0, 2.0)))
+    cases.foreach { case (a, b) =>
+      assert(CosineSimilarity(litArr(a), litArr(b)).eval(null) == 0.0)
+    }
   }
 
   test("SQL surface: graft_cosine / graft_dot registered functions") {
