@@ -133,13 +133,50 @@ object ExtQueries {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF ANN: k-means cells fit on the corpus, probe-limited cosine top-k
-    * (no oracle — centroid means are float-order dependent). */
-  def q59IvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val model = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-    Ivf.topK(emb, "vec_id", "embedding", model, queryId = 0L, k = 10,
-      nProbe = 2)
+  /** IVF context per dataset: the k-means fit runs ONCE per corpus and is
+    * reused by every q59/q68 invocation (training is index build, not
+    * search — benching it per query was round 2's composition nit). The
+    * fitted centroids/probes are also what the generated oracle SQL
+    * embeds as literals, so query and oracle always share one model. */
+  private final case class IvfCtx(model: Ivf.Model,
+      queryVec: IndexedSeq[Double], probes: Seq[Int])
+  private val ivfCtxs =
+    scala.collection.concurrent.TrieMap.empty[String, IvfCtx]
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfCtx(s: SparkSession, dir: String): IvfCtx =
+    ivfCtxs.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val m = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0).toIndexedSeq
+      IvfCtx(m, q, m.nearestClusters(q, nProbe = 2))
+    })
+
+  /** IVF ANN search: probe-limited cosine top-k over the 2 cells nearest
+    * the query (assignment inlined as a projection; model cached). */
+  def q59IvfTopK(s: SparkSession, dir: String): DataFrame =
+    Ivf.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfCtx(s, dir).model, queryId = 0L, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+
+  /** IVF ANN search against the MATERIALIZED index: the corpus written
+    * once per model partitioned by cluster, so the probe is partition
+    * pruning over ~nProbe/k of the files (the 100 TB path — IvfSpec
+    * asserts the pruned scan). */
+  def q68IvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val ctx = ivfCtx(s, dir)
+    val path = ivfIndexes.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index-").toString
+      Ivf.writeIndex(t(s, dir, "embeddings"), "embedding", ctx.model, p)
+      p
+    })
+    Ivf.topKIndexed(s, path, "vec_id", "embedding", ctx.queryVec, ctx.model,
+        queryId = 0L, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
   }
 
   /** Composed document-cleaning pipeline: lang filter → quality filter →
@@ -171,6 +208,7 @@ object ExtQueries {
     "q33_cosine_neardup" -> (q33CosineNearDup _),
     "q46_topk_join" -> (q46TopKJoin _),
     "q59_ivf_topk" -> (q59IvfTopK _),
+    "q68_ivf_indexed" -> (q68IvfIndexed _),
     "q60_doc_pipeline" -> (q60DocPipeline _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
@@ -186,7 +224,49 @@ object ExtQueries {
       s"(CASE WHEN list_dot_product($vecExpr, $lit) > 0 THEN ${1L << h} ELSE 0 END)"
     }.mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
+  /** IVF oracle: the run's fitted centroids (and the Scala-side probe
+    * choice) embedded as literals; the assignment reproduces
+    * Ivf.nearestCluster bit-for-bit — d_i = ||c_i||² − 2·v·c_i with the
+    * ||c_i||² fold computed once in Scala and round-tripped through
+    * Double.toString, ties to the lowest cluster via first-match CASE.
+    * Valid for both q59 (inline assignment) and q68 (materialized index):
+    * the index holds exactly these assignments. Generated only once a
+    * query has populated the per-dir cache — Verify runs queries before
+    * dumping oracle SQL, so the driver always gets it; if several dirs
+    * were mixed in one process the mapping would be ambiguous, so we emit
+    * nothing and those rows degrade to rows-only. */
+  private def ivfOracles: Map[String, String] =
+    if (ivfCtxs.size != 1) Map.empty
+    else {
+      val ctx = ivfCtxs.values.head
+      val m = ctx.model
+      val dCols = m.centroids.zipWithIndex.map { case (c, i) =>
+        val cc = java.lang.Double.toString(c.map(x => x * x).sum)
+        val lit = c.map(v => java.lang.Double.toString(v)).mkString("[", ",", "]")
+        s"($cc - 2.0 * list_dot_product(e, $lit)) AS d$i"
+      }.mkString(", ")
+      val least = m.centroids.indices.map(i => s"d$i")
+        .mkString("least(", ", ", ")")
+      val cases = m.centroids.indices.map(i => s"WHEN d$i = mn THEN $i")
+        .mkString(" ")
+      val sql =
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |d AS (SELECT vec_id, e, $dCols FROM v),
+           |a AS (SELECT vec_id, e, CASE $cases END AS cluster
+           |      FROM (SELECT *, $least AS mn FROM d)),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT a.vec_id, a.cluster,
+           |  ROUND(list_cosine_similarity(a.e, q.qe), 6) AS cos
+           |FROM a, q
+           |WHERE a.cluster IN (${ctx.probes.mkString(", ")}) AND a.vec_id <> 0
+           |ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id
+           |LIMIT 10""".stripMargin
+      Map("q59_ivf_topk" -> sql, "q68_ivf_indexed" -> sql)
+    }
+
+  def oracles: Map[String, String] = staticOracles ++ ivfOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "q20_token_stats" ->
       s"""SELECT doc_id,
          | CAST(len($splitToks) AS INTEGER) AS n_tokens,
