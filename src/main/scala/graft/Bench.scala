@@ -47,20 +47,47 @@ object Bench {
       }
       name -> (if (times.isEmpty) Left("err") else Right(times.min))
     }
+    // End-to-end medallion pipeline (ingest → silver → gold →
+    // maintenance) — the reference's actual daily job
+    // (reference: terraform/stepfunctions.tf:72-179), timed so pipeline
+    // regressions hit the gate, not only ScalaTest. A fresh warehouse per
+    // rep keeps every rep a cold full run. Reported as its own field, not
+    // in `total`, so query totals stay comparable across rounds.
+    def runPipeline(src: String): Double = {
+      val wh = graft.pipeline.Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
+      val t0 = System.nanoTime()
+      graft.pipeline.LakehousePipeline.run(spark, s"$src/events.parquet", wh)
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (new java.io.File(warmupDir).isDirectory) {
+      try runPipeline(warmupDir) catch { case _: Throwable => () }
+    }
+    val pipeTimes = (1 to reps).flatMap { _ =>
+      try Some(runPipeline(sfDir))
+      catch { case e: Throwable => System.err.println(
+        s"BENCH ERR pipeline_e2e: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val pipeJson =
+      if (pipeTimes.isEmpty) "\"err\"" else pipeTimes.min.toString
+
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+    val errs = (results.collect { case (k, Left(_)) => "\"" + k + "\"" } ++
+      (if (pipeTimes.isEmpty) Seq("\"pipeline_e2e\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // An erroring query must fail the run: its 0-contribution would
     // otherwise make a regression-to-throw read as a faster total.
-    val nErrs = results.count(_._2.isLeft)
+    val nErrs = results.count(_._2.isLeft) + (if (pipeTimes.isEmpty) 1 else 0)
     if (nErrs > 0) {
-      System.err.println(s"BENCH FAILED: $nErrs queries errored")
+      System.err.println(s"BENCH FAILED: $nErrs entries errored")
       sys.exit(2)
     }
   }

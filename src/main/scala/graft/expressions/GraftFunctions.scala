@@ -13,6 +13,12 @@ object GraftFunctions {
   /** Codegen'd inner product over two array<float|double> columns. */
   def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
+  /** All banded sign-LSH buckets of a vector in one codegen'd loop over a
+    * flat plane matrix (array<long> of length `bands`). */
+  def lshBandBuckets(vec: Column, planes: Array[Double], bands: Int,
+      planesPerBand: Int, dim: Int): Column =
+    VectorFunctions.lshBandBuckets(vec, planes, bands, planesPerBand, dim)
+
   /** Codegen'd chained-xxhash64 fold over an array<string> column
     * (bit-identical to `aggregate(toks, 0L, (acc, t) => xxhash64(acc, t))`
     * without the interpreted lambda). */

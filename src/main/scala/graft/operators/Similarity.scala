@@ -137,11 +137,16 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
       dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bands * planesPerBand, dim)
-    val bucketArr = array((0 until bands).map { b =>
-      lshBucket(col(vecCol),
-        planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
-    }: _*)
+    // One custom expression computes all banded buckets in a single fused
+    // loop (plane matrix in the codegen references). Composing the
+    // per-plane lshBucket form here would inline bands*planesPerBand dot
+    // expressions, and the optimizer's explode size-guard copies that
+    // monster into Filter and FileScan — past HotSpot's JIT limit, the
+    // scan ran interpreted (~3 s for 2k rows; this form is milliseconds).
+    val planeMatrix = hyperplanes(bands * planesPerBand, dim)
+      .flatten.toArray
+    val bucketArr = GraftFunctions.lshBandBuckets(
+      col(vecCol).cast("array<double>"), planeMatrix, bands, planesPerBand, dim)
     val ids = df.select(col(idCol).as("__id"), bucketArr.as("__bks"))
       .select(col("__id"), col("__bks"),
         posexplode(col("__bks")).as(Seq("__band", "__bkt")))

@@ -80,6 +80,33 @@ object SurfaceQueries {
         col("asof_value").as("last_purchase_value"))
   }
 
+  /** The as-of join reachable from PURE SQL text (the reference's
+    * Athena-shaped entry point — reference: README.md:245-276): the same
+    * union + single-window-pass technique as [[AsOfJoin.leftAsOf]],
+    * expressed entirely in spark.sql. The struct carry keeps null-valued
+    * purchases distinguishable from "no purchase yet", exactly like the
+    * DataFrame operator. */
+  def q69SqlAsof(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS src, event_id AS tb, event_id,
+        |         CAST(NULL AS STRUCT<v: DOUBLE>) AS rv
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS src, event_id AS tb, NULL AS event_id,
+        |         named_struct('v', value) AS rv
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, carried.v AS last_purchase_value
+        |FROM (
+        |  SELECT event_id, user_id, src,
+        |         last(rv, true) OVER (PARTITION BY user_id
+        |           ORDER BY ts, src, tb
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |  FROM u)
+        |WHERE src = 1""".stripMargin)
+  }
+
   /** Range join: classify each event value into a tier interval via the
     * bucketed equi-join decomposition. */
   def q65RangeJoin(s: SparkSession, dir: String): DataFrame =
@@ -106,6 +133,7 @@ object SurfaceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
+    "q69_sql_asof" -> (q69SqlAsof _),
     "q65_range_join" -> (q65RangeJoin _),
     "q44_intersect" -> (q44Intersect _),
     "q45_except" -> (q45Except _),
@@ -121,6 +149,13 @@ object SurfaceQueries {
         | COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
     "q56_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q69_sql_asof" ->
       """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |      FROM events WHERE event_type = 'click') c
