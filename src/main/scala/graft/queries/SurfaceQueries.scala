@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Scale, Sessionize}
 import graft.typed.TypedOps
 
 /** Remaining surface coverage: the typed Dataset API, the literal-SQL
@@ -120,6 +120,21 @@ object SurfaceQueries {
         bucketWidth = 64.0)
       .select(col("event_id"), col("value"), col("label"))
 
+  /** Skewed-key join through the salting path: event_type has only 5
+    * values, so EVERY key is a hot key — the adversarial case where an
+    * unsalted shuffle join sends ~N/5 rows to single reducers. saltedJoin
+    * spreads each key over `factor` reducers and must stay semantically
+    * identical to the plain join (which is what the oracle runs). */
+  def q70SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    val dim = ev.groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("type_avg_value"))
+    Scale.saltedJoin(ev.select("event_id", "event_type"), dim,
+        "event_type", factor = 8)
+      .select(col("event_id"), col("event_type"), col("type_avg_value"))
+  }
+
   /** Set op: INTERSECT (distinct semantics). */
   def q44Intersect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -134,6 +149,7 @@ object SurfaceQueries {
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
     "q69_sql_asof" -> (q69SqlAsof _),
+    "q70_salted_join" -> (q70SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
     "q44_intersect" -> (q44Intersect _),
     "q45_except" -> (q45Except _),
@@ -162,6 +178,14 @@ object SurfaceQueries {
         |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |      FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q70_salted_join" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |      AS type_avg_value
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, d.type_avg_value
+        |FROM events e JOIN d USING (event_type)""".stripMargin,
     "q65_range_join" ->
       """WITH tiers(lo, hi, label) AS (VALUES
         |  (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000.0, 'high'))
