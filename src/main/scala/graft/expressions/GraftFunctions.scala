@@ -25,6 +25,11 @@ object GraftFunctions {
   def rollingXxHash64(tokens: Column): Column =
     TextExpressionFunctions.rollingXxHash64(tokens)
 
+  /** Codegen'd word n-gram shingles (space-joined) of a token array —
+    * a per-row loop; no window, no interpreted HOF. Requires n >= 2. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    TextExpressionFunctions.wordShingles(tokens, n)
+
   /** Register `graft_cosine` / `graft_dot` with the session's SQL function
     * registry. */
   def register(spark: SparkSession): Unit = VectorFunctions.register(spark)

@@ -27,25 +27,18 @@ object NearDup {
     else transform(sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
 
-  /** (id, shingle) rows built codegen-only: posexplode the tokens, then
-    * assemble each n-gram from window `lead`s over (id, pos). The window
-    * sort and every downstream per-doc aggregation share one hash
-    * partitioning on the id, and nothing evaluates interpreted. */
+  /** (id, shingle) rows, built scan-side: the codegen'd WordShingles
+    * expression assembles every n-gram inside the row's projection, so the
+    * explode emits finished shingles with NO exchange — downstream per-doc
+    * aggregations see explode-local rows and partial-combine map-side.
+    * (The previous formulation assembled n-grams from window `lead`s over
+    * (id, pos), which hash-shuffled and sorted every shingle row first.) */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val tok = df.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
-    if (n <= 1) tok.select(col(idCol), col("t").as("shingle"))
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("pos"))
-      val parts = (0 until n).map(i =>
-        if (i == 0) col("t") else lead(col("t"), i).over(w))
-      tok.select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
-          parts.last.isNotNull.as("__full"))
-        .filter(col("__full"))
-        .select(col(idCol), col("shingle"))
-    }
+    val tok = TextFunctions.tokens(col(textCol))
+    val sh = if (n <= 1) tok
+      else graft.expressions.GraftFunctions.wordShingles(tok, n)
+    df.select(col(idCol), explode(sh).as("shingle"))
   }
 
   /** (id, sh) rows — distinct shingle *hashes* per doc (set semantics).

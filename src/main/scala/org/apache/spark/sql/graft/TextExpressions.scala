@@ -66,8 +66,79 @@ case class RollingXxHash64(child: Expression)
     copy(newChild)
 }
 
+/** Word n-gram shingles of a token array as ONE codegen'd projection:
+  * out[i] = tokens[i..i+n-1] joined by a single space, for
+  * i in [0, len-n]. Shorter-than-n docs yield an empty array.
+  *
+  * Replaces the window formulation (posexplode → lead(i) over
+  * (id, pos)) used when only built-ins were allowed: that route
+  * hash-shuffles and sorts EVERY shingle row just to see the next n-1
+  * tokens, while this is a per-row loop — at corpus scale the minhash
+  * signature aggregation then partial-combines map-side and the shuffle
+  * carries k longs per doc instead of every shingle. (The `transform` +
+  * `slice` HOF route computes the same values but interpreted.)
+  * Null tokens are skipped inside a shingle, matching concat_ws. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  require(n >= 2, "use the token array directly for n <= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val count = math.max(0, arr.numElements() - n + 1)
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) parts(j) = arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toIndexedSeq)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sepRef = ctx.addReferenceObj("shingleSep",
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        "UTF8String")
+      val count = ctx.freshName("count")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $count = $a.numElements() - ${n - 1};
+         |if ($count < 0) $count = 0;
+         |UTF8String[] $out = new UTF8String[$count];
+         |for (int $i = 0; $i < $count; $i++) {
+         |  UTF8String[] $parts = new UTF8String[$n];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $parts[$j] = $a.isNullAt($i + $j) ? null : $a.getUTF8String($i + $j);
+         |  }
+         |  $out[$i] = UTF8String.concatWs($sepRef, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Column-level API for the text expressions. */
 object TextExpressionFunctions {
   def rollingXxHash64(tokens: Column): Column =
     ExpressionUtils.column(RollingXxHash64(ExpressionUtils.expression(tokens)))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
 }
