@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.GraftFunctions
@@ -76,6 +76,38 @@ object Similarity {
     probed.filter(inProbe)
       .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos"),
         col("bucket"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the sign-LSH bucket assignment once: the corpus written
+    * partitioned by bucket — the sign-LSH analog of [[Ivf.writeIndex]].
+    * Every later probe is partition pruning: multi-probe reads
+    * (numPlanes+1)/2^numPlanes of the files instead of scanning the
+    * corpus and filtering (at 100 TB, the difference between touching
+    * ~3.5% of the files and reading everything). */
+  def writeLshIndex(df: DataFrame, vecCol: String, path: String,
+      numPlanes: Int = 8, dim: Int = 64): Unit = {
+    require(!df.columns.contains("bucket"),
+      "input already has a 'bucket' column; rename it before LSH indexing")
+    df.withColumn("bucket", lshBucket(col(vecCol), hyperplanes(numPlanes, dim)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Multi-probe (Hamming<=1) top-k against a materialized
+    * [[writeLshIndex]] table: the bucket isin-filter lands on the
+    * partition column, so only the query bucket's and its numPlanes
+    * neighbor buckets' files are read. Same output as [[lshTopK]]. */
+  def lshTopKIndexed(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Seq[Double], queryBucket: Long, queryId: Long,
+      k: Int, numPlanes: Int = 8): DataFrame = {
+    val probeBuckets = (0L +: (0 until numPlanes).map(1L << _))
+      .map(queryBucket ^ _)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probeBuckets: _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        cosine(col(vecCol), typedLit(query)).as("cos"),
+        col("bucket").cast("long").as("bucket"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }

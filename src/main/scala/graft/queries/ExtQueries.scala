@@ -110,6 +110,28 @@ object ExtQueries {
         queryId = 0L, k = 10, numPlanes = 8, dim = 64)
       .select(col("vec_id"), round(col("cos"), 6).as("cos"), col("bucket"))
 
+  /** q32 against a MATERIALIZED bucket-partitioned LSH index: multi-probe
+    * becomes partition pruning (the sign-LSH analog of q68's IVF index).
+    * Index written once per corpus; same output and oracle as q32. */
+  private val lshIndexes = scala.collection.concurrent
+    .TrieMap.empty[String, (String, Long, Seq[Double])]
+  def q71LshIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (path, qBucket, qVec) = lshIndexes.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-lsh-index-").toString
+      Similarity.writeLshIndex(emb, "embedding", p, numPlanes = 8, dim = 64)
+      val row = emb.filter(col("vec_id") === 0L).select(
+        col("embedding").cast("array<double>"),
+        Similarity.lshBucket(col("embedding"),
+          Similarity.hyperplanes(8, 64))).collect().head
+      (p, row.getLong(1), row.getSeq[Double](0))
+    })
+    Similarity.lshTopKIndexed(s, path, "vec_id", "embedding", qVec, qBucket,
+        queryId = 0L, k = 10, numPlanes = 8)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"), col("bucket"))
+  }
+
   /** Embedding-cosine near-dup pairs via banded LSH + exact verify.
     * 8 bands × 8 planes = 256 cells per band with 8 collision chances —
     * bucket sizes stay bounded at corpus scale, unlike a single fixed
@@ -205,6 +227,7 @@ object ExtQueries {
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_lsh_buckets" -> (q31LshBuckets _),
     "q32_lsh_topk" -> (q32LshTopK _),
+    "q71_lsh_indexed" -> (q71LshIndexed _),
     "q33_cosine_neardup" -> (q33CosineNearDup _),
     "q46_topk_join" -> (q46TopKJoin _),
     "q59_ivf_topk" -> (q59IvfTopK _),
@@ -264,6 +287,21 @@ object ExtQueries {
       Map("q59_ivf_topk" -> sql, "q68_ivf_indexed" -> sql)
     }
 
+  /** Multi-probe = Hamming<=1 between query and candidate buckets; shared
+    * by q32 (inline buckets) and q71 (materialized index — same rows). */
+  private lazy val lshTopkOracleSql: String = {
+    val terms = bucketSql(graft.operators.Similarity.hyperplanes(8, 64), "e")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM v),
+       |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cos,
+       |  b.bucket
+       |FROM b, q
+       |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+       |ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = staticOracles ++ ivfOracles
 
   private val staticOracles: Map[String, String] = Map(
@@ -311,19 +349,9 @@ object ExtQueries {
         "CAST(embedding AS DOUBLE[])")
       s"SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM embeddings"
     },
-    "q32_lsh_topk" -> {
-      // Multi-probe = Hamming<=1 between query and candidate buckets.
-      val terms = bucketSql(graft.operators.Similarity.hyperplanes(8, 64), "e")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM v),
-         |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
-         |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cos,
-         |  b.bucket
-         |FROM b, q
-         |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
-         |ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id
-         |LIMIT 10""".stripMargin
-    },
+    "q32_lsh_topk" -> lshTopkOracleSql,
+    // identical semantics via the materialized bucket-partitioned index
+    "q71_lsh_indexed" -> lshTopkOracleSql,
     "q33_cosine_neardup" -> {
       // Candidate = the pair agrees in >= 1 of the 8 banded buckets;
       // verify = exact cosine >= threshold. Same plane slices per band as

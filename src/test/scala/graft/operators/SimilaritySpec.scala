@@ -63,6 +63,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getDouble(1) > 0.999)
   }
 
+  test("materialized LSH index: partition-pruned probe, same result as lshTopK") {
+    val base = Seq.fill(64)(0.5)
+    val vecs = Seq(
+      (0L, base.map(_.toFloat)),
+      (1L, base.updated(0, 0.51).map(_.toFloat)),
+      (2L, base.map(-_).map(_.toFloat)),
+      (3L, base.updated(1, 0.7).map(_.toFloat))
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("lsh-idx").toString
+    Similarity.writeLshIndex(vecs, "embedding", path, numPlanes = 8, dim = 64)
+    val qRow = vecs.filter(col("vec_id") === 0L).select(
+      col("embedding").cast("array<double>"),
+      Similarity.lshBucket(col("embedding"), Similarity.hyperplanes(8, 64)))
+      .rows.head
+    val idx = Similarity.lshTopKIndexed(spark, path, "vec_id", "embedding",
+      qRow.getSeq[Double](0), qRow.getLong(1), queryId = 0L, k = 2,
+      numPlanes = 8)
+    // the bucket isin-filter lands on the partition column
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on bucket:\n$plan")
+    val direct = Similarity.lshTopK(vecs, "vec_id", "embedding", 0L, 2,
+      numPlanes = 8, dim = 64).rows.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(idx.rows.map(r => (r.getLong(0), r.getDouble(1))) == direct)
+  }
+
   test("topKJoin returns k nearest per query via bucketed candidates") {
     val base = (1 to 64).map(i => math.sin(i.toDouble))
     def jitter(eps: Double) = base.map(v => (v + eps).toFloat)
