@@ -22,6 +22,23 @@ class NearDupSpec extends SparkSpec {
     assert(out == Seq("a b", "b c", "c d"))
   }
 
+  test("shingle build is a pure scan-side projection (no exchange, no window)") {
+    // WordShingles assembles n-grams inside the row projection; the old
+    // lead()-over-(id,pos) formulation shuffled and sorted every shingle
+    // row. Pin the plan shape so that regression cannot sneak back.
+    val plan = NearDup.shingleRows(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in shingle plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"exchange in shingle plan:\n$plan")
+  }
+
+  test("minhashPairs plan has no window operator") {
+    val plan = NearDup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in minhashPairs plan:\n$plan")
+  }
+
   test("minhashPairs finds the planted near-dup pair and only it") {
     val out = NearDup.minhashPairs(docs, "doc_id", "text",
       shingleSize = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).rows
