@@ -68,18 +68,23 @@ object NearDup {
         min(xxhash64(lit(seed), col("shingle")))
       }: _*).as("sig"))
 
+  /** Per-band bucket hashes of a minhash signature column, as an array:
+    * element b hashes the b-th `rowsPerBand` slice of the signature. */
+  private def bandHashArray(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+    }: _*)
+
   /** doc_id, band, band_hash — one row per LSH band. Docs agreeing on all
     * `rowsPerBand` signature slots of any band land in the same bucket.
     * numHashes = bands * rowsPerBand. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
     minhashSignatures(df, idCol, textCol, shingleSize, bands * rowsPerBand)
-      .select(col(idCol), posexplode(
-        array((0 until bands).map { b =>
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-              .cast("array<string>")))
-        }: _*)).as(Seq("band", "band_hash")))
+      .select(col(idCol),
+        posexplode(bandHashArray(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "band_hash")))
 
   /** Exact Jaccard for candidate pairs, by counting shingles shared through
     * the inverted index (never joining the arrays themselves). `exploded`
@@ -103,16 +108,31 @@ object NearDup {
 
   /** Candidate pairs from shared LSH buckets, verified with exact Jaccard
     * over distinct shingle sets; keeps pairs with jaccard >= threshold.
+    * Each side of the band self-join carries its `bands`-long band-hash
+    * array, so a pair colliding in several bands is kept only at its
+    * FIRST agreeing band — a local codegen filter instead of a
+    * `distinct()` exchange over the candidate set.
     * Output: id_a < id_b, jaccard. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val candidates = b.as("a")
-      .join(b.as("b"), Seq("band", "band_hash"))
+    val ids = minhashSignatures(df, idCol, textCol, shingleSize,
+        bands * rowsPerBand)
+      .select(col(idCol),
+        bandHashArray(col("sig"), bands, rowsPerBand).as("__bhs"))
+      .select(col(idCol), col("__bhs"),
+        posexplode(col("__bhs")).as(Seq("band", "band_hash")))
+    val joined = ids.as("a").join(ids.as("b"), Seq("band", "band_hash"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+    val firstBandOnly = if (bands <= 1) joined else {
+      val earlierBandAgrees = (0 until bands - 1).map { j =>
+        col("band") > j &&
+          col("a.__bhs").getItem(j) === col("b.__bhs").getItem(j)
+      }.reduce(_ || _)
+      joined.filter(!earlierBandAgrees)
+    }
+    val candidates = firstBandOnly
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
     verifyJaccard(candidates,
         explodedShingles(df, idCol, textCol, shingleSize), idCol)
       .filter(col("jaccard") >= threshold)
@@ -152,21 +172,31 @@ object NearDup {
 
   /** SimHash near-dup candidates: bucket by `bands` slices of the simhash
     * (docs equal on any slice are candidates), verify by Hamming distance
-    * <= maxHamming. Output: id_a < id_b, hamming. */
+    * <= maxHamming. A pair agreeing on several slices is emitted only at
+    * its FIRST agreeing band — both sides carry the full signature, so
+    * the earlier-band check is a local codegen filter and no `distinct()`
+    * exchange is needed (same dedup as cosineNearDupPairs).
+    * Output: id_a < id_b, hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     val bits = 64 / bands
+    def slice(sig: Column, b: Int): Column =
+      shiftrightunsigned(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
-      array((0 until bands).map { b =>
-        shiftrightunsigned(col("sig"), b * bits)
-          .bitwiseAND(lit((1L << bits) - 1))
-      }: _*)).as(Seq("band", "band_val")))
-    banded.as("a").join(banded.as("b"), Seq("band", "band_val"))
+      array((0 until bands).map(b => slice(col("sig"), b)): _*))
+      .as(Seq("band", "band_val")))
+    val joined = banded.as("a").join(banded.as("b"), Seq("band", "band_val"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+    val firstBandOnly = if (bands <= 1) joined else {
+      val earlierBandAgrees = (0 until bands - 1).map { j =>
+        col("band") > j && slice(col("a.sig"), j) === slice(col("b.sig"), j)
+      }.reduce(_ || _)
+      joined.filter(!earlierBandAgrees)
+    }
+    firstBandOnly
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
