@@ -212,14 +212,27 @@ object VectorFunctions {
     ExpressionUtils.column(SignLshBandBuckets(
       ExpressionUtils.expression(vec), planes, bands, planesPerBand, dim))
 
-  /** Expose `graft_cosine` / `graft_dot` (scalar) and `graft_version`
-    * (table-valued, time travel) to the SQL surface. */
+  /** Expose `graft_cosine` / `graft_dot` / `graft_shingles` /
+    * `graft_rolling_xxhash64` (scalar) and `graft_version` (table-valued,
+    * time travel) to the SQL surface. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_rolling_xxhash64",
+      exprs => RollingXxHash64(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("graft_shingles",
+      exprs => {
+        // n must be a foldable int literal, e.g. graft_shingles(toks, 3)
+        val n = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles n must be an int literal, got $other")
+        }
+        WordShingles(exprs(0), n)
+      }, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_version", graft.pipeline.VersionedTable.tvfBuilder, "built-in")
   }

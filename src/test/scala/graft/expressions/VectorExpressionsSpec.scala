@@ -76,6 +76,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
   }
 
+  test("SQL surface: graft_shingles / graft_rolling_xxhash64") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shingles(split('a b c d', ' '), 2) sh,
+        |  graft_rolling_xxhash64(split('a b c d', ' ')) h""".stripMargin)
+      .rows.head
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    // bit-identical to the aggregate-HOF fold it replaces
+    val ref = spark.sql(
+      "SELECT aggregate(split('a b c d', ' '), 0L, (acc, t) -> xxhash64(acc, t))")
+      .rows.head.getLong(0)
+    assert(r.getLong(1) == ref)
+  }
+
   test("expression works inside WholeStageCodegen (no fallback errors)") {
     val df = spark.range(1000).select(
       col("id"),
