@@ -16,25 +16,66 @@ object Maintenance {
   final case class Report(table: String, action: String, ok: Boolean,
       detail: String)
 
+  /** Hive partition columns of a table directory (outermost first), read
+    * from the `col=value` layout itself. Compaction MUST preserve them:
+    * an unpartitioned rewrite keeps the column data (partition discovery
+    * folds it back into the DataFrame) but silently destroys the layout —
+    * and with it every downstream scan's partition pruning. */
+  private[pipeline] def partitionColsOf(tableDir: String): Seq[String] = {
+    @scala.annotation.tailrec
+    def walk(dir: File, acc: Vector[String]): Vector[String] = {
+      val sub = Option(dir.listFiles()).getOrElse(Array.empty[File])
+        .find(f => f.isDirectory && f.getName.contains("="))
+      sub match {
+        case Some(d) => walk(d, acc :+ d.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    walk(new File(tableDir), Vector.empty)
+  }
+
+  /** Number of leaf partition directories (1 for unpartitioned). */
+  private def leafPartitionCount(dir: File): Long = {
+    val subs = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    if (subs.isEmpty) 1L else subs.map(leafPartitionCount).sum
+  }
+
   /** M2 analog: binpack small-file compaction — rewrite a table directory
     * into files of ~`targetFileBytes` (reference default 256 MB,
     * glue-jobs/iceberg_maintenance.py:66). Atomic-ish: writes to a temp dir,
-    * then swaps. Partitioned layouts are compacted per-partition via a
-    * repartition sized from the on-disk footprint. */
+    * then swaps. Hive-partitioned layouts are preserved and compacted
+    * per-partition: the rewrite shuffles on the partition columns (plus a
+    * size-derived salt when a single partition exceeds the target), so
+    * each partition directory ends up with ~ceil(bytes/target) files. */
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
       val size = dirSize(new File(tableDir))
       val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
+      val parts = partitionColsOf(tableDir)
       val df = spark.read.parquet(tableDir)
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val repartitioned =
+        if (parts.isEmpty) df.repartition(numFiles)
+        else {
+          val nVals = leafPartitionCount(new File(tableDir))
+          val filesPerPart = math.max(1L,
+            math.ceil(size.toDouble / targetFileBytes / nVals).toLong)
+          val keys = parts.map(col) :+
+            pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(filesPerPart))
+          df.repartition(keys: _*)
+        }
       val tmp = tableDir + ".compact_tmp"
-      df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
+      val w = repartitioned.write.mode("overwrite")
+      (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(tmp)
       val old = tableDir + ".compact_old"
       Files.move(Paths.get(tableDir), Paths.get(old))
       Files.move(Paths.get(tmp), Paths.get(tableDir))
       deleteRecursively(new File(old))
       Report(tableDir, "compact", ok = true,
-        s"rewrote ${size}B into <=$numFiles files")
+        s"rewrote ${size}B into <=$numFiles files" +
+          (if (parts.isEmpty) "" else s" preserving partitions ${parts.mkString("/")}"))
     } catch {
       case e: Throwable => Report(tableDir, "compact", ok = false, e.toString)
     }
@@ -43,19 +84,28 @@ object Maintenance {
   /** Compaction + data clustering: like [[compact]], but sorts rows by
     * `sortCols` within each output file so parquet min/max row-group stats
     * become selective — scans filtered on those columns skip most row
-    * groups (the parquet-table analogue of Iceberg's sort-order rewrite). */
+    * groups (the parquet-table analogue of Iceberg's sort-order rewrite).
+    * Partitioned layouts are preserved: each partition's rows are
+    * clustered by `sortCols` within that partition. */
   def compactSorted(spark: SparkSession, tableDir: String,
       sortCols: Seq[String],
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
       val size = dirSize(new File(tableDir))
       val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
+      val parts = partitionColsOf(tableDir)
       val df = spark.read.parquet(tableDir)
-      val sorted = df.repartitionByRange(numFiles,
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      import org.apache.spark.sql.functions.col
+      val sorted =
+        if (parts.isEmpty)
+          df.repartitionByRange(numFiles, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else
+          df.repartition(parts.map(col): _*)
+            .sortWithinPartitions((parts ++ sortCols).map(col): _*)
       val tmp = tableDir + ".compact_tmp"
-      sorted.write.mode("overwrite").parquet(tmp)
+      val w = sorted.write.mode("overwrite")
+      (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(tmp)
       val old = tableDir + ".compact_old"
       Files.move(Paths.get(tableDir), Paths.get(old))
       Files.move(Paths.get(tmp), Paths.get(tableDir))

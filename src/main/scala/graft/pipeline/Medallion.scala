@@ -49,11 +49,18 @@ object Medallion {
 
   /** S4/S5/S6: write a zone table. `append` mirrors the incremental fact
     * load; overwrite mirrors the full dimension refresh. Partition columns
-    * give Hive-style layout so downstream reads prune. */
+    * give Hive-style layout so downstream reads prune. Partitioned writes
+    * shuffle on the partition columns first: without it every write task
+    * emits a file into every partition directory it touches —
+    * tasks × partitions small files, the at-scale anti-pattern compaction
+    * then has to clean up. */
   def writeTable(df: DataFrame, wh: Warehouse, zone: String, name: String,
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode)
+    val out =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    val w = out.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(wh.table(zone, name))
   }
@@ -85,6 +92,12 @@ object Medallion {
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS $zone.$t
              |USING parquet LOCATION '${wh.table(zone, t)}'""".stripMargin)
+        // A Hive-partitioned external table reads as EMPTY until its
+        // partitions are recovered into the catalog — the create above
+        // infers the partition columns but not the partition list.
+        if (Maintenance.partitionColsOf(wh.table(zone, t)).nonEmpty) {
+          spark.sql(s"MSCK REPAIR TABLE $zone.$t")
+        }
       }
     }
 
