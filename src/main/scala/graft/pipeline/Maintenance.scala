@@ -51,6 +51,13 @@ object Maintenance {
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
+      // A VersionedTable root holds immutable manifested snapshots (its
+      // v=N dirs LOOK like Hive partitions) — rewriting them would break
+      // the commit protocol; its own expire() is the right maintenance.
+      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+        return Report(tableDir, "compact", ok = false,
+          "versioned table: snapshots are immutable, use VersionedTable.expire")
+      }
       val size = dirSize(new File(tableDir))
       val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
       val parts = partitionColsOf(tableDir)
@@ -91,6 +98,10 @@ object Maintenance {
       sortCols: Seq[String],
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
+      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+        return Report(tableDir, "compact_sorted", ok = false,
+          "versioned table: snapshots are immutable, use VersionedTable.expire")
+      }
       val size = dirSize(new File(tableDir))
       val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
       val parts = partitionColsOf(tableDir)

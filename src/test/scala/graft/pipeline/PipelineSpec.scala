@@ -78,6 +78,16 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("compact refuses a versioned-table root (immutable snapshots)") {
+    import spark.implicits._
+    val dir = tmpDir() + "/vt"
+    VersionedTable.write((1 to 10).toDF("x"), dir)
+    val rep = Maintenance.compact(spark, dir)
+    assert(!rep.ok && rep.detail.contains("versioned"))
+    // snapshot still readable
+    assert(VersionedTable.read(spark, dir).count() == 10)
+  }
+
   test("compact preserves a Hive-partitioned layout and its pruning") {
     import spark.implicits._
     val dir = tmpDir() + "/pt"
