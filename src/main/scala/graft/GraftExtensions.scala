@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, RollingXxHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the custom expressions
   * available to any session via
@@ -20,6 +20,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_rolling_xxhash64"),
+      new ExpressionInfo(classOf[RollingXxHash64].getName,
+        "graft_rolling_xxhash64"),
+      (exprs: Seq[Expression]) => RollingXxHash64(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles n must be an int literal, got $other")
+        }
+        WordShingles(exprs(0), n)
+      }))
     e.injectTableFunction((
       FunctionIdentifier("graft_version"),
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
