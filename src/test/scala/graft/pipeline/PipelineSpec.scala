@@ -113,6 +113,19 @@ class PipelineSpec extends SparkSpec {
       s"no partition filter after compact:\n$scan")
   }
 
+  test("compact preserves two-level partitioning (NOAA year/month shape)") {
+    import spark.implicits._
+    val dir = tmpDir() + "/pt2"
+    (1 to 200).map(i => (i.toLong, 2024 + i % 2, 1 + i % 3)).toDF("id", "year", "month")
+      .repartition(8).write.partitionBy("year", "month").parquet(dir)
+    assert(Maintenance.compact(spark, dir).ok)
+    val years = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("year="))
+    assert(years.length == 2)
+    assert(years.forall(_.listFiles().count(_.getName.startsWith("month=")) == 3))
+    assert(spark.read.parquet(dir).count() == 200)
+  }
+
   test("compact rewrites many small files into few") {
     import spark.implicits._
     val dir = tmpDir() + "/t"
