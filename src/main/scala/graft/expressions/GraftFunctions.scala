@@ -30,6 +30,11 @@ object GraftFunctions {
   def wordShingles(tokens: Column, n: Int): Column =
     TextExpressionFunctions.wordShingles(tokens, n)
 
+  /** Single-pass language ID over raw text (distinct profile-word counts
+    * per language via bitmask popcount, alphabetical tie-break). */
+  def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    TextExpressionFunctions.languageId(text, profiles)
+
   /** Register `graft_cosine` / `graft_dot` with the session's SQL function
     * registry. */
   def register(spark: SparkSession): Unit = VectorFunctions.register(spark)

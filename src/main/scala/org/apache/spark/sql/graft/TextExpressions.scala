@@ -134,6 +134,97 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Language ID over raw text in ONE pass: tokenize by the exact `\s`
+  * separator class `split` uses, look each token up in a static
+  * word→(lang, bit) table, and count DISTINCT profile words per language
+  * as a popcount over per-language bitmasks. Identical semantics to the
+  * composed form (`size(array_intersect(array_distinct(split(text)),
+  * profile))` per language, argmax with alphabetical tie-break, 'und'
+  * when every score is 0) — but no token array, no distinct pass, no 5
+  * intersect scans: one linear walk per row.
+  *
+  * `profiles` must be (lang → words) sorted by lang; ties break toward
+  * the first (alphabetically smallest) language, matching the composed
+  * CASE chain. */
+case class LanguageIdExpr(child: Expression,
+    profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  require(profiles.map(_._1) == profiles.map(_._1).sorted,
+    "profiles must be sorted by language for the deterministic tie-break")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_language_id"
+
+  @transient private lazy val langsUtf8 =
+    profiles.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray
+  @transient private lazy val und =
+    org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  // token -> packed (langIdx << 8 | wordIdx) hits; a word may appear in
+  // several languages' profiles (e.g. "la" in es and fr)
+  @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+    profiles.zipWithIndex.foreach { case ((_, words), li) =>
+      words.zipWithIndex.foreach { case (w, wi) =>
+        m.computeIfAbsent(w, _ => new java.util.ArrayList[Integer]())
+          .add(Integer.valueOf((li << 8) | wi))
+      }
+    }
+    val out = new java.util.HashMap[String, Array[Int]]()
+    m.forEach((k, v) => out.put(k, v.toArray(new Array[Integer](0)).map(_.intValue())))
+    out
+  }
+
+  /** `\s` in an un-flagged Java regex is exactly [ \t\n\x0B\f\r]. */
+  private def isSep(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = input.toString
+    val masks = new Array[Int](profiles.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isSep(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isSep(s.charAt(i))) i += 1
+      if (i > start) {
+        val hits = lookup.get(s.substring(start, i))
+        if (hits != null) {
+          var h = 0
+          while (h < hits.length) {
+            masks(hits(h) >> 8) |= 1 << (hits(h) & 0xFF)
+            h += 1
+          }
+        }
+      }
+    }
+    var best = 0
+    var bi = -1
+    var li = 0
+    while (li < masks.length) {
+      val score = Integer.bitCount(masks(li))
+      if (score > best) { best = score; bi = li }
+      li += 1
+    }
+    if (best == 0) und else langsUtf8(bi)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // The scan loop lives in this (JIT-compiled) class; codegen just calls
+    // it — keeps the projection inside WholeStageCodegen without inlining
+    // a giant method into the generated source.
+    val ref = ctx.addReferenceObj("langIdExpr", this,
+      classOf[LanguageIdExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.doEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LanguageIdExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API for the text expressions. */
 object TextExpressionFunctions {
   def rollingXxHash64(tokens: Column): Column =
@@ -141,4 +232,8 @@ object TextExpressionFunctions {
 
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
+
+  def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(LanguageIdExpr(
+      ExpressionUtils.expression(text), profiles))
 }

@@ -42,6 +42,37 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("languageId expression == composed array_intersect formulation") {
+    // The single-pass expression must agree with the executable spec on
+    // edge cases: empty text, leading/trailing/mixed whitespace, repeated
+    // marker words (distinct semantics), cross-language shared words
+    // ("la"/"de"/"un"), exact ties (alphabetical winner), CJK markers.
+    val texts = Seq(
+      "", " ", "the the the the", "la la la",
+      "  the cat is in la maison  ",
+      "de la que un es el y en",          // es/fr shared words
+      "the a\tof and\nto in is that it for",
+      "el la de que y en un una los es",
+      "the 的 是 of 了 and 在 to 我",      // en vs zh tie shapes
+      "un une est", "qwerty",
+      (1 to 50).map(i => s"w$i the of and").mkString(" "))
+    val df = texts.toDF("text")
+    val out = df.select(
+      TextFunctions.languageId(col("text")).as("fast"),
+      TextFunctions.languageIdComposed(col("text")).as("ref")).rows
+    out.zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1),
+        s"mismatch for '$t': fast=${r.getString(0)} ref=${r.getString(1)}")
+    }
+    // and over the real corpus
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(
+      TextFunctions.languageId(col("text")).as("fast"),
+      TextFunctions.languageIdComposed(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("rollingHash is bit-identical to the aggregate+xxhash64 HOF fold") {
     val df = Seq("a b c", "  leading space", "onetoken", "", "x \t y\nz")
       .toDF("text")
