@@ -35,6 +35,11 @@ object GraftFunctions {
   def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     TextExpressionFunctions.languageId(text, profiles)
 
+  /** Single-pass token statistics: struct(n_tokens, n_uniq, n_stop) with
+    * split(limit=-1) field semantics. */
+  def tokenStats(text: Column, stopwords: Seq[String]): Column =
+    TextExpressionFunctions.tokenStats(text, stopwords)
+
   /** Register `graft_cosine` / `graft_dot` with the session's SQL function
     * registry. */
   def register(spark: SparkSession): Unit = VectorFunctions.register(spark)

@@ -50,10 +50,34 @@ object TextFunctions {
     (length(text) - (tokenCount(text) - lit(1))).cast("double") /
       tokenCount(text)
 
+  /** Single-pass token statistics: struct(n_tokens, n_uniq, n_stop) —
+    * the one-walk custom expression behind [[qualityScore]] and the q20/q21
+    * query entries (field semantics exactly `split(text, "\\s+")`;
+    * TextFunctionsSpec cross-checks against the composed forms). */
+  def tokenStats(text: Column, stopwords: Seq[String] = Nil): Column =
+    graft.expressions.GraftFunctions.tokenStats(text, stopwords)
+
   /** Composite quality score in [0,1]: rewards lexical diversity, penalizes
     * stopword stuffing, saturates length at `fullLengthTokens` tokens.
-    * Deterministic double arithmetic (fixed evaluation order). */
+    * Deterministic double arithmetic (fixed evaluation order, same int
+    * inputs as the composed formulation → bit-identical scores). */
   def qualityScore(text: Column, stopwords: Seq[String],
+      fullLengthTokens: Int = 100): Column =
+    qualityScoreFromStats(tokenStats(text, stopwords), fullLengthTokens)
+
+  /** [[qualityScore]] over an already-computed [[tokenStats]] struct —
+    * lets a query materialize the stats once and derive several measures. */
+  def qualityScoreFromStats(stats: Column, fullLengthTokens: Int = 100): Column = {
+    val n = stats.getField("n_tokens").cast("double")
+    val uniq = stats.getField("n_uniq").cast("double") / n
+    val stop = stats.getField("n_stop").cast("double") / n
+    val lenNorm = least(lit(1.0), n / lit(fullLengthTokens.toDouble))
+    (uniq + (lit(1.0) - stop) + lenNorm) / lit(3.0)
+  }
+
+  /** Composed built-in formulation of [[qualityScore]] — the executable
+    * specification the single-pass form is cross-checked against. */
+  def qualityScoreComposed(text: Column, stopwords: Seq[String],
       fullLengthTokens: Int = 100): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")

@@ -21,22 +21,32 @@ object ExtQueries {
 
   private val stop = Seq("the", "a")
 
-  /** Token statistics per document (whitespace + regex tokenizer). */
+  /** Token statistics per document — ONE single-pass stats struct per row
+    * (custom expression), fields derived from it. */
   def q20TokenStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      TextFunctions.distinctTokenCount(col("text")).as("n_uniq"),
-      TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokenStats(col("text")).as("__st"))
+      .select(
+        col("doc_id"),
+        col("__st.n_tokens").as("n_tokens"),
+        col("__st.n_uniq").as("n_uniq"),
+        ((length(col("text")) - (col("__st.n_tokens") - lit(1)))
+          .cast("double") / col("__st.n_tokens")).as("avg_token_len"))
 
-  /** Quality scoring: lexical diversity, stopword ratio, composite score. */
+  /** Quality scoring: lexical diversity, stopword ratio, composite score —
+    * all three measures off one materialized stats struct. */
   def q21TextQuality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      (TextFunctions.distinctTokenCount(col("text")).cast("double") /
-        TextFunctions.tokenCount(col("text"))).as("uniq_ratio"),
-      TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"),
-      TextFunctions.qualityScore(col("text"), stop).as("quality"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenStats(col("text"), stop).as("__st"))
+      .select(
+        col("doc_id"),
+        (col("__st.n_uniq").cast("double") /
+          col("__st.n_tokens")).as("uniq_ratio"),
+        (col("__st.n_stop").cast("double") /
+          col("__st.n_tokens")).as("stop_ratio"),
+        TextFunctions.qualityScoreFromStats(col("__st")).as("quality"))
 
   /** Exact dedup summary: one row per distinct content digest. */
   def q22DedupExact(s: SparkSession, dir: String): DataFrame =

@@ -225,6 +225,72 @@ case class LanguageIdExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Token statistics over raw text in ONE pass:
+  * struct(n_tokens, n_uniq, n_stop) with EXACTLY the semantics of the
+  * composed forms —
+  *  - n_tokens = size(split(text, "\\s+"))  (Java limit=-1 semantics:
+  *    leading AND trailing separator runs contribute empty fields, and
+  *    empty text is one empty field),
+  *  - n_uniq  = size(array_distinct(split(...))) (the empty field counts),
+  *  - n_stop  = occurrences of tokens equal to a stopword (the
+  *    regexp_count boundary formulation; empty fields never match).
+  * One walk, one small hash set — no token array, no distinct pass, no
+  * regex scan. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  private def isSep(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val len = s.length
+    val seen = new java.util.HashSet[String]()
+    var n = 0
+    var stop = 0
+    var idx = 0
+    var done = false
+    while (!done) {
+      val start = idx
+      while (idx < len && !isSep(s.charAt(idx))) idx += 1
+      val tok = s.substring(start, idx)
+      n += 1
+      seen.add(tok)
+      if (stopSet.contains(tok)) stop += 1
+      if (idx >= len) done = true
+      else {
+        while (idx < len && isSep(s.charAt(idx))) idx += 1
+        if (idx >= len) { n += 1; seen.add(""); done = true }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, seen.size(), stop))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStatsExpr", this,
+      classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.doEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 /** Column-level API for the text expressions. */
 object TextExpressionFunctions {
   def rollingXxHash64(tokens: Column): Column =
@@ -236,4 +302,8 @@ object TextExpressionFunctions {
   def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LanguageIdExpr(
       ExpressionUtils.expression(text), profiles))
+
+  def tokenStats(text: Column, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(TokenStats(
+      ExpressionUtils.expression(text), stopwords))
 }

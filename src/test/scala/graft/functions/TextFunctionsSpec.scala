@@ -42,6 +42,42 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenStats expression == composed split/distinct/regexp forms") {
+    // Field semantics of split(text, "\\s+") are subtle: leading AND
+    // trailing separator runs contribute empty fields (Java limit=-1),
+    // empty text is one empty field, and the empty field counts as a
+    // distinct token. The single-pass expression must agree exactly.
+    val texts = Seq(
+      "", " ", "  ", "a", " a", "a ", " a ", "a  b", "the the a x",
+      "a\tb\nc\rd", "the", " the ", "x the a the y",
+      (1 to 80).map(i => s"w${i % 9}").mkString(" "))
+    val df = texts.toDF("text")
+    val stop = Seq("the", "a")
+    val out = df.select(
+      TextFunctions.tokenStats(col("text"), stop).as("st"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.distinctTokenCount(col("text")).as("u"),
+      TextFunctions.qualityScoreComposed(col("text"), stop).as("qRef"),
+      TextFunctions.qualityScore(col("text"), stop).as("qFast"),
+      TextFunctions.stopwordRatio(col("text"), stop)
+        .as("sRef")).rows
+    out.zip(texts).foreach { case (r, t) =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1), s"n_tokens for '$t'")
+      assert(st.getInt(1) == r.getInt(2), s"n_uniq for '$t'")
+      assert(r.getDouble(4) == r.getDouble(3), s"quality for '$t'")
+      assert(st.getInt(2).toDouble / st.getInt(0) == r.getDouble(5),
+        s"stop ratio for '$t'")
+    }
+    // and over the real corpus: bit-identical quality scores
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(
+      TextFunctions.qualityScore(col("text"), stop).as("fast"),
+      TextFunctions.qualityScoreComposed(col("text"), stop).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("languageId expression == composed array_intersect formulation") {
     // The single-pass expression must agree with the executable spec on
     // edge cases: empty text, leading/trailing/mixed whitespace, repeated
