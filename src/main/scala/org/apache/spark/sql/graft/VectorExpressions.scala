@@ -233,6 +233,18 @@ object VectorFunctions {
         }
         WordShingles(exprs(0), n)
       }, "built-in")
+    registry.createOrReplaceTempFunction("graft_language_id",
+      exprs => LanguageIdExpr(exprs(0),
+        graft.functions.TextFunctions.langProfiles.sortBy(_._1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_token_stats",
+      exprs => {
+        // stopwords as an array<string> literal; omit for none
+        val stop = exprs.drop(1).headOption.map { e =>
+          e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(StringType).map(_.toString).toSeq
+        }.getOrElse(Nil)
+        TokenStats(exprs(0), stop)
+      }, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_version", graft.pipeline.VersionedTable.tvfBuilder, "built-in")
   }

@@ -88,6 +88,12 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT aggregate(split('a b c d', ' '), 0L, (acc, t) -> xxhash64(acc, t))")
       .rows.head.getLong(0)
     assert(r.getLong(1) == ref)
+    val r2 = spark.sql(
+      """SELECT graft_language_id('el perro es un animal que vive en la casa') l,
+        |  graft_token_stats('the cat the', array('the')) st""".stripMargin)
+      .rows.head
+    assert(r2.getString(0) == "es")
+    assert(r2.getStruct(1).getInt(0) == 3 && r2.getStruct(1).getInt(2) == 2)
   }
 
   test("expression works inside WholeStageCodegen (no fallback errors)") {
