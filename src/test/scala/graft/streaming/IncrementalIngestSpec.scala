@@ -96,6 +96,48 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() == 2)
   }
 
+  test("append mode drops late data beyond the watermark across drains") {
+    val root = Files.createTempDirectory("graft_stream_late_").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = IncrementalIngest.windowedCounts(
+          spark.readStream.schema(schema).parquet(src),
+          "ts", "event_type", "1 hour", watermarkDelay = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // drain 1: hour-0 window gets one click; the 03:00 event advances the
+    // checkpointed watermark to 02:00, sealing every window before it
+    Seq(("2024-01-01 00:10:00", "click", 1.0),
+        ("2024-01-01 03:00:00", "click", 2.0))
+      .toDF("ts", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    drain()
+    // drain 2: a late hour-0 event (far behind the 02:00 watermark) MUST
+    // be dropped; a fresh 04:00 event keeps the stream moving
+    Seq(("2024-01-01 00:20:00", "click", 100.0),
+        ("2024-01-01 04:00:00", "view", 4.0))
+      .toDF("ts", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    drain()
+    val rows = spark.read.parquet(out)
+      .filter(col("window_start") === to_timestamp(lit("2024-01-01 00:00:00")))
+      .rows
+    assert(rows.size == 1, s"hour-0 window rows: ${rows.mkString(";")}")
+    assert(rows.head.getAs[Long]("n") == 1 &&
+      rows.head.getAs[Double]("total_value") == 1.0,
+      s"late event leaked into ${rows.head}")
+  }
+
   test("windowedCounts buckets by event time") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
