@@ -21,11 +21,16 @@ object NearDup {
 
   /** Word n-gram shingles of a token array (n=1 → token set). Column form,
     * for composing inside other expressions; corpus-scale paths use
-    * [[shingleRows]] instead (HOF lambdas evaluate interpreted). */
+    * [[shingleRows]] instead (HOF lambdas evaluate interpreted).
+    * Shorter-than-n arrays yield an empty array — without the guard,
+    * `sequence(0, size-n)` would count DOWN for them (the same degenerate
+    * descending-sequence edge RangeJoin clamps) and emit garbage
+    * shingles. */
   def shingles(toks: Column, n: Int): Column =
     if (n <= 1) toks
-    else transform(sequence(lit(0), size(toks) - lit(n)),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
   /** (id, shingle) rows, built scan-side: the codegen'd WordShingles
     * expression assembles every n-gram inside the row's projection, so the

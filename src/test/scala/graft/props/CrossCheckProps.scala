@@ -78,4 +78,43 @@ object CrossCheckProps extends Properties("graft.crosscheck") {
       lsh.keySet.subsetOf(exact.keySet) &&
         lsh.forall { case (k, v) => math.abs(v - exact(k)) < 1e-12 }
     }
+
+  // Random text with every `\s` separator class member, runs of
+  // separators, and boundary separators — the adversarial surface for the
+  // single-pass text expressions' split(limit=-1) field semantics.
+  private val rawTextGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.oneOf("the", "a", "of", "la", "w1", "w2", "x"),
+    4 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t "))
+  ).map(_.mkString)
+
+  property("WordShingles expression == transform/slice HOF shingles") = {
+    val tokArrGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d")).map(_.toSeq)
+    Prop.forAll(tokArrGen, Gen.choose(2, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val out = df.select(
+        graft.expressions.GraftFunctions.wordShingles(col("toks"), n).as("fast"),
+        NearDup.shingles(col("toks"), n).as("ref")).collect().head
+      out.getSeq[String](0) == out.getSeq[String](1)
+    }
+  }
+
+  property("TokenStats / languageId expressions == composed forms on raw text") =
+    Prop.forAll(rawTextGen) { text =>
+      import graft.functions.TextFunctions
+      val stop = Seq("the", "a")
+      val df = Seq(Tuple1(text)).toDF("text")
+      val r = df.select(
+        TextFunctions.tokenStats(col("text"), stop).as("st"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        TextFunctions.distinctTokenCount(col("text")).as("u"),
+        TextFunctions.qualityScore(col("text"), stop).as("qf"),
+        TextFunctions.qualityScoreComposed(col("text"), stop).as("qr"),
+        TextFunctions.languageId(col("text")).as("lf"),
+        TextFunctions.languageIdComposed(col("text")).as("lr")).collect().head
+      val st = r.getStruct(0)
+      (Prop(st.getInt(0) == r.getInt(1)) :| s"n_tokens '$text'") &&
+        (Prop(st.getInt(1) == r.getInt(2)) :| s"n_uniq '$text'") &&
+        (Prop(r.getDouble(3) == r.getDouble(4)) :| s"quality '$text'") &&
+        (Prop(r.getString(5) == r.getString(6)) :| s"lang '$text'")
+    }
 }
