@@ -61,14 +61,28 @@ object Maintenance {
       val size = dirSize(new File(tableDir))
       val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
       val parts = partitionColsOf(tableDir)
+      val nVals = leafPartitionCount(new File(tableDir))
+      val filesPerPart = math.max(1L,
+        math.ceil(size.toDouble / targetFileBytes / math.max(1L, nVals)).toLong)
+      // Binpack is a no-op when the table is already at (or below) its
+      // target file count — rewriting an already-compacted table every
+      // maintenance run is pure write amplification (Iceberg's
+      // rewrite_data_files applies the same min-input criterion). The
+      // steady state after writeTable's partition-aligned writes hits
+      // this path, so nightly maintenance only pays for tables that
+      // actually fragmented (e.g. via appends).
+      val existing = countParquetFiles(new File(tableDir))
+      val targetTotal = if (parts.isEmpty) numFiles.toLong
+        else nVals * filesPerPart
+      if (existing <= targetTotal) {
+        return Report(tableDir, "compact", ok = true,
+          s"noop: $existing files already <= target $targetTotal")
+      }
       val df = spark.read.parquet(tableDir)
       import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
       val repartitioned =
         if (parts.isEmpty) df.repartition(numFiles)
         else {
-          val nVals = leafPartitionCount(new File(tableDir))
-          val filesPerPart = math.max(1L,
-            math.ceil(size.toDouble / targetFileBytes / nVals).toLong)
           val keys = parts.map(col) :+
             pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(filesPerPart))
           df.repartition(keys: _*)
@@ -169,6 +183,10 @@ object Maintenance {
         compact(spark, dir, targetFileBytes),
         removeOrphans(dir))
     }
+
+  private def countParquetFiles(f: File): Long =
+    if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
+    else Option(f.listFiles()).map(_.map(countParquetFiles).sum).getOrElse(0L)
 
   private def dirSize(f: File): Long =
     if (f.isFile) f.length()

@@ -126,7 +126,7 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 200)
   }
 
-  test("compact rewrites many small files into few") {
+  test("compact rewrites many small files into few; rerun is a noop") {
     import spark.implicits._
     val dir = tmpDir() + "/t"
     (1 to 100).toDF("x").repartition(50).write.parquet(dir)
@@ -136,6 +136,13 @@ class PipelineSpec extends SparkSpec {
     val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(before == 50 && after == 1)
     assert(spark.read.parquet(dir).count() == 100)
+    // already at the target: the second pass must not rewrite anything
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val mtime = f.lastModified()
+    val rep2 = Maintenance.compact(spark, dir, targetFileBytes = 256L * 1024 * 1024)
+    assert(rep2.ok && rep2.detail.contains("noop"), rep2.detail)
+    assert(f.lastModified() == mtime && f.exists())
   }
 
   test("compactSorted clusters data so min/max stats are selective") {
