@@ -58,6 +58,8 @@ object PipelineQueries {
     "/root/repo/src/test/resources/noaa")
   private val stationsFixture = s"$fixtureDir/ghcnd-stations.txt"
   private val inventoryFixture = s"$fixtureDir/ghcnd-inventory.txt"
+  private val jsonlFixture = sys.env.getOrElse("SPARK_GRAFT_JSONL_FIXTURE",
+    "/root/repo/src/test/resources/jsonl/docs.jsonl")
 
   /** Fixed-offset stations dimension parse (S2/F7/F8 + flag booleans). */
   def q66ParseStations(s: SparkSession, dir: String): DataFrame =
@@ -66,6 +68,15 @@ object PipelineQueries {
   /** Whitespace-split inventory parse (S2/F9 + casts). */
   def q67ParseInventory(s: SparkSession, dir: String): DataFrame =
     ParseFixedWidth.parseInventory(s.read.text(inventoryFixture))
+
+  /** JSONL corpus ingestion: explicit schema, valid rows, typed derived
+    * measures (the LLM-corpus interchange format as a first-class
+    * source). */
+  def q72JsonlDocs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Jsonl.valid(s, jsonlFixture, graft.sources.Jsonl.docsSchema)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
 
   /** Event-time windowed aggregation (streaming plan in batch mode).
     * Window bounds exported as epoch seconds to keep the comparison
@@ -83,7 +94,8 @@ object PipelineQueries {
     "q37_extract_features" -> (q37ExtractFeatures _),
     "q38_windowed_agg" -> (q38WindowedAgg _),
     "q66_parse_stations" -> (q66ParseStations _),
-    "q67_parse_inventory" -> (q67ParseInventory _))
+    "q67_parse_inventory" -> (q67ParseInventory _),
+    "q72_jsonl_docs" -> (q72JsonlDocs _))
 
   val oracles: Map[String, String] = Map(
     "q34_media_stats" ->
@@ -136,6 +148,12 @@ object PipelineQueries {
          |SELECT f.*, gsn_flag = 'GSN' AS is_gsn,
          |  hcn_crn_flag IN ('HCN', 'CRN') AS is_hcn_crn
          |FROM f WHERE station_id <> ''""".stripMargin,
+    "q72_jsonl_docs" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens
+         |FROM read_ndjson('$jsonlFixture',
+         |  columns = {doc_id: 'BIGINT', lang: 'VARCHAR', text: 'VARCHAR'})""".stripMargin,
     "q67_parse_inventory" ->
       s"""WITH toks AS (
          |  SELECT regexp_split_to_array(trim(value), '\\s+') AS t
