@@ -57,11 +57,44 @@ object Medallion {
   def writeTable(df: DataFrame, wh: Warehouse, zone: String, name: String,
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil): Unit = {
+    if (mode == SaveMode.Append) assertSchemaCompatible(df, wh, zone, name)
     val out =
       if (partitionBy.isEmpty) df
       else df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
     val w = out.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(wh.table(zone, name))
+  }
+
+  /** An append into an existing parquet table with a drifted schema would
+    * not fail — it writes mixed files that break at READ time, far from
+    * the producer. Fail the write instead (the check Iceberg/Delta do in
+    * their commit protocol; column order is not significant). */
+  private def assertSchemaCompatible(df: DataFrame, wh: Warehouse,
+      zone: String, name: String): Unit = {
+    val dir = Paths.get(wh.table(zone, name))
+    if (Files.isDirectory(dir)) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val existing = df.sparkSession.read.parquet(dir.toString).schema
+      require(shape(existing) == shape(df.schema),
+        s"append schema mismatch for $zone.$name: table has " +
+          s"${shape(existing)}, append has ${shape(df.schema)}")
+    }
+  }
+
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition untouched — the scalable daily
+    * pattern (a day's rerun rewrites that day's partitions, not the whole
+    * table; the reference's full-table overwrite is its small-scale
+    * degenerate form). */
+  def overwritePartitions(df: DataFrame, wh: Warehouse, zone: String,
+      name: String, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
+    df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
       .parquet(wh.table(zone, name))
   }
 

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -76,6 +77,42 @@ class PipelineSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(scan).nonEmpty,
       s"no non-empty partition filter on event_date in:\n$scan")
     assert(pruned.count() > 0)
+  }
+
+  test("append with a drifted schema fails at write time, not read time") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir())
+    Medallion.writeTable(Seq((1L, "a")).toDF("id", "v"), wh,
+      Medallion.Silver, "t")
+    // same shape, different column order: fine
+    Medallion.writeTable(Seq(("b", 2L)).toDF("v", "id"), wh,
+      Medallion.Silver, "t", SaveMode.Append)
+    assert(Medallion.readTable(spark, wh, Medallion.Silver, "t").count() == 2)
+    // drifted type: refused
+    intercept[IllegalArgumentException] {
+      Medallion.writeTable(Seq((3, "c")).toDF("id", "v"), wh,
+        Medallion.Silver, "t", SaveMode.Append) // id is int, table has long
+    }
+    // drifted columns: refused
+    intercept[IllegalArgumentException] {
+      Medallion.writeTable(Seq((4L, "d", 1.0)).toDF("id", "v", "extra"), wh,
+        Medallion.Silver, "t", SaveMode.Append)
+    }
+  }
+
+  test("overwritePartitions replaces only the partitions present in the data") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir())
+    Medallion.writeTable(
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "d"),
+      wh, Medallion.Silver, "t", partitionBy = Seq("d"))
+    // rerun day 2 with corrected data; day 1 must be untouched
+    Medallion.overwritePartitions(
+      Seq((20L, "2024-01-02"), (21L, "2024-01-02")).toDF("id", "d"),
+      wh, Medallion.Silver, "t", Seq("d"))
+    val out = Medallion.readTable(spark, wh, Medallion.Silver, "t")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 20L, 21L), s"got $out")
   }
 
   test("compact refuses a versioned-table root (immutable snapshots)") {
