@@ -55,4 +55,25 @@ object OperatorProps extends Properties("graft.operators") {
       r.getInt(0) == words.size && r.getInt(1) == words.distinct.size &&
         r.getInt(0) >= r.getInt(1) && r.getInt(1) >= 1
     }
+
+  // Hot-key aggregation skew tool: the salted two-phase form must be
+  // BIT-identical to the plain aggregate on arbitrary data (the decimal
+  // accumulation makes the claim exact, not approximate).
+  property("saltedSumCount == plain sum/count bit-for-bit") = {
+    import graft.operators.Scale
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("hot", "hot", "hot", "cold")   // skew toward one key
+      v <- Gen.chooseNum(-10000.0, 10000.0).map(x => math.rint(x * 100) / 100)
+    } yield (k, v))
+    Prop.forAll(rowsGen, Gen.choose(1, 16)) { (rows, buckets) =>
+      val df = rows.toDF("k", "value")
+      val salted = Scale.saltedSumCount(df, Seq("k"), "value", buckets)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val plain = df.groupBy(col("k"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      salted == plain
+    }
+  }
 }
