@@ -54,11 +54,21 @@ object Bench {
     // rep keeps every rep a cold full run. Reported as its own field, not
     // in `total`, so query totals stay comparable across rounds.
     def runPipeline(src: String): Double = {
-      val wh = graft.pipeline.Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_wh_")
       val t0 = System.nanoTime()
-      graft.pipeline.LakehousePipeline.run(spark, s"$src/events.parquet", wh)
-      (System.nanoTime() - t0) / 1e9
+      try {
+        graft.pipeline.LakehousePipeline.run(spark, s"$src/events.parquet",
+          graft.pipeline.Warehouse(root.toString))
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        // fresh warehouse per rep; don't let 20 rounds of bench runs
+        // accumulate dead warehouses in the temp dir
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(root.toFile)
+      }
     }
     if (new java.io.File(warmupDir).isDirectory) {
       try runPipeline(warmupDir) catch { case _: Throwable => () }
