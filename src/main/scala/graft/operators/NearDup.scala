@@ -91,6 +91,32 @@ object NearDup {
         posexplode(bandHashArray(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "band_hash")))
 
+  /** Oversized-bucket guard for the banded (band, bucket) self-joins: a
+    * cell of B near-identical docs — the realistic duplicate-heavy-crawl
+    * case — would otherwise emit B²/2 candidate pairs into one reducer.
+    * Restrict the LEFT side of the self-join to the cell's minimum id
+    * whenever the cell exceeds `maxBucketSize`: the cell then contributes
+    * a (representative, member) STAR — B−1 pairs that connect the whole
+    * cell for downstream connected-components clustering — instead of the
+    * full clique. Small cells are untouched (exact pair semantics).
+    *
+    * Cost: one extra aggregate keyed on the same (band, bucket) the
+    * self-join shuffles on, so the ids exchange is still computed once and
+    * reused by the aggregate and both join sides. The within-big-cell
+    * pairs lost to the star remain connected through the representative
+    * (transitively across bands: a pair suppressed here either met in an
+    * earlier, smaller cell or both members pair with that cell's own
+    * minimum), so cluster membership is preserved — only the explicit
+    * pair list is thinned, which is the point. */
+  private[operators] def capBucketSide(ids: DataFrame, idCol: String,
+      bandCol: String, bucketCol: String, maxBucketSize: Int): DataFrame = {
+    val stats = ids.groupBy(col(bandCol), col(bucketCol))
+      .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"))
+    ids.join(stats, Seq(bandCol, bucketCol))
+      .filter(col("__bn") <= maxBucketSize || col(idCol) === col("__bmin"))
+      .drop("__bn", "__bmin")
+  }
+
   /** Exact Jaccard for candidate pairs, by counting shingles shared through
     * the inverted index (never joining the arrays themselves). `exploded`
     * must have distinct (id, shingle) rows. */
@@ -116,18 +142,21 @@ object NearDup {
     * Each side of the band self-join carries its `bands`-long band-hash
     * array, so a pair colliding in several bands is kept only at its
     * FIRST agreeing band — a local codegen filter instead of a
-    * `distinct()` exchange over the candidate set.
+    * `distinct()` exchange over the candidate set. Buckets larger than
+    * `maxBucketSize` contribute a representative star, not a clique
+    * (see [[capBucketSide]]).
     * Output: id_a < id_b, jaccard. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val ids = minhashSignatures(df, idCol, textCol, shingleSize,
         bands * rowsPerBand)
       .select(col(idCol),
         bandHashArray(col("sig"), bands, rowsPerBand).as("__bhs"))
       .select(col(idCol), col("__bhs"),
         posexplode(col("__bhs")).as(Seq("band", "band_hash")))
-    val joined = ids.as("a").join(ids.as("b"), Seq("band", "band_hash"))
+    val capped = capBucketSide(ids, idCol, "band", "band_hash", maxBucketSize)
+    val joined = capped.as("a").join(ids.as("b"), Seq("band", "band_hash"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
     val firstBandOnly = if (bands <= 1) joined else {
       val earlierBandAgrees = (0 until bands - 1).map { j =>
@@ -180,10 +209,13 @@ object NearDup {
     * <= maxHamming. A pair agreeing on several slices is emitted only at
     * its FIRST agreeing band — both sides carry the full signature, so
     * the earlier-band check is a local codegen filter and no `distinct()`
-    * exchange is needed (same dedup as cosineNearDupPairs).
+    * exchange is needed (same dedup as cosineNearDupPairs). Buckets larger
+    * than `maxBucketSize` contribute a representative star, not a clique
+    * (see [[capBucketSide]]).
     * Output: id_a < id_b, hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
     val bits = 64 / bands
     def slice(sig: Column, b: Int): Column =
       shiftrightunsigned(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
@@ -191,7 +223,8 @@ object NearDup {
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until bands).map(b => slice(col("sig"), b)): _*))
       .as(Seq("band", "band_val")))
-    val joined = banded.as("a").join(banded.as("b"), Seq("band", "band_val"))
+    val capped = capBucketSide(banded, idCol, "band", "band_val", maxBucketSize)
+    val joined = capped.as("a").join(banded.as("b"), Seq("band", "band_val"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
     val firstBandOnly = if (bands <= 1) joined else {
       val earlierBandAgrees = (0 until bands - 1).map { j =>

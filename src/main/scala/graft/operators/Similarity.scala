@@ -165,10 +165,12 @@ object Similarity {
     * pairs in id equi-joins (AQE broadcasts the vector side when small;
     * sort-merge on id at corpus scale). One shuffle stage total at small
     * SF (the band self-join's exchange is computed once and reused for
-    * both sides), three bounded ones at scale. */
+    * both sides), three bounded ones at scale. Cells larger than
+    * `maxBucketSize` contribute a representative star, not a clique
+    * (see [[NearDup.capBucketSide]] — the duplicate-heavy-crawl guard). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
     // One custom expression computes all banded buckets in a single fused
     // loop (plane matrix in the codegen references). Composing the
     // per-plane lshBucket form here would inline bands*planesPerBand dot
@@ -182,7 +184,9 @@ object Similarity {
     val ids = df.select(col(idCol).as("__id"), bucketArr.as("__bks"))
       .select(col("__id"), col("__bks"),
         posexplode(col("__bks")).as(Seq("__band", "__bkt")))
-    val a = ids.select(col("__band"), col("__bkt"),
+    val capped = NearDup.capBucketSide(ids, "__id", "__band", "__bkt",
+      maxBucketSize)
+    val a = capped.select(col("__band"), col("__bkt"),
       col("__id").as("id_a"), col("__bks").as("__bksa"))
     val b = ids.select(col("__band"), col("__bkt"),
       col("__id").as("id_b"), col("__bks").as("__bksb"))
