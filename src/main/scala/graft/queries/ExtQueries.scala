@@ -211,6 +211,27 @@ object ExtQueries {
       .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Adversarial duplicate-heavy corpus — the skew stress for the
+    * oversized-bucket guard. Every document is given the min-id
+    * document's text, so in EVERY band the whole corpus lands in one hot
+    * LSH cell; unguarded, the band self-join would emit n²/2 pairs into
+    * one reducer (the quadratic case BucketGuardSpec pins). With the
+    * guard, each cell contributes its representative star, so the result
+    * is data-independent given the id set: (min_id, other, 1.0) for every
+    * other doc — which is why a plain-SQL oracle can check an
+    * xxhash64-based operator here. */
+  def q73SkewNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val one = broadcast(docs.orderBy(col("doc_id")).limit(1)
+      .select(col("text").as("__t")))
+    val degen = docs.crossJoin(one)
+      .select(col("doc_id"), col("__t").as("text"))
+    NearDup.minhashPairs(degen, "doc_id", "text", shingleSize = 3,
+        bands = 8, rowsPerBand = 2, threshold = 0.5, maxBucketSize = 100)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Composed document-cleaning pipeline: lang filter → quality filter →
     * exact dedup → near-dup cluster dedup; returns the surviving corpus
     * ids (no oracle — MinHash stage). */
@@ -242,7 +263,8 @@ object ExtQueries {
     "q46_topk_join" -> (q46TopKJoin _),
     "q59_ivf_topk" -> (q59IvfTopK _),
     "q68_ivf_indexed" -> (q68IvfIndexed _),
-    "q60_doc_pipeline" -> (q60DocPipeline _))
+    "q60_doc_pipeline" -> (q60DocPipeline _),
+    "q73_skew_neardup" -> (q73SkewNearDup _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -315,6 +337,14 @@ object ExtQueries {
   def oracles: Map[String, String] = staticOracles ++ ivfOracles
 
   private val staticOracles: Map[String, String] = Map(
+    // All docs share the min-id doc's text, so the guarded near-dup join
+    // must return exactly the representative star at jaccard 1.0 — the
+    // construction makes an xxhash64 operator plain-SQL-checkable.
+    "q73_skew_neardup" ->
+      """WITH m AS (SELECT min(doc_id) AS mid FROM documents)
+        |SELECT m.mid AS id_a, d.doc_id AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents d, m WHERE d.doc_id <> m.mid""".stripMargin,
     "q20_token_stats" ->
       s"""SELECT doc_id,
          | CAST(len($splitToks) AS INTEGER) AS n_tokens,
