@@ -51,15 +51,26 @@ object PipelineQueries {
   /** Checked-in NOAA-format fixtures for the fixed-width dimension path
     * (the reference's largest job,
     * glue-jobs/noaa_dimensions_bronze_to_silver.py:39-213). Input is a raw
-    * text file, not the sf parquet tables, so the oracle reads the same
-    * file with read_text — absolute path because the driver's DuckDB run
-    * has its own cwd. */
+    * text file, not the sf parquet tables. Resolution: env override, else
+    * the repo-relative path resolved against the working directory
+    * (walking up so test/Verify runs from a subdirectory still find it) —
+    * no hardcoded checkout location. The resolved ABSOLUTE path is what
+    * the generated oracle SQL embeds, because the driver's DuckDB run has
+    * its own cwd. */
+  private def resolveFixture(rel: String): String = {
+    val cwd = new java.io.File(".").getCanonicalFile
+    Iterator.iterate(cwd)(_.getParentFile).takeWhile(_ != null)
+      .map(d => new java.io.File(d, rel))
+      .find(_.exists())
+      .getOrElse(new java.io.File(cwd, rel))
+      .getAbsolutePath
+  }
   private val fixtureDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
-    "/root/repo/src/test/resources/noaa")
+    resolveFixture("src/test/resources/noaa"))
   private val stationsFixture = s"$fixtureDir/ghcnd-stations.txt"
   private val inventoryFixture = s"$fixtureDir/ghcnd-inventory.txt"
   private val jsonlFixture = sys.env.getOrElse("SPARK_GRAFT_JSONL_FIXTURE",
-    "/root/repo/src/test/resources/jsonl/docs.jsonl")
+    resolveFixture("src/test/resources/jsonl/docs.jsonl"))
 
   /** Fixed-offset stations dimension parse (S2/F7/F8 + flag booleans). */
   def q66ParseStations(s: SparkSession, dir: String): DataFrame =
