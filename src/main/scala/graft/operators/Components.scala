@@ -76,12 +76,30 @@ object Components {
           least(col("a"), col("b")).as("v"))
         .distinct()
 
+    // Convergence detection: a (count, sum-of-edge-hashes) multiset
+    // fingerprint — ONE partial aggregate over the checkpointed round
+    // result, instead of the former symmetric-difference double `except`
+    // (4 exchanges per round). Fingerprint equality can in principle
+    // collide (~2^-64, non-adversarial input), so correctness never
+    // rests on it: the final edge set is structurally validated as a
+    // star forest below, and every round preserves connectivity, so any
+    // star-forest stopping point yields exactly the true components.
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // Decimal accumulator: a long sum of 2^63-scale hashes overflows
+      // (ANSI mode throws); decimal(38,0) holds ~10^19 edges' worth.
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
     // localCheckpoint per round truncates the lineage — an iterative plan
     // otherwise grows exponentially round over round.
     var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
       .localCheckpoint()
+    var prev = fingerprint(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = prev._1 == 0L
     while (iter < maxIters && !converged) {
       // large-star over both edge directions
       val nbrs = edges.select(col("u"), col("v"))
@@ -96,18 +114,28 @@ object Components {
         large.join(smins, Seq("u")).select(col("v").as("a"), col("m").as("b"))
           .unionAll(smins.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint()
-      val changed = small.except(edges).unionAll(edges.except(small)).count()
+      val sig = fingerprint(small)
       edges = small
-      converged = changed == 0
+      converged = sig == prev
+      prev = sig
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIters star rounds " +
         "(raise maxIters; star contraction needs ~log2(n) rounds)")
     // fixed point is a star graph: each non-root u points at its root v;
-    // roots (and self-loop-only nodes) never appear as u
-    val labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
-    nodes.join(labels, Seq("id"), "left_outer")
+    // roots (and self-loop-only nodes) never appear as u. Validate that
+    // shape outright (two small jobs over the checkpointed set, once) —
+    // this, not the fingerprint, is the correctness guarantee.
+    val labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("comp"), count(lit(1)).as("__deg"))
+    val maxDeg = labels.agg(coalesce(max(col("__deg")), lit(1L))).head().getLong(0)
+    val rootPointsSomewhere = !labels.select(col("comp").as("id"))
+      .join(labels.select("id"), Seq("id"), "left_semi").isEmpty
+    if (maxDeg > 1L || rootPointsSomewhere) throw new IllegalStateException(
+      "star contraction fingerprint converged on a non-star edge set " +
+        "(hash collision); raise maxIters or rerun")
+    nodes.join(labels.drop("__deg"), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 

@@ -32,9 +32,11 @@ object ComponentsProps extends Properties("graft.components") {
     * algorithms (round count vs diameter) — generate them explicitly. */
   private val chainGen: Gen[List[(Long, Long)]] = for {
     len <- Gen.choose(2, 24)
-    shuffled <- Gen.const(scala.util.Random.shuffle(
-      (0 until len).map(i => (i.toLong, i.toLong + 1)).toList))
-  } yield shuffled
+    // Shuffle with a generated seed so the edge ordering is a pure
+    // function of ScalaCheck's seed — a failing trial replays exactly.
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+  } yield new scala.util.Random(seed).shuffle(
+    (0 until len).map(i => (i.toLong, i.toLong + 1)).toList)
 
   private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
