@@ -172,6 +172,77 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashPairs]] as PURE SQL TEXT over a registered `documents` view
+    * — the reference's Athena discipline (SQL-over-catalog is the
+    * interactive surface) applied to the extension operators, the same
+    * way q69 expresses the as-of join in SQL. Requires
+    * `GraftFunctions.register` (for `graft_shingles`); everything else is
+    * built-in SQL (`xxhash64`, `posexplode`). Semantically identical to
+    * the DataFrame operator — same shingling, seeded minima, band
+    * hashing, oversized-bucket star guard, first-agreeing-band dedup and
+    * inverted-index Jaccard verify — and cross-checked equal in
+    * SqlNearDupSpec. */
+  def minhashPairsSql(shingleSize: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val k = bands * rowsPerBand
+    val mins = (0 until k)
+      .map(s => s"min(xxhash64($s, shingle)) AS h$s").mkString(",\n    ")
+    val bandHashes = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => s"CAST(h${b * rowsPerBand + r} AS STRING)").mkString(", ")
+      s"xxhash64(concat_ws(',', $slots))"
+    }.mkString(",\n    ")
+    val earlier =
+      if (bands <= 1) "false"
+      else (0 until bands - 1)
+        .map(j => s"(a.band > $j AND a.bhs[$j] = b.bhs[$j])")
+        .mkString(" OR ")
+    s"""WITH ex AS (
+       |  SELECT $idCol AS doc_id,
+       |    explode(graft_shingles(split($textCol, '\\\\s+'), $shingleSize)) AS shingle
+       |  FROM $table
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, array(
+       |    $bandHashes) AS bhs
+       |  FROM sig
+       |), ids AS (
+       |  SELECT doc_id, bhs, posexplode(bhs) AS (band, bh) FROM bands
+       |), stats AS (
+       |  SELECT band, bh, count(*) AS bn, min(doc_id) AS bmin
+       |  FROM ids GROUP BY band, bh
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ids a
+       |  JOIN stats s ON a.band = s.band AND a.bh = s.bh
+       |  JOIN ids b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id
+       |    AND (s.bn <= $maxBucketSize OR a.doc_id = s.bmin)
+       |    AND NOT ($earlier)
+       |), exd AS (
+       |  SELECT DISTINCT doc_id, xxhash64(shingle) AS sh FROM ex
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM exd GROUP BY doc_id
+       |), common AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN exd ea ON ea.doc_id = c.id_a
+       |  JOIN exd eb ON eb.doc_id = c.id_b AND eb.sh = ea.sh
+       |  GROUP BY c.id_a, c.id_b
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM common c
+       |JOIN sizes sa ON sa.doc_id = c.id_a
+       |JOIN sizes sb ON sb.doc_id = c.id_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $threshold""".stripMargin
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of (+1/-1 according to bit i of the token's hash). Near-dups
     * differ in few bits (small Hamming distance). Column form — prefer

@@ -211,6 +211,18 @@ object ExtQueries {
       .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
   }
 
+  /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
+    * discipline applied to the extension surface, as q69 did for as-of):
+    * same parameters as q27, driven entirely through `spark.sql` over the
+    * registered views + `graft_shingles`. Rows-only (xxhash64 has no
+    * DuckDB analogue); SqlNearDupSpec pins SQL == DataFrame operator. */
+  def q74SqlNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    graft.Tables.registerAll(s, dir)
+    s.sql(NearDup.minhashPairsSql(shingleSize = 2, bands = 8,
+      rowsPerBand = 2, threshold = 0.5))
+  }
+
   /** Adversarial duplicate-heavy corpus — the skew stress for the
     * oversized-bucket guard. Every document is given the min-id
     * document's text, so in EVERY band the whole corpus lands in one hot
@@ -264,7 +276,8 @@ object ExtQueries {
     "q59_ivf_topk" -> (q59IvfTopK _),
     "q68_ivf_indexed" -> (q68IvfIndexed _),
     "q60_doc_pipeline" -> (q60DocPipeline _),
-    "q73_skew_neardup" -> (q73SkewNearDup _))
+    "q73_skew_neardup" -> (q73SkewNearDup _),
+    "q74_sql_neardup" -> (q74SqlNearDup _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
