@@ -34,20 +34,48 @@ object Maintenance {
     walk(new File(tableDir), Vector.empty)
   }
 
-  /** Number of leaf partition directories (1 for unpartitioned). */
-  private def leafPartitionCount(dir: File): Long = {
+  /** Leaf partition directories (the table root itself when
+    * unpartitioned) — compaction decisions and rewrites are made PER
+    * LEAF, so a skewed layout (all the small files in one partition of
+    * fifty) is seen for what it is, and only fragmented partitions pay
+    * a rewrite. */
+  private def leafPartitionDirs(dir: File): Seq[File] = {
     val subs = Option(dir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.contains("="))
-    if (subs.isEmpty) 1L else subs.map(leafPartitionCount).sum
+    if (subs.isEmpty) Seq(dir) else subs.toSeq.flatMap(leafPartitionDirs)
   }
 
-  /** M2 analog: binpack small-file compaction — rewrite a table directory
-    * into files of ~`targetFileBytes` (reference default 256 MB,
-    * glue-jobs/iceberg_maintenance.py:66). Atomic-ish: writes to a temp dir,
-    * then swaps. Hive-partitioned layouts are preserved and compacted
-    * per-partition: the rewrite shuffles on the partition columns (plus a
-    * size-derived salt when a single partition exceeds the target), so
-    * each partition directory ends up with ~ceil(bytes/target) files. */
+  private def targetFileCount(bytes: Long, targetFileBytes: Long): Int =
+    math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+
+  /** Atomically rewrite ONE leaf directory through `xform`: write to a
+    * sibling temp of the table root, then swap the leaf. Partition dir
+    * names (and with them every downstream scan's pruning) are untouched
+    * because the leaf path itself never changes. Temps deliberately live
+    * NEXT TO the table root, not inside it — a crash must not leave a
+    * directory that partition discovery would read as data. */
+  private def rewriteLeaf(spark: SparkSession, tableDir: String, leaf: File,
+      idx: Int,
+      xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = Paths.get(tableDir + s".compact_tmp$idx")
+    val old = Paths.get(tableDir + s".compact_old$idx")
+    xform(spark.read.parquet(leaf.toString))
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(leaf.toPath, old)
+    Files.move(tmp, leaf.toPath)
+    deleteRecursively(old.toFile)
+  }
+
+  /** M2 analog: binpack small-file compaction — rewrite fragmented leaf
+    * partitions into files of ~`targetFileBytes` (reference default
+    * 256 MB, glue-jobs/iceberg_maintenance.py:66). The criterion AND the
+    * rewrite are per leaf partition (Iceberg's rewrite_data_files
+    * file-group discipline): a leaf is fragmented iff its own file count
+    * exceeds ceil(its bytes / target), so a skewed layout can neither
+    * false-noop (all the smalls in one partition of fifty) nor drag
+    * fifty healthy partitions through a rewrite. Each leaf swap is
+    * atomic-ish (temp write + two renames); Hive layouts are preserved
+    * because leaf paths never change. */
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
@@ -58,45 +86,26 @@ object Maintenance {
         return Report(tableDir, "compact", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable.expire")
       }
-      val size = dirSize(new File(tableDir))
-      val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
-      val parts = partitionColsOf(tableDir)
-      val nVals = leafPartitionCount(new File(tableDir))
-      val filesPerPart = math.max(1L,
-        math.ceil(size.toDouble / targetFileBytes / math.max(1L, nVals)).toLong)
-      // Binpack is a no-op when the table is already at (or below) its
-      // target file count — rewriting an already-compacted table every
-      // maintenance run is pure write amplification (Iceberg's
-      // rewrite_data_files applies the same min-input criterion). The
-      // steady state after writeTable's partition-aligned writes hits
-      // this path, so nightly maintenance only pays for tables that
-      // actually fragmented (e.g. via appends).
-      val existing = countParquetFiles(new File(tableDir))
-      val targetTotal = if (parts.isEmpty) numFiles.toLong
-        else nVals * filesPerPart
-      if (existing <= targetTotal) {
-        return Report(tableDir, "compact", ok = true,
-          s"noop: $existing files already <= target $targetTotal")
+      val leaves = leafPartitionDirs(new File(tableDir))
+      val fragmented = leaves.filter { d =>
+        countParquetFiles(d) > targetFileCount(dirSize(d), targetFileBytes)
       }
-      val df = spark.read.parquet(tableDir)
-      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-      val repartitioned =
-        if (parts.isEmpty) df.repartition(numFiles)
-        else {
-          val keys = parts.map(col) :+
-            pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(filesPerPart))
-          df.repartition(keys: _*)
-        }
-      val tmp = tableDir + ".compact_tmp"
-      val w = repartitioned.write.mode("overwrite")
-      (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(tmp)
-      val old = tableDir + ".compact_old"
-      Files.move(Paths.get(tableDir), Paths.get(old))
-      Files.move(Paths.get(tmp), Paths.get(tableDir))
-      deleteRecursively(new File(old))
+      // Binpack is a no-op when every leaf is already at (or below) its
+      // own target — rewriting an already-compacted table every
+      // maintenance run is pure write amplification. The steady state
+      // after writeTable's partition-aligned writes hits this path, so
+      // nightly maintenance only pays for leaves that actually
+      // fragmented (e.g. via appends).
+      if (fragmented.isEmpty) {
+        return Report(tableDir, "compact", ok = true,
+          s"noop: all ${leaves.size} leaf partitions at/below target")
+      }
+      fragmented.zipWithIndex.foreach { case (leaf, i) =>
+        val nf = targetFileCount(dirSize(leaf), targetFileBytes)
+        rewriteLeaf(spark, tableDir, leaf, i, _.repartition(nf))
+      }
       Report(tableDir, "compact", ok = true,
-        s"rewrote ${size}B into <=$numFiles files" +
-          (if (parts.isEmpty) "" else s" preserving partitions ${parts.mkString("/")}"))
+        s"rewrote ${fragmented.size}/${leaves.size} leaf partitions")
     } catch {
       case e: Throwable => Report(tableDir, "compact", ok = false, e.toString)
     }
@@ -116,42 +125,42 @@ object Maintenance {
         return Report(tableDir, "compact_sorted", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable.expire")
       }
-      val size = dirSize(new File(tableDir))
-      val numFiles = math.max(1, math.ceil(size.toDouble / targetFileBytes).toInt)
-      val parts = partitionColsOf(tableDir)
-      val df = spark.read.parquet(tableDir)
+      require(sortCols.nonEmpty, "compactSorted needs at least one sort column")
       import org.apache.spark.sql.functions.col
-      val sorted =
-        if (parts.isEmpty)
-          df.repartitionByRange(numFiles, sortCols.map(col): _*)
-            .sortWithinPartitions(sortCols.map(col): _*)
-        else
-          df.repartition(parts.map(col): _*)
-            .sortWithinPartitions((parts ++ sortCols).map(col): _*)
-      val tmp = tableDir + ".compact_tmp"
-      val w = sorted.write.mode("overwrite")
-      (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(tmp)
-      val old = tableDir + ".compact_old"
-      Files.move(Paths.get(tableDir), Paths.get(old))
-      Files.move(Paths.get(tmp), Paths.get(tableDir))
-      deleteRecursively(new File(old))
+      // Per leaf partition: range-partition on the sort key into
+      // ~ceil(bytes/target) files (targetFileBytes now applies on the
+      // partitioned path too), each sorted — so within every partition
+      // directory the files cover non-overlapping sort ranges and
+      // filtered scans skip whole row groups.
+      val leaves = leafPartitionDirs(new File(tableDir))
+      leaves.zipWithIndex.foreach { case (leaf, i) =>
+        val nf = targetFileCount(dirSize(leaf), targetFileBytes)
+        rewriteLeaf(spark, tableDir, leaf, i,
+          _.repartitionByRange(nf, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*))
+      }
       Report(tableDir, "compact_sorted", ok = true,
-        s"rewrote ${size}B into <=$numFiles files sorted by ${sortCols.mkString(",")}")
+        s"rewrote ${leaves.size} leaf partitions sorted by ${sortCols.mkString(",")}")
     } catch {
       case e: Throwable => Report(tableDir, "compact_sorted", ok = false, e.toString)
     }
   }
 
   /** M3 analog: remove orphan working files (committer temp dirs, crc
-    * leftovers, failed-compaction temps) not referenced by the table. */
+    * leftovers, failed-compaction temps) not referenced by the table.
+    * Compaction temps live NEXT TO the table root (never inside, where a
+    * crash would leave something partition discovery reads as data), so
+    * the sibling scan here is what garbage-collects them. */
+  private def isCompactTemp(name: String): Boolean =
+    name.matches(""".*\.compact_(tmp|old)\d*$""")
+
   def removeOrphans(tableDir: String): Report = {
     try {
       var removed = 0
       val root = new File(tableDir)
       def walk(f: File): Unit = {
         if (f.isDirectory) {
-          if (f.getName == "_temporary" || f.getName.endsWith(".compact_tmp")
-              || f.getName.endsWith(".compact_old")) {
+          if (f.getName == "_temporary" || isCompactTemp(f.getName)) {
             deleteRecursively(f); removed += 1
           } else f.listFiles().foreach(walk)
         } else if (f.getName.endsWith(".crc") && f.getName.startsWith(".")) {
@@ -159,6 +168,11 @@ object Maintenance {
         }
       }
       if (root.exists()) walk(root)
+      Option(root.getCanonicalFile.getParentFile)
+        .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty[File])
+        .filter(f => f.getName.startsWith(root.getName + ".compact_")
+          && isCompactTemp(f.getName))
+        .foreach { f => deleteRecursively(f); removed += 1 }
       Report(tableDir, "remove_orphans", ok = true, s"removed $removed")
     } catch {
       case e: Throwable => Report(tableDir, "remove_orphans", ok = false, e.toString)

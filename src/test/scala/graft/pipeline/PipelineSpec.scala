@@ -207,6 +207,91 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compact criterion is per leaf partition: skew is no noop, healthy leaves untouched") {
+    import spark.implicits._
+    val dir = tmpDir() + "/skew"
+    // k=0 fragmented into ~30 files; k=1 already at one file
+    (1 to 300).map(i => (i.toLong, 0)).toDF("id", "k")
+      .repartition(30).write.partitionBy("k").parquet(dir)
+    (1 to 300).map(i => (i.toLong, 1)).toDF("id", "k")
+      .coalesce(1).write.mode("append").partitionBy("k").parquet(dir)
+    val k1 = new java.io.File(s"$dir/k=1")
+    val k1Before = k1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val rep = Maintenance.compact(spark, dir,
+      targetFileBytes = 256L * 1024 * 1024)
+    assert(rep.ok && !rep.detail.contains("noop"), rep.detail)
+    // the fragmented leaf collapsed; the healthy one was not rewritten
+    assert(new java.io.File(s"$dir/k=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    val k1After = k1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(k1After == k1Before, "healthy leaf partition was rewritten")
+    assert(spark.read.parquet(dir).count() == 600)
+    // second pass: everything at target now
+    val rep2 = Maintenance.compact(spark, dir,
+      targetFileBytes = 256L * 1024 * 1024)
+    assert(rep2.ok && rep2.detail.contains("noop"), rep2.detail)
+  }
+
+  test("compactSorted honors targetFileBytes inside Hive partitions") {
+    import spark.implicits._
+    val dir = tmpDir() + "/psort"
+    (1 to 40000).map(i => ((i * 7919) % 40000, i % 2, s"value$i"))
+      .toDF("k", "p", "v")
+      .repartition(10).write.partitionBy("p").parquet(dir)
+    val rep = Maintenance.compactSorted(spark, dir, Seq("k"),
+      targetFileBytes = 64L * 1024)
+    assert(rep.ok, rep.detail)
+    // each partition dir must hold SEVERAL files (64 KB target), each
+    // covering a non-overlapping k range within that partition
+    Seq(0, 1).foreach { p =>
+      val pd = new java.io.File(s"$dir/p=$p")
+      assert(pd.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+        s"p=$p not split to target size")
+      val ranges = spark.read.parquet(pd.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .rows.map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    }
+    assert(spark.read.parquet(dir).count() == 40000)
+  }
+
+  test("compactSorted pruning payoff: filtered scan decodes a fraction of the rows") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t4"
+    // shuffled keys across many files: every row group spans the whole
+    // k range, so a point filter can skip nothing
+    (1 to 40000).map(i => ((i * 7919) % 40000, s"value$i")).toDF("k", "v")
+      .repartition(20).write.parquet(dir)
+    // rows DECODED by the parquet scan (post row-group/page pruning,
+    // pre re-filter): the scan leaf's numOutputRows metric
+    def decodedRows(): Long = {
+      val df = spark.read.parquet(dir).filter(col("k") === 1234)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+      scan.metrics("numOutputRows").value
+    }
+    val before = decodedRows()
+    assert(before == 40000L,
+      s"unsorted layout should decode every row, got $before")
+    val rep = Maintenance.compactSorted(spark, dir, Seq("k"),
+      targetFileBytes = 64L * 1024)
+    assert(rep.ok, rep.detail)
+    val after = decodedRows()
+    // clustered layout: only the row groups / pages whose min-max admits
+    // k=1234 are decoded — the actual payoff of the sort-order rewrite
+    assert(after * 4 < before,
+      s"sorted scan still decoded $after of $before rows")
+    assert(spark.read.parquet(dir).filter(col("k") === 1234).count() == 1)
+  }
+
   test("removeOrphans clears temp dirs, retry retries") {
     val dir = tmpDir() + "/t2"
     import spark.implicits._
