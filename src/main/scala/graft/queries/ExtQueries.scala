@@ -125,8 +125,25 @@ object ExtQueries {
     * Index written once per corpus; same output and oracle as q32. */
   private val lshIndexes = scala.collection.concurrent
     .TrieMap.empty[String, (String, Long, Seq[Double])]
+
+  /** The cached q68/q71 index dirs hold full corpus copies — delete them
+    * on JVM exit so repeated bench/verify processes don't accumulate
+    * them in the temp dir (Bench applies the same discipline to its
+    * per-rep warehouses). */
+  private lazy val indexCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      (lshIndexes.values.map(_._1) ++ ivfIndexes.values)
+        .foreach(p => rm(new java.io.File(p)))
+    }, "graft-index-cleanup"))
+  }
+
   def q71LshIndexed(s: SparkSession, dir: String): DataFrame = {
     val (path, qBucket, qVec) = lshIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
       val emb = t(s, dir, "embeddings")
       val p = java.nio.file.Files
         .createTempDirectory("graft-lsh-index-").toString
@@ -201,6 +218,7 @@ object ExtQueries {
   def q68IvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val ctx = ivfCtx(s, dir)
     val path = ivfIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
       val p = java.nio.file.Files
         .createTempDirectory("graft-ivf-index-").toString
       Ivf.writeIndex(t(s, dir, "embeddings"), "embedding", ctx.model, p)

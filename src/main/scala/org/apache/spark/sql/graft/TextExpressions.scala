@@ -151,6 +151,15 @@ case class LanguageIdExpr(child: Expression,
     extends UnaryExpression with ImplicitCastInputTypes with Serializable {
   require(profiles.map(_._1) == profiles.map(_._1).sorted,
     "profiles must be sorted by language for the deterministic tie-break")
+  // The per-language hit set is an Int bitmask indexed by word position
+  // and the packed hit is (langIdx << 8 | wordIdx): beyond these bounds
+  // Java's mod-32 shift would silently alias distinct words into the
+  // same bit and the packing would corrupt the language index — fail
+  // construction instead of scoring wrong.
+  require(profiles.forall(_._2.size <= 32),
+    "language profiles are limited to 32 words (Int bitmask scoring)")
+  require(profiles.size <= (1 << 23),
+    "at most 2^23 language profiles (packed lang<<8 hit encoding)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType

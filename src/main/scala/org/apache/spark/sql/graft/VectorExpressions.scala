@@ -128,16 +128,27 @@ case class DotProduct(left: Expression, right: Expression)
   * scan runs as interpreted bytecode (~100× — measured 3 s for 2 000 rows
   * at sf0.1). Here the plane matrix rides along as one flat double[] in
   * the codegen references and the work is a single JIT-friendly loop. */
-case class SignLshBandBuckets(child: Expression, planes: Array[Double],
+case class SignLshBandBuckets(child: Expression, planes: IndexedSeq[Double],
     bands: Int, planesPerBand: Int, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ImplicitCastInputTypes with Serializable {
+  // planes is an IndexedSeq, NOT an Array: case-class equality on arrays
+  // is reference-based, which would make two identically-built
+  // expressions never semanticEquals — defeating subexpression
+  // elimination and exchange reuse for every consumer. The flat double[]
+  // the hot loops index is derived lazily.
   require(planes.length == bands * planesPerBand * dim,
     s"plane matrix is ${planes.length} doubles, want bands*planesPerBand*dim")
+
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_lsh_band_buckets"
+  // the default case-class toString would dump the full plane matrix
+  // into every explain/plan string
+  override def toString: String =
+    s"graft_lsh_band_buckets($child, bands=$bands, planesPerBand=$planesPerBand, dim=$dim)"
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -151,7 +162,7 @@ case class SignLshBandBuckets(child: Expression, planes: Array[Double],
         val off = (b * planesPerBand + h) * dim
         var dot = 0.0
         var i = 0
-        while (i < n) { dot += x.getDouble(i) * planes(off + i); i += 1 }
+        while (i < n) { dot += x.getDouble(i) * planeArr(off + i); i += 1 }
         if (dot > 0) bucket |= (1L << h)
         h += 1
       }
@@ -162,7 +173,7 @@ case class SignLshBandBuckets(child: Expression, planes: Array[Double],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    val planesRef = ctx.addReferenceObj("lshPlanes", planeArr, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
@@ -210,7 +221,8 @@ object VectorFunctions {
   def lshBandBuckets(vec: Column, planes: Array[Double], bands: Int,
       planesPerBand: Int, dim: Int): Column =
     ExpressionUtils.column(SignLshBandBuckets(
-      ExpressionUtils.expression(vec), planes, bands, planesPerBand, dim))
+      ExpressionUtils.expression(vec), planes.toIndexedSeq, bands,
+      planesPerBand, dim))
 
   /** Expose `graft_cosine` / `graft_dot` / `graft_shingles` /
     * `graft_rolling_xxhash64` (scalar) and `graft_version` (table-valued,

@@ -104,4 +104,26 @@ class VectorExpressionsSpec extends SparkSpec {
     val q = df.select(GraftFunctions.cosine(col("vec"), col("vec")).as("c"))
     assert(q.filter(abs(col("c") - 1.0) < 1e-9).count() == 1000)
   }
+
+  test("SignLshBandBuckets: structural equality and compact explain string") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.SignLshBandBuckets
+    val planes = graft.operators.Similarity.hyperplanes(4, 8).flatten.toArray
+    val mk = () => SignLshBandBuckets(Literal(1.0),
+      planes.clone().toIndexedSeq, 2, 2, 8)
+    // two independently-built instances must compare equal, or
+    // subexpression elimination and exchange reuse silently break
+    assert(mk() == mk())
+    assert(mk().semanticEquals(mk()))
+    val s = mk().toString
+    assert(s.contains("bands=2") && !s.contains(planes(0).toString),
+      s"plane matrix leaked into explain string: $s")
+  }
+
+  test("LanguageIdExpr rejects profiles beyond the bitmask bounds") {
+    intercept[IllegalArgumentException] {
+      GraftFunctions.languageId(lit("x"),
+        Seq("xx" -> (1 to 33).map(i => s"w$i")))
+    }
+  }
 }
