@@ -24,9 +24,13 @@ import graft.operators.{Cleanse, Dedup, Dims}
   */
 object LakehousePipeline {
 
+  /** Per-stage row counts come from `observe` metrics collected DURING
+    * each stage's write — no stage pays a second scan (or a re-read of
+    * what it just wrote) only to report a count. `factRows` is the rows
+    * written by THIS run (equal to the table total in overwrite mode). */
   final case class RunReport(
-      ingested: Int, skipped: Int, silverRows: Long, factRows: Long,
-      maintenance: Seq[Maintenance.Report])
+      ingested: Int, skipped: Int, bronzeRows: Long, silverRows: Long,
+      factRows: Long, maintenance: Seq[Maintenance.Report])
 
   def run(spark: SparkSession, srcEventsParquet: String, wh: Warehouse,
       factAppend: Boolean = false): RunReport = {
@@ -42,7 +46,11 @@ object LakehousePipeline {
     }
 
     // Stage 2 — bronze → silver: cleanse + dedup + partition columns
-    val silverRows = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
+    val (bronzeRows, silverRows) = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
+      // Observations are single-use: create them INSIDE the retry body so
+      // a retried stage gets fresh ones.
+      val bronzeObs = org.apache.spark.sql.Observation("bronze_rows")
+      val silverObs = org.apache.spark.sql.Observation("silver_rows")
       // Bronze events carry TIMESTAMP(NANOS); read as raw nanos and
       // floor-convert (same contract as graft.Tables.load). The scan is
       // recursive (the reference reads below the partition root,
@@ -55,9 +63,9 @@ object LakehousePipeline {
         .withColumn("source_file",
           regexp_extract(input_file_name(), "([^/]+)$", 1))
       val bronze =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+        else raw).observe(bronzeObs, count(lit(1)).as("n"))
       val cleansed = Cleanse.rangeRules(bronze,
         Seq(col("value").isNotNull, col("value") >= 0,
           col("event_type").isNotNull && col("event_type") =!= ""))
@@ -66,25 +74,30 @@ object LakehousePipeline {
         tieBreak = Seq(col("event_id")))
       val silver = deduped
         .withColumn("event_date", to_date(col("ts")))
+        .observe(silverObs, count(lit(1)).as("n"))
       Medallion.writeTable(silver, wh, Medallion.Silver, "events",
         SaveMode.Overwrite, partitionBy = Seq("event_date"))
-      spark.read.parquet(wh.table(Medallion.Silver, "events")).count()
+      // the write above is the one action; both counts ride on its pass
+      (bronzeObs.get("n").asInstanceOf[Long],
+        silverObs.get("n").asInstanceOf[Long])
     }
 
     // Stage 3 — silver → gold: dims overwrite, fact append
     val factRows = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
+      val factObs = org.apache.spark.sql.Observation("fact_rows")
       val silver = Medallion.readTable(spark, wh, Medallion.Silver, "events")
       val dimDate = Dims.calendarDim(silver, "ts")
       val dimType = Dims.distinctDim(silver, Seq("event_type"))
       val fact = silver.select(
-        col("event_id"), col("user_id"), col("event_type"),
-        col("event_date"), col("value"))
+          col("event_id"), col("user_id"), col("event_type"),
+          col("event_date"), col("value"))
+        .observe(factObs, count(lit(1)).as("n"))
       Medallion.writeTable(dimDate, wh, Medallion.Gold, "dim_date")
       Medallion.writeTable(dimType, wh, Medallion.Gold, "dim_event_type")
       Medallion.writeTable(fact, wh, Medallion.Gold, "fact_events",
         if (factAppend) SaveMode.Append else SaveMode.Overwrite,
         partitionBy = Seq("event_date"))
-      Medallion.readTable(spark, wh, Medallion.Gold, "fact_events").count()
+      factObs.get("n").asInstanceOf[Long]
     }
 
     // Stage 4 — maintenance (per-table isolation, continue on error; M4)
@@ -93,6 +106,6 @@ object LakehousePipeline {
         wh.table(Medallion.Gold, "fact_events")),
       targetFileBytes = 256L * 1024 * 1024)
 
-    RunReport(copied, skipped, silverRows, factRows, reports)
+    RunReport(copied, skipped, bronzeRows, silverRows, factRows, reports)
   }
 }

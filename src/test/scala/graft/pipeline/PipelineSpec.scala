@@ -18,8 +18,14 @@ class PipelineSpec extends SparkSpec {
       "/root/testdata/sf0.001/events.parquet", wh)
     assert(report.ingested == 1 && report.skipped == 0)
     assert(report.silverRows > 0 && report.silverRows <= 1000)
+    // observe-metric counts: cleanse+dedup can only shrink the stage
+    assert(report.bronzeRows >= report.silverRows,
+      s"bronze ${report.bronzeRows} < silver ${report.silverRows}")
     assert(report.factRows == report.silverRows)
     assert(report.maintenance.forall(_.ok))
+    // the observed count must equal what actually landed on disk
+    assert(spark.read.parquet(wh.table(Medallion.Silver, "events"))
+      .count() == report.silverRows)
     // silver is partitioned by event_date (hive layout)
     val silverDirs = Files.list(Paths.get(wh.table(Medallion.Silver, "events")))
     assert(silverDirs.iterator().hasNext)
