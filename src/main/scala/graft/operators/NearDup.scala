@@ -61,16 +61,21 @@ object NearDup {
 
   /** MinHash signature per document: k seeded xxhash64 minima, built with a
     * single explode + hash-aggregate (map-side partial min → the shuffle
-    * carries k longs per doc, and everything stays in codegen). Documents
-    * with fewer tokens than the shingle size produce no shingles and are
-    * omitted. Output: (idCol, sig: array<long>). */
+    * carries k longs per doc, and everything stays in codegen). Each
+    * shingle STRING is hashed once; the k seeded values are derived from
+    * that 8-byte hash (`xxhash64(seed, xxhash64(shingle))`) — an equally
+    * valid minhash family that replaces k string walks per shingle
+    * occurrence with one, and shares its base hash with the verify
+    * index. Documents with fewer tokens than the shingle size produce no
+    * shingles and are omitted. Output: (idCol, sig: array<long>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, k: Int): DataFrame =
     // No set-dedup needed: duplicates cannot change a minimum.
     shingleRows(df, idCol, textCol, shingleSize)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
       .groupBy(col(idCol))
       .agg(array((0 until k).map { seed =>
-        min(xxhash64(lit(seed), col("shingle")))
+        min(xxhash64(lit(seed), col("sh")))
       }: _*).as("sig"))
 
   /** Per-band bucket hashes of a minhash signature column, as an array:
@@ -149,8 +154,16 @@ object NearDup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val ids = minhashSignatures(df, idCol, textCol, shingleSize,
-        bands * rowsPerBand)
+    // The signature table feeds THREE consumers (both self-join sides +
+    // the bucket-size stats); physical exchange reuse does not survive
+    // the differing predicates each branch pushes down, so without the
+    // checkpoint the scan→shingle→signature pipeline executes three
+    // times (measured: the whole corpus tokenized 6× per run).
+    // Materialize it once — k longs per doc, the cheapest thing in the
+    // query to hold.
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize,
+      bands * rowsPerBand).localCheckpoint()
+    val ids = sigs
       .select(col(idCol),
         bandHashArray(col("sig"), bands, rowsPerBand).as("__bhs"))
       .select(col(idCol), col("__bhs"),
@@ -167,8 +180,12 @@ object NearDup {
     }
     val candidates = firstBandOnly
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Same story for the inverted index: three consumers (id_a side,
+    // id_b side, per-doc sizes) — checkpoint the (id, shingle-hash) set
+    // so the second tokenization pass is the last.
     verifyJaccard(candidates,
-        explodedShingles(df, idCol, textCol, shingleSize), idCol)
+        explodedShingles(df, idCol, textCol, shingleSize).localCheckpoint(),
+        idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -188,7 +205,7 @@ object NearDup {
       idCol: String = "doc_id", textCol: String = "text"): String = {
     val k = bands * rowsPerBand
     val mins = (0 until k)
-      .map(s => s"min(xxhash64($s, shingle)) AS h$s").mkString(",\n    ")
+      .map(s => s"min(xxhash64($s, sh)) AS h$s").mkString(",\n    ")
     val bandHashes = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand)
         .map(r => s"CAST(h${b * rowsPerBand + r} AS STRING)").mkString(", ")
@@ -199,10 +216,12 @@ object NearDup {
       else (0 until bands - 1)
         .map(j => s"(a.band > $j AND a.bhs[$j] = b.bhs[$j])")
         .mkString(" OR ")
-    s"""WITH ex AS (
+    s"""WITH raw AS (
        |  SELECT $idCol AS doc_id,
        |    explode(graft_shingles(split($textCol, '\\\\s+'), $shingleSize)) AS shingle
        |  FROM $table
+       |), ex AS (
+       |  SELECT doc_id, xxhash64(shingle) AS sh FROM raw
        |), sig AS (
        |  SELECT doc_id,
        |    $mins
@@ -225,7 +244,7 @@ object NearDup {
        |    AND (s.bn <= $maxBucketSize OR a.doc_id = s.bmin)
        |    AND NOT ($earlier)
        |), exd AS (
-       |  SELECT DISTINCT doc_id, xxhash64(shingle) AS sh FROM ex
+       |  SELECT DISTINCT doc_id, sh FROM ex
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM exd GROUP BY doc_id
        |), common AS (
@@ -290,7 +309,9 @@ object NearDup {
     val bits = 64 / bands
     def slice(sig: Column, b: Int): Column =
       shiftrightunsigned(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
-    val sigs = simhashSignatures(df, idCol, textCol)
+    // one long per doc, three consumers — same checkpoint rationale as
+    // minhashPairs
+    val sigs = simhashSignatures(df, idCol, textCol).localCheckpoint()
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until bands).map(b => slice(col("sig"), b)): _*))
       .as(Seq("band", "band_val")))
@@ -337,7 +358,11 @@ object NearDup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("sh")
+    // `indexed` has three consumers (both co-occurrence sides + sizes);
+    // checkpointing it makes the tokenize→shingle→distinct→df-guard
+    // lineage run exactly once instead of per consumer.
     val indexed = exploded.join(rare, Seq("sh"), "left_semi")
+      .localCheckpoint()
     // One pass: the co-occurrence join itself yields the common-shingle
     // count per pair (map-side partial count), so candidate pairs are never
     // materialized separately and the index is never re-joined.

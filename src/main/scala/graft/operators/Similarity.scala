@@ -181,7 +181,14 @@ object Similarity {
       .flatten.toArray
     val bucketArr = GraftFunctions.lshBandBuckets(
       col(vecCol).cast("array<double>"), planeMatrix, bands, planesPerBand, dim)
+    // (id, bucket-array) is 9 longs per doc and feeds three consumers
+    // (both self-join sides + the bucket-size stats): checkpoint it so
+    // the vector scan + banded projection run once, not per consumer
+    // (physical exchange reuse does not survive each branch's pushed
+    // predicates). The verify joins below still read vectors from the
+    // source scan — vectors are never duplicated into the checkpoint.
     val ids = df.select(col(idCol).as("__id"), bucketArr.as("__bks"))
+      .localCheckpoint()
       .select(col("__id"), col("__bks"),
         posexplode(col("__bks")).as(Seq("__band", "__bkt")))
     val capped = NearDup.capBucketSide(ids, "__id", "__band", "__bkt",

@@ -18,8 +18,8 @@ class BucketGuardSpec extends SparkSpec {
     (1L to B.toLong).map(i =>
       (i, "the quick brown fox jumps over the lazy dog again and again")) ++
     Seq(
-      (9001L, "completely different content about spark catalyst rules"),
-      (9002L, "completely different content about flink catalyst rules"))
+      (9001L, "graft builds spark native analytics with catalyst expressions and structured streaming today"),
+      (9002L, "graft builds spark native analytics with catalyst expressions and structured streaming tomorrow"))
   ).toDF("doc_id", "text")
 
   test("minhashPairs stars an oversized cell and keeps small cells exact") {
