@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling / split assignment / group capping —
+  * the subsetting operations a training-data pipeline runs constantly
+  * (held-out splits, ablation subsamples, per-domain caps).
+  *
+  * Everything here keys on `substr(md5(key), 1, 4)`: a stable 16-bit
+  * bucket expressed as a lowercase hex STRING, compared
+  * lexicographically (= numerically for fixed-width hex). Three
+  * properties matter at 100 TB:
+  *  - deterministic and engine-portable: the same row lands in the same
+  *    split on Spark, DuckDB, or anything with md5 — reruns and
+  *    cross-engine audits agree bit-for-bit (no RNG, no seed state,
+  *    no sampleBy approximation);
+  *  - scan-side: sampling and split assignment are pure projections /
+  *    filters — they push into the file scan, shuffle nothing, and
+  *    compose with partition pruning;
+  *  - decoupled from the data: the hash keys on the row's ID, so
+  *    re-partitioning, compaction, or re-ingestion never reassigns
+  *    splits (position-based sampling would).
+  */
+object Sampling {
+
+  /** 4-hex-char (16-bit) bucket of a key column: '0000'..'ffff'. */
+  def hexBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 4)
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    val v = math.round(fraction * 0x10000).min(0x10000).toInt
+    // comparison is lexicographic on fixed-width hex; a 5-char "10000"
+    // would sort BELOW "8xxx", so saturate to 'g' (> 'f' > any bucket)
+    if (v >= 0x10000) "g" else f"$v%04x"
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by `key`. Exact
+    * fraction granularity is 1/65536; fraction=1.0 keeps everything. */
+  def deterministicSample(df: DataFrame, key: String,
+      fraction: Double): DataFrame =
+    df.filter(hexBucket(col(key)) < lit(hexThreshold(fraction)))
+
+  /** Assign every row a split label by cumulative weight ranges over the
+    * hash bucket — e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
+    * Weights must sum to ~1; the last split absorbs rounding. Splits are
+    * disjoint, exhaustive, and stable under any re-partitioning. */
+  def splitColumn(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = hexBucket(key)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum).foldRight(lit(splits.last._1)) {
+      case (((name, _), c), elseCol) =>
+        when(bucket < lit(hexThreshold(c)), name).otherwise(elseCol)
+    }
+  }
+
+  def assignSplits(df: DataFrame, key: String,
+      splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitColumn(col(key), splits))
+
+  /** Keep at most `cap` rows per group, chosen deterministically (hash
+    * order with the key as tie-break) — class/domain balancing. One
+    * shuffle on the group columns; the per-group sort is bounded by the
+    * window, not a global ordering. For heavily skewed groups at corpus
+    * scale, the filter drops everything past `cap` per reducer stream,
+    * so output per reducer is bounded by cap. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], key: String,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hexBucket(col(key)), col(key))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+}

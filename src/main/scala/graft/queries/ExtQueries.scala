@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Similarity}
+import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Sampling, Similarity}
 
 /** Extension query surface: the operators a large-scale training-data
   * pipeline needs beyond the reference's own inventory — deduplication
@@ -229,6 +229,22 @@ object ExtQueries {
       .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic 50% subsample + train/val/test split assignment over
+    * the corpus — the md5-hex-bucket discipline: engine-portable
+    * (DuckDB reproduces it bit-for-bit, which is the oracle), scan-side
+    * (no shuffle, no RNG state), and stable under re-partitioning. */
+  def q75HashSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplits(
+      Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.5),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  /** Per-language document cap (class balancing): at most 20 docs per
+    * lang, chosen deterministically by hash order. */
+  def q76GroupCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(t(s, dir, "documents"), Seq("lang"), "doc_id", 20)
+      .select(col("doc_id"), col("lang"))
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -295,7 +311,9 @@ object ExtQueries {
     "q68_ivf_indexed" -> (q68IvfIndexed _),
     "q60_doc_pipeline" -> (q60DocPipeline _),
     "q73_skew_neardup" -> (q73SkewNearDup _),
-    "q74_sql_neardup" -> (q74SqlNearDup _))
+    "q74_sql_neardup" -> (q74SqlNearDup _),
+    "q75_hash_split" -> (q75HashSplit _),
+    "q76_group_cap" -> (q76GroupCap _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -367,7 +385,29 @@ object ExtQueries {
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles
 
+  /** Same 16-bit md5-prefix thresholds Sampling computes — hex strings
+    * compare lexicographically = numerically, and DuckDB's md5 of the
+    * same decimal string is byte-identical to Spark's. */
+  private def hx(f: Double): String = {
+    val v = math.round(f * 0x10000).min(0x10000).toInt
+    if (v >= 0x10000) "g" else f"$v%04x"  // same saturation as Sampling
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "q75_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hb
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN hb < '${hx(0.8)}' THEN 'train'
+         |       WHEN hb < '${hx(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b WHERE hb < '${hx(0.5)}'""".stripMargin,
+    "q76_group_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 20""".stripMargin,
     // All docs share the min-id doc's text, so the guarded near-dup join
     // must return exactly the representative star at jaccard 1.0 — the
     // construction makes an xxhash64 operator plain-SQL-checkable.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 5000L).map(i => (i, s"d$i")).toDF("id", "v")
+
+  test("deterministicSample: stable, near-rate, and boundary fractions") {
+    val s1 = Sampling.deterministicSample(ids, "id", 0.25)
+    val n = s1.count()
+    assert(n > 5000 * 0.22 && n < 5000 * 0.28, s"rate off: $n/5000")
+    // same rows every run — no RNG state anywhere
+    assert(s1.collect().map(_.getLong(0)).toSet ==
+      Sampling.deterministicSample(ids, "id", 0.25)
+        .collect().map(_.getLong(0)).toSet)
+    assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 5000)
+    assert(Sampling.deterministicSample(ids, "id", 0.0).count() == 0)
+  }
+
+  test("sampling at a smaller fraction is a subset of a larger one") {
+    val small = Sampling.deterministicSample(ids, "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.deterministicSample(ids, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("assignSplits: disjoint, exhaustive, near the weights, scan-side") {
+    val df = Sampling.assignSplits(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = df.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(counts("train") > 5000 * 0.76 && counts("train") < 5000 * 0.84)
+    assert(counts("val") > 5000 * 0.07 && counts("val") < 5000 * 0.13)
+    // pure projection: no exchange in the split assignment itself
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split assignment shuffled:\n$plan")
+  }
+
+  test("capPerGroup: bounded, deterministic, keeps small groups whole") {
+    val docs = (1L to 900L).map(i => (i, s"lang${i % 3}"))
+      .toDF("id", "lang")
+      .unionAll(Seq((1000L, "rare")).toDF("id", "lang"))
+    val capped = Sampling.capPerGroup(docs, Seq("lang"), "id", 50)
+    val counts = capped.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("lang0") == 50 && counts("lang1") == 50 && counts("lang2") == 50)
+    assert(counts("rare") == 1)
+    assert(capped.collect().map(_.getLong(0)).toSet ==
+      Sampling.capPerGroup(docs, Seq("lang"), "id", 50)
+        .collect().map(_.getLong(0)).toSet)
+  }
+}
