@@ -13,6 +13,10 @@ object GraftFunctions {
   /** Codegen'd inner product over two array<float|double> columns. */
   def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
+  /** Codegen'd single-pass L2 normalization of an array<float|double>
+    * column (zero vectors pass through). */
+  def l2Normalize(vec: Column): Column = VectorFunctions.l2Normalize(vec)
+
   /** All banded sign-LSH buckets of a vector in one codegen'd loop over a
     * flat plane matrix (array<long> of length `bands`). */
   def lshBandBuckets(vec: Column, planes: Array[Double], bands: Int,

@@ -245,6 +245,38 @@ object ExtQueries {
     Sampling.capPerGroup(t(s, dir, "documents"), Seq("lang"), "doc_id", 20)
       .select(col("doc_id"), col("lang"))
 
+  /** L2-normalized embeddings (single-pass codegen expression). Export is
+    * the q37 exact-integer discipline: each element of the unit vector
+    * scaled by 1e6 and rounded to a long — string formatting of raw
+    * doubles differs between engines, integers don't. The norm is
+    * sqrt(dot(v,v)) with ascending-index accumulation on both engines
+    * (the q30/q31 bit-identity contract), and both sides divide (not
+    * multiply by a reciprocal), so the longs match exactly. */
+  def q77VectorNorm(s: SparkSession, dir: String): DataFrame = {
+    val unit = graft.expressions.GraftFunctions.l2Normalize(
+      col("embedding").cast("array<double>"))
+    t(s, dir, "embeddings").select(col("vec_id"),
+      array_join(transform(unit,
+        x => round(x * 1000000).cast("long").cast("string")), ",")
+        .as("unit_x1e6"))
+  }
+
+  /** Per-group embedding centroids (the IVF centroid-refresh shape):
+    * posexplode → partial-agg — the shuffle carries (grp, pos, partial
+    * sums), never vectors. Element sums run in exact DECIMAL and cast to
+    * double BEFORE the count division, so the result is bit-identical at
+    * any parallelism and to the oracle. */
+  def q78GroupCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select((col("vec_id") % 8).as("grp"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "e")))
+      .groupBy(col("grp"), col("pos").cast("long").as("pos"))
+      // decimal sum = deterministic at any parallelism; the 6dp export
+      // rounding is the q30 cross-engine contract (the two engines'
+      // double->decimal CAST rounding differs in the last decimal digit)
+      .agg(round(sum(col("e").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)), 6).as("c"))
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -313,7 +345,9 @@ object ExtQueries {
     "q73_skew_neardup" -> (q73SkewNearDup _),
     "q74_sql_neardup" -> (q74SqlNearDup _),
     "q75_hash_split" -> (q75HashSplit _),
-    "q76_group_cap" -> (q76GroupCap _))
+    "q76_group_cap" -> (q76GroupCap _),
+    "q77_vector_norm" -> (q77VectorNorm _),
+    "q78_group_centroids" -> (q78GroupCentroids _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -408,6 +442,21 @@ object ExtQueries {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 20""".stripMargin,
+    "q77_vector_norm" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT vec_id, array_to_string(list_transform(e,
+        |  x -> CAST(round(x / nrm * 1000000) AS BIGINT)), ',') AS unit_x1e6
+        |FROM n""".stripMargin,
+    "q78_group_centroids" ->
+      """WITH x AS (
+        |  SELECT vec_id % 8 AS grp,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS e
+        |  FROM embeddings)
+        |SELECT grp, pos,
+        |  ROUND(CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+        |FROM x GROUP BY 1, 2""".stripMargin,
     // All docs share the min-id doc's text, so the guarded near-dup join
     // must return exactly the representative star at jaccard 1.0 — the
     // construction makes an xxhash64 operator plain-SQL-checkable.

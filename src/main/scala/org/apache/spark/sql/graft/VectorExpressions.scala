@@ -207,6 +207,61 @@ case class SignLshBandBuckets(child: Expression, planes: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** L2-normalize an array<double> in ONE fused pass: norm accumulation
+  * then element scaling, inside WholeStageCodegen. The `transform`-HOF
+  * formulation evaluates its lambda interpreted per element (the trap
+  * every hot path here avoids); this is a plain JIT-friendly loop.
+  * Division (not reciprocal multiplication) so the per-element rounding
+  * is bit-identical to an engine that computes x / sqrt(dot(v,v)) — the
+  * oracle contract. Zero/empty vectors pass through unchanged. */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i); ss += d * d; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    if (norm > 0) while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
+    else while (i < n) { out(i) = x.getDouble(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = $v.getDouble($i); $ss += d * d;
+         |}
+         |double $norm = java.lang.Math.sqrt($ss);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $norm > 0 ? $v.getDouble($i) / $norm : $v.getDouble($i);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration for the custom expressions
   * (re-exported as graft.expressions.GraftFunctions). */
 object VectorFunctions {
@@ -224,6 +279,9 @@ object VectorFunctions {
       ExpressionUtils.expression(vec), planes.toIndexedSeq, bands,
       planesPerBand, dim))
 
+  def l2Normalize(vec: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(vec)))
+
   /** Expose `graft_cosine` / `graft_dot` / `graft_shingles` /
     * `graft_rolling_xxhash64` (scalar) and `graft_version` (table-valued,
     * time travel) to the SQL surface. */
@@ -233,6 +291,8 @@ object VectorFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_l2_normalize",
+      exprs => L2Normalize(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("graft_rolling_xxhash64",
       exprs => RollingXxHash64(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("graft_shingles",

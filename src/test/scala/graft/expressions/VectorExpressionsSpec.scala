@@ -120,6 +120,28 @@ class VectorExpressionsSpec extends SparkSpec {
       s"plane matrix leaked into explain string: $s")
   }
 
+  test("l2Normalize: unit output, zero passthrough, codegen + SQL parity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(-1.0, 1.0, 1.0, 1.0))
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        GraftFunctions.l2Normalize(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+    assert(math.abs(out(3L).map(x => x * x).sum - 1.0) < 1e-12)
+    // SQL registration path produces the same values
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("l2norm_in")
+    val sqlOut = spark.sql(
+      "SELECT id, graft_l2_normalize(v) AS u FROM l2norm_in")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(sqlOut == out)
+  }
+
   test("LanguageIdExpr rejects profiles beyond the bitmask bounds") {
     intercept[IllegalArgumentException] {
       GraftFunctions.languageId(lit("x"),
