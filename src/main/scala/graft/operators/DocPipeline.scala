@@ -23,7 +23,11 @@ object DocPipeline {
       shingleSize: Int = 2,
       bands: Int = 8,
       rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      // duplicate-heavy-crawl guard, passed through to the near-dup
+      // stage: hot LSH cells degrade to a representative star, never
+      // B² pairs (NearDup.capBucketSide)
+      maxBucketSize: Int = 1000)
 
   final case class Report(stages: Seq[(String, Long)], cleaned: DataFrame)
 
@@ -51,7 +55,8 @@ object DocPipeline {
     stat("exact_dedup", exactDeduped)
 
     val pairs = NearDup.minhashPairs(exactDeduped, idCol, textCol,
-      cfg.shingleSize, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)
+      cfg.shingleSize, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold,
+      cfg.maxBucketSize)
     val cleaned = Components.keepClusterRepresentatives(
       exactDeduped, idCol, pairs)
     stat("neardup_dedup", cleaned)
