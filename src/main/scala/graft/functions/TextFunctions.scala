@@ -133,4 +133,26 @@ object TextFunctions {
     * fold, minus the interpreted per-element lambda). */
   def rollingHash(text: Column): Column =
     graft.expressions.GraftFunctions.rollingXxHash64(tokens(text))
+
+  /** PII / boilerplate scrub patterns — deliberately written in the
+    * Java∩RE2 common dialect (explicit character classes, no lookaround)
+    * so the same pattern text runs identically on Spark and on RE2-based
+    * engines like the DuckDB oracle. */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Redact URLs and emails with typed placeholder tokens (URLs first:
+    * an email-shaped substring inside a URL belongs to the URL). A pure
+    * scan-side projection — the codegen'd regexp_replace — so scrubbing
+    * composes with pushdown and costs one pass. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
+
+  /** How many spans [[redact]] would replace. */
+  def redactionCount(text: Column): Column =
+    regexp_count(text, lit(urlPattern)) +
+      regexp_count(regexp_replace(text, urlPattern, "<URL>"),
+        lit(emailPattern))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Sampling, Similarity}
+import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Packing, Sampling, Similarity}
 
 /** Extension query surface: the operators a large-scale training-data
   * pipeline needs beyond the reference's own inventory — deduplication
@@ -277,6 +277,25 @@ object ExtQueries {
       .agg(round(sum(col("e").cast("decimal(28,12)")).cast("double") /
         count(lit(1)), 6).as("c"))
 
+  /** PII / boilerplate scrub: URLs then emails replaced with typed
+    * placeholders, plus the span count — one scan-side regex pass. The
+    * patterns are written in the Java∩RE2 common dialect so the oracle
+    * runs the identical pattern text. */
+  def q79Redact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.redact(col("text")).as("clean_text"),
+      TextFunctions.redactionCount(col("text")).as("n_redacted"))
+
+  /** Sequence packing: per-language token-budget bin assignment (512
+    * tokens) — deterministic integer arithmetic over a sharded window,
+    * never a global ordering. */
+  def q80PackBins(s: SparkSession, dir: String): DataFrame =
+    Packing.packBins(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).as("n_tokens")),
+      "doc_id", "n_tokens", Seq("lang"), targetTokens = 512)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -347,7 +366,9 @@ object ExtQueries {
     "q75_hash_split" -> (q75HashSplit _),
     "q76_group_cap" -> (q76GroupCap _),
     "q77_vector_norm" -> (q77VectorNorm _),
-    "q78_group_centroids" -> (q78GroupCentroids _))
+    "q78_group_centroids" -> (q78GroupCentroids _),
+    "q79_redact" -> (q79Redact _),
+    "q80_pack_bins" -> (q80PackBins _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -448,6 +469,33 @@ object ExtQueries {
         |SELECT vec_id, array_to_string(list_transform(e,
         |  x -> CAST(round(x / nrm * 1000000) AS BIGINT)), ',') AS unit_x1e6
         |FROM n""".stripMargin,
+    "q79_redact" -> {
+      // DuckDB string literals keep backslashes verbatim — interpolate
+      // the shared pattern text unchanged (same regex on both engines)
+      val url = TextFunctions.urlPattern
+      val email = TextFunctions.emailPattern
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+         |    '$email', '<EMAIL>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$url'))
+         |    + len(regexp_extract_all(
+         |        regexp_replace(text, '$url', '<URL>', 'g'), '$email'))
+         |    AS INTEGER) AS n_redacted
+         |FROM documents""".stripMargin
+    },
+    "q80_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+        |FROM c""".stripMargin,
     "q78_group_centroids" ->
       """WITH x AS (
         |  SELECT vec_id % 8 AS grp,
