@@ -155,4 +155,20 @@ object TextFunctions {
     regexp_count(text, lit(urlPattern)) +
       regexp_count(regexp_replace(text, urlPattern, "<URL>"),
         lit(emailPattern))
+
+  /** BPE-style pre-tokenizer segment pattern — the GPT-2 pretokenizer
+    * shape (contractions | space-prefixed letter runs | digit runs |
+    * punctuation runs | whitespace) minus its trailing-space lookahead:
+    * RE2 has no lookahead, and the whole point is that the SAME pattern
+    * text runs on Spark (Java regex) and the oracle engine. Alternation
+    * is leftmost-first in both. */
+  val bpeSegmentPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer segment count — the cheap, deterministic proxy for
+    * "how many BPE tokens is this document" that corpus budgeting uses
+    * (true BPE merges only split segments further, so this lower-bounds
+    * and tracks the real count). One codegen'd regex scan per row. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeSegmentPattern))
 }

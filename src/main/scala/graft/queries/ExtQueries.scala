@@ -277,6 +277,14 @@ object ExtQueries {
       .agg(round(sum(col("e").cast("decimal(28,12)")).cast("double") /
         count(lit(1)), 6).as("c"))
 
+  /** Token budgeting both ways: whitespace count (split contract) and
+    * the BPE-ish pre-tokenizer segment count, side by side. */
+  def q81BpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).as("n_tokens_ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_tokens_bpe"))
+
   /** PII / boilerplate scrub: URLs then emails replaced with typed
     * placeholders, plus the span count — one scan-side regex pass. The
     * patterns are written in the Java∩RE2 common dialect so the oracle
@@ -368,7 +376,8 @@ object ExtQueries {
     "q77_vector_norm" -> (q77VectorNorm _),
     "q78_group_centroids" -> (q78GroupCentroids _),
     "q79_redact" -> (q79Redact _),
-    "q80_pack_bins" -> (q80PackBins _))
+    "q80_pack_bins" -> (q80PackBins _),
+    "q81_bpe_tokens" -> (q81BpeTokens _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -469,6 +478,15 @@ object ExtQueries {
         |SELECT vec_id, array_to_string(list_transform(e,
         |  x -> CAST(round(x / nrm * 1000000) AS BIGINT)), ',') AS unit_x1e6
         |FROM n""".stripMargin,
+    "q81_bpe_tokens" -> {
+      // the contraction alternative starts with an apostrophe — double
+      // it for the SQL string literal
+      val pat = TextFunctions.bpeSegmentPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS n_tokens_bpe
+         |FROM documents""".stripMargin
+    },
     "q79_redact" -> {
       // DuckDB string literals keep backslashes verbatim — interpolate
       // the shared pattern text unchanged (same regex on both engines)

@@ -27,6 +27,16 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenCount segments like the GPT-2 pretokenizer (sans lookahead)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val df = Seq((1L, "It's 2026, graft-v4 works!")).toDF("id", "text")
+    val n = df.select(TextFunctions.bpeTokenCount(col("text")))
+      .collect().head.getInt(0)
+    // It | 's | ' 2026' | , | ' graft' | - | v | 4 | ' works' | !
+    assert(n == 10, s"got $n segments")
+  }
+
   test("redact scrubs URLs and emails, counts spans, leaves clean text alone") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextFunctions
