@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: flag (or drop) training documents that
+  * share at least one word n-gram with an evaluation corpus — the
+  * standard exact-containment contamination rule applied before
+  * training runs.
+  *
+  * Scale shape: both sides reduce to DISTINCT 8-byte shingle hashes
+  * built scan-side (codegen'd WordShingles + xxhash64 — the shuffle
+  * carries (hash, id), never text), and the eval side is tiny by
+  * definition (benchmarks, not corpora), so the meet is a broadcast
+  * hash join against the training corpus' hashed shingle stream. */
+object Decontaminate {
+
+  /** (idCol, n_shared): per training doc, how many DISTINCT word
+    * n-grams it shares with `eval`; docs sharing none are absent. */
+  def overlapCounts(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val tr = NearDup.shingleRows(train, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh")).distinct()
+    val ev = NearDup.shingleRows(eval, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    tr.join(ev, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The cleaned training corpus: rows of `train` sharing NO word
+    * n-gram with `eval` (left anti join on the flagged ids). */
+  def removeContaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame =
+    train.join(
+      overlapCounts(train, eval, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -277,6 +277,19 @@ object ExtQueries {
       .agg(round(sum(col("e").cast("decimal(28,12)")).cast("double") /
         count(lit(1)), 6).as("c"))
 
+  /** Train/eval decontamination: docs with doc_id % 50 == 0 stand in as
+    * the eval set; every other doc is flagged with its count of shared
+    * word 8-grams. Spark meets DISTINCT xxhash64'd shingles; the oracle
+    * meets the raw n-gram strings — identical counts (hashing is
+    * injective at corpus scale), so the op is fully oracle-checked. */
+  def q82Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.overlapCounts(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+  }
+
   /** Token budgeting both ways: whitespace count (split contract) and
     * the BPE-ish pre-tokenizer segment count, side by side. */
   def q81BpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -377,7 +390,8 @@ object ExtQueries {
     "q78_group_centroids" -> (q78GroupCentroids _),
     "q79_redact" -> (q79Redact _),
     "q80_pack_bins" -> (q80PackBins _),
-    "q81_bpe_tokens" -> (q81BpeTokens _))
+    "q81_bpe_tokens" -> (q81BpeTokens _),
+    "q82_decontaminate" -> (q82Decontaminate _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -478,6 +492,18 @@ object ExtQueries {
         |SELECT vec_id, array_to_string(list_transform(e,
         |  x -> CAST(round(x / nrm * 1000000) AS BIGINT)), ',') AS unit_x1e6
         |FROM n""".stripMargin,
+    "q82_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |  FROM toks),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+        |tr AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+        |SELECT tr.doc_id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (g) GROUP BY 1""".stripMargin,
     "q81_bpe_tokens" -> {
       // the contraction alternative starts with an apostrophe — double
       // it for the SQL string literal
