@@ -290,6 +290,20 @@ object ExtQueries {
       "doc_id", "text", n = 8)
   }
 
+  /** Intra-document repetition: fraction of word 3-grams that are
+    * repeats (1 − distinct/total) — the classic repeated-n-gram quality
+    * filter. One scan-side shingle explode + hash aggregate; docs with
+    * fewer than 3 tokens produce no grams and are absent. */
+  def q83Repetition(s: SparkSession, dir: String): DataFrame =
+    NearDup.shingleRows(t(s, dir, "documents"), "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .as("rep_ratio"))
+
   /** Token budgeting both ways: whitespace count (split contract) and
     * the BPE-ish pre-tokenizer segment count, side by side. */
   def q81BpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -391,7 +405,8 @@ object ExtQueries {
     "q79_redact" -> (q79Redact _),
     "q80_pack_bins" -> (q80PackBins _),
     "q81_bpe_tokens" -> (q81BpeTokens _),
-    "q82_decontaminate" -> (q82Decontaminate _))
+    "q82_decontaminate" -> (q82Decontaminate _),
+    "q83_repetition" -> (q83Repetition _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -492,6 +507,19 @@ object ExtQueries {
         |SELECT vec_id, array_to_string(list_transform(e,
         |  x -> CAST(round(x / nrm * 1000000) AS BIGINT)), ',') AS unit_x1e6
         |FROM n""".stripMargin,
+    "q83_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |  FROM toks),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(DISTINCT g) AS n_distinct,
+        |  CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
+        |    AS rep_ratio
+        |FROM sh GROUP BY 1""".stripMargin,
     "q82_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
