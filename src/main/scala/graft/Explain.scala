@@ -13,7 +13,9 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q02_star_revenue", "q03_cleanse_lineitem", "q06_dedup_events",
         "q18_topk", "q27_minhash_pairs", "q30_cosine_topk", "q33_cosine_neardup",
-        "q56_asof_join", "q65_range_join", "q68_ivf_indexed", "q71_lsh_indexed")
+        "q56_asof_join", "q65_range_join", "q68_ivf_indexed", "q71_lsh_indexed",
+        "q73_skew_neardup", "q75_hash_split", "q77_vector_norm",
+        "q80_pack_bins", "q82_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

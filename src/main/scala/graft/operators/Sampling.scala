@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 4-hex-char (16-bit) bucket of a key column: '0000'..'ffff'. */
+  /** 4-hex-char (16-bit) bucket of a key column: '0000'..'ffff'.
+    * A NULL key hashes to NULL: [[deterministicSample]] then drops the
+    * row (filter is null-rejecting) and [[splitColumn]] assigns it the
+    * LAST split (every `<` comparison is null → otherwise-chain) —
+    * key your sampling on a non-null id column. */
   def hexBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 4)
 
