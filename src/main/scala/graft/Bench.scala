@@ -63,11 +63,7 @@ object Bench {
       } finally {
         // fresh warehouse per rep; don't let 20 rounds of bench runs
         // accumulate dead warehouses in the temp dir
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(root.toFile)
+        graft.util.Fs.deleteRecursively(root.toFile)
       }
     }
     if (new java.io.File(warmupDir).isDirectory) {

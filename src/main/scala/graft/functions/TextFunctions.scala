@@ -137,8 +137,11 @@ object TextFunctions {
   /** PII / boilerplate scrub patterns — deliberately written in the
     * Java∩RE2 common dialect (explicit character classes, no lookaround)
     * so the same pattern text runs identically on Spark and on RE2-based
-    * engines like the DuckDB oracle. */
-  val urlPattern = "https?://[^\\s]+"
+    * engines like the DuckDB oracle. `\s` itself is NOT in that common
+    * dialect (Java's matches U+000B, RE2's does not), so whitespace is
+    * spelled as the explicit class both engines read identically. */
+  private val ws = "\\t\\n\\x0B\\f\\r "
+  val urlPattern = s"https?://[^$ws]+"
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Redact URLs and emails with typed placeholder tokens (URLs first:
@@ -163,7 +166,7 @@ object TextFunctions {
     * text runs on Spark (Java regex) and the oracle engine. Alternation
     * is leftmost-first in both. */
   val bpeSegmentPattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
 
   /** Pre-tokenizer segment count — the cheap, deterministic proxy for
     * "how many BPE tokens is this document" that corpus budgeting uses

@@ -96,30 +96,68 @@ object NearDup {
         posexplode(bandHashArray(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "band_hash")))
 
-  /** Oversized-bucket guard for the banded (band, bucket) self-joins: a
-    * cell of B near-identical docs — the realistic duplicate-heavy-crawl
-    * case — would otherwise emit B²/2 candidate pairs into one reducer.
-    * Restrict the LEFT side of the self-join to the cell's minimum id
-    * whenever the cell exceeds `maxBucketSize`: the cell then contributes
-    * a (representative, member) STAR — B−1 pairs that connect the whole
-    * cell for downstream connected-components clustering — instead of the
-    * full clique. Small cells are untouched (exact pair semantics).
+  /** Banded candidate generation with an oversized-cell guard: a cell of
+    * B near-identical docs — the realistic duplicate-heavy-crawl case —
+    * would emit B²/2 candidate pairs into one reducer from a naive
+    * (band, bucket) self-join. Construction:
     *
-    * Cost: one extra aggregate keyed on the same (band, bucket) the
-    * self-join shuffles on, so the ids exchange is still computed once and
-    * reused by the aggregate and both join sides. The within-big-cell
-    * pairs lost to the star remain connected through the representative
-    * (transitively across bands: a pair suppressed here either met in an
-    * earlier, smaller cell or both members pair with that cell's own
-    * minimum), so cluster membership is preserved — only the explicit
-    * pair list is thinned, which is the point. */
-  private[operators] def capBucketSide(ids: DataFrame, idCol: String,
-      bandCol: String, bucketCol: String, maxBucketSize: Int): DataFrame = {
+    *  - cells at or below `maxBucketSize` join EXACTLY: rows keep their
+    *    raw bucket value as the join key, and a pair is emitted at its
+    *    first agreeing SMALL cell only (the earlier-band filter runs
+    *    over per-doc arrays of ADJUSTED keys, so agreement inside an
+    *    oversized cell never suppresses a later small-cell emission —
+    *    that suppression was the hole that could silently drop a whole
+    *    duplicate cluster when an oversized cell's minimum id happened
+    *    to be a sub-threshold interloper);
+    *  - oversized cells contribute a (cell-minimum, member) STAR from
+    *    EVERY band they are oversized in — B−1 linear rows per cell
+    *    that keep the cell connected for downstream components even if
+    *    one band's representative fails verification, because another
+    *    band's cell (without the interloper) still stars its members;
+    *  - the adjusted key of an oversized-cell row is a per-doc hash, so
+    *    those rows can never meet in the pair join at all — the
+    *    quadratic stage is structurally absent, not just filtered;
+    *  - the union is deduplicated once at the end: that distinct runs
+    *    over the near-final candidate set (small-path pairs are already
+    *    unique; stars are linear), NOT over the ×bands pre-dedup
+    *    candidate stream the first-agreeing-band trick exists to avoid.
+    *
+    * Input: one row per (doc, band) with the cell id in `bucketCol`.
+    * Output: unique (id_a < id_b) candidate pairs. */
+  private[operators] def bandedCandidates(ids: DataFrame, idCol: String,
+      bandCol: String, bucketCol: String, bands: Int,
+      maxBucketSize: Int): DataFrame = {
     val stats = ids.groupBy(col(bandCol), col(bucketCol))
       .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"))
-    ids.join(stats, Seq(bandCol, bucketCol))
-      .filter(col("__bn") <= maxBucketSize || col(idCol) === col("__bmin"))
-      .drop("__bn", "__bmin")
+    val adj = ids.join(stats, Seq(bandCol, bucketCol))
+      .withColumn("__k",
+        when(col("__bn") <= maxBucketSize, col(bucketCol))
+          .otherwise(xxhash64(lit("__graft_capped"), col(idCol),
+            col(bandCol))))
+    val adjArr = adj.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(bandCol).as("b"),
+          col("__k").as("k")))),
+        s => s.getField("k")).as("__adj"))
+    val rows = adj.join(adjArr, Seq(idCol))
+    val small = rows.filter(col("__bn") <= maxBucketSize)
+    val a = small.select(col(bandCol), col("__k"),
+      col(idCol).as("id_a"), col("__adj").as("__adja"))
+    val b = small.select(col(bandCol), col("__k"),
+      col(idCol).as("id_b"), col("__adj").as("__adjb"))
+    val joined0 = a.join(b, Seq(bandCol, "__k"))
+      .filter(col("id_a") < col("id_b"))
+    val joined = if (bands <= 1) joined0 else {
+      val earlierSmallAgrees = (0 until bands - 1).map { j =>
+        col(bandCol) > j &&
+          col("__adja").getItem(j) === col("__adjb").getItem(j)
+      }.reduce(_ || _)
+      joined0.filter(!earlierSmallAgrees)
+    }
+    val stars = rows
+      .filter(col("__bn") > maxBucketSize && col(idCol) =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+    joined.select("id_a", "id_b").unionAll(stars).distinct()
   }
 
   /** Exact Jaccard for candidate pairs, by counting shingles shared through
@@ -144,42 +182,27 @@ object NearDup {
 
   /** Candidate pairs from shared LSH buckets, verified with exact Jaccard
     * over distinct shingle sets; keeps pairs with jaccard >= threshold.
-    * Each side of the band self-join carries its `bands`-long band-hash
-    * array, so a pair colliding in several bands is kept only at its
-    * FIRST agreeing band — a local codegen filter instead of a
-    * `distinct()` exchange over the candidate set. Buckets larger than
-    * `maxBucketSize` contribute a representative star, not a clique
-    * (see [[capBucketSide]]).
+    * Candidate generation is [[bandedCandidates]]: exact first-small-cell
+    * pair semantics, representative stars for cells beyond
+    * `maxBucketSize`.
     * Output: id_a < id_b, jaccard. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    // The signature table feeds THREE consumers (both self-join sides +
-    // the bucket-size stats); physical exchange reuse does not survive
-    // the differing predicates each branch pushes down, so without the
-    // checkpoint the scan→shingle→signature pipeline executes three
-    // times (measured: the whole corpus tokenized 6× per run).
-    // Materialize it once — k longs per doc, the cheapest thing in the
-    // query to hold.
+    // The signature table feeds several consumers (both self-join sides,
+    // cell stats, adjusted arrays); physical exchange reuse does not
+    // survive the differing predicates each branch pushes down, so
+    // without the checkpoint the scan→shingle→signature pipeline would
+    // execute once per consumer (measured: the whole corpus tokenized
+    // 6× per run). Materialize it once — k longs per doc, the cheapest
+    // thing in the query to hold.
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize,
       bands * rowsPerBand).localCheckpoint()
-    val ids = sigs
-      .select(col(idCol),
-        bandHashArray(col("sig"), bands, rowsPerBand).as("__bhs"))
-      .select(col(idCol), col("__bhs"),
-        posexplode(col("__bhs")).as(Seq("band", "band_hash")))
-    val capped = capBucketSide(ids, idCol, "band", "band_hash", maxBucketSize)
-    val joined = capped.as("a").join(ids.as("b"), Seq("band", "band_hash"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-    val firstBandOnly = if (bands <= 1) joined else {
-      val earlierBandAgrees = (0 until bands - 1).map { j =>
-        col("band") > j &&
-          col("a.__bhs").getItem(j) === col("b.__bhs").getItem(j)
-      }.reduce(_ || _)
-      joined.filter(!earlierBandAgrees)
-    }
-    val candidates = firstBandOnly
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val ids = sigs.select(col(idCol),
+      posexplode(bandHashArray(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "band_hash")))
+    val candidates = bandedCandidates(ids, idCol, "band", "band_hash",
+      bands, maxBucketSize)
     // Same story for the inverted index: three consumers (id_a side,
     // id_b side, per-doc sizes) — checkpoint the (id, shingle-hash) set
     // so the second tokenization pass is the last.
@@ -214,7 +237,7 @@ object NearDup {
     val earlier =
       if (bands <= 1) "false"
       else (0 until bands - 1)
-        .map(j => s"(a.band > $j AND a.bhs[$j] = b.bhs[$j])")
+        .map(j => s"(a.band > $j AND a.adjv[$j] = b.adjv[$j])")
         .mkString(" OR ")
     s"""WITH raw AS (
        |  SELECT $idCol AS doc_id,
@@ -231,18 +254,35 @@ object NearDup {
        |    $bandHashes) AS bhs
        |  FROM sig
        |), ids AS (
-       |  SELECT doc_id, bhs, posexplode(bhs) AS (band, bh) FROM bands
+       |  SELECT doc_id, posexplode(bhs) AS (band, bh) FROM bands
        |), stats AS (
        |  SELECT band, bh, count(*) AS bn, min(doc_id) AS bmin
        |  FROM ids GROUP BY band, bh
-       |), cand AS (
+       |), adj AS (
+       |  SELECT i.doc_id, i.band, s.bn, s.bmin,
+       |    CASE WHEN s.bn <= $maxBucketSize THEN i.bh
+       |         ELSE xxhash64('__graft_capped', i.doc_id, i.band) END AS k
+       |  FROM ids i JOIN stats s ON i.band = s.band AND i.bh = s.bh
+       |), adjarr AS (
+       |  SELECT doc_id,
+       |    transform(array_sort(collect_list(named_struct('b', band, 'k', k))),
+       |      s -> s.k) AS adjv
+       |  FROM adj GROUP BY doc_id
+       |), rws AS (
+       |  SELECT a.doc_id, a.band, a.bn, a.bmin, a.k, r.adjv
+       |  FROM adj a JOIN adjarr r ON a.doc_id = r.doc_id
+       |), small AS (
+       |  SELECT * FROM rws WHERE bn <= $maxBucketSize
+       |), cand0 AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ids a
-       |  JOIN stats s ON a.band = s.band AND a.bh = s.bh
-       |  JOIN ids b ON a.band = b.band AND a.bh = b.bh
-       |  WHERE a.doc_id < b.doc_id
-       |    AND (s.bn <= $maxBucketSize OR a.doc_id = s.bmin)
-       |    AND NOT ($earlier)
+       |  FROM small a JOIN small b ON a.band = b.band AND a.k = b.k
+       |  WHERE a.doc_id < b.doc_id AND NOT ($earlier)
+       |), stars AS (
+       |  SELECT bmin AS id_a, doc_id AS id_b
+       |  FROM rws WHERE bn > $maxBucketSize AND doc_id <> bmin
+       |), cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM
+       |    (SELECT * FROM cand0 UNION ALL SELECT * FROM stars)
        |), exd AS (
        |  SELECT DISTINCT doc_id, sh FROM ex
        |), sizes AS (
@@ -296,12 +336,10 @@ object NearDup {
 
   /** SimHash near-dup candidates: bucket by `bands` slices of the simhash
     * (docs equal on any slice are candidates), verify by Hamming distance
-    * <= maxHamming. A pair agreeing on several slices is emitted only at
-    * its FIRST agreeing band — both sides carry the full signature, so
-    * the earlier-band check is a local codegen filter and no `distinct()`
-    * exchange is needed (same dedup as cosineNearDupPairs). Buckets larger
-    * than `maxBucketSize` contribute a representative star, not a clique
-    * (see [[capBucketSide]]).
+    * <= maxHamming. Candidate generation is [[bandedCandidates]] (exact
+    * first-small-cell semantics + representative stars past
+    * `maxBucketSize`); signatures meet the unique pairs again in id
+    * equi-joins against the checkpointed signature table.
     * Output: id_a < id_b, hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 8,
@@ -309,24 +347,19 @@ object NearDup {
     val bits = 64 / bands
     def slice(sig: Column, b: Int): Column =
       shiftrightunsigned(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
-    // one long per doc, three consumers — same checkpoint rationale as
+    // one long per doc, several consumers — same checkpoint rationale as
     // minhashPairs
     val sigs = simhashSignatures(df, idCol, textCol).localCheckpoint()
-    val banded = sigs.select(col(idCol), col("sig"), posexplode(
+    val banded = sigs.select(col(idCol), posexplode(
       array((0 until bands).map(b => slice(col("sig"), b)): _*))
       .as(Seq("band", "band_val")))
-    val capped = capBucketSide(banded, idCol, "band", "band_val", maxBucketSize)
-    val joined = capped.as("a").join(banded.as("b"), Seq("band", "band_val"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-    val firstBandOnly = if (bands <= 1) joined else {
-      val earlierBandAgrees = (0 until bands - 1).map { j =>
-        col("band") > j && slice(col("a.sig"), j) === slice(col("b.sig"), j)
-      }.reduce(_ || _)
-      joined.filter(!earlierBandAgrees)
-    }
-    firstBandOnly
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+    bandedCandidates(banded, idCol, "band", "band_val", bands, maxBucketSize)
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("__sa")),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -33,7 +33,7 @@ object Sampling {
   def hexBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 4)
 
-  private def hexThreshold(fraction: Double): String = {
+  private[graft] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
     val v = math.round(fraction * 0x10000).min(0x10000).toInt
     // comparison is lexicographic on fixed-width hex; a 5-char "10000"

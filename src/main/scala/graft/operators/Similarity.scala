@@ -157,17 +157,13 @@ object Similarity {
     * form whose cell count was fixed).
     *
     * Shuffle discipline: the bucket self-join carries (id, band, bucket)
-    * plus the doc's `bands`-long bucket ARRAY (8 longs — never the
-    * vector). The array makes pair dedup free: a pair colliding in
-    * several bands is emitted only at its FIRST agreeing band, decided by
-    * a codegen'd filter on the two arrays — no `distinct()` exchange over
-    * the (much larger) candidate set. Vectors then meet the already-unique
-    * pairs in id equi-joins (AQE broadcasts the vector side when small;
-    * sort-merge on id at corpus scale). One shuffle stage total at small
-    * SF (the band self-join's exchange is computed once and reused for
-    * both sides), three bounded ones at scale. Cells larger than
-    * `maxBucketSize` contribute a representative star, not a clique
-    * (see [[NearDup.capBucketSide]] — the duplicate-heavy-crawl guard). */
+    * keys — never the vector. Candidate generation is
+    * [[NearDup.bandedCandidates]]: exact first-small-cell pair
+    * semantics, and cells beyond `maxBucketSize` degrade to
+    * representative stars (the duplicate-heavy-crawl guard). Vectors
+    * then meet the already-unique pairs in id equi-joins (AQE
+    * broadcasts the vector side when small; sort-merge on id at corpus
+    * scale). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
       dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
@@ -181,35 +177,17 @@ object Similarity {
       .flatten.toArray
     val bucketArr = GraftFunctions.lshBandBuckets(
       col(vecCol).cast("array<double>"), planeMatrix, bands, planesPerBand, dim)
-    // (id, bucket-array) is 9 longs per doc and feeds three consumers
-    // (both self-join sides + the bucket-size stats): checkpoint it so
-    // the vector scan + banded projection run once, not per consumer
-    // (physical exchange reuse does not survive each branch's pushed
-    // predicates). The verify joins below still read vectors from the
-    // source scan — vectors are never duplicated into the checkpoint.
+    // (id, bucket-array) is 9 longs per doc and feeds several consumers:
+    // checkpoint it so the vector scan + banded projection run once, not
+    // per consumer (physical exchange reuse does not survive each
+    // branch's pushed predicates). The verify joins below still read
+    // vectors from the source scan — vectors are never duplicated into
+    // the checkpoint.
     val ids = df.select(col(idCol).as("__id"), bucketArr.as("__bks"))
       .localCheckpoint()
-      .select(col("__id"), col("__bks"),
-        posexplode(col("__bks")).as(Seq("__band", "__bkt")))
-    val capped = NearDup.capBucketSide(ids, "__id", "__band", "__bkt",
-      maxBucketSize)
-    val a = capped.select(col("__band"), col("__bkt"),
-      col("__id").as("id_a"), col("__bks").as("__bksa"))
-    val b = ids.select(col("__band"), col("__bkt"),
-      col("__id").as("id_b"), col("__bks").as("__bksb"))
-    val joined = a.join(b, Seq("__band", "__bkt"))
-      .filter(col("id_a") < col("id_b"))
-    // Keep a pair only where no EARLIER band also agreed (unrolled over the
-    // static band count so the predicate stays inside WholeStageCodegen —
-    // zip_with/exists would fall back to interpreted lambdas).
-    val cands = (if (bands <= 1) joined else {
-      val earlierBandAgrees = (0 until bands - 1).map { j =>
-        col("__band") > j &&
-          col("__bksa").getItem(j) === col("__bksb").getItem(j)
-      }.reduce(_ || _)
-      joined.filter(!earlierBandAgrees)
-    }).select("id_a", "id_b")
-    cands
+      .select(col("__id"), posexplode(col("__bks")).as(Seq("__band", "__bkt")))
+    NearDup.bandedCandidates(ids, "__id", "__band", "__bkt", bands,
+        maxBucketSize)
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

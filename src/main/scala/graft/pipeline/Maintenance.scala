@@ -53,12 +53,29 @@ object Maintenance {
     * names (and with them every downstream scan's pruning) are untouched
     * because the leaf path itself never changes. Temps deliberately live
     * NEXT TO the table root, not inside it — a crash must not leave a
-    * directory that partition discovery would read as data. */
+    * directory that partition discovery would read as data — and their
+    * names ENCODE the leaf's relative path, so [[removeOrphans]] can
+    * tell a stale temp (leaf present → delete) from the survivor of a
+    * crash between the two renames (leaf absent → restore the old dir;
+    * the data would otherwise exist nowhere else). */
+  private def encodeLeaf(rel: String): String =
+    java.net.URLEncoder.encode(rel, "UTF-8")
+  private def decodeLeaf(enc: String): String =
+    java.net.URLDecoder.decode(enc, "UTF-8")
+
+  private def relPathOf(tableDir: String, leaf: File): String = {
+    val root = new File(tableDir).getCanonicalFile.toPath
+    root.relativize(leaf.getCanonicalFile.toPath).toString match {
+      case "" => "."
+      case p => p
+    }
+  }
+
   private def rewriteLeaf(spark: SparkSession, tableDir: String, leaf: File,
-      idx: Int,
       xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
-    val tmp = Paths.get(tableDir + s".compact_tmp$idx")
-    val old = Paths.get(tableDir + s".compact_old$idx")
+    val enc = encodeLeaf(relPathOf(tableDir, leaf))
+    val tmp = Paths.get(tableDir + s".compact_tmp.$enc")
+    val old = Paths.get(tableDir + s".compact_old.$enc")
     xform(spark.read.parquet(leaf.toString))
       .write.mode("overwrite").parquet(tmp.toString)
     Files.move(leaf.toPath, old)
@@ -100,9 +117,9 @@ object Maintenance {
         return Report(tableDir, "compact", ok = true,
           s"noop: all ${leaves.size} leaf partitions at/below target")
       }
-      fragmented.zipWithIndex.foreach { case (leaf, i) =>
+      fragmented.foreach { leaf =>
         val nf = targetFileCount(dirSize(leaf), targetFileBytes)
-        rewriteLeaf(spark, tableDir, leaf, i, _.repartition(nf))
+        rewriteLeaf(spark, tableDir, leaf, _.repartition(nf))
       }
       Report(tableDir, "compact", ok = true,
         s"rewrote ${fragmented.size}/${leaves.size} leaf partitions")
@@ -127,20 +144,30 @@ object Maintenance {
       }
       require(sortCols.nonEmpty, "compactSorted needs at least one sort column")
       import org.apache.spark.sql.functions.col
+      // Sort columns that ARE Hive partition columns are constant inside
+      // every leaf (and absent from the leaf files themselves — they live
+      // in the dir names), so clustering within a leaf only ever uses the
+      // remaining ones; if none remain this degrades to plain binpack.
+      val parts = partitionColsOf(tableDir)
+      val effective = sortCols.filterNot(parts.contains)
       // Per leaf partition: range-partition on the sort key into
       // ~ceil(bytes/target) files (targetFileBytes now applies on the
       // partitioned path too), each sorted — so within every partition
       // directory the files cover non-overlapping sort ranges and
       // filtered scans skip whole row groups.
       val leaves = leafPartitionDirs(new File(tableDir))
-      leaves.zipWithIndex.foreach { case (leaf, i) =>
+      leaves.foreach { leaf =>
         val nf = targetFileCount(dirSize(leaf), targetFileBytes)
-        rewriteLeaf(spark, tableDir, leaf, i,
-          _.repartitionByRange(nf, sortCols.map(col): _*)
-            .sortWithinPartitions(sortCols.map(col): _*))
+        rewriteLeaf(spark, tableDir, leaf,
+          df =>
+            if (effective.isEmpty) df.repartition(nf)
+            else df.repartitionByRange(nf, effective.map(col): _*)
+              .sortWithinPartitions(effective.map(col): _*))
       }
       Report(tableDir, "compact_sorted", ok = true,
-        s"rewrote ${leaves.size} leaf partitions sorted by ${sortCols.mkString(",")}")
+        s"rewrote ${leaves.size} leaf partitions sorted by " +
+          (if (effective.isEmpty) s"(partition layout ${parts.mkString("/")})"
+           else effective.mkString(",")))
     } catch {
       case e: Throwable => Report(tableDir, "compact_sorted", ok = false, e.toString)
     }
@@ -149,31 +176,55 @@ object Maintenance {
   /** M3 analog: remove orphan working files (committer temp dirs, crc
     * leftovers, failed-compaction temps) not referenced by the table.
     * Compaction temps live NEXT TO the table root (never inside, where a
-    * crash would leave something partition discovery reads as data), so
-    * the sibling scan here is what garbage-collects them. */
-  private def isCompactTemp(name: String): Boolean =
-    name.matches(""".*\.compact_(tmp|old)\d*$""")
-
+    * crash would leave something partition discovery reads as data) with
+    * the leaf path encoded in the name, so the sibling scan can do the
+    * right thing per crash window: leaf present → the temp is stale,
+    * delete it; leaf ABSENT with a `.compact_old` survivor → the JVM
+    * died between the swap renames and that survivor is the only copy
+    * of the partition — RESTORE it instead of deleting. A `.compact_tmp`
+    * whose leaf is absent is only promoted after any old has been
+    * restored (the original data always wins). */
   def removeOrphans(tableDir: String): Report = {
     try {
       var removed = 0
+      var restored = 0
       val root = new File(tableDir)
       def walk(f: File): Unit = {
         if (f.isDirectory) {
-          if (f.getName == "_temporary" || isCompactTemp(f.getName)) {
-            deleteRecursively(f); removed += 1
-          } else f.listFiles().foreach(walk)
+          if (f.getName == "_temporary") { deleteRecursively(f); removed += 1 }
+          else f.listFiles().foreach(walk)
         } else if (f.getName.endsWith(".crc") && f.getName.startsWith(".")) {
           f.delete(); removed += 1
         }
       }
       if (root.exists()) walk(root)
-      Option(root.getCanonicalFile.getParentFile)
+      val siblings = Option(root.getCanonicalFile.getParentFile)
         .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty[File])
-        .filter(f => f.getName.startsWith(root.getName + ".compact_")
-          && isCompactTemp(f.getName))
-        .foreach { f => deleteRecursively(f); removed += 1 }
-      Report(tableDir, "remove_orphans", ok = true, s"removed $removed")
+      def temps(kind: String): Seq[(File, File)] = {
+        val prefix = root.getName + s".compact_$kind."
+        siblings.filter(_.getName.startsWith(prefix)).toSeq.map { f =>
+          val rel = decodeLeaf(f.getName.drop(prefix.length))
+          f -> (if (rel == ".") root else new File(root, rel))
+        }
+      }
+      def restore(f: File, leaf: File): Unit = {
+        Option(leaf.getParentFile)
+          .foreach(p => Files.createDirectories(p.toPath))
+        Files.move(f.toPath, leaf.toPath)
+        restored += 1
+      }
+      // olds first: restore a half-swapped leaf before touching tmps
+      temps("old").foreach { case (f, leaf) =>
+        if (leaf.exists()) { deleteRecursively(f); removed += 1 }
+        else restore(f, leaf)
+      }
+      temps("tmp").foreach { case (f, leaf) =>
+        if (leaf.exists()) { deleteRecursively(f); removed += 1 }
+        else restore(f, leaf)
+      }
+      Report(tableDir, "remove_orphans", ok = true,
+        s"removed $removed" +
+          (if (restored > 0) s", restored $restored half-swapped leaves" else ""))
     } catch {
       case e: Throwable => Report(tableDir, "remove_orphans", ok = false, e.toString)
     }
@@ -206,8 +257,6 @@ object Maintenance {
     if (f.isFile) f.length()
     else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 }

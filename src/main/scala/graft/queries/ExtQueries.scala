@@ -132,12 +132,8 @@ object ExtQueries {
     * per-rep warehouses). */
   private lazy val indexCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
       (lshIndexes.values.map(_._1) ++ ivfIndexes.values)
-        .foreach(p => rm(new java.io.File(p)))
+        .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
 
@@ -478,13 +474,11 @@ object ExtQueries {
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles
 
-  /** Same 16-bit md5-prefix thresholds Sampling computes — hex strings
-    * compare lexicographically = numerically, and DuckDB's md5 of the
-    * same decimal string is byte-identical to Spark's. */
-  private def hx(f: Double): String = {
-    val v = math.round(f * 0x10000).min(0x10000).toInt
-    if (v >= 0x10000) "g" else f"$v%04x"  // same saturation as Sampling
-  }
+  /** THE threshold function Sampling filters with (not a re-derivation —
+    * the oracle must stay bit-identical to the operator by construction);
+    * hex strings compare lexicographically = numerically, and DuckDB's
+    * md5 of the same decimal string is byte-identical to Spark's. */
+  private def hx(f: Double): String = Sampling.hexThreshold(f)
 
   private val staticOracles: Map[String, String] = Map(
     "q75_hash_split" ->
@@ -502,10 +496,12 @@ object ExtQueries {
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 20""".stripMargin,
     "q77_vector_norm" ->
+      // the CASE mirrors L2Normalize's zero-vector passthrough exactly
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
         |SELECT vec_id, array_to_string(list_transform(e,
-        |  x -> CAST(round(x / nrm * 1000000) AS BIGINT)), ',') AS unit_x1e6
+        |  x -> CAST(round(CASE WHEN nrm > 0 THEN x / nrm ELSE x END
+        |                  * 1000000) AS BIGINT)), ',') AS unit_x1e6
         |FROM n""".stripMargin,
     "q83_repetition" ->
       """WITH toks AS (

@@ -58,6 +58,30 @@ class BucketGuardSpec extends SparkSpec {
     assert(out.forall(p => p._1 == 1L && math.abs(p._3 - 1.0) < 1e-9))
   }
 
+  test("a sub-threshold interloper with the minimum id cannot lose the cluster") {
+    // ids 100.. are identical; id 1 is SIMILAR enough to share LSH cells
+    // (two words changed) but fails the 0.9 verify threshold. If the
+    // guard starred only on the cell minimum (= the interloper) and the
+    // earlier-band filter then suppressed the true duplicates' own
+    // cells, the whole 5000-doc cluster would vanish — the exact flaw
+    // bandedCandidates' adjusted-key construction exists to prevent.
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((100L until (100L + B)).map(i => (i, dupText)) :+
+      (1L, "the quick brown cat jumps over the lazy dog again and never"))
+      .toDF("doc_id", "text")
+    val out = NearDup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 2, bands = 8, rowsPerBand = 2, threshold = 0.9,
+        maxBucketSize = 100)
+      .rows.map(r => (r.getLong(0), r.getLong(1)))
+    // every true duplicate is connected to the dup-cluster minimum
+    val clusterPairs = out.filter(p => p._1 >= 100L)
+    assert(clusterPairs.size == B - 1,
+      s"cluster fragmented: ${clusterPairs.size} of ${B - 1} pairs")
+    assert(clusterPairs.forall(_._1 == 100L))
+    // and the interloper itself was (rightly) verified away
+    assert(!out.exists(p => p._1 == 1L))
+  }
+
   test("guard leaves sub-threshold cells byte-identical to the unguarded form") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

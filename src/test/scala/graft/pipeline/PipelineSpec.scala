@@ -298,6 +298,46 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter(col("k") === 1234).count() == 1)
   }
 
+  test("removeOrphans restores a leaf from a crash between swap renames") {
+    import spark.implicits._
+    val dir = tmpDir() + "/crash"
+    (1 to 100).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .write.partitionBy("k").parquet(dir)
+    // simulate the window after Files.move(leaf, old): leaf gone, the
+    // old dir (only copy) and a finished tmp both sit next to the root
+    val enc = java.net.URLEncoder.encode("k=1", "UTF-8")
+    Files.move(Paths.get(s"$dir/k=1"), Paths.get(s"$dir.compact_old.$enc"))
+    Files.createDirectories(Paths.get(s"$dir.compact_tmp.$enc"))
+    val rep = Maintenance.removeOrphans(dir)
+    assert(rep.ok && rep.detail.contains("restored"), rep.detail)
+    // the original data is back; the tmp was deleted once the leaf existed
+    assert(spark.read.parquet(dir).filter($"k" === 1).count() == 50)
+    assert(!Files.exists(Paths.get(s"$dir.compact_old.$enc")))
+    assert(!Files.exists(Paths.get(s"$dir.compact_tmp.$enc")))
+    // stale temps next to an intact table are simply removed
+    Files.createDirectories(Paths.get(s"$dir.compact_tmp.$enc"))
+    assert(Maintenance.removeOrphans(dir).ok)
+    assert(!Files.exists(Paths.get(s"$dir.compact_tmp.$enc")))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("compactSorted tolerates sort columns that are partition columns") {
+    import spark.implicits._
+    val dir = tmpDir() + "/psortpart"
+    (1 to 2000).map(i => ((i * 7919) % 2000, i % 2, s"v$i")).toDF("k", "p", "v")
+      .repartition(4).write.partitionBy("p").parquet(dir)
+    // p is a partition column: constant per leaf, absent from leaf files
+    val rep = Maintenance.compactSorted(spark, dir, Seq("p", "k"),
+      targetFileBytes = 256L * 1024 * 1024)
+    assert(rep.ok, rep.detail)
+    assert(spark.read.parquet(dir).count() == 2000)
+    // all-partition-column sort degrades to binpack, not an error
+    val rep2 = Maintenance.compactSorted(spark, dir, Seq("p"),
+      targetFileBytes = 256L * 1024 * 1024)
+    assert(rep2.ok, rep2.detail)
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
   test("removeOrphans clears temp dirs, retry retries") {
     val dir = tmpDir() + "/t2"
     import spark.implicits._
