@@ -24,7 +24,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev-loop filter (regex on query name); the driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       names.foreach { n =>

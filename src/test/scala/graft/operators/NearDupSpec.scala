@@ -32,11 +32,21 @@ class NearDupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"exchange in shingle plan:\n$plan")
   }
 
-  test("minhashPairs plan has no window operator") {
+  test("minhashPairs plan fuses the adjusted-key pass into one window op") {
+    // the per-doc adjusted-array construction must collapse all `bands`
+    // max(when) aggregates into a SINGLE WindowExec per consumer branch
+    // (one shuffle by doc id); per-band windows — 8 shuffles — would
+    // show up here as Window nodes missing the last fused aggregate,
+    // and a rank-style pair dedup as a window NOT keyed on doc_id
     val plan = NearDup.minhashPairs(docs, "doc_id", "text",
       shingleSize = 2, bands = 8, rowsPerBand = 2, threshold = 0.5)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"window in minhashPairs plan:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"no Window node in minhashPairs plan:\n$plan")
+    assert(windows.forall(w => w.contains("_we7") && w.contains("doc_id")),
+      s"unfused or mis-keyed Window nodes:\n${windows.mkString("\n")}")
+    assert(windows.size <= 3, // a/b pair sides + stars, pre-AQE-reuse
+      s"${windows.size} Window nodes in minhashPairs plan:\n$plan")
   }
 
   test("minhashPairs finds the planted near-dup pair and only it") {
