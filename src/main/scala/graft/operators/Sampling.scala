@@ -67,6 +67,25 @@ object Sampling {
       splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(key), splits))
 
+  /** Per-stratum deterministic sampling — language/domain rebalancing
+    * with a different keep-fraction per group value (e.g. downsample
+    * English hard, keep low-resource languages whole). Same hash-bucket
+    * discipline as [[deterministicSample]]: the per-group threshold is a
+    * scan-side when-chain over the (small, literal) fractions map, so
+    * the whole thing stays a pushed filter — no shuffle, no sampleBy
+    * approximation, stable under repartitioning. Groups absent from the
+    * map keep `defaultFraction` (0 = drop unlisted groups). */
+  def stratifiedSample(df: DataFrame, groupCol: String, key: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(defaultFraction))) {
+        case (acc, (g, f)) =>
+          when(col(groupCol) === g, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(hexBucket(col(key)) < thr)
+  }
+
   /** Keep at most `cap` rows per group, chosen deterministically (hash
     * order with the key as tie-break) — class/domain balancing. One
     * shuffle on the group columns; the per-group sort is bounded by the

@@ -225,6 +225,24 @@ object ExtQueries {
       .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup semantic dedup over the corpus embeddings: k-means cells
+    * from the cached IVF model, drop any vector with cosine > 0.2 to a
+    * lower-id vector of the same cell (min id = deterministic keeper).
+    * Oracle: literal-centroid assignment + NOT EXISTS, generated with
+    * the IVF oracles. */
+  def q84SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.semanticDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", ivfCtx(s, dir).model, threshold = 0.2)
+
+  /** Per-language stratified sampling (corpus rebalancing): English
+    * downsampled to 30%, the low-resource languages kept at higher
+    * fractions, unlisted languages dropped — one scan-side hash-bucket
+    * filter, no shuffle, engine-portable. */
+  def q85StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.3, "de" -> 0.8, "fr" -> 1.0, "zh" -> 0.5))
+      .select(col("doc_id"), col("lang"))
+
   /** Deterministic 50% subsample + train/val/test split assignment over
     * the corpus — the md5-hex-bucket discipline: engine-portable
     * (DuckDB reproduces it bit-for-bit, which is the oracle), scan-side
@@ -402,7 +420,9 @@ object ExtQueries {
     "q80_pack_bins" -> (q80PackBins _),
     "q81_bpe_tokens" -> (q81BpeTokens _),
     "q82_decontaminate" -> (q82Decontaminate _),
-    "q83_repetition" -> (q83Repetition _))
+    "q83_repetition" -> (q83Repetition _),
+    "q84_semantic_dedup" -> (q84SemanticDedup _),
+    "q85_stratified_sample" -> (q85StratifiedSample _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -454,7 +474,18 @@ object ExtQueries {
            |WHERE a.cluster IN (${ctx.probes.mkString(", ")}) AND a.vec_id <> 0
            |ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id
            |LIMIT 10""".stripMargin
-      Map("q59_ivf_topk" -> sql, "q68_ivf_indexed" -> sql)
+      val semdedup =
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |d AS (SELECT vec_id, e, $dCols FROM v),
+           |a AS (SELECT vec_id, e, CASE $cases END AS cluster
+           |      FROM (SELECT *, $least AS mn FROM d))
+           |SELECT a.vec_id, a.cluster FROM a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM a b
+           |  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           |    AND list_cosine_similarity(b.e, a.e) > 0.2)""".stripMargin
+      Map("q59_ivf_topk" -> sql, "q68_ivf_indexed" -> sql,
+        "q84_semantic_dedup" -> semdedup)
     }
 
   /** Multi-probe = Hamming<=1 between query and candidate buckets; shared
@@ -490,6 +521,12 @@ object ExtQueries {
          |       WHEN hb < '${hx(0.9)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b WHERE hb < '${hx(0.5)}'""".stripMargin,
+    "q85_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  CASE lang WHEN 'en' THEN '${hx(0.3)}' WHEN 'de' THEN '${hx(0.8)}'
+         |            WHEN 'fr' THEN '${hx(1.0)}' WHEN 'zh' THEN '${hx(0.5)}'
+         |            ELSE '${hx(0.0)}' END""".stripMargin,
     "q76_group_cap" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

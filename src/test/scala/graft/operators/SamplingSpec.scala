@@ -42,6 +42,26 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"split assignment shuffled:\n$plan")
   }
 
+  test("stratifiedSample: per-group rates, default drop, scan-side") {
+    val docs = (1L to 3000L).map(i => (i, s"lang${i % 3}"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(docs, "lang", "id",
+      Map("lang0" -> 1.0, "lang1" -> 0.25))
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("lang0") == 1000) // fraction 1.0 keeps the stratum whole
+    assert(counts("lang1") > 1000 * 0.20 && counts("lang1") < 1000 * 0.30)
+    assert(!counts.contains("lang2")) // unlisted stratum drops by default
+    // a stratum's sample == the plain sample of that stratum at its rate
+    // (the per-group threshold changes nothing about WHICH hashes pass)
+    assert(out.filter($"lang" === "lang1").collect().map(_.getLong(0)).toSet ==
+      Sampling.deterministicSample(docs.filter($"lang" === "lang1"), "id", 0.25)
+        .collect().map(_.getLong(0)).toSet)
+    // still a pure pushed filter — no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample shuffled:\n$plan")
+  }
+
   test("capPerGroup: bounded, deterministic, keeps small groups whole") {
     val docs = (1L to 900L).map(i => (i, s"lang${i % 3}"))
       .toDF("id", "lang")
