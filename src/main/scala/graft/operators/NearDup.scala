@@ -53,8 +53,8 @@ object NearDup {
     * per-row `array_distinct` would be interpreted O(len²) string compares).
     * Duplicate rows are co-located at explode time, so partial aggregation
     * dedups map-side before any shuffle. */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int): DataFrame =
+  private[operators] def explodedShingles(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame =
     shingleRows(df, idCol, textCol, shingleSize)
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))
       .distinct()

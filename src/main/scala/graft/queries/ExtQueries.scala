@@ -132,7 +132,7 @@ object ExtQueries {
     * per-rep warehouses). */
   private lazy val indexCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      (lshIndexes.values.map(_._1) ++ ivfIndexes.values)
+      (lshIndexes.values.map(_._1) ++ ivfIndexes.values ++ ndIndexes.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -223,6 +223,30 @@ object ExtQueries {
     Ivf.topKIndexed(s, path, "vec_id", "embedding", ctx.queryVec, ctx.model,
         queryId = 0L, k = 10, nProbe = 2)
       .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Incremental near-dup against the MATERIALIZED minhash index — the
+    * continuous-crawl serving path: every 10th doc stands in as today's
+    * batch, the rest as the already-indexed corpus; the probe reads only
+    * the index tables (banded longs + inverted shingle index), never the
+    * corpus text (NearDupIndexSpec asserts the scan set). Rows-only
+    * (xxhash64). */
+  private val ndIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q86IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = ndIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-nd-index-").toString
+      graft.operators.NearDupIndex.write(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", p)
+      p
+    })
+    graft.operators.NearDupIndex.probe(s, path,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      threshold = 0.5)
   }
 
   /** SemDeDup semantic dedup over the corpus embeddings: k-means cells
@@ -422,7 +446,8 @@ object ExtQueries {
     "q82_decontaminate" -> (q82Decontaminate _),
     "q83_repetition" -> (q83Repetition _),
     "q84_semantic_dedup" -> (q84SemanticDedup _),
-    "q85_stratified_sample" -> (q85StratifiedSample _))
+    "q85_stratified_sample" -> (q85StratifiedSample _),
+    "q86_incremental_neardup" -> (q86IncrementalNearDup _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
