@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.Cdc
+
+/** CDC query surface: MERGE upsert, SCD type-2 history, snapshot diff —
+  * the Iceberg mutation features the reference's lakehouse brief declares
+  * (reference: README.md:85-88) expressed over the shared test tables so
+  * the DuckDB oracle can pin them exactly. Change sets are derived
+  * deterministically from the base tables (key-modulus selections), so
+  * base and oracle see identical inputs at every SF.
+  */
+object CdcQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The derived change set for q87: updates (+100 acctbal, re-segmented)
+    * on keys ≡0 mod 3, deletes on keys ≡0 mod 12 (a subset of the
+    * updates), inserts at key+1000000 for keys ≡0 mod 50. */
+  private def customerChanges(c: DataFrame): DataFrame = {
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100))
+      .withColumn("c_mktsegment", lit("MERGED"))
+      .withColumn("is_delete", col("c_custkey") % 12 === 0)
+    val inserts = c.filter(col("c_custkey") % 50 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      .withColumn("c_mktsegment", lit("NEWSEG"))
+      .withColumn("is_delete", lit(false))
+    updates.unionByName(inserts)
+  }
+
+  /** MERGE INTO semantics (update + insert + delete in one statement). */
+  def q87MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    Cdc.merge(c, customerChanges(c), Seq("c_custkey"), Some("is_delete"))
+  }
+
+  /** SCD type-2 dimension built from the events change log: per-user
+    * event_type state intervals with no-op updates collapsed. Timestamps
+    * export as epoch microseconds (BIGINT) — the cross-engine-stable form
+    * of the shared ns-truncation contract. */
+  def q88Scd2(s: SparkSession, dir: String): DataFrame =
+    Cdc.scd2(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        keys = Seq("user_id"), orderCol = "ts", tieBreak = "event_id",
+        attrCols = Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+
+  /** Change data feed between two snapshots: keys ≡0 mod 11 deleted,
+    * ≡0 mod 5 (and not deleted) updated (+10 acctbal), ≡0 mod 13
+    * re-inserted at key+1000000. Only (key, change_type) leaves the
+    * diff — the digest-comparison contract. */
+  def q89SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val newSnap = c.filter(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(10))
+          .otherwise(col("c_acctbal")))
+      .unionByName(c.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+    Cdc.snapshotDiff(c, newSnap, Seq("c_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_merge_upsert" -> (q87MergeUpsert _),
+    "q88_scd2" -> (q88Scd2 _),
+    "q89_snapshot_diff" -> (q89SnapshotDiff _))
+
+  val oracles: Map[String, String] = Map(
+    "q87_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+        |         'MERGED' AS c_mktsegment, (c_custkey % 12 = 0) AS is_delete
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |         'NEWSEG', false
+        |  FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM changes WHERE NOT is_delete""".stripMargin,
+    "q88_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |ordered AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |collapsed AS (
+        |  SELECT user_id, event_id, ts, event_type FROM ordered
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM collapsed)
+        |SELECT user_id, event_type,
+        |  epoch_us(valid_from) AS valid_from_us,
+        |  epoch_us(valid_to) AS valid_to_us,
+        |  (valid_to IS NULL) AS is_current
+        |FROM iv""".stripMargin,
+    "q89_snapshot_diff" ->
+      // construction-pinned: only c_acctbal can differ for surviving keys,
+      // so the attr compare reduces to that column (the Spark side compares
+      // an xxhash64 digest of every non-key column)
+      """WITH newsnap AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |         WHEN n.c_custkey IS NULL THEN 'delete'
+        |         WHEN o.c_acctbal <> n.c_acctbal THEN 'update' END
+        |      AS change_type
+        |  FROM customer o FULL OUTER JOIN newsnap n
+        |    ON o.c_custkey = n.c_custkey) d
+        |WHERE change_type IS NOT NULL""".stripMargin)
+}
