@@ -17,6 +17,14 @@ object GraftFunctions {
     * column (zero vectors pass through). */
   def l2Normalize(vec: Column): Column = VectorFunctions.l2Normalize(vec)
 
+  /** Codegen'd max(|x_i|) of an array<float|double> column (the symmetric
+    * int8 dequantization scale is `maxAbs(v)/127`). */
+  def maxAbs(vec: Column): Column = VectorFunctions.maxAbs(vec)
+
+  /** Codegen'd symmetric per-vector int8 quantization
+    * (q_i = floor(x_i·127/max|x| + 0.5); zero vector → zeros). */
+  def quantizeInt8(vec: Column): Column = VectorFunctions.quantizeInt8(vec)
+
   /** All banded sign-LSH buckets of a vector in one codegen'd loop over a
     * flat plane matrix (array<long> of length `bands`). */
   def lshBandBuckets(vec: Column, planes: Array[Double], bands: Int,

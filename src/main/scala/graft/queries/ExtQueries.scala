@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, DocPipeline, Ivf, NearDup, Packing, Sampling, Similarity, VectorQuant}
 
 /** Extension query surface: the operators a large-scale training-data
   * pipeline needs beyond the reference's own inventory — deduplication
@@ -414,6 +414,25 @@ object ExtQueries {
 
   // ------------------------------------------------------------- registries
 
+  /** Int8-quantized corpus export (q8 as CSV of ints, scale as exact
+    * floor-contract integer) — the cross-engine-stable form of an
+    * array<tinyint> column. */
+  def q90QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    VectorQuant.quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"),
+        concat_ws(",", col("q8").cast("array<string>")).as("q8_csv"),
+        floor(col("scale") * 1e9 + 0.5).cast("long").as("scale_x1e9"))
+
+  /** Brute-force cosine top-k over the int8-quantized corpus: cosine is
+    * scale-invariant, so ranking runs on the quantized arrays directly
+    * (and, the integer dot products being exact in double, the scores are
+    * bit-identical across engines). */
+  def q91QuantizedTopK(s: SparkSession, dir: String): DataFrame =
+    VectorQuant.topK(
+        VectorQuant.quantize(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", queryId = 0L, k = 20)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_text_quality" -> (q21TextQuality _),
@@ -447,7 +466,9 @@ object ExtQueries {
     "q83_repetition" -> (q83Repetition _),
     "q84_semantic_dedup" -> (q84SemanticDedup _),
     "q85_stratified_sample" -> (q85StratifiedSample _),
-    "q86_incremental_neardup" -> (q86IncrementalNearDup _))
+    "q86_incremental_neardup" -> (q86IncrementalNearDup _),
+    "q90_quantize_int8" -> (q90QuantizeInt8 _),
+    "q91_quantized_topk" -> (q91QuantizedTopK _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -728,5 +749,26 @@ object ExtQueries {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    "q90_quantize_int8" ->
+      // floor(x·127/m + 0.5) is the shared rounding contract (floor is
+      // exact on doubles in both engines; round() is not)
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(e, x -> CAST(CASE WHEN mx > 0
+        |    THEN floor(x * 127 / mx + 0.5) ELSE 0 END AS BIGINT)), ',') AS q8_csv,
+        |  CAST(floor(mx / 127 * 1000000000 + 0.5) AS BIGINT) AS scale_x1e9
+        |FROM m""".stripMargin,
+    "q91_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id, list_transform(e, x -> CASE WHEN mx > 0
+        |  THEN floor(x * 127 / mx + 0.5) ELSE CAST(0 AS DOUBLE) END) AS qv FROM m)
+        |SELECT vec_id, ROUND(list_cosine_similarity(qv,
+        |   (SELECT qv FROM q WHERE vec_id = 0)), 6) AS cos
+        |FROM q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(qv,
+        |   (SELECT qv FROM q WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin)
 }

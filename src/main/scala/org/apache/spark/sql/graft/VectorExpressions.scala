@@ -262,6 +262,113 @@ case class L2Normalize(child: Expression)
     copy(child = newChild)
 }
 
+/** max(|x_i|) of an array<float|double> column — the symmetric-quantization
+  * scale numerator, one fused loop (empty array → 0.0). */
+case class ArrayMaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_maxabs"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(x.getDouble(i)); if (d > m) m = d; i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = java.lang.Math.abs($v.getDouble($i));
+         |  if (d > $m) $m = d;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayMaxAbs =
+    copy(child = newChild)
+}
+
+/** Symmetric per-vector int8 quantization: q_i = floor(x_i·127/m + 0.5)
+  * with m = max(|x_i|) (zero vector → all zeros) — 4× the bytes of a
+  * float corpus, 8× a double one, the standard embedding-store compression
+  * at 100 TB. Cosine is scale-invariant, so similarity search over the
+  * quantized corpus needs no dequantization (cast back to double feeds
+  * [[CosineSimilarity]] directly); the dequantization scale, when needed,
+  * is `ArrayMaxAbs(v)/127`. `floor(x+0.5)` — not HALF_EVEN/HALF_UP
+  * `round` — is the rounding contract because both engines' floor is
+  * exact on doubles (the cross-engine rule the repo's float-export
+  * contracts use). Output range is exactly [-127, 127]: |x_i·127/m| ≤ 127
+  * and floor(±127 + 0.5) stays at ±127, so -128 is never produced. */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_quantize_int8"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(x.getDouble(i)); if (d > m) m = d; i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getDouble(i) * 127.0 / m + 0.5).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = java.lang.Math.abs($v.getDouble($i));
+         |  if (d > $m) $m = d;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($m > 0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) java.lang.Math.floor(
+         |      $v.getDouble($i) * 127.0 / $m + 0.5);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration for the custom expressions
   * (re-exported as graft.expressions.GraftFunctions). */
 object VectorFunctions {
@@ -282,6 +389,12 @@ object VectorFunctions {
   def l2Normalize(vec: Column): Column =
     ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(vec)))
 
+  def maxAbs(vec: Column): Column =
+    ExpressionUtils.column(ArrayMaxAbs(ExpressionUtils.expression(vec)))
+
+  def quantizeInt8(vec: Column): Column =
+    ExpressionUtils.column(Int8Quantize(ExpressionUtils.expression(vec)))
+
   /** Expose `graft_cosine` / `graft_dot` / `graft_shingles` /
     * `graft_rolling_xxhash64` (scalar) and `graft_version` (table-valued,
     * time travel) to the SQL surface. */
@@ -293,6 +406,10 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_l2_normalize",
       exprs => L2Normalize(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("graft_maxabs",
+      exprs => ArrayMaxAbs(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("graft_quantize_int8",
+      exprs => Int8Quantize(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("graft_rolling_xxhash64",
       exprs => RollingXxHash64(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("graft_shingles",

@@ -148,4 +148,53 @@ class VectorExpressionsSpec extends SparkSpec {
         Seq("xx" -> (1 to 33).map(i => s"w$i")))
     }
   }
+
+  test("Int8Quantize: known values, bounds, zero vector, both eval paths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.25, 0.0)),
+      (2L, Seq(0.0, 0.0)),          // zero vector → zeros
+      (3L, Seq(-2.0, 2.0))          // extremes hit exactly ±127
+    ).toDF("id", "v")
+    val out = df.select(col("id"), GraftFunctions.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(out(1L) == Seq[Byte](127, -63, 32, 0))
+    assert(out(2L) == Seq[Byte](0, 0))
+    assert(out(3L) == Seq[Byte](-127, 127))
+    // interpreted path: direct eval must agree with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{ArrayMaxAbs, Int8Quantize}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def litArr(xs: Seq[Double]) = Literal.create(xs, ArrayType(DoubleType))
+    val ev = Int8Quantize(litArr(Seq(1.0, -0.5, 0.25, 0.0))).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.toByteArray().toSeq == Seq[Byte](127, -63, 32, 0))
+    assert(ArrayMaxAbs(litArr(Seq(-3.0, 2.0))).eval(null) == 3.0)
+  }
+
+  test("quantized cosine approximates float cosine (scale invariance)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val err = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(abs(
+        GraftFunctions.cosine(col("a.v"), col("b.v")) -
+        GraftFunctions.cosine(
+          GraftFunctions.quantizeInt8(col("a.v")).cast("array<double>"),
+          GraftFunctions.quantizeInt8(col("b.v")).cast("array<double>")))
+        .as("err"))
+      .agg(max(col("err"))).rows.head.getDouble(0)
+    assert(err < 0.01, s"max |cos - cos_q8| = $err")
+  }
+
+  test("SQL surface: graft_quantize_int8 / graft_maxabs registered") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_quantize_int8(array(1.0d, -0.5d)) AS q, " +
+        "graft_maxabs(array(1.0d, -0.5d)) AS m").rows.head
+    assert(r.getSeq[Byte](0) == Seq[Byte](127, -63))
+    assert(r.getDouble(1) == 1.0)
+  }
 }
