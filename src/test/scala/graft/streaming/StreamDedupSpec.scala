@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.VersionedTable
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupIngestOnce: duplicates collapse across drains within horizon") {
+    val root = Files.createTempDirectory("graft_sdedup_").toString
+    val src = s"$root/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, "dA", "2024-01-01 00:00:01"),
+        (2L, "dA", "2024-01-01 00:00:02"), // in-batch duplicate digest
+        (3L, "dB", "2024-01-01 00:00:03"))
+      .toDF("id", "digest", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    StreamDedup.dedupIngestOnce(spark, src, schema, s"$root/out",
+      s"$root/ckpt", "ts", "1 hour", Seq("digest"))
+    assert(spark.read.parquet(s"$root/out").count() == 2)
+
+    // drain 2: a re-sent digest within the watermark horizon is dropped by
+    // CHECKPOINTED state (cross-micro-batch dedup); a new digest passes
+    Seq((4L, "dA", "2024-01-01 00:10:00"),
+        (5L, "dC", "2024-01-01 00:10:01"))
+      .toDF("id", "digest", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    StreamDedup.dedupIngestOnce(spark, src, schema, s"$root/out",
+      s"$root/ckpt", "ts", "1 hour", Seq("digest"))
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 3)
+    assert(out.select("digest").as[String].collect().sorted.toSeq ==
+      Seq("dA", "dB", "dC"))
+  }
+
+  test("mergeStream: each micro-batch is one MERGE commit, last-writer-wins") {
+    val root = Files.createTempDirectory("graft_smerge_").toString
+    val src = s"$root/src"
+    val table = s"$root/vt/t"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      StreamDedup.mergeStream(spark,
+        spark.readStream.schema(schema).parquet(src), table,
+        keys = Seq("k"), orderCol = "seq", checkpointDir = s"$root/ckpt",
+        deleteCol = Some("is_delete"))
+    }
+
+    // batch 1: insert k1 twice (seq 1 then 2 — last-writer-wins) + k2
+    Seq((1L, "v1-old", 1L, false), (1L, "v1-new", 2L, false),
+        (2L, "v2", 3L, false))
+      .toDF("k", "v", "seq", "is_delete")
+      .write.mode("append").parquet(src)
+    drain()
+    val v1 = VersionedTable.read(spark, table)
+      .as[(Long, String)].collect().toMap
+    assert(v1 == Map(1L -> "v1-new", 2L -> "v2"))
+
+    // batch 2: update k2, delete k1, insert k3 → one new version
+    Seq((2L, "v2-upd", 4L, false), (1L, "", 5L, true),
+        (3L, "v3", 6L, false))
+      .toDF("k", "v", "seq", "is_delete")
+      .write.mode("append").parquet(src)
+    drain()
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    val latest = VersionedTable.read(spark, table)
+      .as[(Long, String)].collect().toMap
+    assert(latest == Map(2L -> "v2-upd", 3L -> "v3"))
+    // time travel still sees the pre-merge state
+    val old = VersionedTable.read(spark, table, Some(1L))
+      .as[(Long, String)].collect().toMap
+    assert(old == Map(1L -> "v1-new", 2L -> "v2"))
+  }
+}
