@@ -25,6 +25,15 @@ object GraftFunctions {
     * (q_i = floor(x_i·127/max|x| + 0.5); zero vector → zeros). */
   def quantizeInt8(vec: Column): Column = VectorFunctions.quantizeInt8(vec)
 
+  /** [[quantizeInt8]] as dense BINARY (one byte per element) — the real
+    * 4× parquet footprint (array<tinyint> elements store as INT32). */
+  def quantizeInt8Binary(vec: Column): Column =
+    VectorFunctions.quantizeInt8Binary(vec)
+
+  /** Codegen'd cosine over two BINARY int8 vectors. */
+  def cosineInt8(a: Column, b: Column): Column =
+    VectorFunctions.cosineInt8(a, b)
+
   /** All banded sign-LSH buckets of a vector in one codegen'd loop over a
     * flat plane matrix (array<long> of length `bands`). */
   def lshBandBuckets(vec: Column, planes: Array[Double], bands: Int,

@@ -112,6 +112,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[writeLshIndex]] with int8-quantized vectors: bucket partitioning
+    * buys partition-pruned probes AND the index stores each vector as a
+    * dense BINARY (one byte per element; array<tinyint> would physically
+    * store INT32 per element in parquet and save nothing) — the probe
+    * reads ~(numPlanes+1)/2^numPlanes of the files at a quarter of the
+    * bytes per file. Cosine's scale invariance means ranking quality is
+    * the quantization error only (|Δcos| < 0.01 at dim 64,
+    * VectorExpressionsSpec). */
+  def writeQuantizedLshIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, numPlanes: Int = 8, dim: Int = 64): Unit = {
+    require(!df.columns.contains("bucket"),
+      "input already has a 'bucket' column; rename it before LSH indexing")
+    df.select(col(idCol),
+        GraftFunctions.quantizeInt8Binary(col(vecCol).cast("array<double>"))
+          .as("q8"),
+        lshBucket(col(vecCol), hyperplanes(numPlanes, dim)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Multi-probe top-k against a [[writeQuantizedLshIndex]] table: the
+    * query is quantized with the same scalar contract and scored against
+    * the int8 binary corpus directly (fused [[GraftFunctions.cosineInt8]]
+    * loop — no dequantization, no array materialization). */
+  def quantizedLshTopKIndexed(spark: SparkSession, path: String,
+      idCol: String, query: Seq[Double], queryBucket: Long, queryId: Long,
+      k: Int, numPlanes: Int = 8): DataFrame = {
+    val qq = VectorQuant.quantizeVec(query).map(_.toByte).toArray
+    val probeBuckets = (0L +: (0 until numPlanes).map(1L << _))
+      .map(queryBucket ^ _)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probeBuckets: _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        GraftFunctions.cosineInt8(col("q8"), typedLit(qq)).as("cos"),
+        col("bucket").cast("long").as("bucket"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Top-k similarity join: for EVERY query vector, its k nearest corpus
     * vectors — the batch form of ANN (SURVEY.md §7.1's "top-k similarity
     * join"). Candidates meet in an equi join on the LSH bucket (multi-probe

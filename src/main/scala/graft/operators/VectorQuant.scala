@@ -18,6 +18,16 @@ import graft.expressions.GraftFunctions
   */
 object VectorQuant {
 
+  /** Driver-side scalar twin of the `Int8Quantize` expression (same
+    * formula, same double ops — bit-identical), for quantizing single
+    * query vectors outside a plan. Returned as doubles so the result
+    * feeds cosine literals directly. */
+  def quantizeVec(v: Seq[Double]): Seq[Double] = {
+    val m = v.foldLeft(0.0)((acc, x) => math.max(acc, math.abs(x)))
+    if (m == 0) v.map(_ => 0.0)
+    else v.map(x => math.floor(x * 127.0 / m + 0.5))
+  }
+
   /** Quantized corpus: (idCol, q8 array<tinyint>, scale double). `scale`
     * is the dequantization factor (x ≈ q·scale); both columns are fused
     * codegen projections over the scan. */

@@ -132,7 +132,8 @@ object ExtQueries {
     * per-rep warehouses). */
   private lazy val indexCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      (lshIndexes.values.map(_._1) ++ ivfIndexes.values ++ ndIndexes.values)
+      (lshIndexes.values.map(_._1) ++ qlshIndexes.values.map(_._1) ++
+        ivfIndexes.values ++ ndIndexes.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -151,6 +152,32 @@ object ExtQueries {
       (p, row.getLong(1), row.getSeq[Double](0))
     })
     Similarity.lshTopKIndexed(s, path, "vec_id", "embedding", qVec, qBucket,
+        queryId = 0L, k = 10, numPlanes = 8)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"), col("bucket"))
+  }
+
+  /** Quantized materialized LSH index: partition-pruned probe over int8
+    * vectors — the 100 TB ANN serving path (pruning AND 4× less IO per
+    * touched file). Bucket choice is identical to q71; ranking runs on
+    * the quantized arrays (exact-integer dots, oracle-stable). */
+  private val qlshIndexes = scala.collection.concurrent
+    .TrieMap.empty[String, (String, Long, Seq[Double])]
+
+  def q92QuantizedLshIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (path, qBucket, qVec) = qlshIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val emb = t(s, dir, "embeddings")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-qlsh-index-").toString
+      Similarity.writeQuantizedLshIndex(emb, "vec_id", "embedding", p,
+        numPlanes = 8, dim = 64)
+      val row = emb.filter(col("vec_id") === 0L).select(
+        col("embedding").cast("array<double>"),
+        Similarity.lshBucket(col("embedding"),
+          Similarity.hyperplanes(8, 64))).collect().head
+      (p, row.getLong(1), row.getSeq[Double](0))
+    })
+    Similarity.quantizedLshTopKIndexed(s, path, "vec_id", qVec, qBucket,
         queryId = 0L, k = 10, numPlanes = 8)
       .select(col("vec_id"), round(col("cos"), 6).as("cos"), col("bucket"))
   }
@@ -468,7 +495,8 @@ object ExtQueries {
     "q85_stratified_sample" -> (q85StratifiedSample _),
     "q86_incremental_neardup" -> (q86IncrementalNearDup _),
     "q90_quantize_int8" -> (q90QuantizeInt8 _),
-    "q91_quantized_topk" -> (q91QuantizedTopK _))
+    "q91_quantized_topk" -> (q91QuantizedTopK _),
+    "q92_quantized_lsh" -> (q92QuantizedLshIndexed _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -549,7 +577,27 @@ object ExtQueries {
        |LIMIT 10""".stripMargin
   }
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracles
+  /** q92: bucket from the FLOAT vector (identical to q32/q71), ranking
+    * over the int8-quantized arrays — the quantized dots are exact
+    * integers in double, so scores are bit-identical across engines. */
+  private lazy val quantizedLshOracleSql: String = {
+    val terms = bucketSql(graft.operators.Similarity.hyperplanes(8, 64), "e")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+       |b AS (SELECT vec_id, e, mx, CAST($terms AS BIGINT) AS bucket FROM mm),
+       |qq AS (SELECT vec_id, bucket, list_transform(e, x -> CASE WHEN mx > 0
+       |  THEN floor(x * 127 / mx + 0.5) ELSE CAST(0 AS DOUBLE) END) AS qv FROM b),
+       |t AS (SELECT qv AS tq, bucket AS qb FROM qq WHERE vec_id = 0)
+       |SELECT qq.vec_id, ROUND(list_cosine_similarity(qq.qv, t.tq), 6) AS cos,
+       |  qq.bucket
+       |FROM qq, t
+       |WHERE qq.vec_id <> 0 AND bit_count(xor(qq.bucket, t.qb)) <= 1
+       |ORDER BY list_cosine_similarity(qq.qv, t.tq) DESC, qq.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
+    Map("q92_quantized_lsh" -> quantizedLshOracleSql)
 
   /** THE threshold function Sampling filters with (not a re-derivation —
     * the oracle must stay bit-identical to the operator by construction);

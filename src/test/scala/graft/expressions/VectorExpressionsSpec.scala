@@ -189,6 +189,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(err < 0.01, s"max |cos - cos_q8| = $err")
   }
 
+  test("binary int8 form: parity with array form, both eval paths") {
+    import spark.implicits._
+    val df = Seq((Seq(0.3, -0.7, 0.2, 0.9), Seq(0.1, 0.5, -0.4, 0.8)))
+      .toDF("a", "b")
+    // binary quantization carries the same bytes as the array form
+    val r = df.select(
+      GraftFunctions.quantizeInt8(col("a")).as("qa"),
+      GraftFunctions.quantizeInt8Binary(col("a")).as("ba"),
+      GraftFunctions.cosineInt8(
+        GraftFunctions.quantizeInt8Binary(col("a")),
+        GraftFunctions.quantizeInt8Binary(col("b"))).as("cb"),
+      GraftFunctions.cosine(
+        GraftFunctions.quantizeInt8(col("a")).cast("array<double>"),
+        GraftFunctions.quantizeInt8(col("b")).cast("array<double>"))
+        .as("ca")).rows.head
+    assert(r.getSeq[Byte](0) == r.getAs[Array[Byte]](1).toSeq)
+    assert(r.getDouble(2) == r.getDouble(3)) // bit-identical cosine
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{CosineInt8, Int8QuantizeBinary}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def litArr(xs: Seq[Double]) = Literal.create(xs, ArrayType(DoubleType))
+    val bin = Int8QuantizeBinary(litArr(Seq(1.0, -0.5))).eval(null)
+      .asInstanceOf[Array[Byte]]
+    assert(bin.toSeq == Seq[Byte](127, -63))
+    val c = CosineInt8(Literal.create(bin), Literal.create(bin)).eval(null)
+    assert(c == 1.0)
+    // zero-norm binary vectors score 0.0, never NaN (top-k safety)
+    val z = Int8QuantizeBinary(litArr(Seq(0.0, 0.0))).eval(null)
+      .asInstanceOf[Array[Byte]]
+    assert(CosineInt8(Literal.create(z), Literal.create(bin)).eval(null) == 0.0)
+  }
+
   test("SQL surface: graft_quantize_int8 / graft_maxabs registered") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -89,6 +89,60 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.rows.map(r => (r.getLong(0), r.getDouble(1))) == direct)
   }
 
+  test("quantized LSH index: pruned probe, smaller files, ranking survives") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qPath = java.nio.file.Files.createTempDirectory("qlsh-idx").toString
+    val fPath = java.nio.file.Files.createTempDirectory("flsh-idx").toString
+    Similarity.writeQuantizedLshIndex(vecs, "vec_id", "embedding", qPath,
+      numPlanes = 8, dim = 64)
+    Similarity.writeLshIndex(vecs, "embedding", fPath, numPlanes = 8, dim = 64)
+    def bytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(f => f.toString.endsWith(".parquet"))
+          .map(_.toFile.length()).sum
+      } finally s.close()
+    }
+    // Footprint check on like-for-like single files (the partitioned
+    // index at this toy scale is per-file-footer-dominated): dense binary
+    // int8 must beat the float arrays by well over 2x on incompressible
+    // data. This is exactly why q8 is BINARY — array<tinyint> stores
+    // INT32 per element in parquet and measured ~1:1 against float here.
+    val colQ = java.nio.file.Files.createTempDirectory("qcol").toString + "/q"
+    val colF = java.nio.file.Files.createTempDirectory("fcol").toString + "/f"
+    vecs.select(graft.expressions.GraftFunctions
+        .quantizeInt8Binary(col("embedding").cast("array<double>")).as("q8"))
+      .coalesce(1).write.parquet(colQ)
+    vecs.select(col("embedding")).coalesce(1).write.parquet(colF)
+    assert(bytes(colQ) < bytes(colF) * 0.45,
+      s"quantized=${bytes(colQ)} float=${bytes(colF)}")
+    val qRow = vecs.filter(col("vec_id") === 0L).select(
+      col("embedding").cast("array<double>"),
+      Similarity.lshBucket(col("embedding"), Similarity.hyperplanes(8, 64)))
+      .rows.head
+    val idx = Similarity.quantizedLshTopKIndexed(spark, qPath, "vec_id",
+      qRow.getSeq[Double](0), qRow.getLong(1), queryId = 0L, k = 5,
+      numPlanes = 8)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on bucket:\n$plan")
+    // quantized ranking tracks the float ranking: same probe set, so the
+    // quantized top-5 sits inside the float top-10 with scores within the
+    // quantization error bound (rank swaps possible only at ~0.01 gaps)
+    val floatIdx = Similarity.lshTopKIndexed(spark, fPath, "vec_id",
+        "embedding", qRow.getSeq[Double](0), qRow.getLong(1), queryId = 0L,
+        k = 10, numPlanes = 8)
+      .rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = idx.rows.map(r => r.getLong(0) -> r.getDouble(1))
+    assert(quant.forall { case (id, c) =>
+      floatIdx.contains(id) && math.abs(floatIdx(id) - c) < 0.02 },
+      s"quant=$quant float=$floatIdx")
+  }
+
   test("topKJoin returns k nearest per query via bucketed candidates") {
     val base = (1 to 64).map(i => math.sin(i.toDouble))
     def jitter(eps: Double) = base.map(v => (v + eps).toFloat)
