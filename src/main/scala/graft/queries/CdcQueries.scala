@@ -68,27 +68,43 @@ object CdcQueries {
     Cdc.snapshotDiff(c, newSnap, Seq("c_custkey"))
   }
 
+  /** MERGE as ONE portable SQL statement (anti-join + union form) — the
+    * Athena/Trino discipline applied to mutation, the way q69/q74 do for
+    * as-of and near-dup. The text is pure ANSI: the SAME string runs on
+    * Spark (here) and DuckDB (the oracle), so the two engines cannot
+    * diverge by construction. Semantically identical to
+    * [[q87MergeUpsert]]'s operator plan. */
+  private val mergeSql: String =
+    """WITH changes AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+      |         'MERGED' AS c_mktsegment, (c_custkey % 12 = 0) AS is_delete
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+      |         'NEWSEG', false
+      |  FROM customer WHERE c_custkey % 50 = 0)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM changes WHERE NOT is_delete""".stripMargin
+
+  def q93SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(mergeSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
-    "q89_snapshot_diff" -> (q89SnapshotDiff _))
+    "q89_snapshot_diff" -> (q89SnapshotDiff _),
+    "q93_sql_merge" -> (q93SqlMerge _))
 
   val oracles: Map[String, String] = Map(
-    "q87_merge_upsert" ->
-      """WITH changes AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
-        |         'MERGED' AS c_mktsegment, (c_custkey % 12 = 0) AS is_delete
-        |  FROM customer WHERE c_custkey % 3 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-        |         'NEWSEG', false
-        |  FROM customer WHERE c_custkey % 50 = 0)
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer
-        |WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM changes WHERE NOT is_delete""".stripMargin,
+    "q93_sql_merge" -> mergeSql,
+    // the operator form must produce exactly what the SQL text declares
+    "q87_merge_upsert" -> mergeSql,
     "q88_scd2" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type

@@ -29,6 +29,35 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain && plain > 0)
   }
 
+  test("selective dim join injects a runtime bloom filter on the fact side") {
+    // The at-scale lever this pins: a selective dimension filter becomes a
+    // bloom filter evaluated inside the FACT scan, so a shuffle join reads
+    // and shuffles only probably-matching fact rows. Thresholds are tuned
+    // for production sizes; lower them so the sf0.001 fixture qualifies.
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = li.join(o, Seq("l_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     Scale.writeBucketed(o.select("o_orderkey", "o_totalprice"),
