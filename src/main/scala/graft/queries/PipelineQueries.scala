@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.operators.ParseFixedWidth
+import graft.pipeline.IncrementalAgg
 import graft.streaming.IncrementalIngest
 
 /** Query entries for the multimodal plumbing and the streaming-shaped
@@ -98,6 +99,26 @@ object PipelineQueries {
       .select(col("window_start").cast("long").as("ws"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Incremental gold refresh proven equivalent to a full recompute: the
+    * standing aggregate (days 1-19) merged with the new increment's
+    * aggregate (days 20+) must hash-match the oracle's one-shot full
+    * GROUP BY — the recompute-equivalence contract that makes O(day)
+    * daily maintenance safe. Counts merge as sums; the decimal total
+    * merges exactly; min/max are order-insensitive. */
+  def q94IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def aggOf(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val gold = aggOf(e.filter(dayofmonth(col("ts")) < 20))
+    val inc = aggOf(e.filter(dayofmonth(col("ts")) >= 20))
+    IncrementalAgg.merge(gold, inc, keys = Seq("event_type"),
+        sums = Seq("n", "total"), mins = Seq("vmin"), maxs = Seq("vmax"))
+      .select(col("event_type"), col("n"),
+        col("total").cast("double").as("total"), col("vmin"), col("vmax"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_media_stats" -> (q34MediaStats _),
     "q35_frame_sample" -> (q35FrameSample _),
@@ -106,9 +127,16 @@ object PipelineQueries {
     "q38_windowed_agg" -> (q38WindowedAgg _),
     "q66_parse_stations" -> (q66ParseStations _),
     "q67_parse_inventory" -> (q67ParseInventory _),
-    "q72_jsonl_docs" -> (q72JsonlDocs _))
+    "q72_jsonl_docs" -> (q72JsonlDocs _),
+    "q94_incremental_agg" -> (q94IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q94_incremental_agg" ->
+      // full one-shot recompute — the incremental merge must equal it
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | MIN(value) AS vmin, MAX(value) AS vmax
+        |FROM events GROUP BY event_type""".stripMargin,
     "q34_media_stats" ->
       """SELECT doc_id AS media_id,
         | (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
