@@ -59,6 +59,26 @@ object OperatorProps extends Properties("graft.operators") {
   // Hot-key aggregation skew tool: the salted two-phase form must be
   // BIT-identical to the plain aggregate on arbitrary data (the decimal
   // accumulation makes the claim exact, not approximate).
+  property("int8 quantization: positive-scale invariance, range, idempotent shape") =
+    Prop.forAll(
+      Gen.choose(1, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-10.0, 10.0))),
+      Gen.choose(0.001, 1000.0)) { (v, c) =>
+      import spark.implicits._
+      def q(xs: Seq[Double]): Seq[Byte] =
+        Seq(xs).toDF("v")
+          .select(graft.expressions.GraftFunctions.quantizeInt8(col("v")))
+          .collect().head.getSeq[Byte](0)
+      val base = q(v)
+      val scaled = q(v.map(_ * c))
+      // cosine's scale invariance holds through quantization because the
+      // quantizer itself is scale-invariant (m scales with the vector)
+      Prop(base == scaled) :| s"q(v) = $base but q(${c}·v) = $scaled" &&
+        Prop(base.forall(b => b >= -127 && b <= 127)) :| "range exceeded" &&
+        Prop(v.forall(_ == 0.0) || base.exists(b => b == 127 || b == -127))
+          .:|("max-|x| element must hit ±127")
+    }
+
   property("saltedSumCount == plain sum/count bit-for-bit") = {
     import graft.operators.Scale
     val rowsGen = Gen.nonEmptyListOf(for {
