@@ -51,6 +51,12 @@ object GraftFunctions {
   def wordShingles(tokens: Column, n: Int): Column =
     TextExpressionFunctions.wordShingles(tokens, n)
 
+  /** Codegen'd fixed-size token windows with stride (context-length
+    * chunking; overlap = size − stride, partial tail kept, fully
+    * overlapped tails suppressed). */
+  def tokenChunks(tokens: Column, size: Int, stride: Int): Column =
+    TextExpressionFunctions.tokenChunks(tokens, size, stride)
+
   /** Single-pass language ID over raw text (distinct profile-word counts
     * per language via bitmask popcount, alphabetical tie-break). */
   def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =

@@ -460,6 +460,17 @@ object ExtQueries {
         "vec_id", queryId = 0L, k = 20)
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))
 
+  /** Context-length chunking: every document split into 50-token windows
+    * with stride 40 (10-token overlap), scan-side via the codegen'd
+    * [[graft.expressions.GraftFunctions.tokenChunks]] — the explode
+    * emits finished chunks with no exchange, the same discipline as the
+    * shingle pipeline. */
+  def q95ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      posexplode(graft.expressions.GraftFunctions.tokenChunks(
+        TextFunctions.tokens(col("text")), size = 50, stride = 40))
+        .as(Seq("chunk_id", "chunk")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_text_quality" -> (q21TextQuality _),
@@ -496,7 +507,8 @@ object ExtQueries {
     "q86_incremental_neardup" -> (q86IncrementalNearDup _),
     "q90_quantize_int8" -> (q90QuantizeInt8 _),
     "q91_quantized_topk" -> (q91QuantizedTopK _),
-    "q92_quantized_lsh" -> (q92QuantizedLshIndexed _))
+    "q92_quantized_lsh" -> (q92QuantizedLshIndexed _),
+    "q95_chunk_docs" -> (q95ChunkDocs _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -597,7 +609,25 @@ object ExtQueries {
   }
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
-    Map("q92_quantized_lsh" -> quantizedLshOracleSql)
+    Map("q92_quantized_lsh" -> quantizedLshOracleSql,
+      "q95_chunk_docs" ->
+        // chunk count ⌈max(1, n−size+stride)/stride⌉ — the Spark
+        // expression's no-fully-overlapped-tail rule; slices clamp at n
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, t, len(t) AS n,
+          |    CASE WHEN len(t) = 0 THEN 0
+          |         ELSE greatest(0, len(t) - 50 + 40 - 1) // 40 + 1 END AS nch
+          |  FROM toks),
+          |s AS (
+          |  SELECT doc_id, t, n,
+          |    unnest(generate_series(0, nch - 1)) AS chunk_id
+          |  FROM c WHERE nch > 0)
+          |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+          |  array_to_string(t[chunk_id * 40 + 1 : least(chunk_id * 40 + 50, n)], ' ') AS chunk
+          |FROM s""".stripMargin)
 
   /** THE threshold function Sampling filters with (not a re-derivation —
     * the oracle must stay bit-identical to the operator by construction);

@@ -134,6 +134,84 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fixed-size token windows with a stride — the context-length chunking a
+  * training corpus needs ([[WordShingles]] with stride and a partial tail
+  * chunk; a document shorter than `size` yields one chunk). Chunk i
+  * covers tokens [i·stride, i·stride + size); the last chunk may be
+  * short; overlap = size − stride. A window is emitted only if it
+  * contributes at least one token beyond the previous window's coverage
+  * (a fully-overlapped tail would duplicate training data), so the chunk
+  * count is ⌈max(1, n − size + stride)/stride⌉. Same scan-side
+  * per-row-loop rationale as WordShingles — the explode emits finished
+  * chunks with no exchange and no interpreted HOF lambdas. */
+case class TokenChunks(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  require(size >= 1 && stride >= 1 && stride <= size,
+    s"need 1 <= stride <= size, got size=$size stride=$stride")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val count =
+      if (n == 0) 0 else (math.max(0, n - size + stride - 1) / stride) + 1
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    var i = 0
+    while (i < count) {
+      val start = i * stride
+      val len = math.min(size, n - start)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var j = 0
+      while (j < len) {
+        if (!arr.isNullAt(start + j)) parts(j) = arr.getUTF8String(start + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toIndexedSeq)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sepRef = ctx.addReferenceObj("chunkSep",
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        "UTF8String")
+      val n = ctx.freshName("n")
+      val count = ctx.freshName("count")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val start = ctx.freshName("start")
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $a.numElements();
+         |int $count = $n == 0 ? 0
+         |  : ((java.lang.Math.max(0, $n - $size + $stride - 1) / $stride) + 1);
+         |UTF8String[] $out = new UTF8String[$count];
+         |for (int $i = 0; $i < $count; $i++) {
+         |  int $start = $i * $stride;
+         |  int $len = java.lang.Math.min($size, $n - $start);
+         |  UTF8String[] $parts = new UTF8String[$len];
+         |  for (int $j = 0; $j < $len; $j++) {
+         |    $parts[$j] = $a.isNullAt($start + $j)
+         |      ? null : $a.getUTF8String($start + $j);
+         |  }
+         |  $out[$i] = UTF8String.concatWs($sepRef, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
 /** Language ID over raw text in ONE pass: tokenize by the exact `\s`
   * separator class `split` uses, look each token up in a static
   * word→(lang, bit) table, and count DISTINCT profile words per language
@@ -307,6 +385,10 @@ object TextExpressionFunctions {
 
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
+
+  def tokenChunks(tokens: Column, size: Int, stride: Int): Column =
+    ExpressionUtils.column(TokenChunks(
+      ExpressionUtils.expression(tokens), size, stride))
 
   def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LanguageIdExpr(

@@ -545,6 +545,16 @@ object VectorFunctions {
         }
         WordShingles(exprs(0), n)
       }, "built-in")
+    registry.createOrReplaceTempFunction("graft_token_chunks",
+      exprs => {
+        // size and stride must be int literals
+        def intLit(e: Expression, name: String): Int = e.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_token_chunks $name must be an int literal, got $other")
+        }
+        TokenChunks(exprs(0), intLit(exprs(1), "size"), intLit(exprs(2), "stride"))
+      }, "built-in")
     registry.createOrReplaceTempFunction("graft_language_id",
       exprs => LanguageIdExpr(exprs(0),
         graft.functions.TextFunctions.langProfiles.sortBy(_._1)), "built-in")

@@ -140,4 +140,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.rollingHash(lit("a b c"))) ==
       one(TextFunctions.rollingHash(lit("a b c"))))
   }
+
+  test("tokenChunks: windows, overlap, tail rules, both eval paths") {
+    import graft.expressions.GraftFunctions
+    def chunksOf(toks: Seq[String], size: Int, stride: Int): Seq[String] =
+      spark.range(1).select(
+        GraftFunctions.tokenChunks(typedLit(toks), size, stride).as("c"))
+        .rows.head.getSeq[String](0)
+    val t10 = (1 to 10).map(i => s"w$i")
+    // stride < size: 10-token overlap windows; NO fully-overlapped tail
+    assert(chunksOf(t10, 4, 2) == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    // stride == size: exact partition — concatenation rebuilds the doc
+    assert(chunksOf(t10, 5, 5).mkString(" ") == t10.mkString(" "))
+    // partial tail kept; short doc = one chunk; empty = none
+    assert(chunksOf(t10, 4, 4) == Seq(
+      "w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(chunksOf(Seq("a", "b"), 50, 40) == Seq("a b"))
+    assert(chunksOf(Seq.empty[String], 4, 2).isEmpty)
+    // every token appears in at least one chunk (coverage)
+    val covered = chunksOf(t10, 7, 3).flatMap(_.split(" ")).toSet
+    assert(covered == t10.toSet)
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.TokenChunks
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val ev = TokenChunks(
+        Literal.create(t10, ArrayType(StringType)), 4, 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.toObjectArray(StringType).map(_.toString).toSeq ==
+      chunksOf(t10, 4, 2))
+    // SQL registration with literal size/stride
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_token_chunks(array('a','b','c'), 2, 1) AS c")
+      .rows.head.getSeq[String](0)
+    assert(viaSql == Seq("a b", "b c"))
+  }
 }
