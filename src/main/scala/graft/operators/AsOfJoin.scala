@@ -23,16 +23,24 @@ object AsOfJoin {
     * appear in the output as `asof_<name>` (null when no right row precedes
     * the left row). The tie-break columns (one per side — each side only
     * sees its own schema) must totally order rows within (key, ts) for
-    * deterministic results. */
+    * deterministic results.
+    *
+    * `within` is the pandas-merge_asof tolerance: a predicate over
+    * (left ts, matched right ts) — when present, a carried match that
+    * fails it nulls out (e.g. only purchases in the last 24 h count).
+    * Tolerance costs nothing extra: the matched ts rides inside the
+    * already-carried struct, so the plan is still one union + one window
+    * pass. */
   def leftAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, valueCols: Seq[String], leftTieBreak: Column,
-      rightTieBreak: Column): DataFrame = {
+      rightTieBreak: Column,
+      within: Option[(Column, Column) => Column] = None): DataFrame = {
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(
         col(tsCol),
         lit(0).as("__src"),
         rightTieBreak.as("__tb"),
-        struct(valueCols.map(col): _*).as("__rv")): _*)
+        struct(valueCols.map(col) :+ col(tsCol).as("__rts"): _*).as("__rv")): _*)
     val lTagged = left
       .withColumn("__src", lit(1))
       .withColumn("__tb", leftTieBreak)
@@ -45,6 +53,11 @@ object AsOfJoin {
       .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
       .select(left.columns.toIndexedSeq.map(col) ++
-        valueCols.map(v => col(s"__carried.$v").as(s"asof_$v")): _*)
+        valueCols.map { v =>
+          val carried = col(s"__carried.$v")
+          within
+            .map(p => when(p(col(tsCol), col("__carried.__rts")), carried))
+            .getOrElse(carried).as(s"asof_$v")
+        }: _*)
   }
 }

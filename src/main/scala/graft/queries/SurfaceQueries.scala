@@ -145,9 +145,29 @@ object SurfaceQueries {
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
 
+  /** [[q56AsofJoin]] with a 24-hour tolerance window: a carried purchase
+    * older than a day nulls out (pandas merge_asof `tolerance`). Same
+    * one-union-one-window plan — the matched ts rides in the carried
+    * struct. */
+  def q96AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.leftAsOf(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("value"),
+        leftTieBreak = col("event_id"), rightTieBreak = col("event_id"),
+        within = Some((lts, rts) =>
+          lts.cast("long") - rts.cast("long") <= 86400L))
+      .select(col("event_id"), col("user_id"),
+        col("asof_value").as("recent_purchase_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
+    "q96_asof_tolerance" -> (q96AsofTolerance _),
     "q69_sql_asof" -> (q69SqlAsof _),
     "q70_salted_join" -> (q70SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
@@ -166,6 +186,18 @@ object SurfaceQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "q56_asof_join" ->
       """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q96_asof_tolerance" ->
+      // whole-second floors on both engines: Spark's timestamp->long cast
+      // truncates to seconds, so the oracle compares floor(epoch) too
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN CAST(floor(epoch(c.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(p.ts)) AS BIGINT) <= 86400
+        |       THEN p.value END AS recent_purchase_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |      FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

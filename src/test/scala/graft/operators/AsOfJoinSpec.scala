@@ -31,6 +31,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getLong(4) == 5L && out(1).getLong(4) == 7L)
   }
 
+  test("within tolerance: stale matches null out, boundary is inclusive") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:10")), // quote 10s old, within 10s
+      (2L, "A", ts("2024-01-01 10:00:30")), // quote 30s old -> nulled
+      (3L, "A", ts("2024-01-01 09:00:00"))  // no quote at all -> null
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("sym", "ts", "price")
+    val out = AsOfJoin.leftAsOf(trades, quotes, Seq("sym"), "ts",
+        Seq("price"), col("trade_id"), lit(0L),
+        within = Some((l, r) => l.cast("long") - r.cast("long") <= 10L))
+      .orderBy("trade_id").rows
+    assert(out.map(r => (r.getLong(0), Option(r.get(3)))) == Seq(
+      (1L, Some(100.0)), (2L, None), (3L, None)))
+  }
+
   test("all carried columns always come from one right row") {
     val left = Seq((1L, "K", ts("2024-01-01 00:00:10"))).toDF("id", "k", "ts")
     val right = Seq(
