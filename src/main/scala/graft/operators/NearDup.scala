@@ -19,6 +19,33 @@ import graft.functions.TextFunctions
   */
 object NearDup {
 
+  /** Probability a pair with Jaccard similarity `s` becomes an LSH
+    * candidate under (bands, rowsPerBand) banding: 1 − (1 − s^r)^b — the
+    * curve LshRecallProps measures against. */
+  def candidateProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Pick (bands, rowsPerBand) for a target similarity threshold within a
+    * signature budget: among all b·r ≤ maxHashes, minimize the distance of
+    * the banding's S-curve threshold (1/b)^(1/r) to the target (ties →
+    * larger signature = sharper curve, then more rows per band = fewer
+    * false candidates). This is how a caller sizes the banding before
+    * paying for a corpus pass — at 100 TB, re-running with bad parameters
+    * is the expensive mistake. */
+  def lshParams(targetThreshold: Double, maxHashes: Int): (Int, Int) = {
+    require(targetThreshold > 0 && targetThreshold < 1 && maxHashes >= 2,
+      s"need 0 < threshold < 1 and maxHashes >= 2")
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      if b * r >= 2
+    } yield (b, r)
+    candidates.minBy { case (b, r) =>
+      val curveThreshold = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(curveThreshold - targetThreshold), -(b * r), -r)
+    }
+  }
+
   /** Word n-gram shingles of a token array (n=1 → token set). Column form,
     * for composing inside other expressions; corpus-scale paths use
     * [[shingleRows]] instead (HOF lambdas evaluate interpreted).

@@ -87,4 +87,24 @@ class NearDupSpec extends SparkSpec {
       shingleSize = 2, threshold = 0.9, maxDocFreq = 5)
     assert(out.count() == 0) // every shingle has df=20 > 5
   }
+
+  test("lshParams hits the S-curve threshold within the hash budget") {
+    // (1/b)^(1/r) = 0.5 exactly at b=4, r=2 within a 16-hash budget
+    assert(NearDup.lshParams(0.5, 16) == ((4, 2)))
+    // every choice respects the budget and lands near the target
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); budget <- Seq(8, 16, 64)) {
+      val (b, r) = NearDup.lshParams(t, budget)
+      assert(b * r <= budget && b >= 1 && r >= 1)
+      val curve = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(curve - t) < 0.15,
+        s"target $t budget $budget -> (b=$b, r=$r) curve $curve")
+    }
+    // the probability curve: 0 at s=0, 1 at s=1, monotone increasing
+    assert(NearDup.candidateProbability(0.0, 4, 2) == 0.0)
+    assert(NearDup.candidateProbability(1.0, 4, 2) == 1.0)
+    val probs = (0 to 10).map(i => NearDup.candidateProbability(i / 10.0, 4, 2))
+    assert(probs.sliding(2).forall { case Seq(a, b) => a <= b })
+    // at the curve threshold the candidate probability is substantial
+    assert(NearDup.candidateProbability(0.5, 4, 2) > 0.5)
+  }
 }
