@@ -471,6 +471,28 @@ object ExtQueries {
         TextFunctions.tokens(col("text")), size = 50, stride = 40))
         .as(Seq("chunk_id", "chunk")))
 
+  /** Chunk-then-pack planning: the context-prep composition — every doc's
+    * 50/40 chunk stream (counts via the TokenChunks tail rule, exact
+    * integer arithmetic) packed into 512-token bins per shard. The whole
+    * plan is scan-side projections + one sharded window; no join, no
+    * global ordering. */
+  def q97ChunkPack(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n"))
+    val chunks = base
+      // nch − 1 = greatest(n − size + stride − 1, 0) div stride
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr("greatest(n - 11, 0) div 40"))))
+      .select(
+        (col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        (col("doc_id") % 8).cast("int").as("shard"),
+        least(lit(50L), col("n") - col("chunk_id") * 40).cast("int")
+          .as("n_tokens"))
+    Packing.packBins(chunks, "cid", "n_tokens", Seq("shard"),
+        targetTokens = 512)
+      .select(col("shard"), col("cid"), col("n_tokens"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> (q20TokenStats _),
     "q21_text_quality" -> (q21TextQuality _),
@@ -508,7 +530,8 @@ object ExtQueries {
     "q90_quantize_int8" -> (q90QuantizeInt8 _),
     "q91_quantized_topk" -> (q91QuantizedTopK _),
     "q92_quantized_lsh" -> (q92QuantizedLshIndexed _),
-    "q95_chunk_docs" -> (q95ChunkDocs _))
+    "q95_chunk_docs" -> (q95ChunkDocs _),
+    "q97_chunk_pack" -> (q97ChunkPack _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -610,6 +633,28 @@ object ExtQueries {
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
     Map("q92_quantized_lsh" -> quantizedLshOracleSql,
+      "q97_chunk_pack" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, n,
+          |    unnest(generate_series(0, greatest(n - 11, 0) // 40)) AS chunk_id
+          |  FROM t),
+          |ch AS (
+          |  SELECT doc_id * 1000 + chunk_id AS cid,
+          |    CAST(doc_id % 8 AS INTEGER) AS shard,
+          |    CAST(least(50, n - chunk_id * 40) AS INTEGER) AS n_tokens
+          |  FROM s),
+          |w AS (
+          |  SELECT shard, cid, n_tokens,
+          |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY cid
+          |      ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM ch)
+          |SELECT shard, cid, n_tokens,
+          |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+          |FROM w""".stripMargin,
       "q95_chunk_docs" ->
         // chunk count ⌈max(1, n−size+stride)/stride⌉ — the Spark
         // expression's no-fully-overlapped-tail rule; slices clamp at n
