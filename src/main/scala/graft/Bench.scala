@@ -82,19 +82,61 @@ object Bench {
     val pipeJson =
       if (pipeTimes.isEmpty) "\"err\"" else pipeTimes.min.toString
 
+    // End-to-end training-corpus prep (lang/quality filter → exact dedup →
+    // near-dup dedup → context chunking → 512-token packing → parquet) —
+    // the composed LLM-data path, timed cold per rep like pipeline_e2e so
+    // the extension surface's throughput regressions also hit the gate.
+    def runCorpus(src: String): Double = {
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_corpus_")
+      val t0 = System.nanoTime()
+      try {
+        val docs = Tables.load(spark, src, "documents")
+        val cleaned = graft.operators.DocPipeline
+          .clean(docs, "doc_id", "text", collectStats = false).cleaned
+        val chunks = cleaned.select(col("doc_id"),
+          posexplode(graft.expressions.GraftFunctions.tokenChunks(
+            graft.functions.TextFunctions.tokens(col("text")), 50, 40))
+            .as(Seq("chunk_id", "chunk")))
+          .select(
+            (col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+            (col("doc_id") % 8).cast("int").as("shard"),
+            col("chunk"),
+            size(split(col("chunk"), "\\s+")).as("n_tokens"))
+        graft.operators.Packing
+          .packBins(chunks, "cid", "n_tokens", Seq("shard"), 512)
+          .write.mode("overwrite").parquet(out.toString + "/packed")
+        (System.nanoTime() - t0) / 1e9
+      } finally graft.util.Fs.deleteRecursively(out.toFile)
+    }
+    if (new java.io.File(warmupDir).isDirectory) {
+      try runCorpus(warmupDir) catch { case _: Throwable => () }
+    }
+    val corpusTimes = (1 to reps).flatMap { _ =>
+      try Some(runCorpus(sfDir))
+      catch { case e: Throwable => System.err.println(
+        s"BENCH ERR corpus_e2e: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val corpusJson =
+      if (corpusTimes.isEmpty) "\"err\"" else corpusTimes.min.toString
+
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
     val errs = (results.collect { case (k, Left(_)) => "\"" + k + "\"" } ++
-      (if (pipeTimes.isEmpty) Seq("\"pipeline_e2e\"") else Nil))
+      (if (pipeTimes.isEmpty) Seq("\"pipeline_e2e\"") else Nil) ++
+      (if (corpusTimes.isEmpty) Seq("\"corpus_e2e\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // An erroring query must fail the run: its 0-contribution would
     // otherwise make a regression-to-throw read as a faster total.
-    val nErrs = results.count(_._2.isLeft) + (if (pipeTimes.isEmpty) 1 else 0)
+    val nErrs = results.count(_._2.isLeft) + (if (pipeTimes.isEmpty) 1 else 0) +
+      (if (corpusTimes.isEmpty) 1 else 0)
     if (nErrs > 0) {
       System.err.println(s"BENCH FAILED: $nErrs entries errored")
       sys.exit(2)

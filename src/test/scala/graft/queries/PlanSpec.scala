@@ -42,4 +42,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
     assert(p.split("HashAggregate").length >= 3, p) // partial + final
   }
+
+  test("q95 chunking is scan-side: zero exchanges in the whole plan") {
+    val p = plan("q95_chunk_docs")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_token_chunks"), p) // codegen expression in use
+  }
+
+  test("q87 merge broadcasts the change-set key side of the anti join") {
+    val p = plan("q87_merge_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q91 quantized top-k: quantization inside the scan projection, " +
+      "broadcast query, TakeOrderedAndProject") {
+    val p = plan("q91_quantized_topk")
+    assert(p.contains("graft_quantize_int8"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
