@@ -74,6 +74,35 @@ object Ivf {
     withCluster(df, vecCol, m)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** [[writeIndex]] with int8-binary vectors (the IVF analog of
+    * [[Similarity.writeQuantizedLshIndex]]): cluster partition pruning AND
+    * each probed file a quarter the bytes — dense BINARY, because parquet
+    * stores array<tinyint> elements as INT32. */
+  def writeQuantizedIndex(df: DataFrame, idCol: String, vecCol: String,
+      m: Model, path: String): Unit =
+    withCluster(df, vecCol, m)
+      .select(col(idCol),
+        GraftFunctions.quantizeInt8Binary(col(vecCol).cast("array<double>"))
+          .as("q8"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Probe-limited top-k against a [[writeQuantizedIndex]] table: the
+    * query is quantized with the same scalar contract and scored against
+    * the int8 binary corpus in one fused loop. */
+  def quantizedTopKIndexed(spark: SparkSession, path: String, idCol: String,
+      query: IndexedSeq[Double], m: Model, queryId: Long, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probes = m.nearestClusters(query, nProbe)
+    val qq = VectorQuant.quantizeVec(query).map(_.toByte).toArray
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("cluster"),
+        GraftFunctions.cosineInt8(col("q8"), typedLit(qq)).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Lloyd's k-means with deterministic init (the k lowest-id vectors) and
     * a fixed iteration count. Per round: one projection (assignment) + one
     * posexplode aggregation; k × dim doubles collected. */

@@ -133,7 +133,7 @@ object ExtQueries {
   private lazy val indexCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       (lshIndexes.values.map(_._1) ++ qlshIndexes.values.map(_._1) ++
-        ivfIndexes.values ++ ndIndexes.values)
+        ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -248,6 +248,27 @@ object ExtQueries {
       p
     })
     Ivf.topKIndexed(s, path, "vec_id", "embedding", ctx.queryVec, ctx.model,
+        queryId = 0L, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Quantized IVF index probe: cluster partition pruning over int8
+    * binary vectors — the probed files are a quarter the bytes of q68's
+    * (the q92 treatment applied to the IVF family). */
+  private val qivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q98QuantizedIvf(s: SparkSession, dir: String): DataFrame = {
+    val ctx = ivfCtx(s, dir)
+    val path = qivfIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-qivf-index-").toString
+      Ivf.writeQuantizedIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ctx.model, p)
+      p
+    })
+    Ivf.quantizedTopKIndexed(s, path, "vec_id", ctx.queryVec, ctx.model,
         queryId = 0L, k = 10, nProbe = 2)
       .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
   }
@@ -531,7 +552,8 @@ object ExtQueries {
     "q91_quantized_topk" -> (q91QuantizedTopK _),
     "q92_quantized_lsh" -> (q92QuantizedLshIndexed _),
     "q95_chunk_docs" -> (q95ChunkDocs _),
-    "q97_chunk_pack" -> (q97ChunkPack _))
+    "q97_chunk_pack" -> (q97ChunkPack _),
+    "q98_quantized_ivf" -> (q98QuantizedIvf _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -593,8 +615,27 @@ object ExtQueries {
            |  SELECT 1 FROM a b
            |  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
            |    AND list_cosine_similarity(b.e, a.e) > 0.2)""".stripMargin
+      // q98: same cluster assignment + probe set, ranking over the
+      // int8-quantized vectors (exact-integer dots — oracle-stable)
+      val qsql =
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |d AS (SELECT vec_id, e, $dCols FROM v),
+           |a AS (SELECT vec_id, e, CASE $cases END AS cluster
+           |      FROM (SELECT *, $least AS mn FROM d)),
+           |mm AS (SELECT vec_id, cluster, e,
+           |  list_max(list_transform(e, x -> abs(x))) AS mx FROM a),
+           |qq AS (SELECT vec_id, cluster, list_transform(e, x ->
+           |  CASE WHEN mx > 0 THEN floor(x * 127 / mx + 0.5)
+           |       ELSE CAST(0 AS DOUBLE) END) AS qv FROM mm),
+           |t AS (SELECT qv AS tq FROM qq WHERE vec_id = 0)
+           |SELECT qq.vec_id, qq.cluster,
+           |  ROUND(list_cosine_similarity(qq.qv, t.tq), 6) AS cos
+           |FROM qq, t
+           |WHERE qq.cluster IN (${ctx.probes.mkString(", ")}) AND qq.vec_id <> 0
+           |ORDER BY list_cosine_similarity(qq.qv, t.tq) DESC, qq.vec_id
+           |LIMIT 10""".stripMargin
       Map("q59_ivf_topk" -> sql, "q68_ivf_indexed" -> sql,
-        "q84_semantic_dedup" -> semdedup)
+        "q84_semantic_dedup" -> semdedup, "q98_quantized_ivf" -> qsql)
     }
 
   /** Multi-probe = Hamming<=1 between query and candidate buckets; shared

@@ -60,6 +60,27 @@ class IvfSpec extends SparkSpec {
     assert(idx.rows.map(r => (r.getLong(0), r.getDouble(2))) == direct)
   }
 
+  test("quantized index: pruned probe, ranking survives quantization") {
+    val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("qivf-idx").toString
+    Ivf.writeQuantizedIndex(corpus, "vec_id", "embedding", m, path)
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).collect()
+      .head.getSeq[Double](0).toIndexedSeq
+    val idx = Ivf.quantizedTopKIndexed(spark, path, "vec_id", q, m,
+      queryId = 0L, k = 2, nProbe = 1)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on cluster:\n$plan")
+    // same probed cell, same neighbors as the float index; scores within
+    // the quantization error bound
+    val direct = Ivf.topK(corpus, "vec_id", "embedding", m, queryId = 0L,
+      k = 2, nProbe = 1).rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val quant = idx.rows.map(r => r.getLong(0) -> r.getDouble(2))
+    assert(quant.map(_._1).toSet == direct.keySet)
+    assert(quant.forall { case (id, c) => math.abs(direct(id) - c) < 0.02 })
+  }
+
   test("topK probes the query's cell and ranks by cosine") {
     val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 4)
     val out = Ivf.topK(corpus, "vec_id", "embedding", m, queryId = 0L,
