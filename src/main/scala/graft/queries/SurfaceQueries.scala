@@ -164,10 +164,30 @@ object SurfaceQueries {
         col("asof_value").as("recent_purchase_value"))
   }
 
+  /** One-pass per-column profiling over the fact table (n, nulls, exact
+    * distinct, min/max) — the ingest health check, all columns in one
+    * aggregation over one scan. */
+  def q99Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.summary(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .withColumnRenamed("column", "col_name")
+
+  /** Hourly gap-fill over the event stream: dense per-type series with
+    * carried-forward totals (the sparse→dense step before windowed
+    * consumers). */
+  def q100GapFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.gapFillHourly(
+        t(s, dir, "events"), "event_type", "ts", "value")
+      .select(col("event_type"),
+        unix_timestamp(col("bucket")).as("hour_ts"),
+        col("n"), col("total"), col("filled_total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
     "q96_asof_tolerance" -> (q96AsofTolerance _),
+    "q99_profile" -> (q99Profile _),
+    "q100_gapfill" -> (q100GapFill _),
     "q69_sql_asof" -> (q69SqlAsof _),
     "q70_salted_join" -> (q70SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
@@ -180,6 +200,35 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q99_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($c) AS mn, MAX($c) AS mx FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "q100_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+        |      FROM hourly GROUP BY 1),
+        |sc AS (SELECT event_type,
+        |         unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS h
+        |       FROM b),
+        |j AS (SELECT sc.event_type, sc.h, hourly.n, hourly.total
+        |      FROM sc LEFT JOIN hourly
+        |        ON sc.event_type = hourly.event_type AND sc.h = hourly.h)
+        |SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_ts,
+        |  COALESCE(n, 0) AS n, total,
+        |  last_value(total IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY h ROWS UNBOUNDED PRECEDING) AS filled_total
+        |FROM j""".stripMargin,
     "q43_expr_join" ->
       """SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS day_of_week,
         | COUNT(*) AS n_events

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Profile.summary: one pass, exact stats, nulls counted") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 10.0))
+      .toDF("a", "b")
+    val out = Profile.summary(df, Seq("a", "b"))
+      .orderBy("column")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 1L, 2L, 1.0, 2.0),
+      ("b", 4L, 1L, 2L, 10.0, 30.0)))
+    // single aggregation over a single scan (one pass — Expand for the
+    // multi-column distinct is allowed, a second FileScan is not)
+    val plan = Profile.summary(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllMatchIn(plan).size <= 1, plan)
+  }
+
+  test("gapFillHourly: dense buckets, zero counts, carried totals") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("x", ts("2024-01-01 00:10:00"), 1.0),
+      ("x", ts("2024-01-01 00:40:00"), 2.0),
+      // hours 01 and 02 are gaps
+      ("x", ts("2024-01-01 03:20:00"), 4.0),
+      ("y", ts("2024-01-01 05:00:00"), 9.0)
+    ).toDF("k", "ts", "v")
+    val out = Resample.gapFillHourly(ev, "k", "ts", "v")
+      .orderBy("k", "bucket")
+      .select(col("k"), hour(col("bucket")).as("h"), col("n"),
+        col("filled_total"))
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("x", 0, 2L, 3.0),  // two events, sum 3
+      ("x", 1, 0L, 3.0),  // gap: carried
+      ("x", 2, 0L, 3.0),  // gap: carried
+      ("x", 3, 1L, 4.0),  // new observation replaces the carry
+      ("y", 5, 1L, 9.0))) // single-bucket key: no scaffold beyond range
+  }
+}
