@@ -88,8 +88,29 @@ object Cdc {
     val touched = changes.select(col(partitionCol)).distinct()
     val base = Medallion.readTable(spark, wh, zone, name)
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
-    val merged = merge(base, changes, keys, deleteCol)
+    // checkpoint: the merge result feeds BOTH the write and the
+    // emptied-partition check below; recomputing it per consumer would
+    // double the merge work.
+    val merged = merge(base, changes, keys, deleteCol).localCheckpoint()
     Medallion.overwritePartitions(merged, wh, zone, name, Seq(partitionCol))
+    // Dynamic overwrite only replaces partitions PRESENT in the written
+    // frame: a touched partition whose rows were all deleted has no rows
+    // in `merged`, so its old directory would silently survive. Both
+    // sides of the diff are bounded (one value per touched partition).
+    // Compare CANONICAL STRINGS: partition-column type inference reads a
+    // date-shaped string partition back as DATE, so raw values from the
+    // base and change sides would never compare equal.
+    val touchedVals = touched.select(col(partitionCol).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val remaining = merged.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    (touchedVals -- remaining).foreach { v =>
+      val dir = java.nio.file.Paths
+        .get(wh.table(zone, name), s"$partitionCol=$v")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        graft.util.Fs.deleteRecursively(dir.toFile)
+      }
+    }
   }
 
   /** SCD type-2 history from a change log: one row per state interval.

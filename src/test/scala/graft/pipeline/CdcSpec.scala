@@ -86,6 +86,26 @@ class CdcSpec extends SparkSpec {
     assert(after.filter($"k" === 2L).select("v").as[Double].head() == 22.0)
   }
 
+  test("mergePartitioned removes a partition whose rows were all deleted") {
+    val root = Files.createTempDirectory("graft_cdc_del_").toString
+    val wh = Warehouse(root)
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("k", "day", "v")
+    Medallion.writeTable(df, wh, Medallion.Silver, "t",
+      partitionBy = Seq("day"))
+    // delete the only row of day 2: dynamic overwrite alone would leave
+    // the stale directory in place
+    val changes = Seq((2L, "2024-01-02", 2.0, true))
+      .toDF("k", "day", "v", "is_delete")
+    Cdc.mergePartitioned(spark, wh, Medallion.Silver, "t", "day", changes,
+      Seq("k"), Some("is_delete"))
+    assert(!Files.isDirectory(
+      Paths.get(wh.table(Medallion.Silver, "t"), "day=2024-01-02")))
+    val after = Medallion.readTable(spark, wh, Medallion.Silver, "t")
+    assert(after.count() == 1)
+    assert(after.select("k").as[Long].head() == 1L)
+  }
+
   test("scd2: collapses no-op updates and builds intervals") {
     val log = Seq(
       (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"), // no-op update collapses
