@@ -103,6 +103,16 @@ object Maintenance {
         return Report(tableDir, "compact", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable.expire")
       }
+      // A live FileStreamSink output is governed by its _spark_metadata
+      // commit log: rewriting the data files strands the log (the next
+      // drain fails on missing batch files) and batch readers would list
+      // through the stale log. Stream via foreachBatch into a Medallion
+      // table for compactable output.
+      if (Files.isDirectory(Paths.get(tableDir, "_spark_metadata"))) {
+        return Report(tableDir, "compact", ok = false,
+          "streaming sink: _spark_metadata governs this dir; " +
+            "stream via foreachBatch into a table for compactable output")
+      }
       val leaves = leafPartitionDirs(new File(tableDir))
       val fragmented = leaves.filter { d =>
         countParquetFiles(d) > targetFileCount(dirSize(d), targetFileBytes)

@@ -40,6 +40,43 @@ class StreamDedupSpec extends SparkSpec {
       Seq("dA", "dB", "dC"))
   }
 
+  test("compact refuses a live streaming sink; foreachBatch tables compact") {
+    val root = Files.createTempDirectory("graft_sdedup_cmp_").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, "d1", "2024-01-01 00:01:00")).toDF("id", "digest", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    StreamDedup.dedupIngestOnce(spark, src, spark.read.parquet(src).schema,
+      out, s"$root/ckpt", "ts", "1 hour", Seq("digest"))
+    // a FileStreamSink dir is governed by its _spark_metadata commit log;
+    // rewriting its files would strand the log and break the next drain
+    // (verified empirically) — compact must refuse, not corrupt
+    val r = graft.pipeline.Maintenance.compact(spark, out)
+    assert(!r.ok && r.detail.contains("_spark_metadata"), r)
+    // the compactable streaming path: foreachBatch appends into a
+    // Medallion table (no sink log) — five drains, then compact shrinks
+    val wh = graft.pipeline.Warehouse(s"$root/wh")
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.mode("append")
+        .parquet(s"$root/src2")
+      IncrementalIngest.streamToTable(spark, s"$root/src2",
+        spark.read.parquet(s"$root/src2").schema, wh,
+        graft.pipeline.Medallion.Silver, "st", s"$root/ckpt2")
+    }
+    val tdir = wh.table(graft.pipeline.Medallion.Silver, "st")
+    def files(): Int = new java.io.File(tdir).listFiles().toSeq
+      .count(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 5, s"expected one file per drain, got $before")
+    val r2 = graft.pipeline.Maintenance.compact(spark, tdir)
+    assert(r2.ok, r2)
+    assert(files() < before)
+    assert(graft.pipeline.Medallion.readTable(spark, wh,
+      graft.pipeline.Medallion.Silver, "st").count() == 5)
+  }
+
   test("mergeStream: each micro-batch is one MERGE commit, last-writer-wins") {
     val root = Files.createTempDirectory("graft_smerge_").toString
     val src = s"$root/src"
