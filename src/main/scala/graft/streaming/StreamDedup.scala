@@ -49,6 +49,31 @@ object StreamDedup {
     q.awaitTermination()
   }
 
+  /** [[dedupIngestOnce]] into a Medallion zone table via foreachBatch —
+    * the COMPACTABLE sink (a direct parquet stream sink is governed by
+    * its _spark_metadata log, which Maintenance.compact refuses to
+    * rewrite; table appends have no such log). Dedup state still lives
+    * in the checkpoint, so cross-drain duplicates are dropped the same
+    * way. */
+  def dedupIngestToTable(spark: SparkSession, srcDir: String,
+      schema: StructType, wh: graft.pipeline.Warehouse, zone: String,
+      table: String, checkpointDir: String, tsCol: String,
+      watermarkDelay: String, digestCols: Seq[String]): Unit = {
+    val q = dedupedStream(
+        spark.readStream.schema(schema).parquet(srcDir),
+        tsCol, watermarkDelay, digestCols)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.pipeline.Medallion.writeTable(batch.toDF(), wh, zone, table,
+          org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC apply: each micro-batch becomes one MERGE commit on a
     * [[graft.pipeline.VersionedTable]] (update-else-insert by key;
     * `deleteCol` rows delete). In-batch duplicates per key are resolved

@@ -40,6 +40,37 @@ class StreamDedupSpec extends SparkSpec {
       Seq("dA", "dB", "dC"))
   }
 
+  test("dedupIngestToTable: checkpointed dedup state + compactable sink") {
+    val root = Files.createTempDirectory("graft_sdedup_tbl_").toString
+    val src = s"$root/src"
+    val wh = graft.pipeline.Warehouse(s"$root/wh")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def drain(): Unit =
+      StreamDedup.dedupIngestToTable(spark, src,
+        spark.read.parquet(src).schema, wh,
+        graft.pipeline.Medallion.Silver, "dd", s"$root/ckpt",
+        "ts", "1 hour", Seq("digest"))
+    Seq((1L, "dA", "2024-01-01 00:00:01"), (2L, "dB", "2024-01-01 00:00:02"))
+      .toDF("id", "digest", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    drain()
+    // re-sent digest within the horizon is dropped by checkpointed state
+    Seq((3L, "dA", "2024-01-01 00:10:00"), (4L, "dC", "2024-01-01 00:10:01"))
+      .toDF("id", "digest", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("append").parquet(src)
+    drain()
+    val tbl = graft.pipeline.Medallion.readTable(spark, wh,
+      graft.pipeline.Medallion.Silver, "dd")
+    assert(tbl.select("digest").as[String].collect().sorted.toSeq ==
+      Seq("dA", "dB", "dC"))
+    // and the table sink compacts (no _spark_metadata)
+    val r = graft.pipeline.Maintenance.compact(spark,
+      wh.table(graft.pipeline.Medallion.Silver, "dd"))
+    assert(r.ok, r)
+  }
+
   test("compact refuses a live streaming sink; foreachBatch tables compact") {
     val root = Files.createTempDirectory("graft_sdedup_cmp_").toString
     val src = s"$root/src"
