@@ -67,6 +67,36 @@ object Sampling {
       splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(key), splits))
 
+  /** Integer twin of [[hexBucket]]: the key's bucket as a long in
+    * 0..65535, for thresholds that must be computed per ROW rather than
+    * folded into a literal (weight-proportional sampling). `conv` parses
+    * the fixed-width hex exactly; same md5, same bucket. */
+  def intBucket(key: Column): Column =
+    conv(hexBucket(key), 16, 10).cast("long")
+
+  /** Weight-proportional deterministic sampling: keep each row with
+    * probability min(1, weight / unitWeight), keyed on `key` — the
+    * corpus-reweighting primitive (keep documents ∝ token count so a
+    * downsample preserves long documents; keep ∝ quality score so a
+    * budget cut drops the worst first). A row with weight >= `unitWeight`
+    * is always kept; weight NULL or <= 0 is always dropped.
+    *
+    * The decision `bucket * unitWeight < weight * 65536` is pure long
+    * arithmetic — no doubles, no rounding mode, so the DuckDB oracle
+    * replays it bit-for-bit and the granularity is exactly 1/65536
+    * (rounded up: a tiny positive weight still has one bucket's chance).
+    * Same three scale properties as [[deterministicSample]]: scan-side
+    * (no shuffle, composes with pruning), engine-portable, and stable
+    * under re-partitioning or re-ingestion. Weights are read as longs;
+    * weights above 2^47 would overflow the 65536 scaling (ANSI mode
+    * throws rather than wrapping) — divide such weights down first. */
+  def weightedSample(df: DataFrame, key: String, weightCol: String,
+      unitWeight: Long): DataFrame = {
+    require(unitWeight > 0, s"unitWeight must be positive, got $unitWeight")
+    df.filter(intBucket(col(key)) * lit(unitWeight) <
+      col(weightCol).cast("long") * lit(65536L))
+  }
+
   /** Per-stratum deterministic sampling — language/domain rebalancing
     * with a different keep-fraction per group value (e.g. downsample
     * English hard, keep low-resource languages whole). Same hash-bucket

@@ -417,6 +417,18 @@ object ExtQueries {
         size(split(col("text"), "\\s+")).as("n_tokens")),
       "doc_id", "n_tokens", Seq("lang"), targetTokens = 512)
 
+  /** Weight-proportional sampling: keep documents with probability
+    * min(1, n_tokens / 60) — the token-count reweighting form of the
+    * hash-bucket discipline. The keep decision is pure long arithmetic
+    * (bucket · 60 < n_tokens · 65536), so the oracle replays it
+    * bit-for-bit; like q75 it is scan-side, RNG-free, and stable under
+    * re-partitioning. */
+  def q101WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", unitWeight = 60L)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -553,7 +565,8 @@ object ExtQueries {
     "q92_quantized_lsh" -> (q92QuantizedLshIndexed _),
     "q95_chunk_docs" -> (q95ChunkDocs _),
     "q97_chunk_pack" -> (q97ChunkPack _),
-    "q98_quantized_ivf" -> (q98QuantizedIvf _))
+    "q98_quantized_ivf" -> (q98QuantizedIvf _),
+    "q101_weighted_sample" -> (q101WeightedSample _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -737,6 +750,16 @@ object ExtQueries {
          |  CASE lang WHEN 'en' THEN '${hx(0.3)}' WHEN 'de' THEN '${hx(0.8)}'
          |            WHEN 'fr' THEN '${hx(1.0)}' WHEN 'zh' THEN '${hx(0.5)}'
          |            ELSE '${hx(0.0)}' END""".stripMargin,
+    "q101_weighted_sample" ->
+      // the operator's exact long-arithmetic decision, replayed literally
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS b
+        |  FROM documents)
+        |SELECT doc_id, n_tokens FROM w
+        |WHERE b * 60 < n_tokens * 65536""".stripMargin,
     "q76_group_cap" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

@@ -62,6 +62,39 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"stratified sample shuffled:\n$plan")
   }
 
+  test("weightedSample: proportional keep-rate, saturation, null/zero drop") {
+    val weighted = (1L to 8000L).map { i =>
+      (i, if (i <= 4000) 25L else 100L) // half-weight vs saturated rows
+    }.toDF("id", "w")
+    val kept = Sampling.weightedSample(weighted, "id", "w", unitWeight = 100L)
+    val byW = kept.groupBy("w").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weight >= unitWeight: always kept
+    assert(byW(100L) == 4000L, s"saturated rows dropped: $byW")
+    // weight 25/100: ~25% kept
+    assert(byW(25L) > 4000 * 0.21 && byW(25L) < 4000 * 0.29,
+      s"proportional rate off: ${byW(25L)}/4000")
+    // weight 0 / NULL: dropped
+    val degenerate = Seq((1L, Some(0L)), (2L, None), (3L, Some(-5L)))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(degenerate, "id", "w", 10L).count() == 0)
+    // scan-side: a pure filter, no exchange
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"weighted sample shuffled:\n$plan")
+  }
+
+  test("weightedSample agrees with deterministicSample at a uniform weight") {
+    // constant weight w with unit U must equal the plain sample at
+    // fraction ceil-of(w/U) granularity — both share one bucket function;
+    // at w*65536/U integral the two thresholds are literally the same
+    val constW = ids.withColumn("w", lit(25L))
+    val viaWeight = Sampling.weightedSample(constW, "id", "w", 100L)
+      .collect().map(_.getLong(0)).toSet
+    val viaFraction = Sampling.deterministicSample(ids, "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaWeight == viaFraction)
+  }
+
   test("capPerGroup: bounded, deterministic, keeps small groups whole") {
     val docs = (1L to 900L).map(i => (i, s"lang${i % 3}"))
       .toDF("id", "lang")

@@ -52,6 +52,19 @@ object SamplingProps extends Properties("graft.sampling") {
         Prop(aSet == sampled) :| s"split-a $aSet != sample $sampled"
     }
 
+  property("weightedSample: monotone in weight, saturates at unitWeight") =
+    Prop.forAll(idsGen, Gen.choose(1L, 200L), Gen.choose(1L, 200L),
+      Gen.choose(1L, 200L)) { (ids, wa, wb, unit) =>
+      import spark.implicits._
+      val (w1, w2) = (math.min(wa, wb), math.max(wa, wb))
+      def keep(w: Long) = Sampling.weightedSample(
+          ids.map(i => (i, w)).toDF("id", "w"), "id", "w", unit)
+        .collect().map(_.getLong(0)).toSet
+      val (k1, k2) = (keep(w1), keep(w2))
+      Prop(k1.subsetOf(k2)) :| s"monotone: $k1 not in $k2" &&
+        Prop(keep(unit).size == ids.size) :| "weight == unit keeps all"
+    }
+
   private val packGen = for {
     n <- Gen.choose(1, 60)
     counts <- Gen.listOfN(n, Gen.choose(1, 400))
