@@ -116,6 +116,47 @@ object Sampling {
     df.filter(hexBucket(col(key)) < thr)
   }
 
+  /** Per-group keep fractions for temperature-α rebalancing over the
+    * OBSERVED group shares: f_g ∝ p_g^(α−1), normalized so the group
+    * with the largest upweight (the smallest group when α < 1) keeps
+    * fraction exactly 1 — the multilingual-corpus schedule (sampled
+    * distribution ∝ p^α: α=1 keeps the natural distribution, α=0
+    * equalizes expected counts across groups, α∈(0,1) is the usual
+    * downsample-English-keep-low-resource compromise).
+    *
+    * One aggregate row per group is collected to the driver — group
+    * columns are language/domain-cardinality by construction, the same
+    * bound [[stratifiedSample]]'s literal when-chain already imposes.
+    * NULL group values are excluded (they then fall to
+    * [[stratifiedSample]]'s defaultFraction = drop). */
+  def temperatureFractions(df: DataFrame, groupCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha not in [0,1]")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null groups to rebalance")
+    val total = counts.values.sum.toDouble
+    val w = counts.map { case (g, n) =>
+      g -> math.pow(n / total, alpha - 1.0)
+    }
+    val c = 1.0 / w.values.max
+    w.map { case (g, x) => g -> (c * x).min(1.0) }
+  }
+
+  /** Temperature-α group rebalancing: [[temperatureFractions]] composed
+    * with [[stratifiedSample]] — a tiny driver-side fraction computation,
+    * then one scan-side literal when-chain filter (no shuffle, no join;
+    * the corpus is read once). The keep decision inherits the whole hash
+    * discipline: deterministic, engine-portable, stable under
+    * re-partitioning, and monotone in α (lowering α only removes rows of
+    * over-represented groups). */
+  def temperatureSample(df: DataFrame, groupCol: String, key: String,
+      alpha: Double): DataFrame =
+    stratifiedSample(df, groupCol, key,
+      temperatureFractions(df, groupCol, alpha))
+
   /** Keep at most `cap` rows per group, chosen deterministically (hash
     * order with the key as tie-break) — class/domain balancing. One
     * shuffle on the group columns; the per-group sort is bounded by the

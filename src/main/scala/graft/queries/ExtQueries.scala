@@ -417,6 +417,24 @@ object ExtQueries {
         size(split(col("text"), "\\s+")).as("n_tokens")),
       "doc_id", "n_tokens", Seq("lang"), targetTokens = 512)
 
+  /** Per-dir temperature-α fractions (α = 0.5 over `lang`), computed once
+    * per corpus: q102 filters with them and the generated oracle embeds
+    * them as literal hex thresholds — by construction the same numbers. */
+  private val tempCtxs = scala.collection.concurrent
+    .TrieMap.empty[String, Map[String, Double]]
+  private def tempCtx(s: SparkSession, dir: String): Map[String, Double] =
+    tempCtxs.getOrElseUpdate(dir,
+      Sampling.temperatureFractions(t(s, dir, "documents"), "lang", 0.5))
+
+  /** Temperature rebalancing at α = 0.5 over language: the smallest
+    * language keeps fraction 1, every other language is downsampled by
+    * sqrt of its relative share — the multilingual-training corpus
+    * schedule, as one scan-side hash filter. */
+  def q102TemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        tempCtx(s, dir))
+      .select(col("doc_id"), col("lang"))
+
   /** Weight-proportional sampling: keep documents with probability
     * min(1, n_tokens / 60) — the token-count reweighting form of the
     * hash-bucket discipline. The keep decision is pure long arithmetic
@@ -566,7 +584,8 @@ object ExtQueries {
     "q95_chunk_docs" -> (q95ChunkDocs _),
     "q97_chunk_pack" -> (q97ChunkPack _),
     "q98_quantized_ivf" -> (q98QuantizedIvf _),
-    "q101_weighted_sample" -> (q101WeightedSample _))
+    "q101_weighted_sample" -> (q101WeightedSample _),
+    "q102_temperature_sample" -> (q102TemperatureSample _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -685,7 +704,26 @@ object ExtQueries {
        |LIMIT 10""".stripMargin
   }
 
+  /** q102 oracle: the run's computed temperature fractions embedded as
+    * literal hex thresholds through THE SAME [[Sampling.hexThreshold]]
+    * the operator filters with — bit-identical by construction (the q59
+    * generated-literal discipline applied to sampling). Emitted only once
+    * a query populated the single-dir cache, like ivfOracles. */
+  private def tempOracles: Map[String, String] =
+    if (tempCtxs.size != 1) Map.empty
+    else {
+      val cases = tempCtxs.values.head.toSeq.sorted.map { case (g, f) =>
+        s"WHEN '$g' THEN '${hx(f)}'"
+      }.mkString(" ")
+      Map("q102_temperature_sample" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE lang IS NOT NULL
+           |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |    CASE lang $cases ELSE '${hx(0.0)}' END""".stripMargin)
+    }
+
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
+    tempOracles ++
     Map("q92_quantized_lsh" -> quantizedLshOracleSql,
       "q97_chunk_pack" ->
         """WITH t AS (

@@ -95,6 +95,32 @@ class SamplingSpec extends SparkSpec {
     assert(viaWeight == viaFraction)
   }
 
+  test("temperatureSample: smallest group kept whole, shares flatten by sqrt") {
+    // group sizes 1600/400/100 → at α=0.5 the fractions are exactly
+    // sqrt(100/1600)=0.25, sqrt(100/400)=0.5, 1.0 (totals cancel)
+    val docs = ((1L to 1600L).map(i => (i, "en")) ++
+      (1601L to 2000L).map(i => (i, "de")) ++
+      (2001L to 2100L).map(i => (i, "rare"))).toDF("id", "lang")
+    val f = Sampling.temperatureFractions(docs, "lang", 0.5)
+    assert(f("rare") == 1.0)
+    assert(math.abs(f("en") - 0.25) < 1e-12, s"f(en)=${f("en")}")
+    assert(math.abs(f("de") - 0.5) < 1e-12, s"f(de)=${f("de")}")
+    val counts = Sampling.temperatureSample(docs, "lang", "id", 0.5)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") == 100)
+    assert(counts("en") > 1600 * 0.21 && counts("en") < 1600 * 0.29,
+      s"en rate off: ${counts("en")}")
+    // α=1 is the identity schedule
+    assert(Sampling.temperatureSample(docs, "lang", "id", 1.0).count() == 2100)
+    // α=0 equalizes expected counts at the smallest group's size
+    val eq = Sampling.temperatureSample(docs, "lang", "id", 0.0)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq("rare") == 100)
+    assert(eq("en") > 70 && eq("en") < 130, s"equalized en off: ${eq("en")}")
+  }
+
   test("capPerGroup: bounded, deterministic, keeps small groups whole") {
     val docs = (1L to 900L).map(i => (i, s"lang${i % 3}"))
       .toDF("id", "lang")

@@ -65,6 +65,22 @@ object SamplingProps extends Properties("graft.sampling") {
         Prop(keep(unit).size == ids.size) :| "weight == unit keeps all"
     }
 
+  property("temperatureSample: monotone in alpha; alpha=1 keeps all") =
+    Prop.forAll(Gen.listOfN(3, Gen.choose(1, 120)), Gen.choose(0.0, 1.0),
+      Gen.choose(0.0, 1.0)) { (sizes, aa, ab) =>
+      import spark.implicits._
+      val (a1, a2) = (math.min(aa, ab), math.max(aa, ab))
+      val rows = sizes.zipWithIndex.flatMap { case (n, gi) =>
+        (1 to n).map(j => ((gi * 1000 + j).toLong, s"g$gi"))
+      }
+      val df = rows.toDF("id", "lang")
+      def keep(a: Double) = Sampling.temperatureSample(df, "lang", "id", a)
+        .collect().map(_.getLong(0)).toSet
+      val (k1, k2) = (keep(a1), keep(a2))
+      Prop(k1.subsetOf(k2)) :| s"monotone in alpha ($a1 vs $a2)" &&
+        Prop(keep(1.0).size == rows.size) :| "alpha=1 keeps all"
+    }
+
   private val packGen = for {
     n <- Gen.choose(1, 60)
     counts <- Gen.listOfN(n, Gen.choose(1, 400))
