@@ -447,6 +447,14 @@ object ExtQueries {
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", unitWeight = 60L)
 
+  /** Per-document keyword extraction: top-5 terms by the rational-idf
+    * TF-IDF score (tf·N·10^6 div df — exact integer arithmetic, so the
+    * oracle replays ranking and export bit-for-bit; log-idf would hang
+    * the compare on libm rounding). */
+  def q103Keywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Keywords.topTerms(t(s, dir, "documents"),
+      "doc_id", "text", k = 5)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -585,7 +593,8 @@ object ExtQueries {
     "q97_chunk_pack" -> (q97ChunkPack _),
     "q98_quantized_ivf" -> (q98QuantizedIvf _),
     "q101_weighted_sample" -> (q101WeightedSample _),
-    "q102_temperature_sample" -> (q102TemperatureSample _))
+    "q102_temperature_sample" -> (q102TemperatureSample _),
+    "q103_keywords" -> (q103Keywords _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -788,6 +797,26 @@ object ExtQueries {
          |  CASE lang WHEN 'en' THEN '${hx(0.3)}' WHEN 'de' THEN '${hx(0.8)}'
          |            WHEN 'fr' THEN '${hx(1.0)}' WHEN 'zh' THEN '${hx(0.5)}'
          |            ELSE '${hx(0.0)}' END""".stripMargin,
+    "q103_keywords" ->
+      // same integer score, same (score DESC, term) tie-break; N counts
+      // every distinct doc_id, matching the operator's countDistinct
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE length(term) >= 3 GROUP BY 1, 2),
+        |d AS (SELECT term, COUNT(*) AS dfreq FROM f GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+        |s AS (
+        |  SELECT f.doc_id, f.term, f.tf,
+        |    CAST((f.tf * n.nd * 1000000) // d.dfreq AS BIGINT) AS score_ppm
+        |  FROM f JOIN d USING (term), n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_ppm DESC, term) AS rn
+        |  FROM s)
+        |SELECT doc_id, term, tf, score_ppm FROM r WHERE rn <= 5""".stripMargin,
     "q101_weighted_sample" ->
       // the operator's exact long-arithmetic decision, replayed literally
       """WITH w AS (
