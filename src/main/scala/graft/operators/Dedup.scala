@@ -44,4 +44,44 @@ object Dedup {
       .select(col("keep_id").as(idCol))
     df.join(winners, Seq(idCol), "left_semi")
   }
+
+  /** Span-level corpus dedup (the C4-style boilerplate stage, on fixed
+    * token windows instead of sentence triples): every document is cut
+    * into consecutive `spanTokens`-token spans, every repeated span is
+    * dropped CORPUS-WIDE except its first occurrence (ordered by
+    * (id, span position)), and the surviving spans are reassembled into
+    * cleaned documents. Documents whose every span was seen elsewhere
+    * first disappear — whole-doc duplicates degenerate to this.
+    *
+    * Scale shape: span construction is the scan-side codegen'd
+    * TokenChunks explode (no exchange); the first-occurrence winner per
+    * span is `min(struct(id, pos, span))` grouped by the span's md5 —
+    * a PARTIAL aggregate, so a boilerplate span repeated a billion times
+    * collapses map-side instead of flooding one reducer (the window-rank
+    * formulation would hot-key exactly there); reassembly is one more
+    * partial-friendly group by id. Two shuffles total, each carrying
+    * surviving spans only, and no join anywhere.
+    *
+    * Output: (idCol, clean_text, n_spans) for documents with at least
+    * one surviving span. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    val spans = df.select(col(idCol), posexplode(
+        graft.expressions.GraftFunctions.tokenChunks(
+          graft.functions.TextFunctions.tokens(col(textCol)),
+          spanTokens, spanTokens))
+      .as(Seq("span_idx", "span")))
+    val kept = spans
+      .groupBy(md5(col("span").cast("binary")).as("__d"))
+      .agg(min(struct(col(idCol), col("span_idx"), col("span"))).as("__w"))
+      .select(col(s"__w.$idCol").as(idCol),
+        col("__w.span_idx").as("span_idx"), col("__w.span").as("span"))
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
 }

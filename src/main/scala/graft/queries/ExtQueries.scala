@@ -455,6 +455,15 @@ object ExtQueries {
     graft.operators.Keywords.topTerms(t(s, dir, "documents"),
       "doc_id", "text", k = 5)
 
+  /** Span-level corpus dedup (C4-style): 3-token spans, first occurrence
+    * wins corpus-wide, documents reassembled from surviving spans. The
+    * 3-token span size is deliberate at this corpus's ~30-word
+    * vocabulary — collisions are plentiful, so the dedup path is
+    * genuinely exercised rather than a pass-through. */
+  def q104SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 3)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -594,7 +603,8 @@ object ExtQueries {
     "q98_quantized_ivf" -> (q98QuantizedIvf _),
     "q101_weighted_sample" -> (q101WeightedSample _),
     "q102_temperature_sample" -> (q102TemperatureSample _),
-    "q103_keywords" -> (q103Keywords _))
+    "q103_keywords" -> (q103Keywords _),
+    "q104_span_dedup" -> (q104SpanDedup _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -817,6 +827,35 @@ object ExtQueries {
         |    ORDER BY score_ppm DESC, term) AS rn
         |  FROM s)
         |SELECT doc_id, term, tf, score_ppm FROM r WHERE rn <= 5""".stripMargin,
+    "q104_span_dedup" ->
+      // q95's chunking shape at size=stride=3; winner-per-span via
+      // row_number over the span text (= the operator's md5 key,
+      // injectively); reassembly string_agg ordered by span position
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0
+        |         ELSE greatest(0, len(t) - 1) // 3 + 1 END AS nch
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(generate_series(0, nch - 1)) AS span_idx
+        |  FROM c WHERE nch > 0),
+        |sp AS (
+        |  SELECT doc_id, span_idx,
+        |    array_to_string(t[span_idx * 3 + 1 : least(span_idx * 3 + 3, n)],
+        |      ' ') AS span
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY span
+        |    ORDER BY doc_id, span_idx) AS rn
+        |  FROM sp)
+        |SELECT doc_id,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+        |  COUNT(*) AS n_spans
+        |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "q101_weighted_sample" ->
       // the operator's exact long-arithmetic decision, replayed literally
       """WITH w AS (

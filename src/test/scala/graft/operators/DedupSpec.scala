@@ -46,4 +46,27 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").rows.map(_.getLong(0)).sorted == Seq(1L, 3L))
     assert(out.columns.toSeq == Seq("doc_id", "text"))
   }
+
+  test("spanDedup: first occurrence wins corpus-wide; docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans: "a b", "c d", "e f"
+      (2L, "c d x y a b"),   // "c d" and "a b" already seen in doc 1
+      (3L, "a b c d")        // fully duplicated -> disappears
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 2)
+      .rows.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c d e f", 3L)))
+    assert(out(2L) == (("x y", 1L))) // survivors keep their relative order
+    assert(!out.contains(3L))
+  }
+
+  test("spanDedup: partial tail spans dedup like any other span") {
+    val docs = Seq(
+      (1L, "p q r"),  // spans "p q", "r" (tail)
+      (2L, "r")       // span "r" equals doc 1's tail -> dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 2)
+      .rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "p q r"))
+  }
 }
