@@ -182,7 +182,28 @@ object SurfaceQueries {
         unix_timestamp(col("bucket")).as("hour_ts"),
         col("n"), col("total"), col("filled_total"))
 
+  /** Batch twin of the STREAMING interval join
+    * ([[graft.streaming.StreamJoin.intervalJoin]] — watermarks no-op in
+    * batch, the plan is the same interval join the streaming state store
+    * runs): each click attributed to the same user's views from the
+    * preceding 10 minutes. The oracle checks the exact join condition
+    * that bounds the streaming state. */
+  def q105StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    graft.streaming.StreamJoin.intervalJoin(views, clicks, "user_id",
+        "view_ts", "click_ts", maxDelay = "10 MINUTES",
+        watermarkDelay = "1 HOUR")
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_stream_join" -> (q105StreamJoin _),
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
     "q96_asof_tolerance" -> (q96AsofTolerance _),
@@ -200,6 +221,14 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q105_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.ts > v.ts
+        |    AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin,
     "q99_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, COUNT(*) AS n,
