@@ -16,7 +16,8 @@ object Explain {
         "q56_asof_join", "q65_range_join", "q68_ivf_indexed", "q71_lsh_indexed",
         "q73_skew_neardup", "q75_hash_split", "q77_vector_norm",
         "q80_pack_bins", "q82_decontaminate", "q87_merge_upsert",
-        "q89_snapshot_diff", "q91_quantized_topk")
+        "q89_snapshot_diff", "q91_quantized_topk", "q101_weighted_sample",
+        "q103_keywords", "q104_span_dedup", "q105_stream_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

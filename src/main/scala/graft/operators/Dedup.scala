@@ -60,7 +60,11 @@ object Dedup {
     * collapses map-side instead of flooding one reducer (the window-rank
     * formulation would hot-key exactly there); reassembly is one more
     * partial-friendly group by id. Two shuffles total, each carrying
-    * surviving spans only, and no join anywhere.
+    * surviving spans only, and no join anywhere. The struct min plans as
+    * a SortAggregate (struct buffers aren't hash-aggregable) — the
+    * map-side sort is the accepted price: the join-back and window-rank
+    * alternatives both put the hot digest's full span stream on one
+    * reducer, which is the failure mode this shape exists to avoid.
     *
     * Output: (idCol, clean_text, n_spans) for documents with at least
     * one surviving span. */

@@ -34,12 +34,17 @@ object Keywords {
       minTokenLen: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val ndocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    // Two consumers (the df branch and the join) — checkpoint so the
+    // tokenize→explode→aggregate pipeline runs once, not per consumer
+    // (physical exchange reuse does not survive per-branch pushdown; the
+    // repo-wide multi-consumer discipline).
     val tf = df
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
         .as("term"))
       .filter(length(col("term")) >= minTokenLen)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(desc("score_ppm"), col("term"))
