@@ -38,4 +38,45 @@ object Profile {
     }
     row.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
+
+  /** Equi-width histogram of a numeric column: `buckets` bins over the
+    * observed [min, max], plus the bin edges. Two passes (bounds, then
+    * counts) — the bounds pass reads one column and reduces to one row;
+    * the counts pass is a scan-side projection + partial-aggregated
+    * groupBy on the bin index, so the shuffle carries at most `buckets`
+    * rows per map partition. Bin assignment `floor((x−min)·b/(max−min))`
+    * is computed in double with the clamp at the top edge (max lands in
+    * the last bin) — division and floor are exactly-rounded IEEE ops, so
+    * any engine reproduces the same bins bit-for-bit. Empty bins are
+    * emitted with n=0 (the scaffold is a `sequence` explode of the bin
+    * range, not a join), so the output always has exactly `buckets`
+    * rows. NULLs are excluded; a constant column collapses to one bin
+    * holding everything. */
+  def histogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = df.agg(min(col(c).cast("double")).as("mn"),
+      max(col(c).cast("double")).as("mx")).head()
+    require(!b.isNullAt(0), s"column $c has no non-null values")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val spark = df.sparkSession
+    val binCol =
+      if (mx == mn) lit(0L)
+      else least(
+        floor((col(c).cast("double") - lit(mn)) * buckets / lit(mx - mn))
+          .cast("long"),
+        lit(buckets - 1L))
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("n"))
+    // dense scaffold: every bin present even when empty
+    import spark.implicits._
+    val bins = Seq(0).toDF("__x")
+      .select(explode(sequence(lit(0L), lit(buckets - 1L))).as("bin"))
+    val w = if (mx == mn) 0.0 else (mx - mn) / buckets
+    bins.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        (lit(mn) + col("bin") * lit(w)).as("lo"),
+        when(col("bin") === (buckets - 1L), lit(mx))
+          .otherwise(lit(mn) + (col("bin") + 1L) * lit(w)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

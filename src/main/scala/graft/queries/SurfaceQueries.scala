@@ -202,8 +202,35 @@ object SurfaceQueries {
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** Equi-width histogram of the fact table's price column: the
+    * distribution profile behind q99's min/max row. Bin math is pure
+    * exactly-rounded IEEE (sub, mul, div, floor), so the oracle
+    * reproduces bins and edges bit-for-bit. */
+  def q106Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(t(s, dir, "lineitem"),
+      "l_extendedprice", buckets = 8)
+
+  /** Rolling 1-hour per-user event stats over EVENT TIME — a RANGE frame
+    * (value-based, whole-second bounds), not the ROWS frames of q16/q17:
+    * ties on the same second all enter the frame together, which is what
+    * makes the result deterministic without a unique tie-break. */
+  def q107RollingRange(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3599L, org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_sec"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .as("total_1h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_stream_join" -> (q105StreamJoin _),
+    "q106_histogram" -> (q106Histogram _),
+    "q107_rolling_range" -> (q107RollingRange _),
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
     "q96_asof_tolerance" -> (q96AsofTolerance _),
@@ -221,6 +248,35 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q106_histogram" ->
+      // identical op order everywhere: (x-mn)*8/(mx-mn), floor, clamp;
+      // edges mn + bin*((mx-mn)/8); top edge pinned to mx
+      """WITH b AS (
+        |  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |         MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |  FROM lineitem),
+        |bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+        |cnt AS (
+        |  SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.mn)
+        |      * 8 / (b.mx - b.mn)) AS BIGINT), 7) AS bin,
+        |    COUNT(*) AS n
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+        |SELECT bin, b.mn + bin * ((b.mx - b.mn) / 8) AS lo,
+        |  CASE WHEN bin = 7 THEN b.mx
+        |       ELSE b.mn + (bin + 1) * ((b.mx - b.mn) / 8) END AS hi,
+        |  COALESCE(n, 0) AS n
+        |FROM bins LEFT JOIN cnt USING (bin), b""".stripMargin,
+    "q107_rolling_range" ->
+      // whole-second RANGE frame: Spark's timestamp->long cast truncates
+      // to seconds, so the oracle orders by floor(epoch) (q96 contract)
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q105_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

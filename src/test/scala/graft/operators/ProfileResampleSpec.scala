@@ -24,6 +24,29 @@ class ProfileResampleSpec extends SparkSpec {
     assert("LocalTableScan|Scan".r.findAllMatchIn(plan).size <= 1, plan)
   }
 
+  test("Profile.histogram: exact bins, max in last bin, empty bins emitted") {
+    // values 0..10 into 5 bins of width 2: [0,2) [2,4) [4,6) [6,8) [8,10]
+    val df = Seq(0.0, 1.9, 2.0, 5.0, 10.0, 10.0).toDF("x")
+    val out = Profile.histogram(df, "x", 5)
+      .orderBy("bin")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0.0, 2.0, 2L),   // 0.0, 1.9
+      (1L, 2.0, 4.0, 1L),   // 2.0 (left-closed)
+      (2L, 4.0, 6.0, 1L),   // 5.0
+      (3L, 6.0, 8.0, 0L),   // empty bin still emitted
+      (4L, 8.0, 10.0, 2L))) // max lands in the LAST bin, twice
+  }
+
+  test("Profile.histogram: constant column collapses to one bin") {
+    val out = Profile.histogram(Seq(7.0, 7.0, 7.0).toDF("x"), "x", 4)
+      .orderBy("bin")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(out.map(_._4).sum == 3L)
+    assert(out.head == ((0L, 7.0, 7.0, 3L)))
+    assert(out.size == 4 && out.tail.forall(_._4 == 0L))
+  }
+
   test("gapFillHourly: dense buckets, zero counts, carried totals") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
