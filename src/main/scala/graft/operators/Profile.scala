@@ -39,6 +39,35 @@ object Profile {
     row.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
 
+  /** Per-group z-score outlier flags: |x − mean| > z·stddev within the
+    * row's group. Mean and population stddev are derived from EXACT
+    * decimal sums (Σx, Σx²) cast to double only at the end — the
+    * engine's built-in stddev (Welford / pairwise updates) is
+    * parallelism-dependent in the last bits, which would make the flag
+    * nondeterministic at the boundary; decimal moments + IEEE
+    * (÷, ×, −, sqrt) make every engine produce the identical flag.
+    * One partial-aggregated pass for the group moments (rows per group
+    * ≥ any corpus, output one row per group), broadcast back over the
+    * scan — the same two-pass shape as [[histogram]]. */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(
+        count(col(valueCol)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s1"),
+        sum(col(valueCol).cast("decimal(18,2)") *
+          col(valueCol).cast("decimal(18,2)")).as("__s2"))
+      .select(col(groupCol),
+        (col("__s1").cast("double") / col("__n")).as("__mean"),
+        sqrt(col("__s2").cast("double") / col("__n") -
+          (col("__s1").cast("double") / col("__n")) *
+          (col("__s1").cast("double") / col("__n"))).as("__std"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .select(df.columns.map(col) :+
+        (abs(col(valueCol) - col("__mean")) > lit(z) * col("__std"))
+          .as("is_outlier"): _*)
+  }
+
   /** Equi-width histogram of a numeric column: `buckets` bins over the
     * observed [min, max], plus the bin edges. Two passes (bounds, then
     * counts) — the bounds pass reads one column and reduces to one row;

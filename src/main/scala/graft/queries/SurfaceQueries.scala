@@ -227,10 +227,21 @@ object SurfaceQueries {
         .as("total_1h"))
   }
 
+  /** Per-type 3σ outlier flags over event values — anomaly screening
+    * from decimal-exact moments (built-in stddev is
+    * parallelism-dependent in the last bits; the flag must not be). */
+  def q108Outliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.outliers(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", z = 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("is_outlier"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_stream_join" -> (q105StreamJoin _),
     "q106_histogram" -> (q106Histogram _),
     "q107_rolling_range" -> (q107RollingRange _),
+    "q108_outliers" -> (q108Outliers _),
     "q43_expr_join" -> (q43ExprJoin _),
     "q56_asof_join" -> (q56AsofJoin _),
     "q96_asof_tolerance" -> (q96AsofTolerance _),
@@ -248,6 +259,24 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q108_outliers" ->
+      // identical moment algebra: exact decimal sums cast to double at
+      // the end, then IEEE ÷ × − sqrt — flags match bit-for-bit
+      """WITH st AS (
+        |  SELECT event_type, COUNT(value) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - m.mean) > 3.0 * m.std AS is_outlier
+        |FROM events e JOIN m USING (event_type)""".stripMargin,
     "q106_histogram" ->
       // identical op order everywhere: (x-mn)*8/(mx-mn), floor, clamp;
       // edges mn + bin*((mx-mn)/8); top edge pinned to mx

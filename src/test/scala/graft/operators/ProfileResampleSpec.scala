@@ -47,6 +47,21 @@ class ProfileResampleSpec extends SparkSpec {
     assert(out.size == 4 && out.tail.forall(_._4 == 0L))
   }
 
+  test("Profile.outliers: flags per-group, moments exact, schema appended") {
+    // group "a": nine 10.0s and one 100.0 -> mean 19, var = (9*81+6561)/10
+    // = 729, std 27; |100-19| = 81 = 3std exactly -> NOT an outlier at
+    // z=3 (strict >), IS at z=2.9
+    val df = ((1 to 9).map(i => (i.toLong, "a", 10.0)) :+ ((10L, "a", 100.0)))
+      .toDF("id", "g", "v")
+    def flagged(z: Double) = Profile.outliers(df, "g", "v", z)
+      .filter(col("is_outlier")).collect().map(_.getLong(0)).toSeq
+    assert(flagged(3.0) == Seq())
+    assert(flagged(2.9) == Seq(10L))
+    val out = Profile.outliers(df, "g", "v", 3.0)
+    assert(out.columns.toSeq == Seq("id", "g", "v", "is_outlier"))
+    assert(out.count() == 10)
+  }
+
   test("gapFillHourly: dense buckets, zero counts, carried totals") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

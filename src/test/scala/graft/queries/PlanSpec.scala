@@ -61,4 +61,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q103 keyword top-k prunes groups before the shuffle (WindowGroupLimit)") {
+    val p = plan("q103_keywords")
+    // partial group-limit on the map side AND final after the exchange —
+    // without it the full (doc, term) score stream shuffles into the rank
+    assert(p.split("WindowGroupLimit").length >= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p) // df joined broadcast, never shuffled-merge
+  }
+
+  test("q104 span dedup partial-aggregates before both exchanges (skew guard)") {
+    val p = plan("q104_span_dedup")
+    // the winner SortAggregate must appear on BOTH sides of its exchange:
+    // partial (map-side collapse of hot spans) + final
+    assert(p.split("SortAggregate").length >= 3, p)
+    assert(!p.contains("Window"), p) // the hot-key window-rank form is banned
+  }
+
+  test("q108 outliers broadcast the per-group moments over the scan") {
+    val p = plan("q108_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // moment aggregation is partial+final, one scan feeding each side
+    assert(p.split("HashAggregate").length >= 3, p)
+  }
 }
