@@ -464,6 +464,13 @@ object ExtQueries {
     Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
       spanTokens = 3)
 
+  /** LM quality score: per-doc mean bigram log-probability under the
+    * corpus's own bigram model — the perplexity-filter shape. Counts are
+    * exact; ln's last-bit variance is absorbed by the 6dp export. */
+  def q109LmScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.bigramLogProb(t(s, dir, "documents"),
+      "doc_id", "text")
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -604,7 +611,8 @@ object ExtQueries {
     "q101_weighted_sample" -> (q101WeightedSample _),
     "q102_temperature_sample" -> (q102TemperatureSample _),
     "q103_keywords" -> (q103Keywords _),
-    "q104_span_dedup" -> (q104SpanDedup _))
+    "q104_span_dedup" -> (q104SpanDedup _),
+    "q109_lm_score" -> (q109LmScore _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -827,6 +835,25 @@ object ExtQueries {
         |    ORDER BY score_ppm DESC, term) AS rn
         |  FROM s)
         |SELECT doc_id, term, tf, score_ppm FROM r WHERE rn <= 5""".stripMargin,
+    "q109_lm_score" ->
+      // same exact counts, same ratio; ln + 6dp round per the q30
+      // cross-engine contract
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+        |  FROM idx),
+        |c12 AS (SELECT b, COUNT(*) AS n12 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+        |s AS (
+        |  SELECT g.doc_id, ln(CAST(n12 AS DOUBLE) / n1) AS lp
+        |  FROM bg g JOIN c12 USING (b) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS avg_logp
+        |FROM s GROUP BY 1""".stripMargin,
     "q104_span_dedup" ->
       // q95's chunking shape at size=stride=3; winner-per-span via
       // row_number over the span text (= the operator's md5 key,

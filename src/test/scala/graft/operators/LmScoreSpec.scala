@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramLogProb: exact count model, mean ln prob, short docs absent") {
+    val docs = Seq(
+      (1L, "a b a c"), // bigrams: "a b", "b a", "a c"
+      (2L, "a b"),     // bigram:  "a b"
+      (3L, "solo")     // < 2 tokens -> absent
+    ).toDF("doc_id", "text")
+    // corpus counts: c12("a b")=2, c12("b a")=1, c12("a c")=1; c1(a)=3, c1(b)=1
+    val out = LmScore.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (math.log(2.0 / 3) + math.log(1.0) + math.log(1.0 / 3)) / 3
+    assert(out(1L) == ((3L, r6(d1))), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, r6(math.log(2.0 / 3)))), s"got ${out(2L)}")
+    assert(!out.contains(3L))
+  }
+
+  test("bigramLogProb: uniform corpus scores zero everywhere") {
+    // every w1 has exactly one continuation -> all probabilities 1
+    val docs = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val out = LmScore.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getDouble(2)).toSeq
+    assert(out.forall(_ == 0.0), s"got $out")
+  }
+}
