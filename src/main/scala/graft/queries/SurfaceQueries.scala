@@ -237,8 +237,51 @@ object SurfaceQueries {
       .select(col("event_id"), col("event_type"), col("value"),
         col("is_outlier"))
 
+  /** Ordered funnel per user (view → first click after it → first
+    * purchase after that): three min-over-window passes that all share
+    * ONE user-partitioned exchange — no self-joins, no event
+    * re-scans. Stage columns are nullable epoch seconds; a stage is null
+    * whenever any earlier stage is (the > comparison against null
+    * propagates), which is exactly funnel semantics. */
+  def q110Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val staged = t(s, dir, "events")
+      .withColumn("__v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("__c",
+        min(when(col("event_type") === "click" && col("ts") > col("__v"),
+          col("ts"))).over(w))
+      .withColumn("__p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("__c"),
+          col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("__v")).cast("long").as("view_ts"),
+        min(col("__c")).cast("long").as("click_ts"),
+        min(col("__p")).cast("long").as("purchase_ts"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their first signup
+    * week, counted distinct per whole-week offset of later activity —
+    * the cohort matrix in long form. Offsets are exact integer
+    * arithmetic over epoch seconds. */
+  def q111Cohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__s"))
+    ev.join(signup, Seq("user_id"))
+      .filter(col("ts") >= col("__s"))
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("week", col("__s"))).as("cohort_week"),
+        expr("(CAST(ts AS LONG) - CAST(__s AS LONG)) div 604800")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_stream_join" -> (q105StreamJoin _),
+    "q110_funnel" -> (q110Funnel _),
+    "q111_cohorts" -> (q111Cohorts _),
     "q106_histogram" -> (q106Histogram _),
     "q107_rolling_range" -> (q107RollingRange _),
     "q108_outliers" -> (q108Outliers _),
@@ -259,6 +302,40 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q110_funnel" ->
+      // staged mins via joins (the window formulation's relational twin);
+      // null stages propagate through the > comparison identically
+      """WITH v AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.v GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(floor(epoch(v.v)) AS BIGINT) AS view_ts,
+        |  CAST(floor(epoch(c.c)) AS BIGINT) AS click_ts,
+        |  CAST(floor(epoch(p.p)) AS BIGINT) AS purchase_ts
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+    "q111_cohorts" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS s FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT
+        |  CAST(floor(epoch(date_trunc('week', s.s))) AS BIGINT) AS cohort_week,
+        |  (CAST(floor(epoch(e.ts)) AS BIGINT)
+        |    - CAST(floor(epoch(s.s)) AS BIGINT)) // 604800 AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN s USING (user_id)
+        |WHERE e.ts >= s.s
+        |GROUP BY 1, 2""".stripMargin,
     "q108_outliers" ->
       // identical moment algebra: exact decimal sums cast to double at
       // the end, then IEEE ÷ × − sqrt — flags match bit-for-bit
