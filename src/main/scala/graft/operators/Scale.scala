@@ -71,6 +71,23 @@ object Scale {
     * bucket column then run shuffle-free (the write pays the partitioning
     * once; every subsequent query reuses it — the reference's Iceberg
     * tables would carry the same role via partition + sort order). */
+  /** Skew diagnosis: the top `topN` hottest key values with exact counts
+    * and corpus share (ppm, exact integer arithmetic) — the report you
+    * read BEFORE reaching for [[saltedJoin]]/[[saltedSumCount]] (was the
+    * hot key 1% or 40%?). One partial-aggregated count pass; the total
+    * rides as a broadcast single row; top-N is TakeOrderedAndProject
+    * with a deterministic (count desc, key) tie-break. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        expr("(n * 1000000) div __t").as("share_ppm"))
+      .orderBy(desc("n"), col(keyCol))
+      .limit(topN)
+  }
+
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
       numBuckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)

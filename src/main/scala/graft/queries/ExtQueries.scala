@@ -471,6 +471,14 @@ object ExtQueries {
     graft.operators.LmScore.bigramLogProb(t(s, dir, "documents"),
       "doc_id", "text")
 
+  /** Vocabulary truncation: top-16 token vocab (count desc, token asc),
+    * every OOV token rewritten to the sentinel — the closed-vocab prep
+    * stage. 16 is deliberate at this corpus's ~30-word vocabulary, so
+    * the OOV path genuinely rewrites. */
+  def q112Vocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.truncateToTopK(t(s, dir, "documents"),
+      "doc_id", "text", k = 16)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -612,7 +620,8 @@ object ExtQueries {
     "q102_temperature_sample" -> (q102TemperatureSample _),
     "q103_keywords" -> (q103Keywords _),
     "q104_span_dedup" -> (q104SpanDedup _),
-    "q109_lm_score" -> (q109LmScore _))
+    "q109_lm_score" -> (q109LmScore _),
+    "q112_vocab" -> (q112Vocab _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -835,6 +844,24 @@ object ExtQueries {
         |    ORDER BY score_ppm DESC, term) AS rn
         |  FROM s)
         |SELECT doc_id, term, tf, score_ppm FROM r WHERE rn <= 5""".stripMargin,
+    "q112_vocab" ->
+      // same (count desc, token asc) vocabulary boundary, same sentinel
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |cnt AS (SELECT tok, COUNT(*) AS n FROM ex GROUP BY 1),
+        |v AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 16),
+        |r AS (
+        |  SELECT e.doc_id, e.i,
+        |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok2
+        |  FROM ex e LEFT JOIN v ON e.tok = v.tok)
+        |SELECT doc_id, string_agg(tok2, ' ' ORDER BY i) AS clean_text,
+        |  COUNT(CASE WHEN tok2 = '<unk>' THEN 1 END) AS n_unk
+        |FROM r GROUP BY 1""".stripMargin,
     "q109_lm_score" ->
       // same exact counts, same ratio; ln + 6dp round per the q30
       // cross-engine contract

@@ -278,10 +278,17 @@ object SurfaceQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Skew diagnosis over the event stream's user key: hottest 10 users
+    * with exact counts and ppm share — the report read before deciding
+    * whether a join needs salting. */
+  def q113SkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skewReport(t(s, dir, "events"), "user_id", 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_stream_join" -> (q105StreamJoin _),
     "q110_funnel" -> (q110Funnel _),
     "q111_cohorts" -> (q111Cohorts _),
+    "q113_skew_report" -> (q113SkewReport _),
     "q106_histogram" -> (q106Histogram _),
     "q107_rolling_range" -> (q107RollingRange _),
     "q108_outliers" -> (q108Outliers _),
@@ -302,6 +309,11 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q113_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS tt FROM events)
+        |SELECT user_id, n, (n * 1000000) // tt AS share_ppm
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q110_funnel" ->
       // staged mins via joins (the window formulation's relational twin);
       // null stages propagate through the > comparison identically

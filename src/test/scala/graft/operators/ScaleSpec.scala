@@ -97,4 +97,16 @@ class ScaleSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
   }
+
+  test("skewReport: exact counts, ppm shares, deterministic tie-break") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      Seq.fill(5)("b") ++ Seq.fill(5)("a")).toDF("k")
+    val out = Scale.skewReport(df, "k", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("hot", 60L, 600000L),
+      ("warm", 30L, 300000L),
+      ("a", 5L, 50000L))) // 5-count tie: "a" beats "b" on the key
+  }
 }
