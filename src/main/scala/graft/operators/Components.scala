@@ -149,4 +149,29 @@ object Components {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster dedup (the C4/RefinedWeb keeper policy): keep
+    * the highest-`scoreCol` row of each near-dup cluster (ties → lowest
+    * id) instead of the lowest-id row — when duplicates differ in
+    * quality, min-id throws away the good copy half the time.
+    *
+    * Cost over [[keepClusterRepresentatives]]: one extra semi-join-sized
+    * window — cluster labels join back to the (id, score) projection
+    * only (never full rows), the per-cluster rank is bounded by cluster
+    * size, and survivors semi-join the input exactly as before. Rows in
+    * no cluster always survive. */
+  def keepClusterBest(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = df.select(col(idCol).cast("long").as("id"), col(scoreCol))
+      .join(comp, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(desc(scoreCol), col("id"))
+    val losers = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -479,6 +479,30 @@ object ExtQueries {
     graft.operators.Vocab.truncateToTopK(t(s, dir, "documents"),
       "doc_id", "text", k = 16)
 
+  /** Quality-aware cluster dedup under an oracle: the corpus doubled
+    * with shifted ids and a different deterministic quality score, exact
+    * duplicate pairs met on the content digest, then
+    * [[graft.operators.Components.keepClusterBest]] keeps the
+    * highest-quality copy. Because clusters here are exact-text groups,
+    * plain SQL reproduces the whole components+keeper path (partition by
+    * text, rank by quality) — the only oracle-able window into the
+    * cluster-dedup machinery, whose normal diet is xxhash64 pairs. */
+  def q114BestDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id"), col("text"),
+      (col("doc_id") % 7).cast("double").as("q"))
+    val b = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+      ((col("doc_id") + 3) % 7).cast("double").as("q"))
+    val corpus = a.unionAll(b)
+    val sides = corpus.select(col("doc_id"), sha2(col("text"), 256).as("__d"))
+    val pairs = sides.select(col("doc_id").as("id_a"), col("__d"))
+      .join(sides.select(col("doc_id").as("id_b"), col("__d")), Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    graft.operators.Components.keepClusterBest(corpus, "doc_id", "q", pairs)
+      .select(col("doc_id"), col("q"))
+  }
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -621,7 +645,8 @@ object ExtQueries {
     "q103_keywords" -> (q103Keywords _),
     "q104_span_dedup" -> (q104SpanDedup _),
     "q109_lm_score" -> (q109LmScore _),
-    "q112_vocab" -> (q112Vocab _))
+    "q112_vocab" -> (q112Vocab _),
+    "q114_best_dedup" -> (q114BestDedup _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -844,6 +869,21 @@ object ExtQueries {
         |    ORDER BY score_ppm DESC, term) AS rn
         |  FROM s)
         |SELECT doc_id, term, tf, score_ppm FROM r WHERE rn <= 5""".stripMargin,
+    "q114_best_dedup" ->
+      // clusters are exact-text groups, so partition-by-text rank
+      // reproduces components + best-keeper exactly
+      """WITH c AS (
+        |  SELECT doc_id, text, CAST(doc_id % 7 AS DOUBLE) AS q
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text,
+        |    CAST((doc_id + 3) % 7 AS DOUBLE) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, q, row_number() OVER (PARTITION BY text
+        |    ORDER BY q DESC, doc_id) AS rn
+        |  FROM c)
+        |SELECT doc_id, q FROM r WHERE rn = 1""".stripMargin,
     "q112_vocab" ->
       // same (count desc, token asc) vocabulary boundary, same sentinel
       """WITH toks AS (

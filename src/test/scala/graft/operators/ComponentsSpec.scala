@@ -50,4 +50,16 @@ class ComponentsSpec extends SparkSpec {
       .rows.map(_.getLong(0)).sorted
     assert(out == Seq(1L, 7L))
   }
+
+  test("keepClusterBest keeps the highest-score row per cluster, min id on ties") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // cluster {1,2,3}: 2 wins on score
+      (5L, 0.7), (6L, 0.7),            // cluster {5,6}: score tie -> 5
+      (9L, 0.0)                        // never in a pair -> survives
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Components.keepClusterBest(docs, "doc_id", "quality", pairs)
+      .rows.map(_.getLong(0)).sorted
+    assert(out == Seq(2L, 5L, 9L))
+  }
 }
