@@ -96,4 +96,73 @@ object OperatorProps extends Properties("graft.operators") {
       salted == plain
     }
   }
+
+  // --- brute-force cross-checks for the round-4 text operators ---
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 25)
+    docs <- Gen.listOfN(n,
+      Gen.nonEmptyListOf(Gen.oneOf("u", "v", "w", "x", "y"))
+        .map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("spanDedup == brute-force first-occurrence model") =
+    Prop.forAll(corpusGen, Gen.choose(1, 3)) { (docs, span) =>
+      val out = Dedup
+        .spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", span)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      // model: cut every doc into spans, keep first (doc, idx) occurrence
+      // of each distinct span, reassemble
+      val spans = docs.flatMap { case (id, t) =>
+        t.split("\\s+").grouped(span).zipWithIndex
+          .map { case (w, i) => (id, i.toLong, w.mkString(" ")) }
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val kept = spans.sortBy(s => (s._1, s._2))
+        .filter(s => seen.add(s._3))
+      val want = kept.groupBy(_._1).map { case (id, ss) =>
+        id -> ((ss.sortBy(_._2).map(_._3).mkString(" "), ss.size.toLong))
+      }
+      Prop(out == want) :| s"got $out want $want"
+    }
+
+  property("vocab.truncateToTopK == brute-force top-k rewrite") =
+    Prop.forAll(corpusGen, Gen.choose(1, 4)) { (docs, k) =>
+      val out = graft.operators.Vocab
+        .truncateToTopK(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      val counts = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .map { case (t, o) => t -> o.size }
+      val vocab = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+        .take(k).map(_._1).toSet
+      val want = docs.map { case (id, t) =>
+        val toks = t.split("\\s+").toSeq
+        val rewritten = toks.map(w => if (vocab(w)) w else "<unk>")
+        id -> ((rewritten.mkString(" "),
+          rewritten.count(_ == "<unk>").toLong))
+      }.toMap
+      Prop(out == want) :| s"got $out want $want"
+    }
+
+  property("keywords.topTerms: scores exact, per-doc k bound, ranking correct") =
+    Prop.forAll(corpusGen, Gen.choose(1, 3)) { (docs, k) =>
+      val out = graft.operators.Keywords
+        .topTerms(docs.toDF("doc_id", "text"), "doc_id", "text", k,
+          minTokenLen = 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val n = docs.size.toLong
+      val tf = docs.flatMap { case (id, t) =>
+        t.split("\\s+").map(w => (id, w))
+      }.groupBy(identity).map { case (key, o) => key -> o.size.toLong }
+      val dfreq = tf.keys.groupBy(_._2).map { case (w, o) => w -> o.size.toLong }
+      val want = tf.toSeq
+        .map { case ((id, w), c) => (id, w, c, c * n * 1000000L / dfreq(w)) }
+        .groupBy(_._1).flatMap { case (_, rows) =>
+          rows.sortBy(r => (-r._4, r._2)).take(k)
+        }.toSet
+      Prop(out.toSet == want) :| s"got ${out.toSet} want $want"
+    }
 }
