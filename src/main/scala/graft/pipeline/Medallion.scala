@@ -134,6 +134,27 @@ object Medallion {
       }
     }
 
+  /** Catalog statistics collection — the Glue-crawler role in the
+    * reference (crawlers populate table/column stats the planner
+    * consumes; reference: terraform/glue.tf crawler blocks). ANALYZE
+    * gives the optimizer REAL sizeInBytes/rowCount (and per-column NDV +
+    * min/max when `columns` is passed) instead of the file-size guess —
+    * at warehouse scale the difference between a planned broadcast and a
+    * runtime-discovered one, and the input CBO join reordering needs.
+    * Call after [[registerCatalog]]; re-run after large appends. */
+  def analyzeTables(spark: SparkSession, wh: Warehouse,
+      zones: Seq[String] = Seq(Silver, Gold),
+      columns: Map[String, Seq[String]] = Map.empty): Unit =
+    zones.foreach { zone =>
+      tableDirs(wh, zone).foreach { t =>
+        spark.sql(s"ANALYZE TABLE $zone.$t COMPUTE STATISTICS")
+        columns.get(s"$zone.$t").filter(_.nonEmpty).foreach { cols =>
+          spark.sql(s"ANALYZE TABLE $zone.$t COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${cols.mkString(", ")}")
+        }
+      }
+    }
+
   private def tableDirs(wh: Warehouse, zone: String): Seq[String] = {
     val dir = Paths.get(wh.zone(zone))
     if (!Files.isDirectory(dir)) Seq.empty

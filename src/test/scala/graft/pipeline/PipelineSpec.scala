@@ -65,6 +65,24 @@ class PipelineSpec extends SparkSpec {
     assert(files.map(_.getString(0)) == Seq("events.parquet"))
   }
 
+  test("analyzeTables hands the planner real row counts and column stats") {
+    val wh = Warehouse(tmpDir())
+    LakehousePipeline.run(spark, "/root/testdata/sf0.001/events.parquet", wh)
+    Medallion.registerCatalog(spark, wh)
+    Medallion.analyzeTables(spark, wh,
+      columns = Map("gold.dim_event_type" -> Seq("event_type")))
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED gold.dim_event_type")
+      .rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    // table-level: ANALYZE recorded bytes AND an exact row count
+    assert(stats.contains("Statistics"), stats)
+    assert(stats("Statistics").contains("5 rows"), stats("Statistics"))
+    // column-level: NDV for the analyzed column
+    val colStats = spark
+      .sql("DESCRIBE TABLE EXTENDED gold.dim_event_type event_type")
+      .rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats.get("distinct_count").contains("5"), colStats)
+  }
+
   test("silver partition layout supports partition pruning") {
     val wh = Warehouse(tmpDir())
     LakehousePipeline.run(spark, "/root/testdata/sf0.001/events.parquet", wh)
