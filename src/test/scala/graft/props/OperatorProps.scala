@@ -146,6 +146,30 @@ object OperatorProps extends Properties("graft.operators") {
       Prop(out == want) :| s"got $out want $want"
     }
 
+  property("lmScore.bigramLogProb == brute-force model (within one 6dp ulp)") =
+    Prop.forAll(corpusGen) { docs =>
+      val out = graft.operators.LmScore
+        .bigramLogProb(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val bgs = docs.flatMap { case (id, t) =>
+        t.split("\\s+").sliding(2).filter(_.length == 2)
+          .map(p => (id, p(0), p.mkString(" "))).toSeq
+      }
+      val c12 = bgs.groupBy(_._3).map { case (b, o) => b -> o.size }
+      val c1 = bgs.groupBy(_._2).map { case (w, o) => w -> o.size }
+      val want = bgs.groupBy(_._1).map { case (id, rows) =>
+        val lps = rows.map(r => math.log(c12(r._3).toDouble / c1(r._2)))
+        id -> ((rows.size.toLong, lps.sum / lps.size))
+      }
+      val keysMatch = out.keySet == want.keySet
+      // sum order differs between engines/model: compare to one ulp of
+      // the 6dp export grid instead of exactly
+      Prop(keysMatch && want.forall { case (id, (n, lp)) =>
+        out(id)._1 == n && math.abs(out(id)._2 - lp) <= 1e-6 + 1e-9
+      }) :| s"got $out want $want"
+    }
+
   property("keywords.topTerms: scores exact, per-doc k bound, ranking correct") =
     Prop.forAll(corpusGen, Gen.choose(1, 3)) { (docs, k) =>
       val out = graft.operators.Keywords

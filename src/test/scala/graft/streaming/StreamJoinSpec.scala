@@ -61,6 +61,49 @@ class StreamJoinSpec extends SparkSpec {
     assert(batch == expected, s"batch=$batch")
   }
 
+  test("left-outer STREAMING join emits unmatched views once the watermark seals them") {
+    val root = Files.createTempDirectory("graft_ssj_outer_").toString
+    writeParquet(views, s"$root/views", "view_ts", "view_id")
+    writeParquet(clicks, s"$root/clicks", "click_ts", "click_id")
+    val vSchema = spark.read.parquet(s"$root/views").schema
+    val cSchema = spark.read.parquet(s"$root/clicks").schema
+    def drain(): Unit = {
+      val q = StreamJoin.intervalJoin(
+          spark.readStream.schema(vSchema).parquet(s"$root/views"),
+          spark.readStream.schema(cSchema).parquet(s"$root/clicks"),
+          "user_id", "view_ts", "click_ts",
+          maxDelay = "10 MINUTES", watermarkDelay = "1 MINUTE",
+          joinType = "left_outer")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // The GLOBAL watermark is min(left, right): a right-side pusher alone
+    // never seals view 101 (the left watermark stays at the last view).
+    // drain 2 pushes BOTH watermarks forward; drain 3 runs the batch that
+    // evicts with them (watermarks commit between batches).
+    drain()
+    writeParquet(Seq((204L, 99L, "2024-01-01 06:00:00")),
+      s"$root/clicks", "click_ts", "click_id")
+    writeParquet(Seq((900L, 98L, "2024-01-01 06:00:00")),
+      s"$root/views", "view_ts", "view_id")
+    drain()
+    writeParquet(Seq((205L, 99L, "2024-01-01 07:00:00")),
+      s"$root/clicks", "click_ts", "click_id")
+    drain()
+    val out = spark.read.parquet(s"$root/out")
+      .filter(col("view_id") <= 102) // pusher rows seal outside this test
+      .select("view_id", "click_id").rows
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(out == Set((100L, Some(200L)), (101L, None), (102L, None)),
+      s"got $out")
+  }
+
   test("left-outer interval join emits unmatched views with nulls (batch)") {
     val v = views.toDF("view_id", "user_id", "__ts")
       .withColumn("view_ts", to_timestamp(col("__ts"))).drop("__ts")
