@@ -42,4 +42,48 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lp")), 6).as("avg_logp"))
   }
+
+  /** Collocation detection: the corpus's top-`k` bigrams by pointwise
+    * mutual information, PMI = ln(p(w1 w2) / (p(w1)·p(w2))) — pairs that
+    * co-occur far more than their token frequencies predict ("new york"
+    * behavior; with this synthetic corpus, whatever sticks).
+    *
+    * Ranking NEVER touches ln: it orders on the ratio itself, computed
+    * as a fixed-order chain of IEEE double ops over exact integer counts
+    * ((c12·Nt)·Nt / ((Nbg·c1)·c2)) — identical on every engine at any
+    * corpus size (each factor is an exact count ≤ 2^53; no decimal
+    * overflow games). ln is applied only to the exported value and
+    * rounded to 6dp (the q30 contract). `minCount` keeps
+    * one-off pairs — whose PMI is huge and meaningless — out.
+    *
+    * Scale shape: one scan-side bigram explode feeding two partial
+    * aggregations; totals ride as a broadcast row; the candidate set
+    * after `minCount` is vocabulary²-bounded and top-k is
+    * TakeOrderedAndProject. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val bg = NearDup.shingleRows(df, idCol, textCol, 2)
+      .select(split(col("shingle"), " ").getItem(0).as("w1"),
+        split(col("shingle"), " ").getItem(1).as("w2"),
+        col("shingle").as("bg"))
+    val c12 = bg.groupBy(col("bg"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val totals = toks.agg(count(lit(1)).as("__nt"))
+      .crossJoin(bg.agg(count(lit(1)).as("__nb")))
+    c12.filter(col("n12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bg"), col("n12"),
+        (col("n12").cast("double") * col("__nt") * col("__nt") /
+          (col("__nb").cast("double") * col("c1") * col("c2")))
+          .as("__ratio"))
+      .orderBy(desc("__ratio"), col("bg"))
+      .limit(k)
+      .select(col("bg"), col("n12"), round(log(col("__ratio")), 6).as("pmi"))
+  }
 }

@@ -503,6 +503,13 @@ object ExtQueries {
       .select(col("doc_id"), col("q"))
   }
 
+  /** Collocations: top-20 bigrams by PMI with count >= 5. Ranking is on
+    * the exact-arithmetic ratio (fixed-order IEEE over exact counts);
+    * ln only dresses the exported score. */
+  def q115Collocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.collocations(t(s, dir, "documents"),
+      "doc_id", "text", minCount = 5, k = 20)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -646,7 +653,8 @@ object ExtQueries {
     "q104_span_dedup" -> (q104SpanDedup _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
-    "q114_best_dedup" -> (q114BestDedup _))
+    "q114_best_dedup" -> (q114BestDedup _),
+    "q115_collocations" -> (q115Collocations _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -869,6 +877,32 @@ object ExtQueries {
         |    ORDER BY score_ppm DESC, term) AS rn
         |  FROM s)
         |SELECT doc_id, term, tf, score_ppm FROM r WHERE rn <= 5""".stripMargin,
+    "q115_collocations" ->
+      // identical op-order ratio ((c12*nt)*nt)/((nb*c1)*c2); rank on the
+      // ratio, ln + 6dp only on the export
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS nt FROM toks),
+        |tk AS (
+        |  SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |bgx AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, t[i] || ' ' || t[i + 1] AS bg
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tk WHERE len(t) >= 2)),
+        |nbt AS (SELECT COUNT(*) AS nb FROM bgx),
+        |c12 AS (SELECT bg, w1, w2, COUNT(*) AS n12 FROM bgx GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT c12.bg, c12.n12,
+        |    (CAST(n12 AS DOUBLE) * tt.nt * tt.nt) /
+        |    (CAST(nbt.nb AS DOUBLE) * u1.cu * u2.cu) AS ratio
+        |  FROM c12
+        |  JOIN uni u1 ON u1.tok = c12.w1
+        |  JOIN uni u2 ON u2.tok = c12.w2, tt, nbt
+        |  WHERE n12 >= 5)
+        |SELECT bg, n12, ROUND(ln(ratio), 6) AS pmi
+        |FROM s ORDER BY ratio DESC, bg LIMIT 20""".stripMargin,
     "q114_best_dedup" ->
       // clusters are exact-text groups, so partition-by-text rank
       // reproduces components + best-keeper exactly

@@ -23,6 +23,24 @@ class LmScoreSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("collocations: sticky pair outranks frequent-but-independent pair") {
+    // "p q" always co-occur (3 times, each token only in that pair);
+    // "a b" co-occurs 3 times but a and b also appear apart — its PMI
+    // must be lower; pairs under minCount don't appear
+    val docs = Seq(
+      (1L, "p q a b a x b y"),
+      (2L, "p q a b a x b y"),
+      (3L, "p q a b a x b y")).toDF("doc_id", "text")
+    val out = LmScore
+      .collocations(docs, "doc_id", "text", minCount = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.head._1 == "p q", s"got ${out.toSeq}")
+    val byBg = out.map(o => o._1 -> o._3).toMap
+    assert(byBg("p q") > byBg("a b"), s"got $byBg")
+    // count columns are the exact corpus counts
+    assert(out.find(_._1 == "p q").get._2 == 3L)
+  }
+
   test("bigramLogProb: uniform corpus scores zero everywhere") {
     // every w1 has exactly one continuation -> all probabilities 1
     val docs = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
