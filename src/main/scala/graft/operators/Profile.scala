@@ -68,6 +68,54 @@ object Profile {
           .as("is_outlier"): _*)
   }
 
+  /** Population-stability drift between a reference slice and a current
+    * slice of the same column: per-bin PSI terms
+    * (p_ref − p_cur)·ln(p_ref/p_cur) over equi-width bins fixed by the
+    * REFERENCE bounds (current values outside them clamp into the edge
+    * bins — at drift-detection time the reference grid must not move).
+    * Zero-count bins take probability `pFloor` on both sides (the
+    * standard dodge for ln 0 — identical on every engine because it's a
+    * comparison, not arithmetic). Σ of the terms is the headline PSI
+    * (>0.2 ≈ action threshold); the per-bin rows say WHERE the drift
+    * is. Counts and probabilities are exact; ln rides only in the
+    * exported 6dp term. Same two-pass scan shape as [[histogram]],
+    * once per slice. */
+  def psi(ref: DataFrame, cur: DataFrame, c: String, buckets: Int,
+      pFloor: Double = 1e-6): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = ref.agg(min(col(c).cast("double")).as("mn"),
+      max(col(c).cast("double")).as("mx")).head()
+    require(!b.isNullAt(0), s"reference column $c has no non-null values")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    def binned(df: DataFrame, n: String): DataFrame = {
+      val raw =
+        if (mx == mn) lit(0L)
+        else floor((col(c).cast("double") - lit(mn)) * buckets / lit(mx - mn))
+          .cast("long")
+      df.filter(col(c).isNotNull)
+        .groupBy(least(greatest(raw, lit(0L)), lit(buckets - 1L)).as("bin"))
+        .agg(count(lit(1)).as(n))
+    }
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val bins = Seq(0).toDF("__x")
+      .select(explode(sequence(lit(0L), lit(buckets - 1L))).as("bin"))
+    val joined = bins
+      .join(binned(ref, "n_ref"), Seq("bin"), "left_outer")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tr = sum(col("n_ref")).over()
+    val tc = sum(col("n_cur")).over()
+    joined
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        greatest(col("n_ref").cast("double") / tr, lit(pFloor)).as("__pr"),
+        greatest(col("n_cur").cast("double") / tc, lit(pFloor)).as("__pc"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("__pr") - col("__pc")) * log(col("__pr") / col("__pc")), 6)
+          .as("psi_term"))
+  }
+
   /** Equi-width histogram of a numeric column: `buckets` bins over the
     * observed [min, max], plus the bin edges. Two passes (bounds, then
     * counts) — the bounds pass reads one column and reduces to one row;

@@ -284,8 +284,20 @@ object SurfaceQueries {
   def q113SkewReport(s: SparkSession, dir: String): DataFrame =
     graft.operators.Scale.skewReport(t(s, dir, "events"), "user_id", 10)
 
+  /** Distribution drift between the first and second half of the event
+    * stream (by id): per-bin PSI terms on the reference grid — the
+    * corpus-version drift check. */
+  def q116Psi(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.operators.Profile.psi(
+      ev.filter(col("event_id") < 5000),
+      ev.filter(col("event_id") >= 5000),
+      "value", buckets = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_stream_join" -> (q105StreamJoin _),
+    "q116_psi" -> (q116Psi _),
     "q110_funnel" -> (q110Funnel _),
     "q111_cohorts" -> (q111Cohorts _),
     "q113_skew_report" -> (q113SkewReport _),
@@ -309,6 +321,35 @@ object SurfaceQueries {
     "q42_distinct_counts" -> (q42DistinctCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q116_psi" ->
+      // reference-grid bins with two-sided clamp; identical probability
+      // floor and op order; ln + 6dp only at export
+      """WITH r0 AS (SELECT value FROM events WHERE event_id < 5000),
+        |c0 AS (SELECT value FROM events WHERE event_id >= 5000),
+        |b AS (SELECT MIN(CAST(value AS DOUBLE)) AS mn,
+        |             MAX(CAST(value AS DOUBLE)) AS mx FROM r0),
+        |bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+        |br AS (
+        |  SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - b.mn)
+        |      * 8 / (b.mx - b.mn)) AS BIGINT), 0), 7) AS bin,
+        |    COUNT(*) AS n_ref
+        |  FROM r0, b WHERE value IS NOT NULL GROUP BY 1),
+        |bc AS (
+        |  SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - b.mn)
+        |      * 8 / (b.mx - b.mn)) AS BIGINT), 0), 7) AS bin,
+        |    COUNT(*) AS n_cur
+        |  FROM c0, b WHERE value IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT bins.bin, COALESCE(n_ref, 0) AS n_ref,
+        |    COALESCE(n_cur, 0) AS n_cur
+        |  FROM bins LEFT JOIN br USING (bin) LEFT JOIN bc USING (bin)),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+        |SELECT bin, n_ref, n_cur,
+        |  ROUND((greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+        |       - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6))
+        |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+        |       / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 6) AS psi_term
+        |FROM j, t""".stripMargin,
     "q113_skew_report" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT COUNT(*) AS tt FROM events)

@@ -62,6 +62,25 @@ class ProfileResampleSpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("Profile.psi: identical slices score ~0, shifted slice flags the moved bins") {
+    val ref = (1 to 100).map(_.toDouble % 10).toDF("x")
+    val same = Profile.psi(ref, ref, "x", 5)
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0), s"identical slices drifted: ${same.toSeq}")
+    // current slice compressed into the low bins; out-of-range values
+    // clamp into the edge bin instead of vanishing
+    val cur = ((1 to 100).map(_ => 1.0) ++ Seq(-50.0, 500.0)).toDF("x")
+    val out = Profile.psi(ref, cur, "x", 5)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._3).sum == 102L, s"clamped rows lost: ${out.toSeq}")
+    assert(out.head._3 == 101L) // 1.0s plus the -50 clamp in bin 0
+    assert(out.last._3 == 1L)   // the 500 clamp in the top bin
+    val total = out.map(_._4).sum
+    assert(total > 0.2, s"gross drift under the action threshold: $total")
+  }
+
   test("gapFillHourly: dense buckets, zero counts, carried totals") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
