@@ -194,6 +194,57 @@ object Maintenance {
     * of the partition — RESTORE it instead of deleting. A `.compact_tmp`
     * whose leaf is absent is only promoted after any old has been
     * restored (the original data always wins). */
+  /** Partition-layout evolution: rewrite the table into a new Hive
+    * partition layout (`Nil` un-partitions) — Iceberg's partition
+    * evolution done the parquet way: a full rewrite, because parquet has
+    * no manifest indirection to relayer reads over (that IS the cost of
+    * the degradation path; schedule it like any compaction). Old
+    * partition columns come back as ordinary data columns, so no data is
+    * lost when a partition key stops being one. One read-side caveat
+    * comes with the Hive layout itself: PATH readers re-infer a NEW
+    * partition column's type from the directory names (a date-shaped
+    * string key reads back as DATE) — pin types by pairing the table
+    * with a catalog entry (Medallion.registerCatalog), as any production
+    * table is. The rewrite lands in a
+    * sibling temp and swaps through the SAME two-rename protocol as
+    * [[compact]]'s root-leaf case — a crash between the renames is
+    * restored by [[removeOrphans]] with zero new recovery code. Same
+    * refusals as compact: versioned roots and live streaming sinks. */
+  def repartitionTable(spark: SparkSession, tableDir: String,
+      newPartitionCols: Seq[String]): Report = {
+    try {
+      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+        return Report(tableDir, "repartition", ok = false,
+          "versioned table: snapshots are immutable, use VersionedTable")
+      }
+      if (Files.isDirectory(Paths.get(tableDir, "_spark_metadata"))) {
+        return Report(tableDir, "repartition", ok = false,
+          "streaming sink: _spark_metadata governs this dir")
+      }
+      val df = spark.read.parquet(tableDir)
+      val missing = newPartitionCols.filterNot(df.columns.contains)
+      if (missing.nonEmpty) {
+        return Report(tableDir, "repartition", ok = false,
+          s"columns not in table: ${missing.mkString(", ")}")
+      }
+      val enc = encodeLeaf(".")
+      val tmp = Paths.get(tableDir + s".compact_tmp.$enc")
+      val old = Paths.get(tableDir + s".compact_old.$enc")
+      val w = df.write.mode("overwrite")
+      (if (newPartitionCols.nonEmpty) w.partitionBy(newPartitionCols: _*)
+       else w).parquet(tmp.toString)
+      Files.move(Paths.get(tableDir), old)
+      Files.move(tmp, Paths.get(tableDir))
+      deleteRecursively(old.toFile)
+      Report(tableDir, "repartition", ok = true,
+        if (newPartitionCols.isEmpty) "rewrote as unpartitioned"
+        else s"rewrote partitioned by ${newPartitionCols.mkString("/")}")
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "repartition", ok = false, e.toString)
+    }
+  }
+
   def removeOrphans(tableDir: String): Report = {
     try {
       var removed = 0

@@ -83,6 +83,53 @@ class PipelineSpec extends SparkSpec {
     assert(colStats.get("distinct_count").contains("5"), colStats)
   }
 
+  test("repartitionTable evolves the layout; data identical, old key kept") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "a", "2024-01-02"))
+      .toDF("id", "k", "d")
+      .write.partitionBy("k").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .select("id", "k", "d").rows.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val rep = Maintenance.repartitionTable(spark, dir, Seq("d"))
+    assert(rep.ok, rep.detail)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dirs == Seq("d=2024-01-01", "d=2024-01-02"), dirs)
+    // path readers infer the new partition column's type from the dir
+    // names (date-shaped -> DATE); cast back for the value comparison —
+    // catalog-registered tables pin the type (see scaladoc)
+    val after = spark.read.parquet(dir)
+      .select(col("id"), col("k"), col("d").cast("string")).rows.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before) // the old partition key survives as a column
+
+    // pruning works on the NEW key
+    val scanned = spark.read.parquet(dir).filter(col("d") === "2024-01-02")
+    assert(scanned.count() == 1)
+
+    // un-partitioning flattens the layout, data still identical
+    val flat = Maintenance.repartitionTable(spark, dir, Nil)
+    assert(flat.ok, flat.detail)
+    assert(new java.io.File(dir).listFiles().forall(!_.isDirectory))
+    assert(spark.read.parquet(dir)
+      .select(col("id"), col("k"), col("d").cast("string")).rows.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == before)
+  }
+
+  test("repartitionTable refuses versioned roots and bad columns") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    Seq((1L, "a")).toDF("id", "k").write.parquet(dir)
+    assert(!Maintenance.repartitionTable(spark, dir, Seq("nope")).ok)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_versions"))
+    assert(!Maintenance.repartitionTable(spark, dir, Seq("k")).ok)
+  }
+
   test("silver partition layout supports partition pruning") {
     val wh = Warehouse(tmpDir())
     LakehousePipeline.run(spark, "/root/testdata/sf0.001/events.parquet", wh)
