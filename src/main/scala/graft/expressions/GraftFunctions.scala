@@ -57,6 +57,11 @@ object GraftFunctions {
   def tokenChunks(tokens: Column, size: Int, stride: Int): Column =
     TextExpressionFunctions.tokenChunks(tokens, size, stride)
 
+  /** Codegen'd Bloom membership probe over a long column (Spark's own
+    * runtime-filter expression with a pre-built serialized filter). */
+  def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    TextExpressionFunctions.mightContain(bloomBytes, value)
+
   /** Single-pass language ID over raw text (distinct profile-word counts
     * per language via bitmask popcount, alphabetical tie-break). */
   def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =

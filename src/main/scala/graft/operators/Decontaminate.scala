@@ -35,4 +35,37 @@ object Decontaminate {
     train.join(
       overlapCounts(train, eval, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Bloom-prefiltered decontamination for when the eval side stops
+    * being tiny (multi-benchmark suites, held-out corpora): a Bloom
+    * filter over the eval shingle hashes is broadcast as one compact
+    * bitset, the training shingle stream drops every non-hit AT THE SCAN
+    * (`might_contain` is a projection — no join, no shuffle for the
+    * overwhelmingly-clean majority), and only the surviving sliver meets
+    * the exact eval set to discharge the Bloom's false positives. Result
+    * is EXACTLY [[overlapCounts]] — the filter is a prefilter, never the
+    * verdict — at a fraction of the join traffic: shuffle volume is
+    * O(candidate shingles), not O(corpus shingles).
+    * `fpp`/`expectedEvalShingles` size the bitset (1% fpp ≈ 9.6
+    * bits/shingle). */
+  def overlapCountsBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val ev = NearDup.shingleRows(eval, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+      .localCheckpoint() // two consumers: the filter build + exact verify
+    val bloom = ev.stat.bloomFilter("sh", expectedEvalShingles, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    // codegen'd membership probe (Spark's own runtime-filter expression),
+    // NOT a UDF — the prefilter runs inside WholeStageCodegen at the scan
+    val candidates = NearDup.shingleRows(train, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+      .filter(graft.expressions.GraftFunctions.mightContain(
+        bytes.toByteArray, col("sh")))
+      .distinct()
+    candidates.join(ev, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -376,6 +376,18 @@ object ExtQueries {
       "doc_id", "text", n = 8)
   }
 
+  /** q82 through the Bloom-prefiltered path: the codegen'd
+    * might_contain probe drops clean shingles at the scan, the exact
+    * meet discharges false positives — same rows as q82 by
+    * construction, same oracle. */
+  def q117BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.overlapCountsBloom(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8, expectedEvalShingles = 100000L)
+  }
+
   /** Intra-document repetition: fraction of word 3-grams that are
     * repeats (1 − distinct/total) — the classic repeated-n-gram quality
     * filter. One scan-side shingle explode + hash aggregate; docs with
@@ -654,7 +666,8 @@ object ExtQueries {
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
     "q114_best_dedup" -> (q114BestDedup _),
-    "q115_collocations" -> (q115Collocations _))
+    "q115_collocations" -> (q115Collocations _),
+    "q117_bloom_decontaminate" -> (q117BloomDecontaminate _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -793,6 +806,8 @@ object ExtQueries {
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
     tempOracles ++
+    // the bloom path is exactly q82 by construction -> same oracle
+    Map("q117_bloom_decontaminate" -> staticOracles("q82_decontaminate")) ++
     Map("q92_quantized_lsh" -> quantizedLshOracleSql,
       "q97_chunk_pack" ->
         """WITH t AS (

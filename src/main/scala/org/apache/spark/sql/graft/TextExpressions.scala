@@ -383,6 +383,19 @@ object TextExpressionFunctions {
   def rollingXxHash64(tokens: Column): Column =
     ExpressionUtils.column(RollingXxHash64(ExpressionUtils.expression(tokens)))
 
+  /** Codegen'd Bloom-filter membership test over a LONG column — Spark's
+    * own `BloomFilterMightContain` (the runtime-filter expression), fed a
+    * pre-built serialized filter as a literal (exactly how
+    * InjectRuntimeFilter pushes its filters; the 1% fpp bitset for 1M
+    * keys is ~1.2 MB of plan literal). No UDF: the membership probe
+    * stays inside WholeStageCodegen at the scan. */
+  def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ExpressionUtils.expression(value)))
+
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
 

@@ -36,4 +36,26 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(7L -> 3L)) // 10 tokens -> 3 sliding 8-grams
   }
+
+  test("bloom prefilter path equals the exact path; probe is codegen, not a UDF") {
+    // a larger random-ish corpus so the bloom actually prunes
+    val t3 = (1L to 200L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e3 = (1L to 5L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMapOf(
+      Decontaminate.overlapCounts(t3, e3, "doc_id", "text", n = 4))
+    val bloomed = Decontaminate.overlapCountsBloom(t3, e3, "doc_id", "text",
+      n = 4, expectedEvalShingles = 1000L)
+    assert(toMapOf(bloomed) == exact)
+    assert(exact.nonEmpty) // the equivalence must not be vacuous
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython")
+      && !plan.contains("ScalaUDF"), plan)
+  }
 }
