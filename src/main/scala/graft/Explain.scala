@@ -17,7 +17,9 @@ object Explain {
         "q73_skew_neardup", "q75_hash_split", "q77_vector_norm",
         "q80_pack_bins", "q82_decontaminate", "q87_merge_upsert",
         "q89_snapshot_diff", "q91_quantized_topk", "q101_weighted_sample",
-        "q103_keywords", "q104_span_dedup", "q105_stream_join")
+        "q103_keywords", "q104_span_dedup", "q105_stream_join",
+        "q112_vocab", "q115_collocations", "q116_psi",
+        "q117_bloom_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
