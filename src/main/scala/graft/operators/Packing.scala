@@ -36,4 +36,23 @@ object Packing {
         expr(s"(__cum - `$tokenCol`) div $targetTokens").cast("long"))
       .drop("__cum")
   }
+
+  /** The emission stage on top of [[packBins]]: one row per (shard,
+    * bin) holding the ACTUAL training sequence — member documents
+    * concatenated in packing order with `separator` between them — plus
+    * the doc and token tallies. The bin window and the reassembly group
+    * share the shard-keyed distribution, and member order inside a bin
+    * is pinned by the same id ordering the bin assignment used, so the
+    * emitted sequence is a pure function of (shard, ids, token counts)
+    * at any parallelism. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokenCol: String, shardCols: Seq[String], targetTokens: Int,
+      separator: String = " <eod> "): DataFrame =
+    packBins(df, idCol, tokenCol, shardCols, targetTokens)
+      .groupBy((shardCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens_total"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), separator).as("sequence"))
 }

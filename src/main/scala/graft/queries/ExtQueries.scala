@@ -522,6 +522,17 @@ object ExtQueries {
     graft.operators.LmScore.collocations(t(s, dir, "documents"),
       "doc_id", "text", minCount = 5, k = 20)
 
+  /** Packed training sequences: the corpus-prep OUTPUT stage — 512-token
+    * bins per shard emitted as actual concatenated sequences with an
+    * <eod> separator, plus tallies. Deterministic at any parallelism
+    * (bin assignment and member order share one id ordering). */
+  def q118PackedSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(
+      t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 8).cast("int").as("shard"), col("text"),
+        size(split(col("text"), "\\s+")).as("n_tokens")),
+      "doc_id", "text", "n_tokens", Seq("shard"), targetTokens = 512)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -667,7 +678,8 @@ object ExtQueries {
     "q112_vocab" -> (q112Vocab _),
     "q114_best_dedup" -> (q114BestDedup _),
     "q115_collocations" -> (q115Collocations _),
-    "q117_bloom_decontaminate" -> (q117BloomDecontaminate _))
+    "q117_bloom_decontaminate" -> (q117BloomDecontaminate _),
+    "q118_packed_sequences" -> (q118PackedSequences _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -933,6 +945,22 @@ object ExtQueries {
         |    ORDER BY q DESC, doc_id) AS rn
         |  FROM c)
         |SELECT doc_id, q FROM r WHERE rn = 1""".stripMargin,
+    "q118_packed_sequences" ->
+      // q80's bin rule + ordered string_agg emission
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, text,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (SELECT *, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin FROM c)
+        |SELECT shard, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+        |  string_agg(text, ' <eod> ' ORDER BY doc_id) AS sequence
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q112_vocab" ->
       // same (count desc, token asc) vocabulary boundary, same sentinel
       """WITH toks AS (

@@ -53,4 +53,19 @@ class PackingSpec extends SparkSpec {
     assert(out(2L) == ("no pii here at all", 0))
     assert(out(3L) == ("mail <EMAIL> and <EMAIL>", 2))
   }
+
+  test("packSequences: member order, separator, tallies, bin alignment") {
+    val docs = Seq(
+      (1L, "s", "a a a", 3), (2L, "s", "b b", 2), (3L, "s", "c c c", 3),
+      (4L, "t", "x", 1)
+    ).toDF("doc_id", "shard", "text", "n_tokens")
+    // target 5 in shard s: cum-starts 0,3,5 -> bins 0,0,1
+    val out = Packing
+      .packSequences(docs, "doc_id", "text", "n_tokens", Seq("shard"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(("s", 0L)) == ((2L, 5L, "a a a <eod> b b")))
+    assert(out(("s", 1L)) == ((1L, 3L, "c c c")))
+    assert(out(("t", 0L)) == ((1L, 1L, "x")))
+  }
 }
