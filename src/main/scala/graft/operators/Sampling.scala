@@ -157,6 +157,31 @@ object Sampling {
     stratifiedSample(df, groupCol, key,
       temperatureFractions(df, groupCol, alpha))
 
+  /** Deterministic per-epoch shuffle key: md5 of (epoch, key) — a
+    * different but fully reproducible global order for every training
+    * epoch (the standard per-epoch reshuffle without RNG state: any
+    * engine, any run, any partitioning produces the same order). Sort
+    * by it for a total order; feed [[writeEpochShuffled]] to
+    * materialize one without a single-reducer sort. */
+  def epochOrderKey(key: Column, epoch: Int): Column =
+    md5(concat_ws("-", lit(epoch.toString), key.cast("string"))
+      .cast("binary"))
+
+  /** Materialize an epoch-shuffled corpus: range-partition on the epoch
+    * order key (sampled bounds — the Spark-native global sort, no
+    * single reducer) and sort within partitions, so file i's keys all
+    * precede file i+1's and a sequential reader sees the exact global
+    * shuffle order. One shuffle, `numFiles` output files. */
+  def writeEpochShuffled(df: DataFrame, key: String, epoch: Int,
+      path: String, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.withColumn("__ok", epochOrderKey(col(key), epoch))
+      .repartitionByRange(numFiles, col("__ok"))
+      .sortWithinPartitions(col("__ok"))
+      .drop("__ok")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Keep at most `cap` rows per group, chosen deterministically (hash
     * order with the key as tie-break) — class/domain balancing. One
     * shuffle on the group columns; the per-group sort is bounded by the

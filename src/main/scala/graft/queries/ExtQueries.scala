@@ -533,6 +533,13 @@ object ExtQueries {
         size(split(col("text"), "\\s+")).as("n_tokens")),
       "doc_id", "text", "n_tokens", Seq("shard"), targetTokens = 512)
 
+  /** Per-epoch deterministic shuffle keys for two epochs — RNG-free
+    * reproducible training order, portable to any engine with md5. */
+  def q119EpochOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Sampling.epochOrderKey(col("doc_id"), 1).as("ok1"),
+      Sampling.epochOrderKey(col("doc_id"), 2).as("ok2"))
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -679,7 +686,8 @@ object ExtQueries {
     "q114_best_dedup" -> (q114BestDedup _),
     "q115_collocations" -> (q115Collocations _),
     "q117_bloom_decontaminate" -> (q117BloomDecontaminate _),
-    "q118_packed_sequences" -> (q118PackedSequences _))
+    "q118_packed_sequences" -> (q118PackedSequences _),
+    "q119_epoch_order" -> (q119EpochOrder _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -945,6 +953,11 @@ object ExtQueries {
         |    ORDER BY q DESC, doc_id) AS rn
         |  FROM c)
         |SELECT doc_id, q FROM r WHERE rn = 1""".stripMargin,
+    "q119_epoch_order" ->
+      """SELECT doc_id,
+        |  md5('1-' || CAST(doc_id AS VARCHAR)) AS ok1,
+        |  md5('2-' || CAST(doc_id AS VARCHAR)) AS ok2
+        |FROM documents""".stripMargin,
     "q118_packed_sequences" ->
       // q80's bin rule + ordered string_agg emission
       """WITH t AS (

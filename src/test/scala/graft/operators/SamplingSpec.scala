@@ -121,6 +121,36 @@ class SamplingSpec extends SparkSpec {
     assert(eq("en") > 70 && eq("en") < 130, s"equalized en off: ${eq("en")}")
   }
 
+  test("writeEpochShuffled: files form one global order; epochs differ") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_epoch_").toString
+    val docs = (1L to 2000L).toDF("id")
+    Sampling.writeEpochShuffled(docs, "id", epoch = 1, s"$root/e1", 4)
+    val parts = new java.io.File(s"$root/e1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 4)
+    // reading part files in name order must yield the exact global
+    // order of the epoch key (range partitioning => file i < file i+1)
+    val seen = parts.flatMap { f =>
+      spark.read.parquet(f.toString)
+        .select(col("id"),
+          Sampling.epochOrderKey(col("id"), 1).as("ok"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    assert(seen.map(_._2).toSeq == seen.map(_._2).sorted.toSeq,
+      "files do not concatenate into the global epoch order")
+    assert(seen.map(_._1).toSet == (1L to 2000L).toSet)
+    // a different epoch produces a different (but equally total) order
+    Sampling.writeEpochShuffled(docs, "id", epoch = 2, s"$root/e2", 4)
+    val firstE2 = spark.read.parquet(s"$root/e2/" +
+      new java.io.File(s"$root/e2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).min)
+      .select("id").rows.map(_.getLong(0))
+    val firstE1 = spark.read.parquet(parts.head.toString)
+      .select("id").rows.map(_.getLong(0))
+    assert(firstE1.toSet != firstE2.toSet, "epoch orders identical")
+  }
+
   test("capPerGroup: bounded, deterministic, keeps small groups whole") {
     val docs = (1L to 900L).map(i => (i, s"lang${i % 3}"))
       .toDF("id", "lang")
