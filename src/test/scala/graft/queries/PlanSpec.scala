@@ -84,4 +84,26 @@ class PlanSpec extends SparkSpec {
     // moment aggregation is partial+final, one scan feeding each side
     assert(p.split("HashAggregate").length >= 3, p)
   }
+
+  // Shuffle budgets: every Exchange is a full network pass over the
+  // operator's data; these counts ARE the scale design. A regression
+  // that adds one is a performance bug even while results stay correct.
+  private def shuffles(name: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllMatchIn(plan(name)).length
+
+  test("shuffle budgets hold for the data-movement-critical operators") {
+    assert(shuffles("q22_dedup_exact") == 1,
+      s"q22: ${shuffles("q22_dedup_exact")}")
+    assert(shuffles("q104_span_dedup") == 2, // winner agg + reassembly
+      s"q104: ${shuffles("q104_span_dedup")}")
+    assert(shuffles("q80_pack_bins") == 1,   // the sharded window
+      s"q80: ${shuffles("q80_pack_bins")}")
+    // packBins' shard partitioning must be REUSED by the (shard, bin)
+    // reassembly group — a second exchange means the subset rule broke
+    assert(shuffles("q118_packed_sequences") == 1,
+      s"q118: ${shuffles("q118_packed_sequences")}")
+    assert(shuffles("q110_funnel") == 1,     // three stages, ONE exchange
+      s"q110: ${shuffles("q110_funnel")}")
+  }
 }
