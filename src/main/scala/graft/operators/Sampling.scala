@@ -157,6 +157,29 @@ object Sampling {
     stratifiedSample(df, groupCol, key,
       temperatureFractions(df, groupCol, alpha))
 
+  /** Deterministic upsampling with fractional repeats: emit each row
+    * `floor(factor)` times, plus one more for the hash-chosen `frac`
+    * share of keys — so a 2.3× domain weight really repeats 30% of its
+    * rows a third time and the expected multiplier is exactly `factor`
+    * (the low-resource-domain mixing trick, down to factor < 1 where it
+    * degrades to sampling). Output rows carry a `copy` index (0-based)
+    * so downstream sample ids stay unique. Same discipline as the rest
+    * of the family: no RNG, stable under re-partitioning, and the
+    * fractional choice hashes a salted key so it is independent of
+    * [[deterministicSample]] decisions on the same ids. */
+  def upsample(df: DataFrame, key: String, factor: Double): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val base = math.floor(factor).toLong
+    val frac = factor - base
+    val n = lit(base) +
+      when(hexBucket(concat(col(key).cast("string"), lit("#u"))) <
+        lit(hexThreshold(frac)), 1L).otherwise(0L)
+    df.withColumn("__n", n)
+      .filter(col("__n") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic per-epoch shuffle key: md5 of (epoch, key) — a
     * different but fully reproducible global order for every training
     * epoch (the standard per-epoch reshuffle without RNG state: any

@@ -540,6 +540,14 @@ object ExtQueries {
       Sampling.epochOrderKey(col("doc_id"), 1).as("ok1"),
       Sampling.epochOrderKey(col("doc_id"), 2).as("ok2"))
 
+  /** Deterministic 2.3x upsample of the corpus: every doc twice, the
+    * hash-chosen 30% a third time, copies indexed — the
+    * low-resource-domain repetition step. */
+  def q120Upsample(s: SparkSession, dir: String): DataFrame =
+    Sampling.upsample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", factor = 2.3)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
     * same parameters as q27, driven entirely through `spark.sql` over the
@@ -687,7 +695,8 @@ object ExtQueries {
     "q115_collocations" -> (q115Collocations _),
     "q117_bloom_decontaminate" -> (q117BloomDecontaminate _),
     "q118_packed_sequences" -> (q118PackedSequences _),
-    "q119_epoch_order" -> (q119EpochOrder _))
+    "q119_epoch_order" -> (q119EpochOrder _),
+    "q120_upsample" -> (q120Upsample _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -953,6 +962,15 @@ object ExtQueries {
         |    ORDER BY q DESC, doc_id) AS rn
         |  FROM c)
         |SELECT doc_id, q FROM r WHERE rn = 1""".stripMargin,
+    "q120_upsample" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#u'), 1, 4)
+         |             < '${hx(2.3 - math.floor(2.3))}' THEN 1 ELSE 0 END AS n
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  unnest(generate_series(0, n - 1)) AS copy
+         |FROM c""".stripMargin,
     "q119_epoch_order" ->
       """SELECT doc_id,
         |  md5('1-' || CAST(doc_id AS VARCHAR)) AS ok1,

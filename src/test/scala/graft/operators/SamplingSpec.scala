@@ -121,6 +121,30 @@ class SamplingSpec extends SparkSpec {
     assert(eq("en") > 70 && eq("en") < 130, s"equalized en off: ${eq("en")}")
   }
 
+  test("upsample: exact floor copies + hash-chosen fraction, indexed copies") {
+    val df = (1L to 4000L).toDF("id")
+    val out = Sampling.upsample(df, "id", 2.25)
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 4000L).toSet) // every row survives
+    assert(out.values.forall(c => c == 2L || c == 3L))
+    val triples = out.values.count(_ == 3L)
+    assert(triples > 4000 * 0.21 && triples < 4000 * 0.29,
+      s"fraction off: $triples/4000")
+    // deterministic: same triples every run
+    assert(Sampling.upsample(df, "id", 2.25).groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == out)
+    // copy indices are dense 0..n-1 per id
+    val copies = Sampling.upsample(df.limit(50), "id", 2.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+    assert(copies.forall(c => c.map(_._2).sorted.toSeq ==
+      (0L until c.size).toSeq))
+    // factor < 1 degrades to sampling with copy=0
+    val sub = Sampling.upsample(df, "id", 0.5)
+    assert(sub.count() > 4000 * 0.45 && sub.count() < 4000 * 0.55)
+  }
+
   test("writeEpochShuffled: files form one global order; epochs differ") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_epoch_").toString
