@@ -180,6 +180,61 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Per-group resampling factors that hit explicit target proportions
+    * at a total row budget: factor_g = budget·w_g / n_g over the
+    * OBSERVED group counts (targets are normalized; groups missing from
+    * the corpus are an error, groups missing from `targets` get factor
+    * 0 = dropped). Factors above 1 mean repetition, below 1 mean
+    * sampling — [[resampleToMixture]] applies both in one pass. Same
+    * driver-side bound as [[temperatureFractions]]: one count row per
+    * group. */
+  def mixtureFactors(df: DataFrame, groupCol: String,
+      targets: Map[String, Double], budgetRows: Long): Map[String, Double] = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
+      targets.values.sum > 0, "targets must be non-negative, not all zero")
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keys.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"target groups absent from corpus: ${missing.mkString(", ")}")
+    val wsum = targets.values.sum
+    targets.map { case (g, w) =>
+      g -> budgetRows * (w / wsum) / counts(g)
+    }
+  }
+
+  /** Resample the corpus to an explicit group mixture ("40/30/20/10 at
+    * 600 rows"): per-row copy count floor(factor_g) plus one more for
+    * the hash-chosen fractional share — the [[upsample]] rule with a
+    * per-group factor, so over- and under-represented groups are
+    * repeated and thinned IN THE SAME single scan-side pass (literal
+    * when-chains over the factors; no join, no shuffle before the
+    * explode). Expected group sizes are exactly budget·w_g. Output
+    * carries the dense `copy` index. */
+  def resampleToMixture(df: DataFrame, groupCol: String, key: String,
+      targets: Map[String, Double], budgetRows: Long): DataFrame = {
+    val factors = mixtureFactors(df, groupCol, targets, budgetRows)
+    val ordered = factors.toSeq.sortBy(_._1)
+    val floorCol = ordered.foldLeft(lit(0L)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, math.floor(f).toLong).otherwise(acc)
+    }
+    val thrCol = ordered.foldLeft(lit(hexThreshold(0.0))) {
+      case (acc, (g, f)) =>
+        when(col(groupCol) === g,
+          lit(hexThreshold(f - math.floor(f)))).otherwise(acc)
+    }
+    val n = floorCol +
+      when(hexBucket(concat(col(key).cast("string"), lit("#m"))) < thrCol,
+        1L).otherwise(0L)
+    df.withColumn("__n", n)
+      .filter(col("__n") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic per-epoch shuffle key: md5 of (epoch, key) — a
     * different but fully reproducible global order for every training
     * epoch (the standard per-epoch reshuffle without RNG state: any

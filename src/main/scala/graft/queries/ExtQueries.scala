@@ -540,6 +540,23 @@ object ExtQueries {
       Sampling.epochOrderKey(col("doc_id"), 1).as("ok1"),
       Sampling.epochOrderKey(col("doc_id"), 2).as("ok2"))
 
+  private val mixTargets =
+    Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2, "zh" -> 0.1)
+  private val mixCtxs = scala.collection.concurrent
+    .TrieMap.empty[String, Map[String, Double]]
+
+  /** Mixture resampling to explicit proportions: 40/30/20/10 over
+    * language at a 600-row budget — repetition for the under-represented
+    * languages and thinning for English, in one scan-side pass. The
+    * factors are cached per dir; the oracle embeds them as literals
+    * through the same floor/hexThreshold arithmetic. */
+  def q121MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    mixCtxs.getOrElseUpdate(dir,
+      Sampling.mixtureFactors(docs, "lang", mixTargets, 600L))
+    Sampling.resampleToMixture(docs, "lang", "doc_id", mixTargets, 600L)
+  }
+
   /** Deterministic 2.3x upsample of the corpus: every doc twice, the
     * hash-chosen 30% a third time, copies indexed — the
     * low-resource-domain repetition step. */
@@ -696,7 +713,8 @@ object ExtQueries {
     "q117_bloom_decontaminate" -> (q117BloomDecontaminate _),
     "q118_packed_sequences" -> (q118PackedSequences _),
     "q119_epoch_order" -> (q119EpochOrder _),
-    "q120_upsample" -> (q120Upsample _))
+    "q120_upsample" -> (q120Upsample _),
+    "q121_mixture_resample" -> (q121MixtureResample _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
 
@@ -833,8 +851,31 @@ object ExtQueries {
            |    CASE lang $cases ELSE '${hx(0.0)}' END""".stripMargin)
     }
 
+  /** q121 oracle: the run's mixture factors as literal floor counts +
+    * hex thresholds via the operator's own arithmetic (same pattern as
+    * tempOracles). */
+  private def mixOracles: Map[String, String] =
+    if (mixCtxs.size != 1) Map.empty
+    else {
+      val cases = mixCtxs.values.head.toSeq.sorted.map { case (g, f) =>
+        val fl = math.floor(f).toLong
+        val thr = Sampling.hexThreshold(f - math.floor(f))
+        s"WHEN '$g' THEN $fl + (CASE WHEN " +
+          s"substr(md5(CAST(doc_id AS VARCHAR) || '#m'), 1, 4) < '$thr' " +
+          "THEN 1 ELSE 0 END)"
+      }.mkString(" ")
+      Map("q121_mixture_resample" ->
+        s"""WITH c AS (
+           |  SELECT doc_id, lang,
+           |    CASE lang $cases ELSE 0 END AS n
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  unnest(generate_series(0, n - 1)) AS copy
+           |FROM c WHERE n >= 1""".stripMargin)
+    }
+
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
-    tempOracles ++
+    tempOracles ++ mixOracles ++
     // the bloom path is exactly q82 by construction -> same oracle
     Map("q117_bloom_decontaminate" -> staticOracles("q82_decontaminate")) ++
     Map("q92_quantized_lsh" -> quantizedLshOracleSql,

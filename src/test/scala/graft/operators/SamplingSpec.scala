@@ -145,6 +145,33 @@ class SamplingSpec extends SparkSpec {
     assert(sub.count() > 4000 * 0.45 && sub.count() < 4000 * 0.55)
   }
 
+  test("resampleToMixture: hits target proportions, thins and repeats at once") {
+    // observed 3000/600/150; targets 50/25/25 at budget 1200 ->
+    // factors en=0.2 (thin), de=0.5 (thin), rare=2.0 (repeat)
+    val docs = ((1L to 3000L).map(i => (i, "en")) ++
+      (3001L to 3600L).map(i => (i, "de")) ++
+      (3601L to 3750L).map(i => (i, "rare"))).toDF("id", "lang")
+    val targets = Map("en" -> 0.5, "de" -> 0.25, "rare" -> 0.25)
+    val f = Sampling.mixtureFactors(docs, "lang", targets, 1200L)
+    assert(math.abs(f("en") - 0.2) < 1e-12 &&
+      math.abs(f("de") - 0.5) < 1e-12 && math.abs(f("rare") - 2.0) < 1e-12, f)
+    val out = Sampling.resampleToMixture(docs, "lang", "id", targets, 1200L)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") == 300L) // integral factor 2: exact
+    assert(counts("en") > 600 * 0.85 && counts("en") < 600 * 1.15,
+      s"en off: ${counts("en")}")
+    assert(counts("de") > 300 * 0.85 && counts("de") < 300 * 1.15,
+      s"de off: ${counts("de")}")
+    // a group missing from targets is dropped; unknown target errors
+    val noTarget = Sampling.resampleToMixture(docs, "lang", "id",
+      targets - "de", 1200L)
+    assert(noTarget.filter($"lang" === "de").count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureFactors(docs, "lang", targets + ("xx" -> 0.1), 100L)
+    }
+  }
+
   test("writeEpochShuffled: files form one global order; epochs differ") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_epoch_").toString
