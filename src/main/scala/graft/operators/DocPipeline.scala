@@ -27,7 +27,11 @@ object DocPipeline {
       // duplicate-heavy-crawl guard, passed through to the near-dup
       // stage: hot LSH cells degrade to a representative star, never
       // B² pairs (NearDup.capBucketSide)
-      maxBucketSize: Int = 1000)
+      maxBucketSize: Int = 1000,
+      // keeper policy for near-dup clusters: false = lowest id (cheapest),
+      // true = highest quality score (C4/RefinedWeb policy — min-id throws
+      // away the good copy half the time when duplicates differ)
+      keepBestQuality: Boolean = false)
 
   final case class Report(stages: Seq[(String, Long)], cleaned: DataFrame)
 
@@ -57,8 +61,14 @@ object DocPipeline {
     val pairs = NearDup.minhashPairs(exactDeduped, idCol, textCol,
       cfg.shingleSize, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold,
       cfg.maxBucketSize)
-    val cleaned = Components.keepClusterRepresentatives(
-      exactDeduped, idCol, pairs)
+    val cleaned =
+      if (cfg.keepBestQuality) {
+        // score once, keep the best copy per cluster, drop the helper —
+        // one extra scan-side projection over the checkpointed stage
+        val scored = exactDeduped.withColumn("__q",
+          TextFunctions.qualityScore(col(textCol), cfg.stopwords))
+        Components.keepClusterBest(scored, idCol, "__q", pairs).drop("__q")
+      } else Components.keepClusterRepresentatives(exactDeduped, idCol, pairs)
     stat("neardup_dedup", cleaned)
 
     Report(stages.result(), cleaned)
