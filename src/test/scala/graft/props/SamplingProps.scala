@@ -81,6 +81,21 @@ object SamplingProps extends Properties("graft.sampling") {
         Prop(keep(1.0).size == rows.size) :| "alpha=1 keeps all"
     }
 
+  property("upsample: per-key copies = floor(f) or floor(f)+1; multiplier bounded") =
+    Prop.forAll(idsGen, Gen.choose(0.1, 4.0)) { (ids, f) =>
+      import spark.implicits._
+      val base = math.floor(f).toLong
+      val out = Sampling.upsample(ids.toDF("id"), "id", f)
+        .groupBy("id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inRange = out.values.forall(c => c == base || c == base + 1)
+      val copiesDense = out.keySet.subsetOf(ids.toSet)
+      Prop(inRange) :| s"copy counts outside {floor, floor+1}: $out" &&
+        Prop(copiesDense) :| "emitted unknown keys" &&
+        Prop(base == 0 || out.keySet == ids.toSet) :|
+          "factor >= 1 must keep every key"
+    }
+
   private val packGen = for {
     n <- Gen.choose(1, 60)
     counts <- Gen.listOfN(n, Gen.choose(1, 400))
