@@ -62,18 +62,25 @@ object LmScore {
     * TakeOrderedAndProject. */
   def collocations(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5, k: Int = 20): DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(
+    // Both count tables are vocabulary-bounded and each feeds multiple
+    // consumers (joins + their own totals) — checkpoint them so the
+    // corpus is tokenized exactly twice (once per table), and derive
+    // BOTH totals from the aggregates (Σcu = token count, Σn12 = bigram
+    // count) instead of re-scanning the corpus for a count(*).
+    val uni = df
+      .select(explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-    val bg = NearDup.shingleRows(df, idCol, textCol, 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val c12 = NearDup.shingleRows(df, idCol, textCol, 2)
       .select(split(col("shingle"), " ").getItem(0).as("w1"),
         split(col("shingle"), " ").getItem(1).as("w2"),
         col("shingle").as("bg"))
-    val c12 = bg.groupBy(col("bg"), col("w1"), col("w2"))
+      .groupBy(col("bg"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
-    val totals = toks.agg(count(lit(1)).as("__nt"))
-      .crossJoin(bg.agg(count(lit(1)).as("__nb")))
+      .localCheckpoint()
+    val totals = uni.agg(sum(col("cu")).as("__nt"))
+      .crossJoin(c12.agg(sum(col("n12")).as("__nb")))
     c12.filter(col("n12") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
