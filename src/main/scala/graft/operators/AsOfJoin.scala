@@ -35,6 +35,15 @@ object AsOfJoin {
       tsCol: String, valueCols: Seq[String], leftTieBreak: Column,
       rightTieBreak: Column,
       within: Option[(Column, Column) => Column] = None): DataFrame = {
+    // the carried struct and the union reserve these names; a colliding
+    // right-side column would duplicate a struct field and silently
+    // corrupt tolerance evaluation (mirrors Similarity's 'bucket' guard)
+    val reserved = Set("__rts", "__src", "__tb", "__rv", "__carried")
+    val clash = (valueCols ++ left.columns ++ right.columns)
+      .filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with AsOfJoin " +
+        "internals — rename them before joining")
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(
         col(tsCol),

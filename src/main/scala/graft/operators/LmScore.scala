@@ -79,8 +79,10 @@ object LmScore {
       .groupBy(col("bg"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
       .localCheckpoint()
+    // both sides are one-row aggregates; broadcast explicitly so a
+    // refactor can never silently inflate this into a real cross join
     val totals = uni.agg(sum(col("cu")).as("__nt"))
-      .crossJoin(c12.agg(sum(col("n12")).as("__nb")))
+      .crossJoin(broadcast(c12.agg(sum(col("n12")).as("__nb"))))
     c12.filter(col("n12") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))

@@ -62,7 +62,11 @@ object Profile {
         sqrt(col("__s2").cast("double") / col("__n") -
           (col("__s1").cast("double") / col("__n")) *
           (col("__s1").cast("double") / col("__n"))).as("__std"))
-    df.join(broadcast(stats), Seq(groupCol))
+    // no broadcast hint: one row per group means AQE broadcasts this
+    // whenever the group column is low-cardinality, and a
+    // high-cardinality group degrades to a shuffle join instead of
+    // OOMing a forced broadcast
+    df.join(stats, Seq(groupCol))
       .select(df.columns.map(col) :+
         (abs(col(valueCol) - col("__mean")) > lit(z) * col("__std"))
           .as("is_outlier"): _*)

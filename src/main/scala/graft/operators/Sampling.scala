@@ -25,6 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Ceiling on distinct group values for the per-group operators
+    * ([[stratifiedSample]]'s when-chain, [[temperatureFractions]] /
+    * [[mixtureFactors]]' driver-side count collect). Group columns here
+    * are language/domain-cardinality by design; this guard turns a
+    * mistaken high-cardinality column (doc_id, url) into an immediate
+    * error instead of a silent driver OOM at corpus scale — and caps the
+    * generated when-chain size, which Catalyst degrades on long before
+    * the driver does. */
+  val MaxGroups = 10000
+
+  /** Collect one (group, count) row per non-null group value, failing
+    * fast if the column has more than [[MaxGroups]] distinct values.
+    * The limit(MaxGroups+1) bounds what ever reaches the driver, so the
+    * check itself is safe on a billion-key column. */
+  private def groupCounts(df: DataFrame, groupCol: String): Map[String, Long] = {
+    val rows = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .limit(MaxGroups + 1)
+      .collect()
+    require(rows.length <= MaxGroups,
+      s"group column '$groupCol' has more than $MaxGroups distinct values; " +
+        "per-group sampling needs a language/domain-cardinality column, " +
+        "not an id-like one")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** 4-hex-char (16-bit) bucket of a key column: '0000'..'ffff'.
     * A NULL key hashes to NULL: [[deterministicSample]] then drops the
     * row (filter is null-rejecting) and [[splitColumn]] assigns it the
@@ -88,11 +115,18 @@ object Sampling {
     * Same three scale properties as [[deterministicSample]]: scan-side
     * (no shuffle, composes with pruning), engine-portable, and stable
     * under re-partitioning or re-ingestion. Weights are read as longs;
-    * weights above 2^47 would overflow the 65536 scaling (ANSI mode
-    * throws rather than wrapping) — divide such weights down first. */
+    * the 2^47 bound applies to BOTH sides of the comparison: a weight
+    * above 2^47 overflows the 65536 scaling, and a unitWeight near 2^47
+    * overflows `bucket * unitWeight` (bucket ≤ 65535) identically (ANSI
+    * mode throws rather than wrapping) — divide both down first. The
+    * unitWeight side is enforced here; oversize weights are the
+    * caller's data contract. */
   def weightedSample(df: DataFrame, key: String, weightCol: String,
       unitWeight: Long): DataFrame = {
     require(unitWeight > 0, s"unitWeight must be positive, got $unitWeight")
+    require(unitWeight <= (1L << 47),
+      s"unitWeight $unitWeight exceeds 2^47; bucket*unitWeight would " +
+        "overflow long arithmetic — scale weights down first")
     df.filter(intBucket(col(key)) * lit(unitWeight) <
       col(weightCol).cast("long") * lit(65536L))
   }
@@ -104,10 +138,14 @@ object Sampling {
     * scan-side when-chain over the (small, literal) fractions map, so
     * the whole thing stays a pushed filter — no shuffle, no sampleBy
     * approximation, stable under repartitioning. Groups absent from the
-    * map keep `defaultFraction` (0 = drop unlisted groups). */
+    * map keep `defaultFraction` (0 = drop unlisted groups). At most
+    * [[MaxGroups]] entries — the when-chain is a literal plan. */
   def stratifiedSample(df: DataFrame, groupCol: String, key: String,
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.size <= MaxGroups,
+      s"fractions map has ${fractions.size} entries (max $MaxGroups); " +
+        "a when-chain that long degrades Catalyst planning")
     val thr = fractions.toSeq.sortBy(_._1)
       .foldLeft(lit(hexThreshold(defaultFraction))) {
         case (acc, (g, f)) =>
@@ -124,18 +162,14 @@ object Sampling {
     * equalizes expected counts across groups, α∈(0,1) is the usual
     * downsample-English-keep-low-resource compromise).
     *
-    * One aggregate row per group is collected to the driver — group
-    * columns are language/domain-cardinality by construction, the same
-    * bound [[stratifiedSample]]'s literal when-chain already imposes.
-    * NULL group values are excluded (they then fall to
-    * [[stratifiedSample]]'s defaultFraction = drop). */
+    * One aggregate row per group is collected to the driver, guarded by
+    * [[MaxGroups]] (via a bounded limit — a high-cardinality column
+    * fails fast, never OOMs the driver). NULL group values are excluded
+    * (they then fall to [[stratifiedSample]]'s defaultFraction = drop). */
   def temperatureFractions(df: DataFrame, groupCol: String,
       alpha: Double): Map[String, Double] = {
     require(alpha >= 0 && alpha <= 1, s"alpha $alpha not in [0,1]")
-    val counts = df.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("g"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = groupCounts(df, groupCol)
     require(counts.nonEmpty, "no non-null groups to rebalance")
     val total = counts.values.sum.toDouble
     val w = counts.map { case (g, n) =>
@@ -187,16 +221,15 @@ object Sampling {
     * 0 = dropped). Factors above 1 mean repetition, below 1 mean
     * sampling — [[resampleToMixture]] applies both in one pass. Same
     * driver-side bound as [[temperatureFractions]]: one count row per
-    * group. */
+    * group, guarded by [[MaxGroups]]. */
   def mixtureFactors(df: DataFrame, groupCol: String,
       targets: Map[String, Double], budgetRows: Long): Map[String, Double] = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
       targets.values.sum > 0, "targets must be non-negative, not all zero")
     require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
-    val counts = df.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("g"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targets.size <= MaxGroups,
+      s"targets map has ${targets.size} entries (max $MaxGroups)")
+    val counts = groupCounts(df, groupCol)
     val missing = targets.keys.filterNot(counts.contains)
     require(missing.isEmpty,
       s"target groups absent from corpus: ${missing.mkString(", ")}")

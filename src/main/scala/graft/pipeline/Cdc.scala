@@ -79,12 +79,37 @@ object Cdc {
     * change row must carry its key's CURRENT partition value (keys cannot
     * migrate partitions in one merge — same restriction Hive-style
     * `INSERT OVERWRITE` merges have; key-migrating merges need the
-    * copy-on-write [[merge]]). */
+    * copy-on-write [[merge]]). With `checkKeyMigration` the restriction
+    * is ENFORCED: change keys are semi-joined against base rows OUTSIDE
+    * the touched partitions and any hit fails the merge before a byte is
+    * written. The check's output is bounded by the change-set size, but
+    * it scans the untouched partitions (that is what it inspects) — so
+    * it is opt-in: on for correctness-critical merges, off when merge
+    * cost ∝ touched data is the point. Like [[mergeIntoVersioned]], a
+    * change set with duplicate keys is a MERGE cardinality error. */
   def mergePartitioned(spark: SparkSession, wh: Warehouse, zone: String,
       name: String, partitionCol: String, changes: DataFrame,
-      keys: Seq[String], deleteCol: Option[String] = None): Unit = {
+      keys: Seq[String], deleteCol: Option[String] = None,
+      checkKeyMigration: Boolean = false): Unit = {
     require(changes.columns.contains(partitionCol),
       s"changes must carry partition column $partitionCol")
+    val dups = changes.groupBy(keyCols(keys): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"MERGE cardinality violation: multiple change rows per key in $name")
+    if (checkKeyMigration) {
+      val outside = Medallion.readTable(spark, wh, zone, name)
+        .join(broadcast(changes.select(col(partitionCol)).distinct()),
+          Seq(partitionCol), "left_anti")
+      val migrated = outside
+        .join(broadcast(changes.select(keyCols(keys): _*).distinct()),
+          keys, "left_semi")
+        .limit(1).count()
+      require(migrated == 0,
+        s"key migration detected in $name: a change row carries a " +
+          s"different $partitionCol than its key's current partition; " +
+          "use the copy-on-write merge for key-migrating changes")
+    }
     val touched = changes.select(col(partitionCol)).distinct()
     val base = Medallion.readTable(spark, wh, zone, name)
       .join(broadcast(touched), Seq(partitionCol), "left_semi")

@@ -57,4 +57,19 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("tag", "v"), col("id"), lit(0L)).rows.head
     assert(out.getString(3) == "r2" && out.getDouble(4) == 2.0)
   }
+
+  test("reserved internal column names are rejected up front") {
+    val left = Seq((1L, "K", ts("2024-01-01 00:00:10"))).toDF("id", "k", "ts")
+    val right = Seq(("K", ts("2024-01-01 00:00:01"), 1.0))
+      .toDF("k", "ts", "__rts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, right, Seq("k"), "ts",
+        Seq("__rts"), col("id"), lit(0L))
+    }
+    assert(e.getMessage.contains("__rts"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left.withColumn("__src", lit(1)), right, Seq("k"),
+        "ts", Seq.empty, col("id"), lit(0L))
+    }
+  }
 }

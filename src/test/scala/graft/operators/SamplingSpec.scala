@@ -202,6 +202,33 @@ class SamplingSpec extends SparkSpec {
     assert(firstE1.toSet != firstE2.toSet, "epoch orders identical")
   }
 
+  test("per-group operators fail fast on high-cardinality group columns") {
+    // an id-like group column (one value per row, > MaxGroups distinct)
+    // must error immediately instead of collecting the corpus's key
+    // space to the driver
+    val idLike = (1L to (Sampling.MaxGroups + 10L))
+      .map(i => (i, s"doc_$i")).toDF("id", "doc_id")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.temperatureFractions(idLike, "doc_id", 0.5)
+    }
+    assert(e1.getMessage.contains("distinct values"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureFactors(idLike, "doc_id",
+        Map("doc_1" -> 1.0), 100L)
+    }
+    // oversized literal fractions map: when-chain size cap
+    val bigMap = (1 to Sampling.MaxGroups + 1)
+      .map(i => s"g$i" -> 0.5).toMap
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(idLike, "doc_id", "id", bigMap)
+    }
+    // unitWeight beyond 2^47 would overflow bucket*unitWeight
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(idLike.withColumn("w", lit(1L)),
+        "id", "w", (1L << 47) + 1)
+    }
+  }
+
   test("capPerGroup: bounded, deterministic, keeps small groups whole") {
     val docs = (1L to 900L).map(i => (i, s"lang${i % 3}"))
       .toDF("id", "lang")

@@ -106,6 +106,34 @@ class CdcSpec extends SparkSpec {
     assert(after.select("k").as[Long].head() == 1L)
   }
 
+  test("mergePartitioned enforces cardinality and detects key migration") {
+    val root = Files.createTempDirectory("graft_cdc_grd_").toString
+    val wh = Warehouse(root)
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("k", "day", "v")
+    Medallion.writeTable(df, wh, Medallion.Silver, "t",
+      partitionBy = Seq("day"))
+    // duplicate change keys: the same MERGE cardinality error the
+    // versioned write path throws
+    val dup = Seq((1L, "2024-01-01", 5.0), (1L, "2024-01-01", 6.0))
+      .toDF("k", "day", "v")
+    intercept[IllegalArgumentException] {
+      Cdc.mergePartitioned(spark, wh, Medallion.Silver, "t", "day", dup,
+        Seq("k"))
+    }
+    // key 2 lives in day=2024-01-02 but the change row claims day 1:
+    // unchecked this would leave a stale duplicate in the old partition
+    val migrating = Seq((2L, "2024-01-01", 9.0)).toDF("k", "day", "v")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergePartitioned(spark, wh, Medallion.Silver, "t", "day",
+        migrating, Seq("k"), checkKeyMigration = true)
+    }
+    assert(e.getMessage.contains("migration"))
+    // table untouched by the failed merges
+    assert(Medallion.readTable(spark, wh, Medallion.Silver, "t")
+      .count() == 2)
+  }
+
   test("scd2: collapses no-op updates and builds intervals") {
     val log = Seq(
       (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"), // no-op update collapses
