@@ -1,0 +1,191 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.NearDup
+
+/** Real image decode + perceptual hashing — the content-level half of the
+  * multimodal pillar ([[Multimodal]] holds the schema/batching plumbing).
+  *
+  * Decode is JDK `javax.imageio` (PNG/JPEG/BMP/GIF — lossless formats
+  * decode bit-exactly on every JVM, no native codec needed). Everything
+  * derived from the pixels is INTEGER arithmetic end to end — luma via the
+  * exact (299r+587g+114b)/1000 rational, grid cells via integer area
+  * averages — so a fixture's dHash is one deterministic 64-bit value that
+  * a literal-valued DuckDB oracle can replay, and the near-dup join over
+  * those hashes is checkable against a brute-force SQL self-join.
+  *
+  * Scale shape: decoding runs inside the existing typed `mapPartitions`
+  * boundary (plan-internal, column-pruned below, codegen resumes above;
+  * see [[Multimodal.extractFeatures]]), emitting an 8-byte hash per image
+  * — so the near-dup join over a billion images shuffles longs, never
+  * pixels. The Hamming join itself is [[NearDup.hammingPairs]]: banded
+  * candidates with the oversized-bucket star guard, exact for
+  * maxHamming < bands by pigeonhole.
+  */
+object Images {
+
+  /** Decoded grayscale plane: row-major integer luma in 0..255. */
+  final case class Gray(width: Int, height: Int, luma: Array[Int])
+
+  /** Decode any ImageIO-supported payload to integer luma. Returns None
+    * for undecodable/empty payloads (corrupt rows must not kill a 100 TB
+    * scan — callers surface them as null hashes and filter). */
+  def decodeGray(payload: Array[Byte]): Option[Gray] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        // exact integer Rec.601 luma — no float rounding anywhere
+        luma(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some(Gray(w, h, luma))
+  }
+
+  /** `gw` x `gh` grid of integer area-average luma: cell (i,j) averages
+    * the pixel block [floor(i·w/gw), floor((i+1)·w/gw)) ×
+    * [floor(j·h/gh), floor((j+1)·h/gh)) with an exact integer sum/count
+    * division — the deterministic downscale under the perceptual hashes
+    * (a Graphics2D resize would be renderer-dependent). */
+  private[multimodal] def gridLuma(g: Gray, gw: Int, gh: Int): Array[Int] = {
+    val out = new Array[Int](gw * gh)
+    var j = 0
+    while (j < gh) {
+      val y0 = j * g.height / gh
+      val y1 = math.max((j + 1) * g.height / gh, y0 + 1)
+      var i = 0
+      while (i < gw) {
+        val x0 = i * g.width / gw
+        val x1 = math.max((i + 1) * g.width / gw, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, g.height)) {
+          var x = x0
+          while (x < math.min(x1, g.width)) {
+            sum += g.luma(y * g.width + x)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, g.height) - y0).toLong *
+          (math.min(x1, g.width) - x0)
+        out(j * gw + i) = (sum / math.max(n, 1L)).toInt
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash: 9×8 grid, bit (j·8+i) set when cell (i,j) is
+    * strictly darker than its right neighbour. Row-local differences make
+    * it invariant to uniform brightness shifts and robust to re-encoding
+    * (lossless re-compressions hash identically — the perceptual-dedup
+    * property exact byte digests lack). */
+  def dhash64(g: Gray): Long = {
+    val grid = gridLuma(g, 9, 8)
+    var bitsOut = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (grid(j * 9 + i) < grid(j * 9 + i + 1)) {
+          bitsOut |= 1L << (j * 8 + i)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    bitsOut
+  }
+
+  /** 64-bit average hash: 8×8 grid, bit set when the cell exceeds the
+    * integer mean of all 64 cells. Complements [[dhash64]] (global
+    * structure vs local gradients). */
+  def ahash64(g: Gray): Long = {
+    val grid = gridLuma(g, 8, 8)
+    var sum = 0L
+    var k = 0
+    while (k < 64) { sum += grid(k); k += 1 }
+    val mean = sum / 64
+    var bitsOut = 0L
+    k = 0
+    while (k < 64) {
+      if (grid(k) > mean) bitsOut |= 1L << k
+      k += 1
+    }
+    bitsOut
+  }
+
+  final case class ImageIn(image_id: Long, content: Array[Byte])
+  final case class ImageHash(image_id: Long, width_px: Int, height_px: Int,
+      dhash: Long, ahash: Long)
+
+  /** Decode + hash a binary image column: (image_id, width_px, height_px,
+    * dhash, ahash). Undecodable payloads are dropped (the corrupt-row
+    * count is the input count minus this count — observable without a
+    * second scan via `observe`). Same typed `mapPartitions` plan shape as
+    * [[Multimodal.extractFeatures]]: decode stays a node inside the plan,
+    * batches amortize per-batch setup. */
+  def hashImages(df: DataFrame, idCol: String, bytesCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("image_id"),
+        col(bytesCol).as("content")).as[ImageIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            decodeGray(m.content).map(g =>
+              ImageHash(m.image_id, g.width, g.height, dhash64(g), ahash64(g)))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Read a directory of image files via the binaryFile source (the
+    * idiomatic Spark image-ingest path: distributed file listing, column
+    * pruning on length/path without touching content). image_id parses
+    * from the trailing integer in the file name (img_7.png → 7). */
+  def readImageDir(spark: SparkSession, dir: String,
+      glob: String = "*.png"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z]+$", 1)
+          .cast("long").as("image_id"),
+        col("length").as("n_bytes"),
+        col("content"))
+
+  /** Perceptual near-dup pairs over hashed images: banded Hamming join on
+    * the dHash. With the default maxHamming=3 < bands=4 the result is
+    * EXACT (pigeonhole — see [[NearDup.hammingPairs]]), which is what
+    * lets a brute-force DuckDB self-join oracle the whole path. Output:
+    * id_a < id_b, hamming. */
+  def nearDupPairs(hashes: DataFrame, idCol: String = "image_id",
+      hashCol: String = "dhash", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    NearDup.hammingPairs(hashes, idCol, hashCol, bands = 4,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+}

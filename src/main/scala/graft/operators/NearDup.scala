@@ -373,13 +373,31 @@ object NearDup {
     * Output: id_a < id_b, hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
+    hammingPairs(simhashSignatures(df, idCol, textCol), idCol, "sig",
+      bands, maxHamming, maxBucketSize)
+
+  /** Hamming near-dup pairs over ANY 64-bit signature column (simhash,
+    * image dHash, …): bucket by `bands` equal slices of the signature
+    * (rows equal on any slice are candidates), verify by Hamming distance
+    * <= maxHamming. When `maxHamming < bands` the result is EXACT by
+    * pigeonhole — a pair within distance d < bands differs in at most d
+    * slices, so at least one slice matches and banding cannot miss it
+    * (the property the image near-dup oracle checks against a brute-force
+    * self-join). Candidate generation is [[bandedCandidates]] (exact
+    * first-small-cell semantics + representative stars past
+    * `maxBucketSize`). Output: id_a < id_b, hamming (int). */
+  def hammingPairs(signatures: DataFrame, idCol: String, sigCol: String,
+      bands: Int = 4, maxHamming: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(64 % bands == 0, s"bands $bands must divide 64")
     val bits = 64 / bands
     def slice(sig: Column, b: Int): Column =
       shiftrightunsigned(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
     // one long per doc, several consumers — same checkpoint rationale as
     // minhashPairs
-    val sigs = simhashSignatures(df, idCol, textCol).localCheckpoint()
+    val sigs = signatures.select(col(idCol), col(sigCol).as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col(idCol), posexplode(
       array((0 until bands).map(b => slice(col("sig"), b)): _*))
       .as(Seq("band", "band_val")))
@@ -389,7 +407,8 @@ object NearDup {
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("__sb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Images, Multimodal}
 import graft.operators.ParseFixedWidth
 import graft.pipeline.IncrementalAgg
 import graft.streaming.IncrementalIngest
@@ -72,6 +72,8 @@ object PipelineQueries {
   private val inventoryFixture = s"$fixtureDir/ghcnd-inventory.txt"
   private val jsonlFixture = sys.env.getOrElse("SPARK_GRAFT_JSONL_FIXTURE",
     resolveFixture("src/test/resources/jsonl/docs.jsonl"))
+  private val imagesFixtureDir = sys.env.getOrElse("SPARK_GRAFT_IMAGES_DIR",
+    resolveFixture("src/test/resources/images"))
 
   /** Fixed-offset stations dimension parse (S2/F7/F8 + flag booleans). */
   def q66ParseStations(s: SparkSession, dir: String): DataFrame =
@@ -89,6 +91,60 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("n_chars"),
         size(split(col("text"), "\\s+")).as("n_tokens"))
+
+  /** Real image decode (JDK ImageIO) + integer perceptual hashes over the
+    * checked-in PNG fixtures, read through the binaryFile source. The
+    * oracle replays driver-side decoded literals; ImagesSpec pins the
+    * same values as hard-coded goldens, so the two sides cannot drift
+    * together unnoticed. */
+  def q122ImageHash(s: SparkSession, dir: String): DataFrame =
+    Images.hashImages(Images.readImageDir(s, imagesFixtureDir),
+      "image_id", "content")
+
+  /** Perceptual image near-dup: banded Hamming self-join over the dHash.
+    * maxHamming=3 < bands=4 makes banding EXACT by pigeonhole, so the
+    * DuckDB oracle is a brute-force O(n²) self-join over the decoded
+    * hash literals — a structurally independent check of the banded
+    * candidate path (a missed candidate pair fails the hash compare). */
+  def q123ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    Images.nearDupPairs(q122ImageHash(s, dir))
+
+  /** Driver-side decode of the PNG fixtures for the image oracles: same
+    * integer-arithmetic hash code as the Spark path (goldens in
+    * ImagesSpec break the circularity). */
+  private lazy val imageFixtureRows: Seq[(Long, Int, Int, Long, Long)] =
+    new java.io.File(imagesFixtureDir).listFiles()
+      .filter(_.getName.endsWith(".png")).sortBy(_.getName).toSeq
+      .map { f =>
+        val id = "(\\d+)".r.findAllIn(f.getName).toSeq.last.toLong
+        val g = Images.decodeGray(
+          java.nio.file.Files.readAllBytes(f.toPath)).getOrElse(
+          sys.error(s"fixture ${f.getName} failed to decode"))
+        (id, g.width, g.height, Images.dhash64(g), Images.ahash64(g))
+      }
+
+  private def imageOracles: Map[String, String] = {
+    val values = imageFixtureRows.map { case (id, w, h, d, a) =>
+      s"($id, $w, $h, CAST($d AS BIGINT), CAST($a AS BIGINT))"
+    }.mkString(",\n  ")
+    Map(
+      "q122_image_hash" ->
+        s"""SELECT CAST(image_id AS BIGINT) AS image_id,
+           | CAST(width_px AS INTEGER) AS width_px,
+           | CAST(height_px AS INTEGER) AS height_px, dhash, ahash
+           |FROM (VALUES
+           |  $values) AS t(image_id, width_px, height_px, dhash, ahash)""".stripMargin,
+      "q123_image_neardup" ->
+        s"""WITH h AS (
+           |  SELECT CAST(image_id AS BIGINT) AS image_id, dhash
+           |  FROM (VALUES
+           |  $values) AS t(image_id, width_px, height_px, dhash, ahash)
+           |)
+           |SELECT a.image_id AS id_a, b.image_id AS id_b,
+           |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+           |FROM h a JOIN h b ON a.image_id < b.image_id
+           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin)
+  }
 
   /** Event-time windowed aggregation (streaming plan in batch mode).
     * Window bounds exported as epoch seconds to keep the comparison
@@ -128,9 +184,11 @@ object PipelineQueries {
     "q66_parse_stations" -> (q66ParseStations _),
     "q67_parse_inventory" -> (q67ParseInventory _),
     "q72_jsonl_docs" -> (q72JsonlDocs _),
-    "q94_incremental_agg" -> (q94IncrementalAgg _))
+    "q94_incremental_agg" -> (q94IncrementalAgg _),
+    "q122_image_hash" -> (q122ImageHash _),
+    "q123_image_neardup" -> (q123ImageNearDup _))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = imageOracles ++ Map(
     "q94_incremental_agg" ->
       // full one-shot recompute — the incremental merge must equal it
       """SELECT event_type, COUNT(*) AS n,

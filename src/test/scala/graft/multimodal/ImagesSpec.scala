@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Goldens for the real-image path. The hash values here are HARD-CODED
+  * (from one audited GenImageFixtures run), not recomputed — if the
+  * decode or hash arithmetic drifts, this spec fails even though the
+  * generated-literal oracle (which shares the code) would drift along. */
+class ImagesSpec extends SparkSpec {
+
+  private val dir = "src/test/resources/images"
+  private def bytesOf(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(dir, name))
+  private def grayOf(name: String): Images.Gray =
+    Images.decodeGray(bytesOf(name)).get
+
+  test("decodeGray: real PNG decode with exact integer luma") {
+    val g = grayOf("img_01.png")
+    assert(g.width == 72 && g.height == 64)
+    assert(g.luma.length == 72 * 64)
+    assert(g.luma.forall(l => l >= 0 && l <= 255))
+    // corrupt / empty payloads decode to None, never throw
+    assert(Images.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Images.decodeGray(Array.empty[Byte]).isEmpty)
+    assert(Images.decodeGray(null).isEmpty)
+  }
+
+  test("dhash/ahash golden values (frozen from an audited run)") {
+    assert(Images.dhash64(grayOf("img_01.png")) == 5382481762962282917L)
+    assert(Images.ahash64(grayOf("img_01.png")) == 6675533110543072802L)
+    assert(Images.dhash64(grayOf("img_02.png")) == -6036596605771404631L)
+    assert(Images.dhash64(grayOf("img_15.png")) == -5848464120998012265L)
+  }
+
+  test("planted relationships: near-identical, re-encoded, brightness-shifted") {
+    def d(n: String) = Images.dhash64(grayOf(n))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one blown-out cell: a genuinely near-identical (not equal) pair
+    assert(ham(d("img_01.png"), d("img_13.png")) == 2)
+    // same pixels, different PNG bytes: byte digests differ, hashes equal
+    assert(!bytesOf("img_02.png").sameElements(bytesOf("img_14.png")))
+    assert(d("img_02.png") == d("img_14.png"))
+    // uniform +5 brightness: dHash invariant (row-local differences)
+    assert(d("img_15.png") == d("img_16.png"))
+    // distinct patterns stay far apart
+    assert(ham(d("img_03.png"), d("img_04.png")) > 10)
+  }
+
+  test("hashImages: distributed decode matches local, drops undecodable rows") {
+    import spark.implicits._
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".png")).sortBy(_.getName)
+    val rows = files.map { f =>
+      val id = "(\\d+)".r.findAllIn(f.getName).toSeq.last.toLong
+      (id, Files.readAllBytes(f.toPath))
+    }.toSeq :+ ((99L, Array[Byte](9, 9, 9))) // planted corrupt row
+    val out = Images.hashImages(rows.toDF("image_id", "content"),
+      "image_id", "content")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toMap
+    assert(!got.contains(99L), "corrupt row must be dropped, not fail")
+    assert(got.size == files.length)
+    assert(got(1L) == ((72, 64, 5382481762962282917L)))
+    assert(got(16L)._3 == Images.dhash64(grayOf("img_16.png")))
+  }
+
+  test("readImageDir: binaryFile source, id parse, byte-exact content") {
+    val df = Images.readImageDir(spark, dir)
+    assert(df.count() == 16)
+    val row = df.filter(col("image_id") === 2L).collect().head
+    assert(row.getAs[Array[Byte]]("content")
+      .sameElements(bytesOf("img_02.png")))
+    assert(row.getAs[Long]("n_bytes") == bytesOf("img_02.png").length)
+  }
+
+  test("nearDupPairs: banded join equals brute force (pigeonhole exactness)") {
+    val hashes = Images.hashImages(Images.readImageDir(spark, dir),
+      "image_id", "content").localCheckpoint()
+    val got = Images.nearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected hash list
+    val hs = hashes.select("image_id", "dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      (ia, da) <- hs; (ib, db) <- hs if ia < ib
+      d = java.lang.Long.bitCount(da ^ db) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == brute)
+    // exactly the three planted pairs
+    assert(got == Set((1L, 13L, 2), (2L, 14L, 0), (15L, 16L, 0)))
+  }
+}
