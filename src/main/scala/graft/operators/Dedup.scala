@@ -88,4 +88,68 @@ object Dedup {
           s => s.getField("span")), " ").as("clean_text"),
         count(lit(1)).as("n_spans"))
   }
+
+  /** Maximal-run exact-substring dedup (the Lee-et-al. shape, approximated
+    * on [[spanDedup]]'s stride grid): duplicated spans are dropped only
+    * when they form a run of at least `minRunSpans` CONSECUTIVE
+    * duplicated spans in the document. Fixed windows over-remove at
+    * boundaries — a lone duplicated 3-token span is usually a common
+    * phrase, not boilerplate; what the dedup literature strips is long
+    * duplicated RUNS, and requiring `minRunSpans` consecutive hits
+    * approximates "duplicated substring of ≥ minRunSpans·spanTokens
+    * tokens". `minRunSpans = 1` degenerates to [[spanDedup]] exactly
+    * (property-pinned). "Duplicated" keeps first-occurrence semantics:
+    * the corpus-wide first instance of a span (ordered by (id, position))
+    * is never dup-marked.
+    *
+    * Scale shape: winner-per-digest is the same partial `min(struct)`
+    * aggregate as [[spanDedup]] (boilerplate collapses map-side); the
+    * per-instance flag is a join on the digest — the winner side is ONE
+    * row per distinct digest, so a hot boilerplate digest is a clean AQE
+    * skew split (the replicated side is a single row), never a hot
+    * reducer. Run grouping is gaps-and-islands: a boundary-count window
+    * partitioned by id, a run-length window partitioned by (id, run) that
+    * reuses the id exchange (subset partitioning satisfies the clustered
+    * distribution), and the reassembly group-by rides the same exchange.
+    * One digest shuffle + one join shuffle + one id shuffle total.
+    *
+    * Output: (idCol, clean_text, n_spans) for documents with at least one
+    * surviving span. */
+  def runDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minRunSpans: Int): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minRunSpans >= 1, s"minRunSpans must be >= 1, got $minRunSpans")
+    val spans = df.select(col(idCol), posexplode(
+        graft.expressions.GraftFunctions.tokenChunks(
+          graft.functions.TextFunctions.tokens(col(textCol)),
+          spanTokens, spanTokens))
+      .as(Seq("span_idx", "span")))
+      .withColumn("__d", md5(col("span").cast("binary")))
+    val winners = spans
+      .groupBy(col("__d"))
+      .agg(min(struct(col(idCol), col("span_idx"))).as("__w"))
+    val flagged = spans.join(winners, Seq("__d"))
+      .select(col(idCol), col("span_idx"), col("span"),
+        (col(s"__w.$idCol") =!= col(idCol) ||
+          col("__w.span_idx") =!= col("span_idx")).as("__dup"))
+    // gaps-and-islands: run id increments where the dup flag changes;
+    // both windows and the reassembly cluster by id (one exchange)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("span_idx"))
+    val runKeyed = flagged
+      .withColumn("__bnd",
+        when(col("__dup") =!=
+          coalesce(lag(col("__dup"), 1).over(byPos), !col("__dup")), 1L)
+          .otherwise(0L))
+      .withColumn("__rk", sum(col("__bnd")).over(byPos))
+    val runLen = Window.partitionBy(col(idCol), col("__rk"))
+    val kept = runKeyed
+      .withColumn("__rl", count(lit(1)).over(runLen))
+      .filter(!col("__dup") || col("__rl") < minRunSpans)
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
 }

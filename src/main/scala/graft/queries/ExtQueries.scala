@@ -476,6 +476,15 @@ object ExtQueries {
     Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
       spanTokens = 3)
 
+  /** Maximal-run exact-substring dedup: duplicated spans are dropped only
+    * in runs of >= 2 consecutive duplicated spans — lone duplicated spans
+    * (common phrases at this vocabulary) survive, so the output genuinely
+    * differs from q104's drop-every-dup and the run logic is what the
+    * oracle checks. */
+  def q124RunDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.runDedup(t(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 3, minRunSpans = 2)
+
   /** LM quality score: per-doc mean bigram log-probability under the
     * corpus's own bigram model — the perplexity-filter shape. Counts are
     * exact; ln's last-bit variance is absorbed by the 6dp export. */
@@ -706,6 +715,7 @@ object ExtQueries {
     "q102_temperature_sample" -> (q102TemperatureSample _),
     "q103_keywords" -> (q103Keywords _),
     "q104_span_dedup" -> (q104SpanDedup _),
+    "q124_run_dedup" -> (q124RunDedup _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
     "q114_best_dedup" -> (q114BestDedup _),
@@ -1099,6 +1109,50 @@ object ExtQueries {
         |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
         |  COUNT(*) AS n_spans
         |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "q124_run_dedup" ->
+      // q104's span grid + first-occurrence flag, then gaps-and-islands:
+      // run id = running sum of flag-change boundaries; dup runs shorter
+      // than 2 spans survive
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0
+        |         ELSE greatest(0, len(t) - 1) // 3 + 1 END AS nch
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(generate_series(0, nch - 1)) AS span_idx
+        |  FROM c WHERE nch > 0),
+        |sp AS (
+        |  SELECT doc_id, span_idx,
+        |    array_to_string(t[span_idx * 3 + 1 : least(span_idx * 3 + 3, n)],
+        |      ' ') AS span
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY span
+        |    ORDER BY doc_id, span_idx) AS rn
+        |  FROM sp),
+        |f AS (
+        |  SELECT doc_id, span_idx, span, (rn > 1) AS dup FROM r),
+        |g0 AS (
+        |  SELECT *, CASE WHEN dup <> coalesce(
+        |      lag(dup) OVER (PARTITION BY doc_id ORDER BY span_idx),
+        |      NOT dup) THEN 1 ELSE 0 END AS bnd
+        |  FROM f),
+        |g AS (
+        |  SELECT *, SUM(bnd) OVER (PARTITION BY doc_id ORDER BY span_idx
+        |    ROWS UNBOUNDED PRECEDING) AS rk
+        |  FROM g0),
+        |rl AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, rk) AS run_len
+        |  FROM g)
+        |SELECT doc_id,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+        |  COUNT(*) AS n_spans
+        |FROM rl WHERE NOT dup OR run_len < 2
+        |GROUP BY doc_id""".stripMargin,
     "q101_weighted_sample" ->
       // the operator's exact long-arithmetic decision, replayed literally
       """WITH w AS (

@@ -60,6 +60,37 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("runDedup: only runs of >= minRunSpans consecutive dup spans drop") {
+    val docs = Seq(
+      // doc 1 defines everything
+      (1L, "a b c d e f g h"),            // spans: "a b","c d","e f","g h"
+      // doc 2: "c d","e f" form a 2-span dup run (dropped); the lone
+      // dup span "a b" is isolated between fresh spans and survives
+      (2L, "a b x y c d e f z w"),
+      // doc 3: alternating dup/fresh — every dup run has length 1, so
+      // nothing drops at minRunSpans = 2
+      (3L, "a b m n c d o p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.runDedup(docs, "doc_id", "text",
+        spanTokens = 2, minRunSpans = 2)
+      .rows.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c d e f g h", 4L)))
+    assert(out(2L) == (("a b x y z w", 3L)))
+    assert(out(3L) == (("a b m n c d o p", 4L)))
+  }
+
+  test("runDedup at minRunSpans=1 equals spanDedup exactly") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "c d x y a b"), (3L, "a b c d"),
+      (4L, "q r s"), (5L, "s q r")
+    ).toDF("doc_id", "text")
+    val viaRun = Dedup.runDedup(docs, "doc_id", "text", 2, 1)
+      .rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaSpan = Dedup.spanDedup(docs, "doc_id", "text", 2)
+      .rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaRun == viaSpan)
+  }
+
   test("spanDedup: partial tail spans dedup like any other span") {
     val docs = Seq(
       (1L, "p q r"),  // spans "p q", "r" (tail)

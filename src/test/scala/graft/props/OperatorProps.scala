@@ -127,6 +127,41 @@ object OperatorProps extends Properties("graft.operators") {
       Prop(out == want) :| s"got $out want $want"
     }
 
+  property("runDedup == brute-force maximal-run model") =
+    Prop.forAll(corpusGen, Gen.choose(1, 3), Gen.choose(1, 3)) {
+      (docs, span, minRun) =>
+        val out = Dedup
+          .runDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+            span, minRun)
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+          .toMap
+        // model: dup-mark every non-first span instance, group consecutive
+        // dup spans per doc into runs, drop runs of >= minRun spans
+        val spans = docs.flatMap { case (id, t) =>
+          t.split("\\s+").grouped(span).zipWithIndex
+            .map { case (w, i) => (id, i.toLong, w.mkString(" ")) }
+        }
+        val seen = scala.collection.mutable.Set.empty[String]
+        val flagged = spans.sortBy(s => (s._1, s._2))
+          .map(s => (s._1, s._2, s._3, !seen.add(s._3)))
+        val kept = flagged.groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+          // group consecutive same-flag spans (positions are contiguous)
+          val runs = ss.sortBy(_._2).foldLeft(
+            List.empty[List[(Long, Long, String, Boolean)]]) {
+            case (acc @ (run :: rest), s) if run.head._4 == s._4 =>
+              (s :: run) :: rest
+            case (acc, s) => List(s) :: acc
+          }
+          runs.flatMap { run =>
+            if (run.head._4 && run.size >= minRun) Nil else run
+          }
+        }
+        val want = kept.groupBy(_._1).map { case (id, ss) =>
+          id -> ((ss.sortBy(_._2).map(_._3).mkString(" "), ss.size.toLong))
+        }
+        Prop(out == want) :| s"got $out want $want"
+    }
+
   property("vocab.truncateToTopK == brute-force top-k rewrite") =
     Prop.forAll(corpusGen, Gen.choose(1, 4)) { (docs, k) =>
       val out = graft.operators.Vocab
