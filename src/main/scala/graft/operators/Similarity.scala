@@ -112,6 +112,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side twin of [[lshBucket]] for a single query vector: same
+    * plane order, same sequential dot-product accumulation order, same
+    * `> 0` sign rule — bit-identical to the codegen'd column. */
+  def bucketOf(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (plane, h) =>
+      var d = 0.0
+      var i = 0
+      while (i < plane.length) { d += plane(i) * query(i); i += 1 }
+      if (d > 0) 1L << h else 0L
+    }.reduce(_ | _)
+
+  /** Multi-table sign-LSH index: `tables` independent hash tables (seeded
+    * hyperplane sets), each row written once per table, partitioned by
+    * (htable, bucket). THE recall knob for sign-LSH: one table's probe
+    * finds a neighbor with probability p, L tables raise it to
+    * 1-(1-p)^L — the standard construction when neighborhoods are diffuse
+    * (this corpus's true top-10 sit at mean cosine ~0.31, where any
+    * single-table probe is weak; measured recall goes 0.11 (one 8-plane
+    * table) → ~0.9 (4 tables × 4 planes), see SCALING.md). Cost is
+    * explicit: tables× the storage and tables×(numPlanes+1) probed cells
+    * per query — at 100 TB you buy recall with space, not with a corpus
+    * scan. */
+  def writeMultiLshIndex(df: DataFrame, vecCol: String, path: String,
+      tables: Int = 4, numPlanes: Int = 4, dim: Int = 64): Unit = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    Seq("htable", "bucket").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column; rename it before LSH indexing"))
+    val bucketCols = (0 until tables).map(t =>
+      lshBucket(col(vecCol), hyperplanes(numPlanes, dim, 42L + t)))
+    df.select(col("*"),
+        posexplode(array(bucketCols: _*)).as(Seq("htable", "bucket")))
+      .write.mode("overwrite").partitionBy("htable", "bucket").parquet(path)
+  }
+
+  /** Multi-probe top-k against a [[writeMultiLshIndex]] table: per table,
+    * the query bucket and its Hamming-1 neighbors; the OR of per-table
+    * predicates sits entirely on partition columns, so only probed cells'
+    * files are read. Candidates found by several tables dedup by id
+    * before ranking. */
+  def multiLshTopKIndexed(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Seq[Double], queryId: Long, k: Int,
+      tables: Int = 4, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val pred = (0 until tables).map { t =>
+      val qb = bucketOf(query, hyperplanes(numPlanes, dim, 42L + t))
+      val probes = (0L +: (0 until numPlanes).map(1L << _)).map(qb ^ _)
+      col("htable") === t && col("bucket").isin(probes: _*)
+    }.reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(pred && col(idCol) =!= queryId)
+      .dropDuplicates(idCol)
+      .select(col(idCol),
+        cosine(col(vecCol), typedLit(query)).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** [[writeLshIndex]] with int8-quantized vectors: bucket partitioning
     * buys partition-pruned probes AND the index stores each vector as a
     * dense BINARY (one byte per element; array<tinyint> would physically

@@ -133,6 +133,7 @@ object ExtQueries {
   private lazy val indexCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       (lshIndexes.values.map(_._1) ++ qlshIndexes.values.map(_._1) ++
+        mlshIndexes.values.map(_._1) ++
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
@@ -154,6 +155,32 @@ object ExtQueries {
     Similarity.lshTopKIndexed(s, path, "vec_id", "embedding", qVec, qBucket,
         queryId = 0L, k = 10, numPlanes = 8)
       .select(col("vec_id"), round(col("cos"), 6).as("cos"), col("bucket"))
+  }
+
+  /** Multi-table LSH index probe: 4 independent 4-plane tables, the
+    * sign-LSH recall knob (measured recall 0.11 → 0.94 vs the single
+    * 8-plane table on this corpus's diffuse neighborhoods — SCALING.md).
+    * The oracle replays all four bucket computations and the OR of
+    * per-table Hamming<=1 probes as plain SQL. */
+  private val mlshIndexes = scala.collection.concurrent
+    .TrieMap.empty[String, (String, Seq[Double])]
+
+  def q125MultiLsh(s: SparkSession, dir: String): DataFrame = {
+    val (path, qVec) = mlshIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val emb = t(s, dir, "embeddings")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-mlsh-index-").toString
+      Similarity.writeMultiLshIndex(emb, "embedding", p,
+        tables = 4, numPlanes = 4, dim = 64)
+      val v = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      (p, v)
+    })
+    Similarity.multiLshTopKIndexed(s, path, "vec_id", "embedding", qVec,
+        queryId = 0L, k = 10, tables = 4, numPlanes = 4, dim = 64)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
   /** Quantized materialized LSH index: partition-pruned probe over int8
@@ -686,6 +713,7 @@ object ExtQueries {
     "q31_lsh_buckets" -> (q31LshBuckets _),
     "q32_lsh_topk" -> (q32LshTopK _),
     "q71_lsh_indexed" -> (q71LshIndexed _),
+    "q125_multi_lsh" -> (q125MultiLsh _),
     "q33_cosine_neardup" -> (q33CosineNearDup _),
     "q46_topk_join" -> (q46TopKJoin _),
     "q59_ivf_topk" -> (q59IvfTopK _),
@@ -820,6 +848,28 @@ object ExtQueries {
        |  b.bucket
        |FROM b, q
        |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+       |ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** q125: all four per-table buckets + the OR of Hamming<=1 probes —
+    * a brute-force replay of the multi-table candidate rule (no index
+    * structure assumed on the oracle side). */
+  private lazy val multiLshOracleSql: String = {
+    val bCols = (0 until 4).map { t =>
+      val terms = bucketSql(
+        graft.operators.Similarity.hyperplanes(4, 64, 42L + t), "e")
+      s"CAST($terms AS BIGINT) AS b$t"
+    }.mkString(", ")
+    val qCols = (0 until 4).map(t => s"b$t AS q$t").mkString(", ")
+    val cond = (0 until 4)
+      .map(t => s"bit_count(xor(b.b$t, q.q$t)) <= 1").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, $bCols FROM v),
+       |q AS (SELECT e AS qe, $qCols FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cos
+       |FROM b, q
+       |WHERE b.vec_id <> 0 AND ($cond)
        |ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id
        |LIMIT 10""".stripMargin
   }
@@ -1301,6 +1351,7 @@ object ExtQueries {
     "q32_lsh_topk" -> lshTopkOracleSql,
     // identical semantics via the materialized bucket-partitioned index
     "q71_lsh_indexed" -> lshTopkOracleSql,
+    "q125_multi_lsh" -> multiLshOracleSql,
     "q33_cosine_neardup" -> {
       // Candidate = the pair agrees in >= 1 of the 8 banded buckets;
       // verify = exact cosine >= threshold. Same plane slices per band as

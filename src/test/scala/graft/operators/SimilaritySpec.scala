@@ -89,6 +89,33 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.rows.map(r => (r.getLong(0), r.getDouble(1))) == direct)
   }
 
+  test("multi-table LSH index: partition-pruned probe, dedups across tables") {
+    val base = Seq.fill(64)(0.5)
+    val vecs = Seq(
+      (0L, base.map(_.toFloat)),
+      (1L, base.updated(0, 0.51).map(_.toFloat)), // near 0: in every table
+      (2L, base.map(-_).map(_.toFloat)),
+      (3L, base.updated(1, 0.7).map(_.toFloat))
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("mlsh-idx").toString
+    Similarity.writeMultiLshIndex(vecs, "embedding", path,
+      tables = 4, numPlanes = 4, dim = 64)
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).rows.head
+      .getSeq[Double](0)
+    val idx = Similarity.multiLshTopKIndexed(spark, path, "vec_id",
+      "embedding", q, queryId = 0L, k = 3, tables = 4, numPlanes = 4,
+      dim = 64)
+    // the OR of per-table probes sits entirely on partition columns
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*htable".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on (htable, bucket):\n$plan")
+    val out = idx.rows.map(_.getLong(0))
+    // vec 1 collides with the query in every table; it must appear ONCE
+    assert(out.count(_ == 1L) == 1)
+    assert(out.head == 1L) // nearest neighbor ranked first
+  }
+
   test("quantized LSH index: pruned probe, smaller files, ranking survives") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 200L).map(i =>
