@@ -503,6 +503,44 @@ object ExtQueries {
     Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
       spanTokens = 3)
 
+  /** The sampling family as ONE engine-portable ANSI statement (the
+    * Athena discipline applied to the most analyst-reused operators):
+    * deterministic 50% sample → train/val/test split assignment →
+    * per-language stratified keep flag, all on the md5 hex-bucket rule.
+    * The SAME string is the Spark query and the DuckDB oracle, so
+    * divergence is impossible by construction (the q93 pattern);
+    * SqlSamplingSpec additionally pins it bit-identical to the operator
+    * composition. Thresholds are generated from Sampling.hexThreshold so
+    * the SQL can never drift from the operators' rounding. */
+  private lazy val samplingSql: String = {
+    val t50 = graft.operators.Sampling.hexThreshold(0.5)
+    val t80 = graft.operators.Sampling.hexThreshold(0.8)
+    val t90 = graft.operators.Sampling.hexThreshold(0.9)
+    val ten = graft.operators.Sampling.hexThreshold(0.25)
+    val tAll = graft.operators.Sampling.hexThreshold(1.0)
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    substr(md5(CAST(doc_id AS STRING)), 1, 4) AS bucket
+       |  FROM documents),
+       |sampled AS (
+       |  SELECT * FROM b WHERE bucket < '$t50'),
+       |split_assigned AS (
+       |  SELECT doc_id, lang, bucket,
+       |    CASE WHEN bucket < '$t80' THEN 'train'
+       |         WHEN bucket < '$t90' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM sampled)
+       |SELECT doc_id, lang, split,
+       |  CASE WHEN lang = 'en' THEN (bucket < '$ten')
+       |       ELSE (bucket < '$tAll') END AS strat_keep
+       |FROM split_assigned""".stripMargin
+  }
+
+  def q126SqlSampling(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(samplingSql)
+  }
+
   /** Maximal-run exact-substring dedup: duplicated spans are dropped only
     * in runs of >= 2 consecutive duplicated spans — lone duplicated spans
     * (common phrases at this vocabulary) survive, so the output genuinely
@@ -744,6 +782,7 @@ object ExtQueries {
     "q103_keywords" -> (q103Keywords _),
     "q104_span_dedup" -> (q104SpanDedup _),
     "q124_run_dedup" -> (q124RunDedup _),
+    "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
     "q114_best_dedup" -> (q114BestDedup _),
@@ -1159,6 +1198,8 @@ object ExtQueries {
         |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
         |  COUNT(*) AS n_spans
         |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    // the shared string IS the oracle (q93 pattern — cannot diverge)
+    "q126_sql_sampling" -> samplingSql,
     "q124_run_dedup" ->
       // q104's span grid + first-occurrence flag, then gaps-and-islands:
       // run id = running sum of flag-change boundaries; dup runs shorter
