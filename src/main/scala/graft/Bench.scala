@@ -122,16 +122,50 @@ object Bench {
     val corpusJson =
       if (corpusTimes.isEmpty) "\"err\"" else corpusTimes.min.toString
 
+    // The keeper-policy pipeline (keepBestQuality = true: score once,
+    // keep the best copy per near-dup cluster — the C4/RefinedWeb
+    // policy) as its own gate, so the keeper path has a perf budget
+    // separate from corpus_e2e's min-id policy and regressions in the
+    // scoring/cluster-max machinery surface here.
+    def runCorpusBest(src: String): Double = {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_bench_corpus_best_")
+      val t0 = System.nanoTime()
+      try {
+        val docs = Tables.load(spark, src, "documents")
+        graft.operators.DocPipeline
+          .clean(docs, "doc_id", "text",
+            graft.operators.DocPipeline.Config(keepBestQuality = true),
+            collectStats = false)
+          .cleaned
+          .write.mode("overwrite").parquet(out.toString + "/cleaned")
+        (System.nanoTime() - t0) / 1e9
+      } finally graft.util.Fs.deleteRecursively(out.toFile)
+    }
+    if (new java.io.File(warmupDir).isDirectory) {
+      try runCorpusBest(warmupDir) catch { case _: Throwable => () }
+    }
+    val corpusBestTimes = (1 to reps).flatMap { _ =>
+      try Some(runCorpusBest(sfDir))
+      catch { case e: Throwable => System.err.println(
+        s"BENCH ERR corpus_best_e2e: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val corpusBestJson =
+      if (corpusBestTimes.isEmpty) "\"err\"" else corpusBestTimes.min.toString
+
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
     val errs = (results.collect { case (k, Left(_)) => "\"" + k + "\"" } ++
       (if (pipeTimes.isEmpty) Seq("\"pipeline_e2e\"") else Nil) ++
-      (if (corpusTimes.isEmpty) Seq("\"corpus_e2e\"") else Nil))
+      (if (corpusTimes.isEmpty) Seq("\"corpus_e2e\"") else Nil) ++
+      (if (corpusBestTimes.isEmpty) Seq("\"corpus_best_e2e\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // An erroring query must fail the run: its 0-contribution would
     // otherwise make a regression-to-throw read as a faster total.
