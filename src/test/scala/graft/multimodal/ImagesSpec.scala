@@ -50,6 +50,23 @@ class ImagesSpec extends SparkSpec {
     assert(ham(d("img_03.png"), d("img_04.png")) > 10)
   }
 
+  test("perceptual hashes are resolution-invariant for cell-aligned content") {
+    // the same 9x8 cell pattern rendered at 1x and 2x resolution must
+    // hash identically — the integer area-average downscale sees the
+    // same cell means, so dHash/aHash depend on content, not pixel count
+    def gray(cellW: Int, cellH: Int): Images.Gray = {
+      val w = 9 * cellW; val h = 8 * cellH
+      val luma = Array.tabulate(w * h) { k =>
+        val x = k % w; val y = k / w
+        ((x / cellW) * 31 + (y / cellH) * 97) % 256
+      }
+      Images.Gray(w, h, luma)
+    }
+    assert(Images.dhash64(gray(4, 4)) == Images.dhash64(gray(8, 8)))
+    assert(Images.ahash64(gray(8, 8)) == Images.ahash64(gray(16, 16)))
+    assert(Images.dhash64(gray(4, 4)) != 0L)
+  }
+
   test("hashImages: distributed decode matches local, drops undecodable rows") {
     import spark.implicits._
     val files = new java.io.File(dir).listFiles()
