@@ -45,16 +45,25 @@ object Images {
     val w = img.getWidth
     val h = img.getHeight
     val luma = new Array[Int](w * h)
+    // single-band (grayscale) images: read the 8-bit samples directly —
+    // Java's gray<->sRGB colorspace conversion in getRGB applies a gamma
+    // transform and would corrupt a lossless gray round-trip
+    val grayDirect = img.getRaster.getNumBands == 1 &&
+      img.getRaster.getSampleModel.getSampleSize(0) == 8
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        // exact integer Rec.601 luma — no float rounding anywhere
-        luma(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        luma(y * w + x) =
+          if (grayDirect) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            // exact integer Rec.601 luma — no float rounding anywhere
+            (299 * r + 587 * g + 114 * b) / 1000
+          }
         x += 1
       }
       y += 1
@@ -137,9 +146,81 @@ object Images {
     bitsOut
   }
 
+  /** Real aspect-preserving resize of the luma plane: target dims are
+    * EXACTLY [[Multimodal.resizePlan]]'s formula (scale = min(1,
+    * maxDim/max(w,h)), HALF_UP rounding), pixels via the same integer
+    * area-average as the perceptual hashes — deterministic on every JVM,
+    * no Graphics2D renderer in the loop. Upscaling never happens
+    * (scale caps at 1). */
+  def resizeGray(g: Gray, maxDim: Int): Gray = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val scale = math.min(1.0, maxDim.toDouble / math.max(g.width, g.height))
+    val tw = math.max(1, math.round(g.width * scale).toInt)
+    val th = math.max(1, math.round(g.height * scale).toInt)
+    if (tw == g.width && th == g.height) g
+    else Gray(tw, th, gridLuma(g, tw, th))
+  }
+
+  /** Re-encode a luma plane as a grayscale PNG (lossless — decodes back
+    * to the same integers). The thumbnail-materialization half of the
+    * resize path; bytes are JVM-encoder-dependent, so queries export
+    * dims/hashes, not payloads. */
+  def encodeGrayPng(g: Gray): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(g.width, g.height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // write samples through the raster — setRGB would push the value
+    // through the sRGB->gray colorspace transform (not value-preserving)
+    var y = 0
+    while (y < g.height) {
+      var x = 0
+      while (x < g.width) {
+        img.getRaster.setSample(x, y, 0, g.luma(y * g.width + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Exact-integer content features of a luma plane: pixel count, luma
+    * sum (mean = sum/n at the caller's precision), a 16-bin histogram
+    * (bin = luma/16), and the total horizontal gradient (Σ|l(x+1,y) −
+    * l(x,y)| — an edge-energy proxy). Every value is an exact integer,
+    * so a literal-valued oracle replays them bit-for-bit. */
+  final case class GrayFeatures(n_px: Long, luma_sum: Long,
+      hist: Array[Long], grad_sum: Long)
+
+  def grayFeatures(g: Gray): GrayFeatures = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var grad = 0L
+    var y = 0
+    while (y < g.height) {
+      var x = 0
+      while (x < g.width) {
+        val l = g.luma(y * g.width + x)
+        sum += l
+        hist(math.min(l / 16, 15)) += 1
+        if (x + 1 < g.width) {
+          grad += math.abs(g.luma(y * g.width + x + 1) - l)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    GrayFeatures(g.width.toLong * g.height, sum, hist, grad)
+  }
+
   final case class ImageIn(image_id: Long, content: Array[Byte])
   final case class ImageHash(image_id: Long, width_px: Int, height_px: Int,
       dhash: Long, ahash: Long)
+  final case class ImageResized(image_id: Long, width_px: Int,
+      height_px: Int, target_width_px: Int, target_height_px: Int,
+      resized_dhash: Long, thumb_png: Array[Byte])
+  final case class ImageFeats(image_id: Long, n_px: Long, luma_sum: Long,
+      hist: Array[Long], grad_sum: Long)
 
   /** Decode + hash a binary image column: (image_id, width_px, height_px,
     * dhash, ahash). Undecodable payloads are dropped (the corrupt-row
@@ -158,6 +239,52 @@ object Images {
           batch.iterator.flatMap { m =>
             decodeGray(m.content).map(g =>
               ImageHash(m.image_id, g.width, g.height, dhash64(g), ahash64(g)))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Real resize: decode → integer area-average downscale to ≤ maxDim →
+    * perceptual hash of the RESIZED content + a materialized grayscale
+    * PNG thumbnail. Same typed mapPartitions shape as [[hashImages]];
+    * undecodable payloads drop. The target dims reproduce
+    * [[Multimodal.resizePlan]]'s metadata computation exactly — plan and
+    * execution cannot disagree. */
+  def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
+      maxDim: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("image_id"),
+        col(bytesCol).as("content")).as[ImageIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            decodeGray(m.content).map { g =>
+              val r = resizeGray(g, maxDim)
+              ImageResized(m.image_id, g.width, g.height, r.width, r.height,
+                dhash64(r), encodeGrayPng(r))
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Real content features per image (exact integers — see
+    * [[grayFeatures]]). The real-decode replacement for
+    * [[Multimodal.extractFeatures]]'s stub on the image kind. */
+  def extractImageFeatures(df: DataFrame, idCol: String, bytesCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("image_id"),
+        col(bytesCol).as("content")).as[ImageIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            decodeGray(m.content).map { g =>
+              val f = grayFeatures(g)
+              ImageFeats(m.image_id, f.n_px, f.luma_sum, f.hist, f.grad_sum)
+            }
           }
         }
       }.toDF()

@@ -109,6 +109,22 @@ object PipelineQueries {
   def q123ImageNearDup(s: SparkSession, dir: String): DataFrame =
     Images.nearDupPairs(q122ImageHash(s, dir))
 
+  /** Real resize (integer area-average to ≤ 24px) with the perceptual
+    * hash of the resized content; target dims are exactly q36's
+    * resizePlan formula, now executed on pixels. */
+  def q127ImageResize(s: SparkSession, dir: String): DataFrame =
+    Images.resizeImages(Images.readImageDir(s, imagesFixtureDir),
+        "image_id", "content", maxDim = 24)
+      .drop("thumb_png") // encoder bytes are JVM-specific; dims+hash export
+
+  /** Real image content features (exact integers: pixel count, luma sum,
+    * 16-bin histogram, horizontal gradient energy). */
+  def q128ImageFeatures(s: SparkSession, dir: String): DataFrame =
+    Images.extractImageFeatures(Images.readImageDir(s, imagesFixtureDir),
+        "image_id", "content")
+      .select(col("image_id"), col("n_px"), col("luma_sum"),
+        array_join(col("hist"), ",").as("hist"), col("grad_sum"))
+
   /** Driver-side decode of the PNG fixtures for the image oracles: same
     * integer-arithmetic hash code as the Spark path (goldens in
     * ImagesSpec break the circularity). */
@@ -123,11 +139,48 @@ object PipelineQueries {
         (id, g.width, g.height, Images.dhash64(g), Images.ahash64(g))
       }
 
+  private lazy val imageFixtureGrays: Seq[(Long, Images.Gray)] =
+    new java.io.File(imagesFixtureDir).listFiles()
+      .filter(_.getName.endsWith(".png")).sortBy(_.getName).toSeq
+      .map { f =>
+        val id = "(\\d+)".r.findAllIn(f.getName).toSeq.last.toLong
+        id -> Images.decodeGray(
+          java.nio.file.Files.readAllBytes(f.toPath)).getOrElse(
+          sys.error(s"fixture ${f.getName} failed to decode"))
+      }
+
   private def imageOracles: Map[String, String] = {
     val values = imageFixtureRows.map { case (id, w, h, d, a) =>
       s"($id, $w, $h, CAST($d AS BIGINT), CAST($a AS BIGINT))"
     }.mkString(",\n  ")
+    val resizeValues = imageFixtureGrays.map { case (id, g) =>
+      val r = Images.resizeGray(g, 24)
+      s"($id, ${g.width}, ${g.height}, ${r.width}, ${r.height}, " +
+        s"CAST(${Images.dhash64(r)} AS BIGINT))"
+    }.mkString(",\n  ")
+    val featValues = imageFixtureGrays.map { case (id, g) =>
+      val f = Images.grayFeatures(g)
+      s"($id, ${f.n_px}, ${f.luma_sum}, '${f.hist.mkString(",")}', " +
+        s"${f.grad_sum})"
+    }.mkString(",\n  ")
     Map(
+      "q127_image_resize" ->
+        s"""SELECT CAST(image_id AS BIGINT) AS image_id,
+           | CAST(width_px AS INTEGER) AS width_px,
+           | CAST(height_px AS INTEGER) AS height_px,
+           | CAST(target_width_px AS INTEGER) AS target_width_px,
+           | CAST(target_height_px AS INTEGER) AS target_height_px,
+           | resized_dhash
+           |FROM (VALUES
+           |  $resizeValues) AS t(image_id, width_px, height_px,
+           |  target_width_px, target_height_px, resized_dhash)""".stripMargin,
+      "q128_image_features" ->
+        s"""SELECT CAST(image_id AS BIGINT) AS image_id,
+           | CAST(n_px AS BIGINT) AS n_px,
+           | CAST(luma_sum AS BIGINT) AS luma_sum, hist,
+           | CAST(grad_sum AS BIGINT) AS grad_sum
+           |FROM (VALUES
+           |  $featValues) AS t(image_id, n_px, luma_sum, hist, grad_sum)""".stripMargin,
       "q122_image_hash" ->
         s"""SELECT CAST(image_id AS BIGINT) AS image_id,
            | CAST(width_px AS INTEGER) AS width_px,
@@ -186,7 +239,9 @@ object PipelineQueries {
     "q72_jsonl_docs" -> (q72JsonlDocs _),
     "q94_incremental_agg" -> (q94IncrementalAgg _),
     "q122_image_hash" -> (q122ImageHash _),
-    "q123_image_neardup" -> (q123ImageNearDup _))
+    "q123_image_neardup" -> (q123ImageNearDup _),
+    "q127_image_resize" -> (q127ImageResize _),
+    "q128_image_features" -> (q128ImageFeatures _))
 
   lazy val oracles: Map[String, String] = imageOracles ++ Map(
     "q94_incremental_agg" ->

@@ -67,6 +67,38 @@ class ImagesSpec extends SparkSpec {
     assert(Images.dhash64(gray(4, 4)) != 0L)
   }
 
+  test("resizeGray: exact resizePlan dims, PNG round-trip, content survives") {
+    val g = grayOf("img_01.png") // 72x64
+    val r = Images.resizeGray(g, 24)
+    // resizePlan formula: scale = 24/72, round(72/3)=24, round(64/3)=21
+    assert(r.width == 24 && r.height == 21)
+    // no upscale: maxDim above both dims is the identity
+    assert(Images.resizeGray(g, 100) eq g)
+    // the thumbnail PNG is lossless: decode returns the same integers
+    val back = Images.decodeGray(Images.encodeGrayPng(r)).get
+    assert(back.width == r.width && back.height == r.height)
+    assert(back.luma.sameElements(r.luma))
+    // cell-aligned fixture content: resized perceptual hash stays close
+    // to the original's (both read the same 9x8 cell means)
+    val ham = java.lang.Long.bitCount(Images.dhash64(r) ^ Images.dhash64(g))
+    assert(ham <= 6, s"resize destroyed perceptual content: hamming $ham")
+  }
+
+  test("grayFeatures: exact integer stats on a hand-computed plane") {
+    // 3x2 plane: rows (0, 16, 255), (32, 32, 48)
+    val g = Images.Gray(3, 2, Array(0, 16, 255, 32, 32, 48))
+    val f = Images.grayFeatures(g)
+    assert(f.n_px == 6L)
+    assert(f.luma_sum == 0 + 16 + 255 + 32 + 32 + 48)
+    // bins: 0->0, 16->1, 255->15, 32->2, 32->2, 48->3
+    val expectHist = Array.fill(16)(0L)
+    expectHist(0) = 1; expectHist(1) = 1; expectHist(15) = 1
+    expectHist(2) = 2; expectHist(3) = 1
+    assert(f.hist.sameElements(expectHist))
+    // gradients: |16-0|+|255-16| + |32-32|+|48-32| = 16+239+0+16
+    assert(f.grad_sum == 271L)
+  }
+
   test("hashImages: distributed decode matches local, drops undecodable rows") {
     import spark.implicits._
     val files = new java.io.File(dir).listFiles()
