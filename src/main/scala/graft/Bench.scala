@@ -155,6 +155,40 @@ object Bench {
     val corpusBestJson =
       if (corpusBestTimes.isEmpty) "\"err\"" else corpusBestTimes.min.toString
 
+    // Image corpus e2e: synthesize one REAL PNG per document row (cell
+    // patterns, ~10 copies per pattern), then run the real decode →
+    // perceptual hash → guarded Hamming join → cluster dedup path. The
+    // whole image family under one timed gate, at sf-proportional scale.
+    def runImage(src: String): Double = {
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      val docs = Tables.load(spark, src, "documents").select("doc_id")
+      val imgs = docs.as[Long].map { id =>
+        val (w, h) = ((id % 3).toInt: @unchecked) match {
+          case 0 => (36, 32)
+          case 1 => (72, 64)
+          case _ => (45, 40)
+        }
+        (id, graft.multimodal.Images.cellPatternPng(id % 500, w, h))
+      }.toDF("image_id", "content")
+      val hashes = graft.multimodal.Images
+        .hashImages(imgs, "image_id", "content").localCheckpoint()
+      graft.multimodal.Images.dedupByContent(hashes).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (new java.io.File(warmupDir).isDirectory) {
+      try runImage(warmupDir) catch { case _: Throwable => () }
+    }
+    val imageTimes = (1 to reps).flatMap { _ =>
+      try Some(runImage(sfDir))
+      catch { case e: Throwable => System.err.println(
+        s"BENCH ERR image_e2e: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val imageJson =
+      if (imageTimes.isEmpty) "\"err\"" else imageTimes.min.toString
+
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":\"err\""
@@ -162,10 +196,11 @@ object Bench {
     val errs = (results.collect { case (k, Left(_)) => "\"" + k + "\"" } ++
       (if (pipeTimes.isEmpty) Seq("\"pipeline_e2e\"") else Nil) ++
       (if (corpusTimes.isEmpty) Seq("\"corpus_e2e\"") else Nil) ++
-      (if (corpusBestTimes.isEmpty) Seq("\"corpus_best_e2e\"") else Nil))
+      (if (corpusBestTimes.isEmpty) Seq("\"corpus_best_e2e\"") else Nil) ++
+      (if (imageTimes.isEmpty) Seq("\"image_e2e\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"image_e2e":$imageJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // An erroring query must fail the run: its 0-contribution would
     // otherwise make a regression-to-throw read as a faster total.

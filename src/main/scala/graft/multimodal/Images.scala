@@ -222,27 +222,43 @@ object Images {
   final case class ImageFeats(image_id: Long, n_px: Long, luma_sum: Long,
       hist: Array[Long], grad_sum: Long)
 
-  /** Decode + hash a binary image column: (image_id, width_px, height_px,
-    * dhash, ahash). Undecodable payloads are dropped (the corrupt-row
-    * count is the input count minus this count — observable without a
-    * second scan via `observe`). Same typed `mapPartitions` plan shape as
-    * [[Multimodal.extractFeatures]]: decode stays a node inside the plan,
-    * batches amortize per-batch setup. */
-  def hashImages(df: DataFrame, idCol: String, bytesCol: String,
-      batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  // object-level Encoders so the typed decode boundary derives them once
+  // (no SparkSession implicits needed at the call sites)
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private implicit val imageInEnc: Encoder[ImageIn] =
+    Encoders.product[ImageIn]
+  private implicit val imageHashEnc: Encoder[ImageHash] =
+    Encoders.product[ImageHash]
+  private implicit val imageResizedEnc: Encoder[ImageResized] =
+    Encoders.product[ImageResized]
+  private implicit val imageFeatsEnc: Encoder[ImageFeats] =
+    Encoders.product[ImageFeats]
+
+  /** Shared decode boundary: typed `mapPartitions` in `batchSize` groups
+    * (decode stays a plan node — column pruning below, codegen resumes
+    * above; a real codec amortizes setup per batch), undecodable
+    * payloads dropped. Every image operator maps one function over the
+    * decoded (id, Gray) stream. */
+  private def mapDecoded[T: org.apache.spark.sql.Encoder](df: DataFrame,
+      idCol: String, bytesCol: String, batchSize: Int)(
+      f: (Long, Gray) => T): org.apache.spark.sql.Dataset[T] =
     df.select(col(idCol).cast("long").as("image_id"),
         col(bytesCol).as("content")).as[ImageIn]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { m =>
-            decodeGray(m.content).map(g =>
-              ImageHash(m.image_id, g.width, g.height, dhash64(g), ahash64(g)))
+            decodeGray(m.content).map(g => f(m.image_id, g))
           }
         }
-      }.toDF()
-  }
+      }
+
+  /** Decode + hash a binary image column: (image_id, width_px, height_px,
+    * dhash, ahash). */
+  def hashImages(df: DataFrame, idCol: String, bytesCol: String,
+      batchSize: Int = 64): DataFrame =
+    mapDecoded(df, idCol, bytesCol, batchSize) { (id, g) =>
+      ImageHash(id, g.width, g.height, dhash64(g), ahash64(g))
+    }.toDF()
 
   /** Real resize: decode → integer area-average downscale to ≤ maxDim →
     * perceptual hash of the RESIZED content + a materialized grayscale
@@ -251,44 +267,22 @@ object Images {
     * [[Multimodal.resizePlan]]'s metadata computation exactly — plan and
     * execution cannot disagree. */
   def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
-      maxDim: Int, batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("image_id"),
-        col(bytesCol).as("content")).as[ImageIn]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { m =>
-            decodeGray(m.content).map { g =>
-              val r = resizeGray(g, maxDim)
-              ImageResized(m.image_id, g.width, g.height, r.width, r.height,
-                dhash64(r), encodeGrayPng(r))
-            }
-          }
-        }
-      }.toDF()
-  }
+      maxDim: Int, batchSize: Int = 64): DataFrame =
+    mapDecoded(df, idCol, bytesCol, batchSize) { (id, g) =>
+      val r = resizeGray(g, maxDim)
+      ImageResized(id, g.width, g.height, r.width, r.height,
+        dhash64(r), encodeGrayPng(r))
+    }.toDF()
 
   /** Real content features per image (exact integers — see
     * [[grayFeatures]]). The real-decode replacement for
     * [[Multimodal.extractFeatures]]'s stub on the image kind. */
   def extractImageFeatures(df: DataFrame, idCol: String, bytesCol: String,
-      batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("image_id"),
-        col(bytesCol).as("content")).as[ImageIn]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { m =>
-            decodeGray(m.content).map { g =>
-              val f = grayFeatures(g)
-              ImageFeats(m.image_id, f.n_px, f.luma_sum, f.hist, f.grad_sum)
-            }
-          }
-        }
-      }.toDF()
-  }
+      batchSize: Int = 64): DataFrame =
+    mapDecoded(df, idCol, bytesCol, batchSize) { (id, g) =>
+      val f = grayFeatures(g)
+      ImageFeats(id, f.n_px, f.luma_sum, f.hist, f.grad_sum)
+    }.toDF()
 
   /** Read a directory of image files via the binaryFile source (the
     * idiomatic Spark image-ingest path: distributed file listing, column
@@ -315,4 +309,36 @@ object Images {
       maxBucketSize: Int = 1000): DataFrame =
     NearDup.hammingPairs(hashes, idCol, hashCol, bands = 4,
       maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  /** Perceptual content dedup: one representative (min id) per near-dup
+    * cluster — the C4 exact-dedup stage for images, where the "content
+    * key" is the dHash instead of a byte digest, so re-encoded and
+    * slightly-perturbed copies collapse too. Pairs come from the guarded
+    * banded join; clusters from the same union-find machinery as
+    * document dedup (shuffles 8-byte hashes and ids, never pixels). */
+  def dedupByContent(hashes: DataFrame, idCol: String = "image_id",
+      hashCol: String = "dhash", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    graft.operators.Components.keepClusterRepresentatives(hashes, idCol,
+      nearDupPairs(hashes, idCol, hashCol, maxHamming, maxBucketSize))
+
+  /** Deterministic cell-pattern grayscale PNG: 9×8 constant cells from an
+    * integer mix of (patternId, cell) — REAL encoded bytes for synthetic
+    * image corpora (fixtures, specs, and the image_e2e bench generate
+    * with this, then exercise the real decode path on the result). Two
+    * calls with the same patternId at the same size are near-dup by
+    * construction (identical cells ⇒ identical dHash). */
+  def cellPatternPng(patternId: Long, w: Int, h: Int): Array[Byte] = {
+    val luma = Array.tabulate(w * h) { k =>
+      val x = k % w
+      val y = k / w
+      var v = (patternId * 1000003L + (x * 9 / w) * 7919L +
+        (y * 8 / h) * 104729L + 0x9e3779b9L).toInt
+      v ^= v >>> 15; v *= 0x85ebca6b
+      v ^= v >>> 13; v *= 0xc2b2ae35
+      v ^= v >>> 16
+      v & 0xff
+    }
+    encodeGrayPng(Gray(w, h, luma))
+  }
 }

@@ -127,6 +127,26 @@ class ImagesSpec extends SparkSpec {
     assert(row.getAs[Long]("n_bytes") == bytesOf("img_02.png").length)
   }
 
+  test("dedupByContent collapses the planted clusters to min-id keepers") {
+    val hashes = Images.hashImages(Images.readImageDir(spark, dir),
+      "image_id", "content").localCheckpoint()
+    val kept = Images.dedupByContent(hashes)
+      .select("image_id").collect().map(_.getLong(0)).toSet
+    // losers 13 (near-identical of 1), 14 (re-encode of 2), 16 (+5
+    // brightness of 15) drop; everything else survives
+    assert(kept == (1L to 16L).toSet -- Set(13L, 14L, 16L))
+  }
+
+  test("cellPatternPng: real encode/decode round-trip, resolution-invariant dhash") {
+    val a = Images.decodeGray(Images.cellPatternPng(7L, 36, 32)).get
+    val b = Images.decodeGray(Images.cellPatternPng(7L, 72, 64)).get
+    val c = Images.decodeGray(Images.cellPatternPng(8L, 36, 32)).get
+    // same pattern at 2x size: same cells, same hash (the property the
+    // image_e2e bench's planted duplicates rely on)
+    assert(Images.dhash64(a) == Images.dhash64(b))
+    assert(Images.dhash64(a) != Images.dhash64(c))
+  }
+
   test("nearDupPairs: banded join equals brute force (pigeonhole exactness)") {
     val hashes = Images.hashImages(Images.readImageDir(spark, dir),
       "image_id", "content").localCheckpoint()
