@@ -299,6 +299,47 @@ object Images {
         col("length").as("n_bytes"),
         col("content"))
 
+  /** Streaming twin of [[readImageDir]]: the binaryFile source with the
+    * explicit schema streaming requires. [[hashImages]] composes
+    * unchanged on top — the typed decode boundary is a streaming-safe
+    * plan node, so a continuous image crawl hashes in-flight. */
+  def readImageStream(spark: SparkSession, dir: String,
+      glob: String = "*.png"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z]+$", 1)
+          .cast("long").as("image_id"),
+        col("length").as("n_bytes"),
+        col("content"))
+  }
+
+  /** Exactly-once streaming image ingest: drain whatever files are new
+    * in `srcDir` (AvailableNow), decode + hash them, append to
+    * `destDir`. File-source progress lives in the checkpoint, so a
+    * re-drain never re-decodes processed images — the continuous-crawl
+    * shape where hashing cost tracks NEW images, not corpus size. */
+  def hashIngestOnce(spark: SparkSession, srcDir: String, destDir: String,
+      checkpointDir: String, glob: String = "*.png"): Unit = {
+    val q = hashImages(readImageStream(spark, srcDir, glob),
+        "image_id", "content")
+      .writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Perceptual near-dup pairs over hashed images: banded Hamming join on
     * the dHash. With the default maxHamming=3 < bands=4 the result is
     * EXACT (pigeonhole — see [[NearDup.hammingPairs]]), which is what

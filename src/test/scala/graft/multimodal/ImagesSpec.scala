@@ -147,6 +147,29 @@ class ImagesSpec extends SparkSpec {
     assert(Images.dhash64(a) != Images.dhash64(c))
   }
 
+  test("hashIngestOnce: stream equals batch; re-drain decodes only new files") {
+    val root = Files.createTempDirectory("graft_img_stream_").toString
+    val src = s"$root/src"
+    Files.createDirectories(Paths.get(src))
+    Seq("img_01.png", "img_02.png").foreach(n =>
+      Files.copy(Paths.get(dir, n), Paths.get(src, n)))
+    Images.hashIngestOnce(spark, src, s"$root/out", s"$root/ckpt")
+    def outRows = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val batch = Images.hashImages(Images.readImageDir(spark, src),
+      "image_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(outRows == batch) // stream == batch on the same files
+    // second drain with one new file: only it is appended (checkpointed
+    // file-source progress — processed images never re-decode)
+    Files.copy(Paths.get(dir, "img_03.png"), Paths.get(src, "img_03.png"))
+    Images.hashIngestOnce(spark, src, s"$root/out", s"$root/ckpt")
+    val after = outRows
+    assert(after.keySet == Set(1L, 2L, 3L))
+    assert(after(3L) == Images.dhash64(grayOf("img_03.png")))
+    assert(spark.read.parquet(s"$root/out").count() == 3) // no reprocess
+  }
+
   test("nearDupPairs: banded join equals brute force (pigeonhole exactness)") {
     val hashes = Images.hashImages(Images.readImageDir(spark, dir),
       "image_id", "content").localCheckpoint()
