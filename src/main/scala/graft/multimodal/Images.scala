@@ -363,6 +363,62 @@ object Images {
     graft.operators.Components.keepClusterRepresentatives(hashes, idCol,
       nearDupPairs(hashes, idCol, hashCol, maxHamming, maxBucketSize))
 
+  final case class FrameIn(video_id: Long, frame_idx: Long,
+      content: Array[Byte])
+  final case class FrameHash(video_id: Long, frame_idx: Long, dhash: Long)
+  private implicit val frameInEnc: Encoder[FrameIn] =
+    Encoders.product[FrameIn]
+  private implicit val frameHashEnc: Encoder[FrameHash] =
+    Encoders.product[FrameHash]
+
+  /** Per-frame perceptual hashes of a video frame stream
+    * (video_id, frame_idx, content) — the video content key: a video IS
+    * its ordered frame-hash sequence. Same decode boundary as
+    * [[hashImages]]; undecodable frames drop. */
+  def hashFrames(frames: DataFrame, videoIdCol: String,
+      frameIdxCol: String, bytesCol: String,
+      batchSize: Int = 64): DataFrame =
+    frames.select(col(videoIdCol).cast("long").as("video_id"),
+        col(frameIdxCol).cast("long").as("frame_idx"),
+        col(bytesCol).as("content")).as[FrameIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            decodeGray(m.content).map(g =>
+              FrameHash(m.video_id, m.frame_idx, dhash64(g)))
+          }
+        }
+      }.toDF()
+
+  /** Per-video fingerprint: the ordered frame-hash array plus one 64-bit
+    * exact-dup digest over it (same-content videos collide; any frame
+    * difference separates). One partial-aggregated pass; the shuffle
+    * carries 8 bytes per frame, never pixels. */
+  def videoFingerprints(frames: DataFrame, videoIdCol: String,
+      frameIdxCol: String, bytesCol: String): DataFrame =
+    hashFrames(frames, videoIdCol, frameIdxCol, bytesCol)
+      .groupBy(col("video_id"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+          s => s.getField("dhash")).as("frame_hashes"))
+      .select(col("video_id"), col("frame_hashes"),
+        xxhash64(concat_ws(",", col("frame_hashes"))).as("video_digest"))
+
+  /** Video near-dup: exact Jaccard over each video's SET of frame
+    * hashes, through the same guarded inverted-index join as n-gram text
+    * Jaccard ([[NearDup.jaccardPairsOverTokens]]) — trimmed, reordered,
+    * or re-encoded copies stay similar because their frames hash the
+    * same; `maxDocFreq` drops intro/outro boilerplate frames shared by
+    * everything, exactly like ubiquitous shingles. Output: id_a < id_b,
+    * jaccard >= threshold. */
+  def videoNearDupPairs(frames: DataFrame, videoIdCol: String,
+      frameIdxCol: String, bytesCol: String, threshold: Double = 0.5,
+      maxDocFreq: Long = 1000): DataFrame =
+    NearDup.jaccardPairsOverTokens(
+      hashFrames(frames, videoIdCol, frameIdxCol, bytesCol)
+        .select(col("video_id"), col("dhash").as("sh")),
+      "video_id", threshold, maxDocFreq)
+
   /** Deterministic cell-pattern grayscale PNG: 9×8 constant cells from an
     * integer mix of (patternId, cell) — REAL encoded bytes for synthetic
     * image corpora (fixtures, specs, and the image_e2e bench generate

@@ -426,14 +426,26 @@ object NearDup {
     * Output: id_a < id_b, jaccard >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Long = 1000): DataFrame = {
-    // Repartition on the shingle hash BEFORE the set-dedup: hash
+      maxDocFreq: Long = 1000): DataFrame =
+    jaccardPairsOverTokens(
+      shingleRows(df, idCol, textCol, shingleSize)
+        .select(col(idCol), xxhash64(col("shingle")).as("sh")),
+      idCol, threshold, maxDocFreq)
+
+  /** The exact-Jaccard inverted-index join over ANY pre-tokenized
+    * (id, sh: long) stream — the core of [[ngramJaccardPairs]], reused
+    * wherever a set-of-long-tokens similarity is needed (video near-dup
+    * joins on per-frame perceptual hashes through exactly this). Same
+    * `maxDocFreq` guard, same one-pass co-occurrence count. */
+  def jaccardPairsOverTokens(tokens: DataFrame, idCol: String,
+      threshold: Double, maxDocFreq: Long): DataFrame = {
+    // Repartition on the token hash BEFORE the set-dedup: hash
     // partitioning by sh satisfies the (id, sh) grouping distribution, so
     // the distinct adds no exchange, and every consumer below (df-guard,
     // semi-join, self-join) keys on `sh` and reuses this single exchange —
-    // the tokenize/shingle pipeline runs once, not 3×.
-    val exploded = shingleRows(df, idCol, textCol, shingleSize)
-      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    // the tokenize pipeline runs once, not 3×.
+    val exploded = tokens
+      .select(col(idCol), col("sh"))
       .repartition(col("sh"))
       .distinct()
     val rare = exploded.groupBy("sh")

@@ -125,6 +125,26 @@ object PipelineQueries {
       .select(col("image_id"), col("n_px"), col("luma_sum"),
         array_join(col("hist"), ",").as("hist"), col("grad_sum"))
 
+  /** Video near-dup over constructed frame streams: 20 videos × 5 real
+    * PNG frames where video v and v+10 render the SAME frame patterns —
+    * so the result is data-independent given the construction (the q73
+    * discipline): exactly the ten (v, v+10) pairs at jaccard 1.0, which
+    * a literal oracle pins while the engine still runs the full decode →
+    * hash → guarded inverted-index join. */
+  def q129VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 20).as[Long]
+    val frames = vids.flatMap { v =>
+      (0L until 5L).map { f =>
+        (v, f, Images.cellPatternPng((v % 10) * 5 + f, 36, 32))
+      }
+    }.toDF("video_id", "frame_idx", "content")
+    Images.videoNearDupPairs(frames, "video_id", "frame_idx", "content",
+        threshold = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Driver-side decode of the PNG fixtures for the image oracles: same
     * integer-arithmetic hash code as the Spark path (goldens in
     * ImagesSpec break the circularity). */
@@ -181,6 +201,15 @@ object PipelineQueries {
            | CAST(grad_sum AS BIGINT) AS grad_sum
            |FROM (VALUES
            |  $featValues) AS t(image_id, n_px, luma_sum, hist, grad_sum)""".stripMargin,
+      "q129_video_neardup" ->
+        // construction-pinned (q73 discipline): videos v and v+10 share
+        // ALL five frame patterns, every other pair shares none
+        s"""SELECT CAST(id_a AS BIGINT) AS id_a,
+           | CAST(id_b AS BIGINT) AS id_b,
+           | CAST(jaccard AS DOUBLE) AS jaccard
+           |FROM (VALUES
+           |  ${(0 until 10).map(v => s"($v, ${v + 10}, 1.0)").mkString(",\n  ")})
+           |  AS t(id_a, id_b, jaccard)""".stripMargin,
       "q122_image_hash" ->
         s"""SELECT CAST(image_id AS BIGINT) AS image_id,
            | CAST(width_px AS INTEGER) AS width_px,
@@ -241,7 +270,8 @@ object PipelineQueries {
     "q122_image_hash" -> (q122ImageHash _),
     "q123_image_neardup" -> (q123ImageNearDup _),
     "q127_image_resize" -> (q127ImageResize _),
-    "q128_image_features" -> (q128ImageFeatures _))
+    "q128_image_features" -> (q128ImageFeatures _),
+    "q129_video_neardup" -> (q129VideoNearDup _))
 
   lazy val oracles: Map[String, String] = imageOracles ++ Map(
     "q94_incremental_agg" ->

@@ -170,6 +170,32 @@ class ImagesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() == 3) // no reprocess
   }
 
+  test("video near-dup: trimmed and reordered copies found, disjoint not") {
+    import spark.implicits._
+    def video(vid: Long, patterns: Seq[Long]): Seq[(Long, Long, Array[Byte])] =
+      patterns.zipWithIndex.map { case (p, f) =>
+        (vid, f.toLong, Images.cellPatternPng(p, 36, 32))
+      }
+    val frames = (
+      video(1L, Seq(1, 2, 3, 4, 5)) ++
+      video(2L, Seq(2, 3, 4, 5)) ++       // trimmed: J = 4/5
+      video(3L, Seq(5, 4, 3, 2, 1)) ++    // reordered: same SET, J = 1
+      video(4L, Seq(10, 11, 12, 13, 14))  // disjoint
+    ).toDF("video_id", "frame_idx", "content")
+    val pairs = Images.videoNearDupPairs(frames, "video_id", "frame_idx",
+        "content", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 0.8), (1L, 3L, 1.0), (2L, 3L, 0.8)))
+    // fingerprints: the ordered sequence separates the reordered copy,
+    // the set-based join above deliberately does not
+    val fp = Images.videoFingerprints(frames, "video_id", "frame_idx",
+        "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fp(1L) != fp(3L)) // same set, different order -> digests differ
+    assert(fp.values.toSet.size == 4)
+  }
+
   test("nearDupPairs: banded join equals brute force (pigeonhole exactness)") {
     val hashes = Images.hashImages(Images.readImageDir(spark, dir),
       "image_id", "content").localCheckpoint()
