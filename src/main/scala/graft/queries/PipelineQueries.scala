@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{Images, Multimodal}
+import graft.multimodal.{Audio, Images, Multimodal}
 import graft.operators.ParseFixedWidth
 import graft.pipeline.IncrementalAgg
 import graft.streaming.IncrementalIngest
@@ -145,6 +145,26 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Audio envelope fingerprints over constructed PCM: 100 clips where
+    * clip v and v+50 share the loudness contour. Hash literals are
+    * driver-decoded (AudioSpec pins hand-computed envelopes). */
+  private def audioClips(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+      .map(v => (v, Audio.patternPcm(v % 50, 1300)))
+      .toDF("audio_id", "content")
+  }
+
+  def q130AudioHash(s: SparkSession, dir: String): DataFrame =
+    Audio.hashAudio(audioClips(s, dir), "audio_id", "content")
+
+  /** Audio near-dup: construction-pinned (q73/q129 discipline) — exactly
+    * the fifty (v, v+50) pairs at hamming 0. */
+  def q131AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Audio.nearDupPairs(
+      Audio.hashAudio(audioClips(s, dir), "audio_id", "content"))
+
   /** Driver-side decode of the PNG fixtures for the image oracles: same
     * integer-arithmetic hash code as the Spark path (goldens in
     * ImagesSpec break the circularity). */
@@ -201,6 +221,25 @@ object PipelineQueries {
            | CAST(grad_sum AS BIGINT) AS grad_sum
            |FROM (VALUES
            |  $featValues) AS t(image_id, n_px, luma_sum, hist, grad_sum)""".stripMargin,
+      "q130_audio_hash" -> {
+        val vals = (0L until 100L).map { v =>
+          val samples = Audio.pcm16(Audio.patternPcm(v % 50, 1300))
+          s"($v, ${samples.length}, " +
+            s"CAST(${Audio.envelopeHash64(samples)} AS BIGINT))"
+        }.mkString(",\n  ")
+        s"""SELECT CAST(audio_id AS BIGINT) AS audio_id,
+           | CAST(n_samples AS BIGINT) AS n_samples, envhash
+           |FROM (VALUES
+           |  $vals) AS t(audio_id, n_samples, envhash)""".stripMargin
+      },
+      "q131_audio_neardup" ->
+        // construction-pinned: v and v+50 share the contour exactly
+        s"""SELECT CAST(id_a AS BIGINT) AS id_a,
+           | CAST(id_b AS BIGINT) AS id_b,
+           | CAST(hamming AS INTEGER) AS hamming
+           |FROM (VALUES
+           |  ${(0 until 50).map(v => s"($v, ${v + 50}, 0)").mkString(",\n  ")})
+           |  AS t(id_a, id_b, hamming)""".stripMargin,
       "q129_video_neardup" ->
         // construction-pinned (q73 discipline): videos v and v+10 share
         // ALL five frame patterns, every other pair shares none
@@ -271,7 +310,9 @@ object PipelineQueries {
     "q123_image_neardup" -> (q123ImageNearDup _),
     "q127_image_resize" -> (q127ImageResize _),
     "q128_image_features" -> (q128ImageFeatures _),
-    "q129_video_neardup" -> (q129VideoNearDup _))
+    "q129_video_neardup" -> (q129VideoNearDup _),
+    "q130_audio_hash" -> (q130AudioHash _),
+    "q131_audio_neardup" -> (q131AudioNearDup _))
 
   lazy val oracles: Map[String, String] = imageOracles ++ Map(
     "q94_incremental_agg" ->
