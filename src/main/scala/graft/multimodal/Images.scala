@@ -419,6 +419,45 @@ object Images {
         .select(col("video_id"), col("dhash").as("sh")),
       "video_id", threshold, maxDocFreq)
 
+  final case class CleanReport(stages: Seq[(String, Long)],
+      cleaned: DataFrame)
+
+  /** Composed image-corpus cleaning — DocPipeline's shape for images:
+    * decode+hash (undecodable rows drop at the boundary) → information
+    * filter (mean horizontal gradient per pixel below `minEdgePerPx`
+    * flags flat/near-constant images, the blur/blank heuristic) →
+    * perceptual content dedup. Everything after the decode shuffles
+    * 8-byte hashes and small stats, never pixels; the hash table is
+    * checkpointed once for the filter, the pair join, and the final
+    * keep. */
+  def cleanImageCorpus(df: DataFrame, idCol: String, bytesCol: String,
+      minEdgePerPx: Double = 1.0, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      collectStats: Boolean = true): CleanReport = {
+    val stages = Seq.newBuilder[(String, Long)]
+    def stat(name: String, d: DataFrame): Unit =
+      if (collectStats) stages += name -> d.count()
+    stat("input", df)
+    implicit val rowEnc: Encoder[(Long, Int, Int, Long, Long, Long)] =
+      Encoders.product[(Long, Int, Int, Long, Long, Long)]
+    val scored = mapDecoded(df, idCol, bytesCol, 64) { (id, g) =>
+      val f = grayFeatures(g)
+      (id, g.width, g.height, dhash64(g), f.grad_sum, f.n_px)
+    }.toDF("image_id", "width_px", "height_px", "dhash", "grad_sum",
+        "n_px")
+      .localCheckpoint()
+    stat("decoded", scored)
+    val informative = scored.filter(
+      col("grad_sum") >= col("n_px") * lit(minEdgePerPx))
+    stat("edge_filter", informative)
+    val kept = dedupByContent(informative, "image_id", "dhash",
+      maxHamming, maxBucketSize)
+    stat("content_dedup", kept)
+    CleanReport(stages.result(),
+      kept.select(col("image_id"), col("width_px"), col("height_px"),
+        col("dhash")))
+  }
+
   /** Deterministic cell-pattern grayscale PNG: 9×8 constant cells from an
     * integer mix of (patternId, cell) — REAL encoded bytes for synthetic
     * image corpora (fixtures, specs, and the image_e2e bench generate

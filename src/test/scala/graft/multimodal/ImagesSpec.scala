@@ -170,6 +170,28 @@ class ImagesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() == 3) // no reprocess
   }
 
+  test("cleanImageCorpus: corrupt drops, flat filtered, near-dups collapse") {
+    import spark.implicits._
+    val flat = Images.encodeGrayPng(
+      Images.Gray(36, 32, Array.fill(36 * 32)(128))) // zero gradient
+    val rows = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".png")).sortBy(_.getName).map { f =>
+        val id = "(\\d+)".r.findAllIn(f.getName).toSeq.last.toLong
+        (id, Files.readAllBytes(f.toPath))
+      }.toSeq ++ Seq(
+        (90L, flat),                  // informative-filter victim
+        (99L, Array[Byte](1, 2, 3))) // corrupt: dropped at decode
+    val report = Images.cleanImageCorpus(rows.toDF("image_id", "content"),
+      "image_id", "content")
+    val counts = report.stages.toMap
+    assert(counts("input") == 18)
+    assert(counts("decoded") == 17)      // corrupt row gone
+    assert(counts("edge_filter") == 16)  // flat image gone
+    assert(counts("content_dedup") == 13) // 3 planted dups collapse
+    assert(report.cleaned.select("image_id").collect().map(_.getLong(0))
+      .toSet == (1L to 16L).toSet -- Set(13L, 14L, 16L))
+  }
+
   test("video near-dup: trimmed and reordered copies found, disjoint not") {
     import spark.implicits._
     def video(vid: Long, patterns: Seq[Long]): Seq[(Long, Long, Array[Byte])] =
