@@ -165,6 +165,28 @@ object PipelineQueries {
     Audio.nearDupPairs(
       Audio.hashAudio(audioClips(s, dir), "audio_id", "content"))
 
+  /** Composed image-corpus cleaning under the oracle gate: 100
+    * constructed images — ids 95+ are flat (edge-filter victims), the
+    * rest render pattern id%40 — so the cleaned set is data-independent
+    * given the construction: exactly the min-id keeper of each of the
+    * 40 pattern clusters, ids 0..39. */
+  def q132ImagePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flat = Images.encodeGrayPng(
+      Images.Gray(36, 32, Array.fill(36 * 32)(128)))
+    val imgs = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+      .map { id =>
+        val bytes =
+          if (id >= 95) flat
+          else Images.cellPatternPng(id % 40, 36, 32)
+        (id, bytes)
+      }.toDF("image_id", "content")
+    Images.cleanImageCorpus(imgs, "image_id", "content",
+        collectStats = false)
+      .cleaned.select("image_id", "width_px", "height_px")
+  }
+
   /** Driver-side decode of the PNG fixtures for the image oracles: same
     * integer-arithmetic hash code as the Spark path (goldens in
     * ImagesSpec break the circularity). */
@@ -221,6 +243,14 @@ object PipelineQueries {
            | CAST(grad_sum AS BIGINT) AS grad_sum
            |FROM (VALUES
            |  $featValues) AS t(image_id, n_px, luma_sum, hist, grad_sum)""".stripMargin,
+      "q132_image_pipeline" ->
+        // construction-pinned: min-id keeper per pattern cluster
+        s"""SELECT CAST(image_id AS BIGINT) AS image_id,
+           | CAST(36 AS INTEGER) AS width_px,
+           | CAST(32 AS INTEGER) AS height_px
+           |FROM (VALUES
+           |  ${(0 until 40).map(v => s"($v)").mkString(",\n  ")})
+           |  AS t(image_id)""".stripMargin,
       "q130_audio_hash" -> {
         val vals = (0L until 100L).map { v =>
           val samples = Audio.pcm16(Audio.patternPcm(v % 50, 1300))
@@ -312,7 +342,8 @@ object PipelineQueries {
     "q128_image_features" -> (q128ImageFeatures _),
     "q129_video_neardup" -> (q129VideoNearDup _),
     "q130_audio_hash" -> (q130AudioHash _),
-    "q131_audio_neardup" -> (q131AudioNearDup _))
+    "q131_audio_neardup" -> (q131AudioNearDup _),
+    "q132_image_pipeline" -> (q132ImagePipeline _))
 
   lazy val oracles: Map[String, String] = imageOracles ++ Map(
     "q94_incremental_agg" ->
