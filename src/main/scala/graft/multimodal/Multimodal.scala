@@ -47,6 +47,34 @@ object Multimodal {
     def decode(payload: Array[Byte], kind: String): Array[Float]
   }
 
+  /** REAL decoder for image payloads (PNG/JPEG via [[Images.decodeGray]]):
+    * features = [n_px, mean_luma, grad_per_kpx, hist_0..hist_15 shares] —
+    * the exact-integer [[Images.grayFeatures]] stats as a fixed 19-dim
+    * float vector. Non-image kinds and undecodable payloads yield the
+    * zero vector (a pipeline can filter on features(0) == 0). This is
+    * the [[Decoder]] trait's production instance; [[StubDecoder]] remains
+    * for the kinds this container genuinely cannot decode (audio/video
+    * codecs). */
+  final class ImageIoDecoder extends Decoder {
+    def decode(payload: Array[Byte], kind: String): Array[Float] = {
+      val out = new Array[Float](19)
+      if (kind == "image") {
+        Images.decodeGray(payload).foreach { g =>
+          val f = Images.grayFeatures(g)
+          out(0) = f.n_px.toFloat
+          out(1) = (f.luma_sum.toDouble / f.n_px).toFloat
+          out(2) = (f.grad_sum * 1000.0 / f.n_px).toFloat
+          var i = 0
+          while (i < 16) {
+            out(3 + i) = (f.hist(i).toDouble / f.n_px).toFloat
+            i += 1
+          }
+        }
+      }
+      out
+    }
+  }
+
   /** Deterministic fake decode: dim float features folded from byte
     * content. Stands in for `???` (real codec) — see [[Decoder]]. */
   final class StubDecoder(dim: Int = 8) extends Decoder {

@@ -31,6 +31,23 @@ class MultimodalSpec extends SparkSpec {
     assert(a.head.length == 8 && a.head.exists(_ != 0.0f))
   }
 
+  test("ImageIoDecoder: real features for image payloads, zeros otherwise") {
+    val png = Images.cellPatternPng(3L, 36, 32)
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "audio", png),                 // wrong kind: zero vector
+      (3L, "image", Array[Byte](1, 2))    // undecodable: zero vector
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(media, new Multimodal.ImageIoDecoder)
+      .orderBy("media_id").rows.map(_.getSeq[Float](2))
+    val f = Images.grayFeatures(Images.decodeGray(png).get)
+    assert(out.head.length == 19)
+    assert(out.head(0) == 36 * 32.0f)
+    assert(out.head(1) == (f.luma_sum.toDouble / f.n_px).toFloat)
+    assert(math.abs(out.head.drop(3).sum - 1.0f) < 1e-5) // hist shares
+    assert(out(1).forall(_ == 0.0f) && out(2).forall(_ == 0.0f))
+  }
+
   test("frameSample emits frames only for video rows") {
     val m = Multimodal.fromDocuments(docs)
     val frames = Multimodal.frameSample(m, everyMs = 1000L)
