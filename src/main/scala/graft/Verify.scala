@@ -15,9 +15,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // clear stale results: a leftover dump from an older query numbering
-    // would show up as phantom rows-only entries in the compare
-    graft.util.Fs.deleteRecursively(new java.io.File(outDir))
-    new java.io.File(outDir).mkdirs()
+    // would show up as phantom rows-only entries in the compare. SAFETY:
+    // only ever delete something that provably IS a prior dump — a
+    // mistyped outDir ('.', a shared directory) must refuse, not destroy.
+    val out = new java.io.File(outDir)
+    if (out.exists()) {
+      def isQueryDump(f: java.io.File): Boolean = f.isDirectory &&
+        f.listFiles().forall { c =>
+          val n = c.getName
+          n == "_SUCCESS" || n.endsWith(".parquet") || n.endsWith(".crc") ||
+            n.startsWith(".") || n.startsWith("_")
+        }
+      val children = Option(out.listFiles()).getOrElse(Array.empty)
+      val strays = children.filterNot(c =>
+        c.getName == "oracle_sql.json" || isQueryDump(c))
+      require(strays.isEmpty,
+        s"refusing to clear $outDir: it contains entries that are not " +
+          s"prior query dumps (${strays.take(3).map(_.getName).mkString(", ")}" +
+          "...); point Verify at an empty or dedicated directory")
+      graft.util.Fs.deleteRecursively(out)
+    }
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -107,10 +107,17 @@ object Audio {
     * exactly. Real bytes for specs/benches/fixture corpora (the audio
     * twin of [[Images.cellPatternPng]]). */
   def patternPcm(patternId: Long, nSamples: Int): Array[Byte] = {
+    require(nSamples >= 65,
+      s"patternPcm needs >= 65 samples (one per window), got $nSamples")
     val out = new Array[Byte](nSamples * 2)
     var s = 0
+    var w = 0
     while (s < nSamples) {
-      val w = s * 65 / nSamples
+      // same floor boundaries as envelope's windows (s0 = w·n/65): advance
+      // while s crosses the next boundary, so each sample lands in exactly
+      // the window envelope will average it into — the contour round-trips
+      // exactly for ANY nSamples >= 65, not just multiples of 65
+      while (w < 64 && s >= (w + 1) * nSamples / 65) w += 1
       var v = (patternId * 1000003L + w * 7919L + 0x9e3779b9L).toInt
       v ^= v >>> 15; v *= 0x85ebca6b
       v ^= v >>> 13; v *= 0xc2b2ae35

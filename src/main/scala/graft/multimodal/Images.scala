@@ -38,9 +38,13 @@ object Images {
     * scan — callers surface them as null hashes and filter). */
   def decodeGray(payload: Array[Byte]): Option[Gray] = {
     if (payload == null || payload.isEmpty) return None
+    // NonFatal, not just IOException: ImageIO plugin readers throw
+    // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+    // CMMException...) on truncated/malformed payloads, and one
+    // adversarial blob must not kill a 100 TB scan
     val img =
       try ImageIO.read(new ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight

@@ -138,7 +138,12 @@ object Multimodal {
     val h = col("meta.height_px")
     val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
     df.select(col("media_id"), col("kind"), w.as("width_px"), h.as("height_px"),
-      round(w * scale).cast("int").as("target_width_px"),
-      round(h * scale).cast("int").as("target_height_px"))
+      // greatest(1, ...): same sub-pixel clamp as Images.resizeGray, so a
+      // degenerate aspect ratio (1×100 at maxDim 24) plans the dimension
+      // execution actually produces — plan and execution cannot disagree
+      greatest(lit(1), round(w * scale).cast("int"))
+        .as("target_width_px"),
+      greatest(lit(1), round(h * scale).cast("int"))
+        .as("target_height_px"))
   }
 }

@@ -62,12 +62,16 @@ object Cdc {
   def mergeIntoVersioned(spark: SparkSession, table: String,
       changes: DataFrame, keys: Seq[String],
       deleteCol: Option[String] = None): Long = {
-    val dups = changes.groupBy(keyCols(keys): _*)
+    // pin the change set: if `changes` reads a live/non-deterministic
+    // source, the rows the cardinality check validated must be the rows
+    // the merge writes (also saves recomputing the plan per consumer)
+    val ch = changes.localCheckpoint()
+    val dups = ch.groupBy(keyCols(keys): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dups == 0,
       s"MERGE cardinality violation: multiple change rows per key in $table")
     val base = VersionedTable.read(spark, table)
-    VersionedTable.write(merge(base, changes, keys, deleteCol), table)
+    VersionedTable.write(merge(base, ch, keys, deleteCol), table)
   }
 
   /** Partition-targeted merge on a warehouse table: rewrites ONLY the
@@ -93,16 +97,22 @@ object Cdc {
       checkKeyMigration: Boolean = false): Unit = {
     require(changes.columns.contains(partitionCol),
       s"changes must carry partition column $partitionCol")
-    val dups = changes.groupBy(keyCols(keys): _*)
+    // pin the change set BEFORE any validation: if `changes` reads a
+    // live/non-deterministic source, the snapshot the cardinality and
+    // migration checks validated must be the snapshot the merge writes —
+    // otherwise duplicates can slip through while the checks pass. Also
+    // saves re-evaluating the change plan for each of its four consumers.
+    val ch = changes.localCheckpoint()
+    val dups = ch.groupBy(keyCols(keys): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dups == 0,
       s"MERGE cardinality violation: multiple change rows per key in $name")
     if (checkKeyMigration) {
       val outside = Medallion.readTable(spark, wh, zone, name)
-        .join(broadcast(changes.select(col(partitionCol)).distinct()),
+        .join(broadcast(ch.select(col(partitionCol)).distinct()),
           Seq(partitionCol), "left_anti")
       val migrated = outside
-        .join(broadcast(changes.select(keyCols(keys): _*).distinct()),
+        .join(broadcast(ch.select(keyCols(keys): _*).distinct()),
           keys, "left_semi")
         .limit(1).count()
       require(migrated == 0,
@@ -110,13 +120,13 @@ object Cdc {
           s"different $partitionCol than its key's current partition; " +
           "use the copy-on-write merge for key-migrating changes")
     }
-    val touched = changes.select(col(partitionCol)).distinct()
+    val touched = ch.select(col(partitionCol)).distinct()
     val base = Medallion.readTable(spark, wh, zone, name)
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
     // checkpoint: the merge result feeds BOTH the write and the
     // emptied-partition check below; recomputing it per consumer would
     // double the merge work.
-    val merged = merge(base, changes, keys, deleteCol).localCheckpoint()
+    val merged = merge(base, ch, keys, deleteCol).localCheckpoint()
     Medallion.overwritePartitions(merged, wh, zone, name, Seq(partitionCol))
     // Dynamic overwrite only replaces partitions PRESENT in the written
     // frame: a touched partition whose rows were all deleted has no rows

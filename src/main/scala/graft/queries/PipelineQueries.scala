@@ -367,8 +367,8 @@ object PipelineQueries {
         | (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
         | CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS width_px,
         | CAST((doc_id % 8) * 90 + 180 AS INTEGER) AS height_px,
-        | CAST(round(((doc_id % 8) * 160 + 320) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180))) AS INTEGER) AS target_width_px,
-        | CAST(round(((doc_id % 8) * 90 + 180) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180))) AS INTEGER) AS target_height_px
+        | CAST(greatest(1, round(((doc_id % 8) * 160 + 320) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180)))) AS INTEGER) AS target_width_px,
+        | CAST(greatest(1, round(((doc_id % 8) * 90 + 180) * least(1.0, 512.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180)))) AS INTEGER) AS target_height_px
         |FROM documents""".stripMargin,
     "q37_extract_features" ->
       """SELECT doc_id AS media_id,

@@ -41,8 +41,13 @@ class AudioSpec extends SparkSpec {
     val ham2x = java.lang.Long.bitCount(h(a) ^ h(scaleGain(a, 2)))
     assert(ham2x <= 1, s"gain doubling moved the envelope hash: $ham2x bits")
     assert(java.lang.Long.bitCount(h(a) ^ h(b)) > 10)
-    // same pattern at a different sample count: same contour, same hash
+    // same pattern at a different sample count: same contour, same hash —
+    // including counts NOT divisible by 65 (window boundaries in
+    // patternPcm and envelope share the same floor formula)
     assert(h(a) == h(Audio.patternPcm(1L, 2600)))
+    assert(h(a) == h(Audio.patternPcm(1L, 1301)))
+    assert(h(a) == h(Audio.patternPcm(1L, 997)))
+    assert(h(a) == h(Audio.patternPcm(1L, 65)))
   }
 
   test("hashAudio + nearDupPairs find the planted duplicate") {

@@ -27,6 +27,14 @@ class ImagesSpec extends SparkSpec {
     assert(Images.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
     assert(Images.decodeGray(Array.empty[Byte]).isEmpty)
     assert(Images.decodeGray(null).isEmpty)
+    // truncated-but-valid-header payloads hit the plugin readers' decode
+    // path (known to throw RuntimeExceptions, not just IOException —
+    // the catch must be NonFatal-wide): still None, never a crash
+    val whole = bytesOf("img_01.png")
+    for (cut <- Seq(8, 16, 33, whole.length / 2)) {
+      assert(Images.decodeGray(whole.take(cut)).isEmpty,
+        s"truncation at $cut must decode to None")
+    }
   }
 
   test("dhash/ahash golden values (frozen from an audited run)") {

@@ -66,4 +66,16 @@ class MultimodalSpec extends SparkSpec {
       else assert(math.abs(tw.toDouble / th - w.toDouble / h) < 0.02)
     }
   }
+
+  test("resizePlan clamps sub-pixel dims to 1, matching resizeGray") {
+    // degenerate aspect ratio: 1×100 at maxDim 24 would plan width 0
+    // without the clamp while execution produces 1
+    val m = Seq((1L, "image", 1, 100)).toDF("media_id", "kind", "w", "h")
+      .select(col("media_id"), col("kind"),
+        struct(col("w").as("width_px"), col("h").as("height_px")).as("meta"))
+    val r = Multimodal.resizePlan(m, maxDim = 24).rows.head
+    assert(r.getInt(4) == 1 && r.getInt(5) == 24)
+    val g = Images.resizeGray(Images.Gray(1, 100, Array.fill(100)(7)), 24)
+    assert(g.width == r.getInt(4) && g.height == r.getInt(5))
+  }
 }
