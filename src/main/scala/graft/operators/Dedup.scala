@@ -152,4 +152,45 @@ object Dedup {
           s => s.getField("span")), " ").as("clean_text"),
         count(lit(1)).as("n_spans"))
   }
+
+  /** Corpus-boilerplate strip (the MassiveText/RefinedWeb "remove lines
+    * appearing in many documents" rule, on [[spanDedup]]'s stride grid):
+    * a span whose DISTINCT-document frequency reaches `minDocFreq` is
+    * boilerplate — navigation chrome, license banners, cookie notices —
+    * and EVERY occurrence is removed, first included. Complementary
+    * semantics to [[spanDedup]] (which keeps the first copy of anything):
+    * dedup shrinks repeated content to one copy; boilerplate strip
+    * declares ubiquitous content worthless and keeps zero copies.
+    *
+    * Scale shape: distinct (digest, id) collapses a document's internal
+    * repeats map-side, the doc-frequency count is a partial-aggregated
+    * count per digest, and the boilerplate verdict rejoins on the digest
+    * — the frequency side is ONE row per distinct span, so a ubiquitous
+    * span is a broadcast/AQE-skew-split row, never a hot reducer.
+    * Reassembly clusters by id. Shuffles carry 16-byte digests and
+    * surviving spans only, never full documents.
+    *
+    * Output: (idCol, clean_text, n_spans) for documents with at least
+    * one surviving span. */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocFreq: Long): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val spans = df.select(col(idCol), posexplode(
+        graft.expressions.GraftFunctions.tokenChunks(
+          graft.functions.TextFunctions.tokens(col(textCol)),
+          spanTokens, spanTokens))
+      .as(Seq("span_idx", "span")))
+      .withColumn("__d", md5(col("span").cast("binary")))
+    val docFreq = spans.select(col("__d"), col(idCol)).distinct()
+      .groupBy(col("__d")).agg(count(lit(1)).as("__df"))
+    val kept = spans.join(docFreq, Seq("__d"))
+      .filter(col("__df") < minDocFreq)
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
 }

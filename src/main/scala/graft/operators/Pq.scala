@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftFunctions
+
+/** Product quantization (PQ) for embedding columns: split each vector
+  * into `m` contiguous subvectors, k-means each subspace independently,
+  * and store one centroid index per subspace — `m` small codes instead of
+  * `dim` floats. The standard third rung of the vector-compression ladder
+  * this engine ships (float → int8 [[VectorQuant]] → PQ), and the code
+  * layout IVF-PQ systems use at the 100 TB scale where even int8 vectors
+  * dominate the scan (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — public literature).
+  *
+  * Codes pack into ONE BIGINT with 8-bit lanes (requires m ≤ 8, k ≤ 256):
+  * a 64-dim float vector (256 B raw) becomes 8 bytes — a 32× footprint
+  * cut, and the packed column is plain integer arithmetic end to end, so
+  * shuffles carry longs, parquet dictionary-encodes them, and a DuckDB
+  * oracle can replay both the assignment and the search exactly.
+  *
+  * Search is asymmetric-distance (ADC): the query stays un-quantized; the
+  * driver precomputes the m×k table of squared L2 distances from each
+  * query subvector to each centroid, and the per-row score is m literal
+  * array lookups on the unpacked byte lanes — a pure codegen projection
+  * over the code column, no join, no explode, no shuffle before the
+  * global top-k. Probing a billion codes reads 8 GB, not 256 GB.
+  *
+  * Reference corpus declares embedding-similarity dedup/search workloads
+  * (`/root/reference/README.md:85` analytics surface); PQ is the
+  * engine-extension scale path, same contract as [[Ivf]]/[[Similarity]].
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `m` books × `k` centroids × `dim/m` doubles.
+    * Tiny (m·k·subDim doubles) — lives on the driver, folds into plans as
+    * literals, never joins. */
+  final case class Model(codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) {
+    def m: Int = codebooks.size
+    def k: Int = codebooks.map(_.size).max
+    def subDim: Int = codebooks.head.head.size
+    require(codebooks.nonEmpty && m <= 8 && k <= 256,
+      s"packed PQ codes need m <= 8 and k <= 256, got m=$m k=$k")
+
+    /** Squared L2 from each of query's m subvectors to each centroid —
+      * the ADC lookup table (m×k doubles, driver-side). */
+    def adcTable(query: IndexedSeq[Double]): IndexedSeq[IndexedSeq[Double]] =
+      codebooks.zipWithIndex.map { case (book, s) =>
+        val sub = query.slice(s * subDim, (s + 1) * subDim)
+        book.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val t = sub(i) - c(i); d += t * t; i += 1
+          }
+          d
+        }
+      }
+  }
+
+  /** Train per-subspace codebooks: Lloyd's with [[Ivf.fit]]'s
+    * deterministic init (k lowest-id subvectors) per subspace. m
+    * independent fits — at corpus scale training runs on a bounded
+    * sample, so pass one in; encoding (the full-corpus pass) is a single
+    * projection regardless. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, m: Int = 4,
+      k: Int = 16, iters: Int = 3): Model = {
+    val dim = df.select(size(col(vecCol)).as("__n")).limit(1)
+      .collect().head.getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"vector dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    Model((0 until m).map { s =>
+      Ivf.fit(
+        df.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
+            .as("__sub")),
+        idCol, "__sub", k, iters).centroids.map(_.toIndexedSeq)
+    }.toIndexedSeq)
+  }
+
+  /** Nearest-centroid code for subspace `s`, as a codegen'd projection:
+    * ranks by ||c||² − 2·v·c (the ||v_sub||² term is constant within the
+    * subspace argmin, so it cancels); ties break toward the lower code,
+    * exactly like [[Ivf]] cell assignment — and exactly like the oracle's
+    * first-match CASE over least(). */
+  private def subCode(vd: Column, book: IndexedSeq[IndexedSeq[Double]],
+      s: Int, subDim: Int): Column = {
+    val subv = slice(vd, s * subDim + 1, subDim)
+    val cands = book.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * GraftFunctions.dot(subv, typedLit(c.toSeq)))
+          .as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
+  }
+
+  /** The packed BIGINT code column: subspace s occupies bit lane
+    * [8s, 8s+8). One projection over the scan — no join, no shuffle. */
+  def codeColumn(vec: Column, model: Model): Column = {
+    val vd = vec.cast("array<double>")
+    model.codebooks.zipWithIndex.map { case (book, s) =>
+      shiftleft(subCode(vd, book, s, model.subDim).cast("long"), 8 * s)
+    }.reduceLeft[Column](_ bitwiseOR _)
+  }
+
+  /** Encode a corpus: (idCol, pq_code). The full-corpus pass is this one
+    * scan-side projection; everything downstream touches 8-byte codes. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    df.select(col(idCol), codeColumn(col(vecCol), model).as("pq_code"))
+
+  /** ADC distance column over a packed code column: an explicit
+    * left-to-right sum of m literal-table lookups (element_at on an
+    * m-entry literal per subspace, indexed by the unpacked byte lane).
+    * The identical left-assoc addition chain over identical literals is
+    * what lets a DuckDB oracle reproduce the double bit-for-bit. */
+  def adcDistColumn(codeCol: Column, model: Model,
+      query: IndexedSeq[Double]): Column =
+    model.adcTable(query).zipWithIndex.map { case (table, s) =>
+      element_at(typedLit(table.toSeq),
+        (shiftright(codeCol, 8 * s).bitwiseAND(lit(255L))).cast("int") + 1)
+    }.reduceLeft[Column](_ + _)
+
+  /** ADC top-k over an encoded corpus: rank by asymmetric distance
+    * ascending, ties toward the lower id. Output: (idCol, pq_code,
+    * adc_dist). The plan is scan → projection → TakeOrderedAndProject —
+    * the shape that holds at any corpus size. */
+  def adcTopK(codes: DataFrame, idCol: String, model: Model,
+      query: IndexedSeq[Double], queryId: Long, k: Int): DataFrame =
+    codes.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col("pq_code"),
+        adcDistColumn(col("pq_code"), model, query).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+
+  /** One-stop search over a raw vector corpus: encode inline + ADC rank.
+    * For repeated queries, [[encode]] once and reuse (or materialize —
+    * the 8-byte codes make even a full-corpus rescan cheap). */
+  def topK(df: DataFrame, idCol: String, vecCol: String, model: Model,
+      query: IndexedSeq[Double], queryId: Long, k: Int): DataFrame =
+    adcTopK(encode(df, idCol, vecCol, model), idCol, model, query,
+      queryId, k)
+
+  /** ADC top-`candidates` then EXACT rerank — the production IVF-PQ
+    * "refine" stage: the coarse 8-byte-code pass prunes a billion rows
+    * to `candidates`, and only those rows' full vectors are fetched
+    * (a broadcast-sized semi join against the candidate id set) and
+    * scored exactly. Quantization error then only costs recall when a
+    * true neighbor falls outside the candidate pool, so a 10–50×
+    * candidate multiplier buys back most of what the codes lose.
+    * Output: (idCol, l2sq) ranked exact-ascending. */
+  def topKRefined(df: DataFrame, idCol: String, vecCol: String,
+      model: Model, query: IndexedSeq[Double], queryId: Long, k: Int,
+      candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    val cand = adcTopK(encode(df, idCol, vecCol, model), idCol, model,
+      query, queryId, candidates).select(col(idCol))
+    val vd = col(vecCol).cast("array<double>")
+    df.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        (GraftFunctions.dot(vd, vd) -
+          lit(2.0) * GraftFunctions.dot(vd, typedLit(query.toSeq)) +
+          lit(query.map(x => x * x).sum)).as("l2sq"))
+      .orderBy(col("l2sq"), col(idCol))
+      .limit(k)
+  }
+}

@@ -254,6 +254,59 @@ object ExtQueries {
       IvfCtx(m, q, m.nearestClusters(q, nProbe = 2))
     })
 
+  /** PQ model cached per dir, same discipline as [[IvfCtx]]: train once,
+    * reuse across q134/q135, and generate the oracle SQL from the SAME
+    * codebooks so query and oracle cannot diverge. */
+  private final case class PqCtx(model: graft.operators.Pq.Model,
+      queryVec: IndexedSeq[Double])
+  private val pqCtxs =
+    scala.collection.concurrent.TrieMap.empty[String, PqCtx]
+
+  private def pqCtx(s: SparkSession, dir: String): PqCtx =
+    pqCtxs.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      // m=8 (8-dim subspaces): measured recall@10 0.315 ADC / 0.86
+      // refined vs 0.195 at m=4 on these near-worst-case embeddings
+      val m = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 3)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0).toIndexedSeq
+      PqCtx(m, q)
+    })
+
+  /** Product-quantization codes: 64-dim float vectors → one BIGINT of
+    * four 8-bit lanes (32× footprint cut). Pure integer output — the
+    * oracle replays the subspace argmin from the same literal codebooks
+    * and must match the packed code EXACTLY, which pins the entire
+    * assignment arithmetic cross-engine. */
+  def q134PqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.encode(t(s, dir, "embeddings"), "vec_id",
+      "embedding", pqCtx(s, dir).model)
+
+  /** PQ asymmetric-distance top-k: m literal-table lookups per row over
+    * the packed codes, global top-10 by ADC distance. The scan reads
+    * 8-byte codes, never vectors — the shape that holds at 100 TB. */
+  def q135PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val ctx = pqCtx(s, dir)
+    graft.operators.Pq.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ctx.model, ctx.queryVec, queryId = 0L, k = 10)
+      .select(col("vec_id"), col("pq_code"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** PQ + exact rerank (the IVF-PQ "refine" stage): ADC prunes the
+    * corpus to 100 candidate ids, only those rows' full vectors are
+    * scored exactly (broadcast semi join) — measured recall@10 0.86 vs
+    * 0.315 for pure ADC at 100× less full-vector reading. */
+  def q136PqRefined(s: SparkSession, dir: String): DataFrame = {
+    val ctx = pqCtx(s, dir)
+    graft.operators.Pq.topKRefined(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ctx.model, ctx.queryVec, queryId = 0L, k = 10,
+        candidates = 100)
+      .select(col("vec_id"), round(col("l2sq"), 6).as("l2sq"))
+  }
+
   /** IVF ANN search: probe-limited cosine top-k over the 2 cells nearest
     * the query (assignment inlined as a projection; model cached). */
   def q59IvfTopK(s: SparkSession, dir: String): DataFrame =
@@ -550,6 +603,15 @@ object ExtQueries {
     Dedup.runDedup(t(s, dir, "documents"), "doc_id", "text",
       spanTokens = 3, minRunSpans = 2)
 
+  /** Corpus-boilerplate strip: spans present in >= 3 distinct documents
+    * are removed everywhere (first copy included) — the MassiveText
+    * "repeated lines across documents" rule on q104's span grid. At this
+    * vocabulary ~230 spans cross the threshold, so the removal path is
+    * genuinely exercised while 498/500 documents survive. */
+  def q133BoilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateStrip(t(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 3, minDocFreq = 3)
+
   /** LM quality score: per-doc mean bigram log-probability under the
     * corpus's own bigram model — the perplexity-filter shape. Counts are
     * exact; ln's last-bit variance is absorbed by the 6dp export. */
@@ -782,6 +844,10 @@ object ExtQueries {
     "q103_keywords" -> (q103Keywords _),
     "q104_span_dedup" -> (q104SpanDedup _),
     "q124_run_dedup" -> (q124RunDedup _),
+    "q133_boilerplate_strip" -> (q133BoilerplateStrip _),
+    "q134_pq_codes" -> (q134PqCodes _),
+    "q135_pq_topk" -> (q135PqTopK _),
+    "q136_pq_refined" -> (q136PqRefined _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -817,6 +883,81 @@ object ExtQueries {
     * dumping oracle SQL, so the driver always gets it; if several dirs
     * were mixed in one process the mapping would be ambiguous, so we emit
     * nothing and those rows degrade to rows-only. */
+  /** PQ oracles generated from the SAME fitted codebooks the queries use
+    * (the ivfOracles discipline): the oracle replays every subspace's
+    * ||c||²−2·v·c argmin with first-match-on-least tie-breaking —
+    * identical literals, identical left-assoc arithmetic — so the packed
+    * BIGINT codes must match bit-for-bit, and the ADC distance sums the
+    * same literal table entries in the same order. */
+  private def pqOracles: Map[String, String] =
+    if (pqCtxs.size != 1) Map.empty
+    else {
+      val ctx = pqCtxs.values.head
+      val m = ctx.model
+      val sub = m.subDim
+      def ds(s: Int, i: Int) = s"d${s}_$i"
+      // string->double CAST: DuckDB otherwise types plain decimal-point
+      // literals as DECIMAL, silently switching the whole ADC chain to
+      // decimal128 arithmetic (and ROUND to decimal output) — the verify
+      // gate caught exactly that. Round-tripping through Double.toString
+      // text pins the identical IEEE double on both engines.
+      def dlit(x: Double) =
+        s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+      val dCols = m.codebooks.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, i) =>
+          val cc = dlit(c.map(x => x * x).sum)
+          val arr = c.map(dlit).mkString("[", ",", "]")
+          s"($cc - 2.0 * list_dot_product(" +
+            s"e[${s * sub + 1}:${(s + 1) * sub}], $arr)) AS ${ds(s, i)}"
+        }
+      }.mkString(",\n  ")
+      val mins = m.codebooks.indices.map { s =>
+        m.codebooks(s).indices.map(i => ds(s, i))
+          .mkString("least(", ", ", s") AS mn$s")
+      }.mkString(", ")
+      val cases = m.codebooks.indices.map { s =>
+        "CASE " + m.codebooks(s).indices
+          .map(i => s"WHEN ${ds(s, i)} = mn$s THEN $i").mkString(" ") +
+          s" END AS c$s"
+      }.mkString(",\n  ")
+      val codeExpr = m.codebooks.indices
+        .map(s => s"CAST(c$s AS BIGINT) * ${1L << (8 * s)}").mkString(" + ")
+      val codes =
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |d AS (SELECT vec_id, e,
+           |  $dCols
+           |  FROM v),
+           |a AS (SELECT vec_id,
+           |  $cases
+           |  FROM (SELECT *, $mins FROM d)),
+           |codes AS (SELECT vec_id, ${m.codebooks.indices.map(s => s"c$s").mkString(", ")},
+           |  $codeExpr AS pq_code FROM a)""".stripMargin
+      val dist = m.adcTable(ctx.queryVec).zipWithIndex.map { case (tb, s) =>
+        val arr = tb.map(dlit).mkString("[", ",", "]")
+        s"list_extract($arr, c$s + 1)"
+      }.mkString(" + ")
+      val qq = dlit(ctx.queryVec.map(x => x * x).sum)
+      val qArr = ctx.queryVec.map(dlit).mkString("[", ",", "]")
+      Map(
+        "q134_pq_codes" -> s"$codes\nSELECT vec_id, pq_code FROM codes",
+        "q135_pq_topk" ->
+          s"""$codes
+             |SELECT vec_id, pq_code, ROUND($dist, 6) AS adc_dist
+             |FROM codes WHERE vec_id <> 0
+             |ORDER BY $dist, vec_id LIMIT 10""".stripMargin,
+        "q136_pq_refined" ->
+          // same codes CTE -> ADC top-100 candidate pool -> exact rerank
+          s"""$codes,
+             |cand AS (
+             |  SELECT vec_id FROM codes WHERE vec_id <> 0
+             |  ORDER BY $dist, vec_id LIMIT 100)
+             |SELECT v.vec_id,
+             |  ROUND(list_dot_product(e, e) - 2.0 * list_dot_product(e, $qArr) + $qq, 6) AS l2sq
+             |FROM v JOIN cand USING (vec_id)
+             |ORDER BY list_dot_product(e, e) - 2.0 * list_dot_product(e, $qArr) + $qq, v.vec_id
+             |LIMIT 10""".stripMargin)
+    }
+
   private def ivfOracles: Map[String, String] =
     if (ivfCtxs.size != 1) Map.empty
     else {
@@ -974,7 +1115,7 @@ object ExtQueries {
     }
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
-    tempOracles ++ mixOracles ++
+    pqOracles ++ tempOracles ++ mixOracles ++
     // the bloom path is exactly q82 by construction -> same oracle
     Map("q117_bloom_decontaminate" -> staticOracles("q82_decontaminate")) ++
     Map("q92_quantized_lsh" -> quantizedLshOracleSql,
@@ -1243,6 +1384,33 @@ object ExtQueries {
         |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
         |  COUNT(*) AS n_spans
         |FROM rl WHERE NOT dup OR run_len < 2
+        |GROUP BY doc_id""".stripMargin,
+    "q133_boilerplate_strip" ->
+      // q104's span grid; a span in >= 3 distinct docs is boilerplate —
+      // EVERY occurrence removed (vs q104's keep-first)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0
+        |         ELSE greatest(0, len(t) - 1) // 3 + 1 END AS nch
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(generate_series(0, nch - 1)) AS span_idx
+        |  FROM c WHERE nch > 0),
+        |sp AS (
+        |  SELECT doc_id, span_idx,
+        |    array_to_string(t[span_idx * 3 + 1 : least(span_idx * 3 + 3, n)],
+        |      ' ') AS span
+        |  FROM s),
+        |df AS (
+        |  SELECT span, COUNT(DISTINCT doc_id) AS d FROM sp GROUP BY 1)
+        |SELECT doc_id,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+        |  COUNT(*) AS n_spans
+        |FROM sp JOIN df USING (span) WHERE d < 3
         |GROUP BY doc_id""".stripMargin,
     "q101_weighted_sample" ->
       // the operator's exact long-arithmetic decision, replayed literally

@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("boilerplateStrip removes every occurrence of ubiquitous spans") {
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b" appears in docs 1,2,3 -> boilerplate
+      (2L, "a b x y"),
+      (3L, "a b"),       // only boilerplate -> document disappears
+      (4L, "x y p q")    // "x y" df=2 < 3 -> survives everywhere
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text",
+        spanTokens = 2, minDocFreq = 3)
+      .rows.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("c d", 1L)))   // first occurrence removed too
+    assert(out(2L) == (("x y", 1L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == (("x y p q", 2L)))
+  }
+
+  test("boilerplateStrip keeps within-doc repeats below the doc-frequency bar") {
+    val docs = Seq(
+      (1L, "m n m n m n"), // df("m n") = 1 — internal repetition is
+      (2L, "p q r s")      // dedup's business, not boilerplate's
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text",
+        spanTokens = 2, minDocFreq = 2)
+      .rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "m n m n m n")
+    assert(out(2L) == "p q r s")
+  }
+
   test("runDedup: only runs of >= minRunSpans consecutive dup spans drop") {
     val docs = Seq(
       // doc 1 defines everything
