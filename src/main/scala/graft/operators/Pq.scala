@@ -145,6 +145,60 @@ object Pq {
     adcTopK(encode(df, idCol, vecCol, model), idCol, model, query,
       queryId, k)
 
+  /** IVF-PQ index: [[Ivf.withCluster]] coarse assignment + packed PQ
+    * codes, written partitioned by cluster — the layout billion-scale
+    * ANN serving actually uses (Jégou et al. §IV). Each stored row is
+    * (id, 8-byte code), so a 10⁹-vector corpus indexes to ~16 GB of
+    * parquet, and a probe reads ~nProbe/k of the files via partition
+    * pruning. The raw vectors stay in the source table and are touched
+    * only by [[topKRefinedIndexed]]'s candidate rerank. */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, model: Model, path: String): Unit =
+    Ivf.withCluster(df, vecCol, coarse)
+      .select(col(idCol), codeColumn(col(vecCol), model).as("pq_code"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** ADC top-k against a [[writeIvfPqIndex]] table: the cluster
+    * isin-filter lands on the partition column (only probed cells' files
+    * are read) and the ADC projection runs over 8-byte codes. Output:
+    * (idCol, cluster, pq_code, adc_dist). */
+  def adcTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, model: Model, coarse: Ivf.Model,
+      query: IndexedSeq[Double], queryId: Long, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probes = coarse.nearestClusters(query, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("cluster"), col("pq_code"),
+        adcDistColumn(col("pq_code"), model, query).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Indexed probe + exact rerank: the pruned-and-quantized pass
+    * ([[adcTopKIndexed]]) nominates `candidates` ids, then ONLY those
+    * rows' full vectors are fetched from the raw corpus (broadcast semi
+    * join) and scored exactly. At scale this is the whole point of the
+    * layout: the 100 TB of vectors is read at candidate-set size, the
+    * index scan is pruned 8-byte codes. Output: (idCol, l2sq). */
+  def topKRefinedIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, coarse: Ivf.Model, query: IndexedSeq[Double],
+      queryId: Long, k: Int, candidates: Int, nProbe: Int = 2): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    val cand = adcTopKIndexed(spark, path, idCol, model, coarse, query,
+      queryId, candidates, nProbe).select(col(idCol))
+    val vd = col(vecCol).cast("array<double>")
+    corpus.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        (GraftFunctions.dot(vd, vd) -
+          lit(2.0) * GraftFunctions.dot(vd, typedLit(query.toSeq)) +
+          lit(query.map(x => x * x).sum)).as("l2sq"))
+      .orderBy(col("l2sq"), col(idCol))
+      .limit(k)
+  }
+
   /** ADC top-`candidates` then EXACT rerank — the production IVF-PQ
     * "refine" stage: the coarse 8-byte-code pass prunes a billion rows
     * to `candidates`, and only those rows' full vectors are fetched

@@ -307,6 +307,49 @@ object ExtQueries {
       .select(col("vec_id"), round(col("l2sq"), 6).as("l2sq"))
   }
 
+  /** IVF-PQ: the coarse IVF cells (q59's model) partition a codes table
+    * whose rows are (id, packed 8-byte PQ code) — probe = partition
+    * pruning, ranking = ADC over codes. The billion-scale serving
+    * layout: index bytes ≈ 8·N, probed fraction ≈ nProbe/k. */
+  private val ivfpqIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfpqIndex(s: SparkSession, dir: String): String = {
+    val ictx = ivfCtx(s, dir)
+    val pctx = pqCtx(s, dir)
+    ivfpqIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index-").toString
+      graft.operators.Pq.writeIvfPqIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ictx.model, pctx.model, p)
+      p
+    })
+  }
+
+  def q137IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val ictx = ivfCtx(s, dir)
+    val pctx = pqCtx(s, dir)
+    graft.operators.Pq.adcTopKIndexed(s, ivfpqIndex(s, dir), "vec_id",
+        pctx.model, ictx.model, pctx.queryVec, queryId = 0L, k = 10,
+        nProbe = 2)
+      .select(col("vec_id"), col("cluster"), col("pq_code"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** IVF-PQ + exact rerank: pruned ADC probe nominates 100 candidates,
+    * only those full vectors are read and scored exactly — quantization
+    * error only costs recall when a true neighbor misses the pool. */
+  def q138IvfPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val ictx = ivfCtx(s, dir)
+    val pctx = pqCtx(s, dir)
+    graft.operators.Pq.topKRefinedIndexed(s, ivfpqIndex(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", pctx.model,
+        ictx.model, pctx.queryVec, queryId = 0L, k = 10, candidates = 100,
+        nProbe = 2)
+      .select(col("vec_id"), round(col("l2sq"), 6).as("l2sq"))
+  }
+
   /** IVF ANN search: probe-limited cosine top-k over the 2 cells nearest
     * the query (assignment inlined as a projection; model cached). */
   def q59IvfTopK(s: SparkSession, dir: String): DataFrame =
@@ -848,6 +891,8 @@ object ExtQueries {
     "q134_pq_codes" -> (q134PqCodes _),
     "q135_pq_topk" -> (q135PqTopK _),
     "q136_pq_refined" -> (q136PqRefined _),
+    "q137_ivfpq_topk" -> (q137IvfPqTopK _),
+    "q138_ivfpq_refined" -> (q138IvfPqRefined _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -938,7 +983,52 @@ object ExtQueries {
       }.mkString(" + ")
       val qq = dlit(ctx.queryVec.map(x => x * x).sum)
       val qArr = ctx.queryVec.map(dlit).mkString("[", ",", "]")
-      Map(
+      // q137/q138 compose the SAME pq codes chain with the ivf model's
+      // cluster assignment (reusing the codes CTE's v for the vectors);
+      // emitted only when the ivf ctx is also unambiguous.
+      val combined: Map[String, String] =
+        if (ivfCtxs.size != 1) Map.empty
+        else {
+          val im = ivfCtxs.values.head.model
+          val probes = ivfCtxs.values.head.probes
+          val idCols = im.centroids.zipWithIndex.map { case (c, i) =>
+            val cc = dlit(c.map(x => x * x).sum)
+            val arr = c.map(dlit).mkString("[", ",", "]")
+            s"($cc - 2.0 * list_dot_product(e, $arr)) AS id$i"
+          }.mkString(",\n  ")
+          val ileast = im.centroids.indices.map(i => s"id$i")
+            .mkString("least(", ", ", ")")
+          val icases = im.centroids.indices
+            .map(i => s"WHEN id$i = imn THEN $i").mkString(" ")
+          val joined =
+            s"""$codes,
+               |iv AS (SELECT vec_id,
+               |  $idCols
+               |  FROM v),
+               |ia AS (SELECT vec_id, CASE $icases END AS cluster
+               |       FROM (SELECT *, $ileast AS imn FROM iv)),
+               |j AS (SELECT codes.*, ia.cluster
+               |      FROM codes JOIN ia USING (vec_id))""".stripMargin
+          Map(
+            "q137_ivfpq_topk" ->
+              s"""$joined
+                 |SELECT vec_id, cluster, pq_code, ROUND($dist, 6) AS adc_dist
+                 |FROM j WHERE cluster IN (${probes.mkString(", ")})
+                 |  AND vec_id <> 0
+                 |ORDER BY $dist, vec_id LIMIT 10""".stripMargin,
+            "q138_ivfpq_refined" ->
+              s"""$joined,
+                 |cand AS (
+                 |  SELECT vec_id FROM j
+                 |  WHERE cluster IN (${probes.mkString(", ")}) AND vec_id <> 0
+                 |  ORDER BY $dist, vec_id LIMIT 100)
+                 |SELECT v.vec_id,
+                 |  ROUND(list_dot_product(e, e) - 2.0 * list_dot_product(e, $qArr) + $qq, 6) AS l2sq
+                 |FROM v JOIN cand USING (vec_id)
+                 |ORDER BY list_dot_product(e, e) - 2.0 * list_dot_product(e, $qArr) + $qq, v.vec_id
+                 |LIMIT 10""".stripMargin)
+        }
+      combined ++ Map(
         "q134_pq_codes" -> s"$codes\nSELECT vec_id, pq_code FROM codes",
         "q135_pq_topk" ->
           s"""$codes

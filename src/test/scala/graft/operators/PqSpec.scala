@@ -86,6 +86,46 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index: probe prunes to probed cells; ADC matches unpruned within them") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-spec-").toString
+    try {
+      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", coarse, model, dir)
+      val probe = Pq.adcTopKIndexed(spark, dir, "vec_id", model, coarse,
+        q, queryId = 0L, k = 5, nProbe = 2)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+        s"probe must prune on the cluster partition column:\n$plan")
+      // ground truth: unindexed ADC restricted to the probed cells
+      val probes = coarse.nearestClusters(q, 2).toSet
+      val cells = Ivf.assign(emb, "vec_id", "embedding", coarse)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val local = Pq.adcTopK(Pq.encode(emb, "vec_id", "embedding", model),
+          "vec_id", model, q, 0L, Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .filter { case (id, _) => probes(cells(id)) }.take(5)
+      val got = probe.collect().map(r => (r.getLong(0), r.getDouble(3)))
+      assert(got.toSeq == local.toSeq,
+        s"indexed probe drifted: ${got.toSeq} vs ${local.toSeq}")
+      // refine: exact rerank only over candidate ids, exact-L2 scored
+      val ref = Pq.topKRefinedIndexed(spark, dir, emb, "vec_id",
+          "embedding", model, coarse, q, 0L, k = 3, candidates = 5,
+          nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      val candidateIds = local.map(_._1).toSet
+      assert(ref.toSet.subsetOf(candidateIds),
+        "refined results must come from the ADC candidate pool")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("PQ recall@10 vs exact-L2 truth on sf0.01 embeddings >= floor") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
       .cache()
