@@ -189,6 +189,48 @@ object Bench {
     val imageJson =
       if (imageTimes.isEmpty) "\"err\"" else imageTimes.min.toString
 
+    // ANN serving e2e: fit coarse IVF + PQ codebooks, materialize the
+    // cluster-partitioned IVF-PQ codes index, then run a batch of
+    // pruned-ADC + exact-refine probes — the full build+serve path of
+    // the billion-scale layout under one timed gate.
+    def runAnn(src: String): Double = {
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_ann_")
+      val t0 = System.nanoTime()
+      try {
+        val emb = Tables.load(spark, src, "embeddings")
+        val coarse = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
+          k = 8, iters = 3)
+        val pq = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+          m = 8, k = 16, iters = 3)
+        val idx = out.toString + "/ivfpq"
+        graft.operators.Pq.writeIvfPqIndex(emb, "vec_id", "embedding",
+          coarse, pq, idx)
+        val probes = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        probes.foreach { case (qid, q) =>
+          graft.operators.Pq.topKRefinedIndexed(spark, idx, emb, "vec_id",
+            "embedding", pq, coarse, q, qid, k = 10, candidates = 100,
+            nProbe = 2).count()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally graft.util.Fs.deleteRecursively(out.toFile)
+    }
+    if (new java.io.File(warmupDir).isDirectory) {
+      try runAnn(warmupDir) catch { case _: Throwable => () }
+    }
+    val annTimes = (1 to reps).flatMap { _ =>
+      try Some(runAnn(sfDir))
+      catch { case e: Throwable => System.err.println(
+        s"BENCH ERR ann_e2e: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val annJson =
+      if (annTimes.isEmpty) "\"err\"" else annTimes.min.toString
+
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":\"err\""
@@ -197,15 +239,17 @@ object Bench {
       (if (pipeTimes.isEmpty) Seq("\"pipeline_e2e\"") else Nil) ++
       (if (corpusTimes.isEmpty) Seq("\"corpus_e2e\"") else Nil) ++
       (if (corpusBestTimes.isEmpty) Seq("\"corpus_best_e2e\"") else Nil) ++
-      (if (imageTimes.isEmpty) Seq("\"image_e2e\"") else Nil))
+      (if (imageTimes.isEmpty) Seq("\"image_e2e\"") else Nil) ++
+      (if (annTimes.isEmpty) Seq("\"ann_e2e\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"image_e2e":$imageJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"image_e2e":$imageJson,"ann_e2e":$annJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // An erroring query must fail the run: its 0-contribution would
     // otherwise make a regression-to-throw read as a faster total.
-    val nErrs = results.count(_._2.isLeft) + (if (pipeTimes.isEmpty) 1 else 0) +
-      (if (corpusTimes.isEmpty) 1 else 0)
+    val nErrs = results.count(_._2.isLeft) +
+      Seq(pipeTimes, corpusTimes, corpusBestTimes, imageTimes, annTimes)
+        .count(_.isEmpty)
     if (nErrs > 0) {
       System.err.println(s"BENCH FAILED: $nErrs entries errored")
       sys.exit(2)

@@ -183,6 +183,67 @@ object Maintenance {
     }
   }
 
+  /** Compaction + MULTI-column clustering: like [[compactSorted]] but
+    * ordered by the Morton z-address of `zCols`
+    * ([[graft.operators.ZOrder]]), so filtered scans prune on ANY of the
+    * clustered columns, not just the leading one — Delta/Iceberg
+    * `ZORDER BY` on the parquet degradation path. Per leaf: one one-row
+    * bounds aggregate (min/max of each column, driver-side and bounded),
+    * then range-partition + sort by the scaled interleave; the z column
+    * is derived at rewrite time and never stored. Hive partition columns
+    * are constant inside a leaf and excluded automatically; with fewer
+    * than two effective columns this degrades to [[compactSorted]]
+    * semantics (one column) or plain binpack (none). */
+  def compactZorder(spark: SparkSession, tableDir: String,
+      zCols: Seq[String], bits: Int = 12,
+      targetFileBytes: Long = 256L * 1024 * 1024): Report = {
+    try {
+      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+        return Report(tableDir, "compact_zorder", ok = false,
+          "versioned table: snapshots are immutable, use VersionedTable.expire")
+      }
+      if (Files.isDirectory(Paths.get(tableDir, "_spark_metadata"))) {
+        return Report(tableDir, "compact_zorder", ok = false,
+          "streaming sink: _spark_metadata governs this dir; " +
+            "stream via foreachBatch into a table for compactable output")
+      }
+      require(zCols.nonEmpty, "compactZorder needs at least one column")
+      import org.apache.spark.sql.functions.{col, max, min}
+      val parts = partitionColsOf(tableDir)
+      val effective = zCols.filterNot(parts.contains)
+      val leaves = leafPartitionDirs(new File(tableDir))
+      leaves.foreach { leaf =>
+        val nf = targetFileCount(dirSize(leaf), targetFileBytes)
+        rewriteLeaf(spark, tableDir, leaf, df =>
+          if (effective.isEmpty) df.repartition(nf)
+          else {
+            // one-row bounds pass per leaf: min0, max0, min1, max1, ...
+            val aggs = effective.flatMap(c =>
+              Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+            val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+            def b(j: Int) =
+              if (bounds.isNullAt(j)) 0.0 else bounds.getDouble(j)
+            val z = graft.operators.ZOrder.zAddress(bits,
+              effective.zipWithIndex.map { case (c, i) =>
+                graft.operators.ZOrder.scaled(col(c), b(2 * i), b(2 * i + 1),
+                  bits)
+              }: _*)
+            df.withColumn("__graft_z", z)
+              .repartitionByRange(nf, col("__graft_z"))
+              .sortWithinPartitions(col("__graft_z"))
+              .drop("__graft_z")
+          })
+      }
+      Report(tableDir, "compact_zorder", ok = true,
+        s"rewrote ${leaves.size} leaf partitions z-ordered by " +
+          (if (effective.isEmpty) s"(partition layout ${parts.mkString("/")})"
+           else effective.mkString(",")))
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "compact_zorder", ok = false, e.toString)
+    }
+  }
+
   /** M3 analog: remove orphan working files (committer temp dirs, crc
     * leftovers, failed-compaction temps) not referenced by the table.
     * Compaction temps live NEXT TO the table root (never inside, where a

@@ -646,6 +646,17 @@ object ExtQueries {
     Dedup.runDedup(t(s, dir, "documents"), "doc_id", "text",
       spanTokens = 3, minRunSpans = 2)
 
+  /** Z-order (Morton) addresses over two key columns — the clustering
+    * key [[graft.pipeline.Maintenance.compactZorder]] lays files out by.
+    * Pure shift/and/or integer arithmetic (whole-stage codegen, exactly
+    * replayable by the oracle's bit-operator chain). */
+  def q139ZorderKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      graft.operators.ZOrder.zAddress(10,
+          pmod(col("l_partkey"), lit(1024L)),
+          pmod(col("l_suppkey"), lit(1024L)))
+        .as("zaddr"))
+
   /** Corpus-boilerplate strip: spans present in >= 3 distinct documents
     * are removed everywhere (first copy included) — the MassiveText
     * "repeated lines across documents" rule on q104's span grid. At this
@@ -893,6 +904,7 @@ object ExtQueries {
     "q136_pq_refined" -> (q136PqRefined _),
     "q137_ivfpq_topk" -> (q137IvfPqTopK _),
     "q138_ivfpq_refined" -> (q138IvfPqRefined _),
+    "q139_zorder_keys" -> (q139ZorderKeys _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -1257,6 +1269,16 @@ object ExtQueries {
   private def hx(f: Double): String = Sampling.hexThreshold(f)
 
   private val staticOracles: Map[String, String] = Map(
+    "q139_zorder_keys" -> {
+      // the Morton interleave replayed as a bit-operator chain: column 0
+      // (l_partkey % 1024) owns even lanes, column 1 odd lanes
+      val terms = (0 until 10).flatMap(b => Seq(
+        s"((((l_partkey % 1024) >> $b) & 1) << ${2 * b})",
+        s"((((l_suppkey % 1024) >> $b) & 1) << ${2 * b + 1})"))
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zaddr
+         |FROM lineitem""".stripMargin
+    },
     "q75_hash_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hb
