@@ -36,6 +36,33 @@ object Decontaminate {
       overlapCounts(train, eval, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Graded contamination instead of [[overlapCounts]]' boolean-ish
+    * count: per training doc, its distinct-shingle total AND the shared
+    * count, plus the ratio in exact ppm (integer division — engine
+    * portable, no float in compared columns). The score curricula and
+    * threshold sweeps need: "drop at >1% contaminated, downweight at
+    * >0.1%" is a filter on this output, where [[overlapCounts]] only
+    * supports drop-on-any-overlap.
+    *
+    * Scale shape: identical to [[overlapCounts]] except the eval meet is
+    * a broadcast LEFT join (the corpus side still reduced to distinct
+    * 8-byte hashes scan-side), so per-doc totals come from the same
+    * single aggregation — no second pass over the corpus. */
+  def overlapRatio(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val tr = NearDup.shingleRows(train, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh")).distinct()
+    val ev = NearDup.shingleRows(eval, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+      .withColumn("__hit", lit(1L))
+    tr.join(broadcast(ev), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+      .withColumn("contamination_ppm",
+        expr("CAST(n_shared * 1000000 DIV n_shingles AS BIGINT)"))
+  }
+
   /** Bloom-prefiltered decontamination for when the eval side stops
     * being tiny (multi-benchmark suites, held-out corpora): a Bloom
     * filter over the eval shingle hashes is broadcast as one compact

@@ -134,7 +134,8 @@ object ExtQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       (lshIndexes.values.map(_._1) ++ qlshIndexes.values.map(_._1) ++
         mlshIndexes.values.map(_._1) ++
-        ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values)
+        ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
+        ivfpqIndexes.values ++ orcDirs.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -657,6 +658,41 @@ object ExtQueries {
           pmod(col("l_suppkey"), lit(1024L)))
         .as("zaddr"))
 
+  /** Graded contamination: per training doc its distinct-shingle total,
+    * eval-shared count, and the exact-ppm ratio — the threshold-sweep
+    * form of q82's boolean rule (same %50 train/eval split). */
+  def q140ContaminationRatio(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.overlapRatio(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+  }
+
+  /** ORC source + sink (lakehouse interchange format beside parquet):
+    * documents round-trips through an ORC table once per dir, and the
+    * aggregate runs over the ORC READ — the oracle computes the same
+    * aggregate from the original parquet, so any round-trip lossiness
+    * (types, nulls, encoding) hash-mismatches. */
+  private val orcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q141OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = orcDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val d = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+      t(s, dir, "documents").write.mode("overwrite").orc(d)
+      d
+    })
+    s.read.orc(p)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** Corpus-boilerplate strip: spans present in >= 3 distinct documents
     * are removed everywhere (first copy included) — the MassiveText
     * "repeated lines across documents" rule on q104's span grid. At this
@@ -905,6 +941,8 @@ object ExtQueries {
     "q137_ivfpq_topk" -> (q137IvfPqTopK _),
     "q138_ivfpq_refined" -> (q138IvfPqRefined _),
     "q139_zorder_keys" -> (q139ZorderKeys _),
+    "q140_contamination_ratio" -> (q140ContaminationRatio _),
+    "q141_orc_roundtrip" -> (q141OrcRoundtrip _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -1560,6 +1598,34 @@ object ExtQueries {
         |  CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
         |    AS rep_ratio
         |FROM sh GROUP BY 1""".stripMargin,
+    "q140_contamination_ratio" ->
+      // q82's shingle split, graded: LEFT join keeps zero-overlap docs,
+      // ratio is exact integer ppm (no float in compared columns)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |  FROM toks),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+        |tr AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+        |SELECT tr.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  COUNT(ev.g) AS n_shared,
+        |  CAST(COUNT(ev.g) * 1000000 // COUNT(*) AS BIGINT) AS contamination_ppm
+        |FROM tr LEFT JOIN ev ON tr.g = ev.g
+        |GROUP BY 1""".stripMargin,
+    "q141_orc_roundtrip" ->
+      // the oracle aggregates the ORIGINAL parquet — if the ORC
+      // round-trip loses anything, the hashes diverge
+      """SELECT lang, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+        |  MIN(doc_id) AS min_id,
+        |  MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q82_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),

@@ -37,6 +37,19 @@ class DecontaminateSpec extends SparkSpec {
     assert(out == Map(7L -> 3L)) // 10 tokens -> 3 sliding 8-grams
   }
 
+  test("overlapRatio keeps zero-overlap docs and computes exact ppm") {
+    val out = Decontaminate.overlapRatio(train, eval, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: 5 distinct 8-grams (12 tokens), 1 shared -> 200000 ppm
+    assert(out(1L) == ((5L, 1L, 200000L)))
+    // doc 2: 10 tokens -> 3 shingles, none shared -> present with 0
+    assert(out(2L) == ((3L, 0L, 0L)))
+    // doc 3: below n tokens -> no shingles -> absent
+    assert(!out.contains(3L))
+  }
+
   test("bloom prefilter path equals the exact path; probe is codegen, not a UDF") {
     // a larger random-ish corpus so the bloom actually prunes
     val t3 = (1L to 200L).map(i =>
