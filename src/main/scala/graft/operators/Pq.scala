@@ -199,6 +199,33 @@ object Pq {
       .limit(k)
   }
 
+  /** Exactly-once streaming index ingest: drain whatever vectors are NEW
+    * in `srcDir` (AvailableNow), encode scan-side to (id, packed code,
+    * coarse cell), and append to a [[writeIvfPqIndex]]-layout table.
+    * File-source progress lives in the checkpoint, so a re-drain never
+    * re-encodes processed vectors — index maintenance cost tracks NEW
+    * embeddings, not corpus size, which is what keeps a continuously-fed
+    * ANN index viable at 100 TB. The sink's partitionBy("cluster")
+    * preserves the probe-side partition pruning contract; fold small
+    * per-drain files with Maintenance.compact when drains are frequent. */
+  def encodeIngestOnce(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      destDir: String, checkpointDir: String, idCol: String, vecCol: String,
+      coarse: Ivf.Model, model: Model): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Ivf.withCluster(stream, vecCol, coarse)
+      .select(col(idCol), codeColumn(col(vecCol), model).as("pq_code"),
+        col("cluster"))
+      .writeStream
+      .format("parquet")
+      .partitionBy("cluster")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** ADC top-`candidates` then EXACT rerank — the production IVF-PQ
     * "refine" stage: the coarse 8-byte-code pass prunes a billion rows
     * to `candidates`, and only those rows' full vectors are fetched

@@ -126,6 +126,40 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("streaming encode ingest: two drains == batch index; re-drain is a no-op") {
+    val emb = corpus.cache()
+    val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("pq-stream-").toString
+    val src = s"$root/src"; val dest = s"$root/idx"; val ckpt = s"$root/ckpt"
+    try {
+      val schema = emb.schema
+      emb.filter(col("vec_id") < 3L).write.mode("append").parquet(src)
+      Pq.encodeIngestOnce(spark, src, schema, dest, ckpt,
+        "vec_id", "embedding", coarse, model)
+      emb.filter(col("vec_id") >= 3L).write.mode("append").parquet(src)
+      Pq.encodeIngestOnce(spark, src, schema, dest, ckpt,
+        "vec_id", "embedding", coarse, model)
+      // streamed index content == one-shot batch encode + assignment
+      val streamed = spark.read.parquet(dest)
+        .select("vec_id", "pq_code", "cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = Ivf.withCluster(emb, "embedding", coarse)
+        .select(col("vec_id"),
+          Pq.codeColumn(col("embedding"), model).as("pq_code"),
+          col("cluster"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch)
+      // exactly-once: a drain with nothing new appends nothing
+      Pq.encodeIngestOnce(spark, src, schema, dest, ckpt,
+        "vec_id", "embedding", coarse, model)
+      assert(spark.read.parquet(dest).count() == 6L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("PQ recall@10 vs exact-L2 truth on sf0.01 embeddings >= floor") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
       .cache()
