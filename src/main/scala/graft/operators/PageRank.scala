@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank (Brin & Page 1998 — public algorithm) for
+  * authority scoring over an edge table — the influence-weighting shape
+  * corpus curation uses (domain authority as a quality prior, reference
+  * popularity for sampling weights) and the classic iterative-join
+  * workload of a graph-capable engine, joining [[Components]] in the
+  * graph family.
+  *
+  * Ranks are integer PPM (start 1,000,000; update
+  * `base + damping·Σ contrib ÷ 100` with integer division throughout), so
+  * every iteration is EXACT and engine-portable: no float summation
+  * order, no libm — a SQL oracle unrolls the same iterations and must
+  * match bit-for-bit. The standard float formulation converges slightly
+  * differently, but fixed-point is what a determinism-gated pipeline
+  * wants: rank drift can never silently reshuffle a curriculum.
+  *
+  * Scale shape: each iteration is one shuffle join (edges ⋈ ranks on
+  * src) + one partial-aggregated sum per dst — the Pregel message-pass
+  * expressed relationally. Edges/degrees are computed once and cached by
+  * the caller if reused; `ranks` is localCheckpointed per iteration so
+  * the plan (and its re-execution cost) stays O(1) in iteration count
+  * instead of exponentiating lineage. Dangling nodes (no out-edges)
+  * simply leak their mass — the conventional simplification; add
+  * self-loops upstream if mass conservation matters. */
+object PageRank {
+
+  /** (node, rank_ppm) after `iters` exact fixed-point iterations.
+    * `dampingPct` is the damping factor in percent (85 = the standard
+    * 0.85); base = (100 − dampingPct)·10,000 ppm. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val base = (100L - dampingPct) * 10000L
+    var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_ppm DIV outd").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST($base + ($dampingPct * coalesce(s, 0)) DIV 100 " +
+            "AS BIGINT)").as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

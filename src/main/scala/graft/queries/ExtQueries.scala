@@ -693,6 +693,22 @@ object ExtQueries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** Fixed-point PageRank over the supplier↔customer interaction graph
+    * (symmetric edges from lineitem⋈orders; customers offset by 100000
+    * into a shared node space). 3 exact integer-ppm iterations — the
+    * oracle unrolls the same three joins and matches bit-for-bit. */
+  def q142PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_suppkey").as("a"),
+        (col("o_custkey") + lit(100000L)).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
+  }
+
   /** Corpus-boilerplate strip: spans present in >= 3 distinct documents
     * are removed everywhere (first copy included) — the MassiveText
     * "repeated lines across documents" rule on q104's span grid. At this
@@ -943,6 +959,7 @@ object ExtQueries {
     "q139_zorder_keys" -> (q139ZorderKeys _),
     "q140_contamination_ratio" -> (q140ContaminationRatio _),
     "q141_orc_roundtrip" -> (q141OrcRoundtrip _),
+    "q142_pagerank" -> (q142PageRank _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -1616,6 +1633,34 @@ object ExtQueries {
         |  CAST(COUNT(ev.g) * 1000000 // COUNT(*) AS BIGINT) AS contamination_ppm
         |FROM tr LEFT JOIN ev ON tr.g = ev.g
         |GROUP BY 1""".stripMargin,
+    "q142_pagerank" -> {
+      // the exact fixed-point update, unrolled: integer ppm arithmetic
+      // end to end, so every iteration matches the operator bit-for-bit
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_ppm
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.rank_ppm // d.outd) AS s
+           |    FROM edges e
+           |    JOIN $prev r ON e.src = r.node
+           |    JOIN outdeg d ON e.src = d.node
+           |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |outdeg AS (SELECT src AS node, COUNT(*) AS outd FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, rank_ppm FROM r3""".stripMargin
+    },
     "q141_orc_roundtrip" ->
       // the oracle aggregates the ORIGINAL parquet — if the ORC
       // round-trip loses anything, the hashes diverge
