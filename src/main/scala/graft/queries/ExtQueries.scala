@@ -135,7 +135,7 @@ object ExtQueries {
       (lshIndexes.values.map(_._1) ++ qlshIndexes.values.map(_._1) ++
         mlshIndexes.values.map(_._1) ++
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
-        ivfpqIndexes.values ++ orcDirs.values)
+        ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -693,6 +693,40 @@ object ExtQueries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** CSV raw-zone round-trip (the landing format object-store ingest
+    * actually receives): documents written as RFC4180-quoted CSV once
+    * per dir, read back with an explicit schema (+ multiLine, so
+    * embedded newlines would survive), aggregated — same oracle as q141:
+    * the original parquet. Any quoting/typing lossiness hash-mismatches. */
+  private val csvDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q143CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = csvDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val d = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+      t(s, dir, "documents").write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(d)
+      d
+    })
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(p)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** Fixed-point PageRank over the supplier↔customer interaction graph
     * (symmetric edges from lineitem⋈orders; customers offset by 100000
     * into a shared node space). 3 exact integer-ppm iterations — the
@@ -959,6 +993,7 @@ object ExtQueries {
     "q139_zorder_keys" -> (q139ZorderKeys _),
     "q140_contamination_ratio" -> (q140ContaminationRatio _),
     "q141_orc_roundtrip" -> (q141OrcRoundtrip _),
+    "q143_csv_roundtrip" -> (q143CsvRoundtrip _),
     "q142_pagerank" -> (q142PageRank _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -1275,6 +1310,8 @@ object ExtQueries {
     pqOracles ++ tempOracles ++ mixOracles ++
     // the bloom path is exactly q82 by construction -> same oracle
     Map("q117_bloom_decontaminate" -> staticOracles("q82_decontaminate")) ++
+    // CSV round-trip must reproduce exactly what the ORC round-trip does
+    Map("q143_csv_roundtrip" -> staticOracles("q141_orc_roundtrip")) ++
     Map("q92_quantized_lsh" -> quantizedLshOracleSql,
       "q97_chunk_pack" ->
         """WITH t AS (
