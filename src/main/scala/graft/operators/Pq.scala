@@ -60,24 +60,56 @@ object Pq {
   }
 
   /** Train per-subspace codebooks: Lloyd's with [[Ivf.fit]]'s
-    * deterministic init (k lowest-id subvectors) per subspace. m
-    * independent fits — at corpus scale training runs on a bounded
-    * sample, so pass one in; encoding (the full-corpus pass) is a single
-    * projection regardless. */
+    * deterministic init (the k lowest-id vectors, sliced per subspace).
+    * All m subspaces advance together — ONE assignment+means job per
+    * iteration instead of m independent fits (the m=8 fit was 8× the
+    * driver round-trips for identical math). At corpus scale training
+    * runs on a bounded sample, so pass one in; encoding (the
+    * full-corpus pass) is a single projection regardless. */
   def fit(df: DataFrame, idCol: String, vecCol: String, m: Int = 4,
       k: Int = 16, iters: Int = 3): Model = {
+    val vd = col(vecCol).cast("array<double>")
     val dim = df.select(size(col(vecCol)).as("__n")).limit(1)
       .collect().head.getInt(0)
     require(m > 0 && dim % m == 0,
       s"vector dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    Model((0 until m).map { s =>
-      Ivf.fit(
-        df.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
-            .as("__sub")),
-        idCol, "__sub", k, iters).centroids.map(_.toIndexedSeq)
-    }.toIndexedSeq)
+    val init = df.orderBy(col(idCol)).limit(k).select(vd.as("__v"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until m).map(s =>
+        init.map(v => v.slice(s * sub, (s + 1) * sub)).toIndexedSeq)
+    (1 to iters).foreach { _ =>
+      // one job: per-row codes for ALL subspaces, then mean per
+      // (subspace, cluster, position-within-subspace)
+      val codes = array((0 until m).map(s =>
+        subCode(col("__v"), books(s), s, sub)): _*)
+      val means = df.select(vd.as("__v"))
+        .withColumn("__c", codes)
+        .select(col("__c"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .select(
+          (col("pos") / lit(sub)).cast("int").as("s"),
+          element_at(col("__c"),
+            (col("pos") / lit(sub)).cast("int") + 1).as("cluster"),
+          pmod(col("pos"), lit(sub)).as("within"),
+          col("x"))
+        .groupBy(col("s"), col("cluster"), col("within"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val grouped = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = (0 until m).map { s =>
+        books(s).indices.map { c =>
+          grouped.get((s, c)) match {
+            case Some(rows) =>
+              val arr = new Array[Double](sub)
+              rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+              arr.toIndexedSeq
+            case None => books(s)(c) // empty cluster keeps its centroid
+          }
+        }.toIndexedSeq
+      }.toIndexedSeq
+    }
+    Model(books)
   }
 
   /** Nearest-centroid code for subspace `s`, as a codegen'd projection:
