@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index for a parquet table — Iceberg's
+  * manifest-stats pruning re-created the parquet way. Parquet footers
+  * already carry row-group min/max, but at 100 TB the planner must OPEN
+  * every footer to use them (one S3 GET per file per query); a
+  * materialized stats table answers "which files can match?" from ONE
+  * tiny scan, and only the surviving files are listed in the read. This
+  * is the layer that makes [[graft.pipeline.Maintenance.compactSorted]]/
+  * `compactZorder` clustering pay off at planning time, not just at
+  * decode time.
+  *
+  * The pruned read re-applies the predicate exactly, so stats can only
+  * REDUCE IO, never change results — the index is advisory, the filter
+  * is the truth (gated by an oracle that computes from the raw table). */
+object FileIndex {
+
+  /** One row per parquet file: (file, n_rows, <c>_min, <c>_max per
+    * stats column). One full scan to build; rebuild per partition after
+    * compaction (or append-merge — stats rows are per-file facts). */
+  def buildStats(spark: SparkSession, tableDir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "buildStats needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(tableDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Files whose [min, max] envelope admits `lo <= c <= hi`. */
+  def candidateFiles(stats: DataFrame, c: String, lo: Column,
+      hi: Column): Seq[String] =
+    stats.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Range read through the index: list candidate files from the stats
+    * table (a driver-side file list — bounded by file count, the same
+    * cardinality every planner materializes), read ONLY those, re-apply
+    * the exact predicate. Empty candidate set → empty frame with the
+    * table's schema. */
+  def prunedRangeRead(spark: SparkSession, tableDir: String,
+      stats: DataFrame, c: String, lo: Column, hi: Column): DataFrame = {
+    val files = candidateFiles(stats, c, lo, hi)
+    val pred = col(c) >= lo && col(c) <= hi
+    if (files.isEmpty)
+      spark.read.parquet(tableDir).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(pred)
+  }
+}

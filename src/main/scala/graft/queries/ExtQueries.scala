@@ -693,6 +693,37 @@ object ExtQueries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** Mergeable HLL distinct sketches: daily per-type sketches of
+    * user_id rolled up across days — the incremental path for the one
+    * aggregate IncrementalAgg can't merge. Rows-only (DataSketches HLL
+    * is a primitive DuckDB can't replay); SketchesSpec pins the merged
+    * path == direct path exactly and the estimate within 5% of exact. */
+  def q144HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+    val daily = graft.operators.Sketches.build(ev,
+      Seq("event_type", "day"), "user_id")
+    graft.operators.Sketches.estimate(
+      graft.operators.Sketches.rollup(daily, Seq("event_type")),
+      Seq("event_type"))
+  }
+
+  /** File-stats-index range read: candidate files from the materialized
+    * min/max table, exact predicate re-applied — the oracle computes
+    * from the raw table, so the index can only reduce IO, never change
+    * results (and any stats/pruning bug hash-mismatches). */
+  def q145StatsPruned(s: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/lineitem.parquet"
+    val stats = graft.operators.FileIndex.buildStats(s, table,
+      Seq("l_extendedprice"))
+    graft.operators.FileIndex.prunedRangeRead(s, table, stats,
+        "l_extendedprice", lit(1000.0), lit(5000.0))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   /** CSV raw-zone round-trip (the landing format object-store ingest
     * actually receives): documents written as RFC4180-quoted CSV once
     * per dir, read back with an explicit schema (+ multiLine, so
@@ -994,6 +1025,8 @@ object ExtQueries {
     "q140_contamination_ratio" -> (q140ContaminationRatio _),
     "q141_orc_roundtrip" -> (q141OrcRoundtrip _),
     "q143_csv_roundtrip" -> (q143CsvRoundtrip _),
+    "q144_hll_distinct" -> (q144HllDistinct _),
+    "q145_stats_pruned" -> (q145StatsPruned _),
     "q142_pagerank" -> (q142PageRank _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -1698,6 +1731,15 @@ object ExtQueries {
          |${iter("r2", "r3")}
          |SELECT node, rank_ppm FROM r3""".stripMargin
     },
+    "q145_stats_pruned" ->
+      // computed from the RAW table: proves the index path changed
+      // nothing while reading fewer files
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |GROUP BY 1""".stripMargin,
     "q141_orc_roundtrip" ->
       // the oracle aggregates the ORIGINAL parquet — if the ORC
       // round-trip loses anything, the hashes diverge
