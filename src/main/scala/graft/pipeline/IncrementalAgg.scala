@@ -42,4 +42,31 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(measures.head, measures.tail: _*)
   }
+
+  /** [[merge]] extended with DISTINCT-COUNT measures: `sketches` names
+    * binary HLL sketch columns ([[graft.operators.Sketches.build]]'s
+    * output) combined per key with a lossless sketch union. Exact
+    * distinct is NOT mergeable — `distinct(a ∪ b)` cannot be computed
+    * from `distinct(a)` and `distinct(b)` — which is exactly why the
+    * reference recomputes gold from full history; keeping the MEASURE in
+    * mergeable sketch form closes the last gap in O(day) maintenance.
+    * Read estimates off with [[graft.operators.Sketches.estimate]]. */
+  def mergeWithSketches(gold: DataFrame, increment: DataFrame,
+      keys: Seq[String], sums: Seq[String], mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil, sketches: Seq[String] = Nil): DataFrame = {
+    val expect = (keys ++ sums ++ mins ++ maxs ++ sketches).sorted
+    require(gold.columns.sorted.sameElements(expect) &&
+      increment.columns.sorted.sameElements(expect),
+      s"aggregate merge expects columns $expect, got " +
+        s"gold=${gold.columns.sorted.toSeq} inc=${increment.columns.sorted.toSeq}")
+    val measures: Seq[Column] =
+      sums.map(c => sum(col(c)).as(c)) ++
+        mins.map(c => min(col(c)).as(c)) ++
+        maxs.map(c => max(col(c)).as(c)) ++
+        sketches.map(c => hll_union_agg(col(c),
+          allowDifferentLgConfigK = false).as(c))
+    gold.unionByName(increment)
+      .groupBy(keys.map(col): _*)
+      .agg(measures.head, measures.tail: _*)
+  }
 }

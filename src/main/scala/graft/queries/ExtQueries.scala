@@ -696,8 +696,8 @@ object ExtQueries {
   /** Mergeable HLL distinct sketches: daily per-type sketches of
     * user_id rolled up across days — the incremental path for the one
     * aggregate IncrementalAgg can't merge. Rows-only (DataSketches HLL
-    * is a primitive DuckDB can't replay); SketchesSpec pins the merged
-    * path == direct path exactly and the estimate within 5% of exact. */
+    * is a primitive DuckDB can't replay); SketchesSpec gates merged-path
+    * estimates within 5% of exact counts and merge determinism. */
   def q144HllDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .withColumn("day", to_date(col("ts")))

@@ -20,6 +20,37 @@ class IncrementalAggSpec extends SparkSpec {
       ("c", 4L, 8.0, 2.0, 2.0)))
   }
 
+  test("mergeWithSketches: incremental distinct == full recompute, sums exact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val facts = (1 to 2000).map { i =>
+      (if (i % 3 == 0) "a" else "b", i % 2 + 1, (i * 31) % 700L, i.toLong)
+    }.toDF("k", "day", "uid", "amount")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        sum(col("amount")).as("total"),
+        hll_sketch_agg(col("uid"), 12).as("users"))
+    val gold = aggOf(facts.filter(col("day") === 1))
+    val inc = aggOf(facts.filter(col("day") === 2))
+    val merged = IncrementalAgg.mergeWithSketches(gold, inc, Seq("k"),
+      sums = Seq("total"), sketches = Seq("users"))
+    val got = Sketches.estimate(merged, Seq("k", "total"), "users")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // sums merge EXACTLY; distinct estimates are gated against exact
+    // counts (sketch union is not bit-identical to a direct sketch)
+    val exactTotals = facts.groupBy("k").agg(
+        sum(col("amount")).as("t"), countDistinct(col("uid")).as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    exactTotals.foreach { case (k, (t, d)) =>
+      val (gt, gd) = got(k)
+      assert(gt == t, s"key $k: merged sum $gt != exact $t")
+      assert(math.abs(gd - d).toDouble / d < 0.05,
+        s"key $k: merged distinct est $gd vs exact $d")
+    }
+  }
+
   test("merge rejects mismatched columns") {
     val gold = Seq(("a", 1L)).toDF("k", "n")
     val inc = Seq(("a", 1L, 2.0)).toDF("k", "n", "extra")
