@@ -231,6 +231,170 @@ object Pq {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // Residual IVF-PQ (Jégou et al. §IV-A): quantize r = v − centroid(cell)
+  // instead of v. Residuals concentrate near zero, so the same m×k code
+  // budget spends its resolution on the part of the vector the coarse
+  // cell didn't already explain — the form production IVF-PQ systems use.
+  //
+  // No vector subtraction ever appears in a plan: the residual distance
+  //   ||r − c_i||² = ||r||² − 2v·c_i + (||c_i||² + 2·cc_cell·c_i)
+  // drops ||r||² in the per-subspace argmin, leaving the SAME v·c_i dot
+  // products as plain PQ plus a per-(subspace, code, CELL) constant the
+  // driver folds into a literal array indexed by the cluster column.
+  // Everything stays codegen (element_at on literals + fused dot), and a
+  // SQL oracle replays it with the identical literal tables.
+  // ---------------------------------------------------------------------
+
+  /** Per-code constant table for subspace `s`: [code i][cell p] =
+    * ||c_i||² + 2·(cc_p,s · c_i). Driver-side, m·k·cells doubles
+    * (public so the oracle generator can embed the same literals). */
+  def residualConsts(coarse: Ivf.Model,
+      book: IndexedSeq[IndexedSeq[Double]], s: Int,
+      subDim: Int): IndexedSeq[IndexedSeq[Double]] =
+    book.map { c =>
+      coarse.centroids.map { cc =>
+        val ccSub = cc.slice(s * subDim, (s + 1) * subDim)
+        c.map(x => x * x).sum +
+          2.0 * ccSub.zip(c).map { case (a, b) => a * b }.sum
+      }
+    }
+
+  /** Nearest-residual-code for subspace `s` given the row's coarse cell:
+    * ranks by const[i][cluster] − 2·v_sub·c_i; ties toward the lower
+    * code, exactly like [[subCode]] and the oracle's CASE-over-least. */
+  private def subCodeResidual(vd: Column, cluster: Column,
+      coarse: Ivf.Model, book: IndexedSeq[IndexedSeq[Double]], s: Int,
+      subDim: Int): Column = {
+    val subv = slice(vd, s * subDim + 1, subDim)
+    val cands = book.zipWithIndex.map { case (c, i) =>
+      val consts = residualConsts(coarse, book, s, subDim)(i)
+      struct(
+        (element_at(typedLit(consts.toSeq), cluster + 1) -
+          lit(2.0) * GraftFunctions.dot(subv, typedLit(c.toSeq))).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
+  }
+
+  /** Train residual codebooks (one shared book set over ALL cells'
+    * residuals — the standard memory/quality trade): [[fit]]'s
+    * one-job-per-iteration Lloyd's, with assignment via the
+    * constant-trick and means over x − centroid[cell][pos] (a literal
+    * lookup, not a vector op). Init: residuals of the k lowest-id rows. */
+  def fitResidual(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, m: Int = 8, k: Int = 16,
+      iters: Int = 3): Model = {
+    val vd = col(vecCol).cast("array<double>")
+    val dim = coarse.centroids.head.size
+    require(m > 0 && dim % m == 0,
+      s"vector dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val withC = Ivf.withCluster(df.select(col(idCol), col(vecCol)), vecCol,
+      coarse).select(col(idCol), vd.as("__v"), col("cluster"))
+    val initRows = withC.orderBy(col(idCol)).limit(k)
+      .select(col("__v"), col("cluster")).collect()
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until m).map { s =>
+        initRows.map { r =>
+          val v = r.getSeq[Double](0)
+          val cc = coarse.centroids(r.getInt(1))
+          (s * sub until (s + 1) * sub).map(j => v(j) - cc(j)).toIndexedSeq
+        }.toIndexedSeq
+      }
+    val flat = typedLit(coarse.centroids.flatten.toSeq)
+    (1 to iters).foreach { _ =>
+      val codes = array((0 until m).map(s =>
+        subCodeResidual(col("__v"), col("cluster"), coarse, books(s), s,
+          sub)): _*)
+      val means = withC.withColumn("__c", codes)
+        .select(col("__c"), col("cluster").as("__cell"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .select(
+          (col("pos") / lit(sub)).cast("int").as("s"),
+          element_at(col("__c"),
+            (col("pos") / lit(sub)).cast("int") + 1).as("cluster"),
+          pmod(col("pos"), lit(sub)).as("within"),
+          (col("x") - element_at(flat,
+            col("__cell") * lit(dim) + col("pos") + 1)).as("x"))
+        .groupBy(col("s"), col("cluster"), col("within"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val grouped = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = (0 until m).map { s =>
+        books(s).indices.map { c =>
+          grouped.get((s, c)) match {
+            case Some(rows) =>
+              val arr = new Array[Double](sub)
+              rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+              arr.toIndexedSeq
+            case None => books(s)(c)
+          }
+        }.toIndexedSeq
+      }.toIndexedSeq
+    }
+    Model(books)
+  }
+
+  /** Residual codes + coarse cell: (idCol, cluster, pq_code) in one
+    * projection over the scan. */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, model: Model): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val code = Ivf.withCluster(df, vecCol, coarse)
+    code.select(col(idCol), col("cluster"),
+      model.codebooks.zipWithIndex.map { case (book, s) =>
+        shiftleft(subCodeResidual(vd, col("cluster"), coarse, book, s,
+          model.subDim).cast("long"), 8 * s)
+      }.reduceLeft[Column](_ bitwiseOR _).as("pq_code"))
+  }
+
+  /** Materialize the residual index: (id, 8-byte code) partitioned by
+    * coarse cell — same layout and probe contract as
+    * [[writeIvfPqIndex]], but the codes now explain v − centroid. */
+  def writeResidualIndex(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, model: Model, path: String): Unit =
+    encodeResidual(df, idCol, vecCol, coarse, model)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Per-subspace ADC tables for every cell: [cell p][code i] =
+    * ||(q − cc_p)_s − c_i||². The query's residual differs per probed
+    * cell, so the lookup is indexed by (cluster, code) — still literal
+    * arrays, still one codegen projection. */
+  def residualAdcTables(coarse: Ivf.Model, model: Model,
+      query: IndexedSeq[Double]): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    // [s][cell][code]
+    (0 until model.m).map { s =>
+      coarse.centroids.map { cc =>
+        val qRes = query.indices.map(j => query(j) - cc(j))
+        model.adcTable(qRes.toIndexedSeq)(s)
+      }
+    }
+
+  /** ADC top-k against a [[writeResidualIndex]] table: partition-pruned
+    * probe, per-cell literal ADC tables. Output: (idCol, cluster,
+    * pq_code, adc_dist). */
+  def adcTopKResidualIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, model: Model, coarse: Ivf.Model,
+      query: IndexedSeq[Double], queryId: Long, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probes = coarse.nearestClusters(query, nProbe)
+    val tables = residualAdcTables(coarse, model, query)
+    val dist = (0 until model.m).map { s =>
+      element_at(
+        element_at(typedLit(tables(s).map(_.toSeq).toSeq),
+          col("cluster") + 1),
+        (shiftright(col("pq_code"), 8 * s).bitwiseAND(lit(255L)))
+          .cast("int") + 1)
+    }.reduceLeft[Column](_ + _)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("cluster"), col("pq_code"),
+        dist.as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Exactly-once streaming index ingest: drain whatever vectors are NEW
     * in `srcDir` (AvailableNow), encode scan-side to (id, packed code,
     * coarse cell), and append to a [[writeIvfPqIndex]]-layout table.

@@ -135,7 +135,8 @@ object ExtQueries {
       (lshIndexes.values.map(_._1) ++ qlshIndexes.values.map(_._1) ++
         mlshIndexes.values.map(_._1) ++
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
-        ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values)
+        ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
+        resIndexes.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -275,6 +276,42 @@ object ExtQueries {
         .head.getSeq[Double](0).toIndexedSeq
       PqCtx(m, q)
     })
+
+  /** Residual-PQ model cached per dir: PQ over v − centroid(cell), the
+    * production IVF-PQ form. Shares the coarse model with q59/q68 and
+    * the query vector with the pq family. */
+  private val resCtxs =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pq.Model]
+  private val resIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def resModel(s: SparkSession, dir: String): graft.operators.Pq.Model =
+    resCtxs.getOrElseUpdate(dir,
+      graft.operators.Pq.fitResidual(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ivfCtx(s, dir).model, m = 8, k = 16, iters = 3))
+
+  /** Residual IVF-PQ probe: codes quantize v − centroid(cell) (the
+    * resolution goes where the coarse cell didn't already explain the
+    * vector), probe = partition pruning + per-cell literal ADC tables.
+    * Measured full-probe recall 0.340 vs 0.315 for raw-vector codes on
+    * this near-worst-case corpus (gated relatively in PqSpec). */
+  def q146ResidualIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val ictx = ivfCtx(s, dir)
+    val pctx = pqCtx(s, dir)
+    val rm = resModel(s, dir)
+    val path = resIndexes.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-respq-index-").toString
+      graft.operators.Pq.writeResidualIndex(t(s, dir, "embeddings"),
+        "vec_id", "embedding", ictx.model, rm, p)
+      p
+    })
+    graft.operators.Pq.adcTopKResidualIndexed(s, path, "vec_id", rm,
+        ictx.model, pctx.queryVec, queryId = 0L, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("cluster"), col("pq_code"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
 
   /** Product-quantization codes: 64-dim float vectors → one BIGINT of
     * four 8-bit lanes (32× footprint cut). Pure integer output — the
@@ -1021,6 +1058,7 @@ object ExtQueries {
     "q136_pq_refined" -> (q136PqRefined _),
     "q137_ivfpq_topk" -> (q137IvfPqTopK _),
     "q138_ivfpq_refined" -> (q138IvfPqRefined _),
+    "q146_residual_ivfpq" -> (q146ResidualIvfPq _),
     "q139_zorder_keys" -> (q139ZorderKeys _),
     "q140_contamination_ratio" -> (q140ContaminationRatio _),
     "q141_orc_roundtrip" -> (q141OrcRoundtrip _),
@@ -1183,6 +1221,81 @@ object ExtQueries {
              |LIMIT 10""".stripMargin)
     }
 
+  /** q146: the residual-IVF-PQ chain replayed end to end — coarse-cell
+    * CASE, then per-subspace residual argmin via the SAME per-(code,
+    * cell) constant literals the Spark plan folds in, then per-cell ADC
+    * tables as nested literals indexed by (cluster, code). */
+  private def residualOracles: Map[String, String] =
+    if (ivfCtxs.size != 1 || pqCtxs.size != 1 || resCtxs.size != 1)
+      Map.empty
+    else {
+      val im = ivfCtxs.values.head.model
+      val probes = ivfCtxs.values.head.probes
+      val q = pqCtxs.values.head.queryVec
+      val rm = resCtxs.values.head
+      val sub = rm.subDim
+      def dlit(x: Double) =
+        s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+      val idCols = im.centroids.zipWithIndex.map { case (c, i) =>
+        val cc = dlit(c.map(x => x * x).sum)
+        val arr = c.map(dlit).mkString("[", ",", "]")
+        s"($cc - 2.0 * list_dot_product(e, $arr)) AS id$i"
+      }.mkString(",\n  ")
+      val ileast = im.centroids.indices.map(i => s"id$i")
+        .mkString("least(", ", ", ")")
+      val icases = im.centroids.indices
+        .map(i => s"WHEN id$i = imn THEN $i").mkString(" ")
+      def rdName(si: Int, i: Int) = s"rd${si}_$i"
+      val rdCols = rm.codebooks.zipWithIndex.flatMap { case (book, si) =>
+        val consts = graft.operators.Pq.residualConsts(im, book, si, sub)
+        book.zipWithIndex.map { case (c, i) =>
+          val clit = consts(i).map(dlit).mkString("[", ",", "]")
+          val blit = c.map(dlit).mkString("[", ",", "]")
+          s"(list_extract($clit, cluster + 1) - 2.0 * list_dot_product(" +
+            s"e[${si * sub + 1}:${(si + 1) * sub}], $blit)) AS ${rdName(si, i)}"
+        }
+      }.mkString(",\n  ")
+      val rmins = rm.codebooks.indices.map { si =>
+        rm.codebooks(si).indices.map(i => rdName(si, i))
+          .mkString("least(", ", ", s") AS rmn$si")
+      }.mkString(", ")
+      val rcases = rm.codebooks.indices.map { si =>
+        "CASE " + rm.codebooks(si).indices
+          .map(i => s"WHEN ${rdName(si, i)} = rmn$si THEN $i")
+          .mkString(" ") + s" END AS rc$si"
+      }.mkString(",\n  ")
+      val packExpr = rm.codebooks.indices
+        .map(si => s"CAST(rc$si AS BIGINT) * ${1L << (8 * si)}")
+        .mkString(" + ")
+      val tables = graft.operators.Pq.residualAdcTables(im, rm, q)
+      val dist = (0 until rm.m).map { si =>
+        val nested = tables(si)
+          .map(cell => cell.map(dlit).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        s"list_extract(list_extract($nested, cluster + 1), rc$si + 1)"
+      }.mkString(" + ")
+      Map("q146_residual_ivfpq" ->
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |iv AS (SELECT vec_id, e,
+           |  $idCols
+           |  FROM v),
+           |ia AS (SELECT vec_id, e, CASE $icases END AS cluster
+           |       FROM (SELECT *, $ileast AS imn FROM iv)),
+           |rd AS (SELECT vec_id, cluster,
+           |  $rdCols
+           |  FROM ia),
+           |ra AS (SELECT vec_id, cluster,
+           |  $rcases
+           |  FROM (SELECT *, $rmins FROM rd)),
+           |codes AS (SELECT vec_id, cluster,
+           |  ${rm.codebooks.indices.map(si => s"rc$si").mkString(", ")},
+           |  $packExpr AS pq_code FROM ra)
+           |SELECT vec_id, cluster, pq_code, ROUND($dist, 6) AS adc_dist
+           |FROM codes WHERE cluster IN (${probes.mkString(", ")})
+           |  AND vec_id <> 0
+           |ORDER BY $dist, vec_id LIMIT 10""".stripMargin)
+    }
+
   private def ivfOracles: Map[String, String] =
     if (ivfCtxs.size != 1) Map.empty
     else {
@@ -1340,6 +1453,7 @@ object ExtQueries {
     }
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++
+    residualOracles ++
     pqOracles ++ tempOracles ++ mixOracles ++
     // the bloom path is exactly q82 by construction -> same oracle
     Map("q117_bloom_decontaminate" -> staticOracles("q82_decontaminate")) ++

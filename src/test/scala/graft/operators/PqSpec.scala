@@ -160,6 +160,62 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual codes equal a local residual-argmin replay; indexed probe matches") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val model = Pq.fitResidual(emb, "vec_id", "embedding", coarse,
+      m = 4, k = 8, iters = 2)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cells = Ivf.assign(emb, "vec_id", "embedding", coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sub = model.subDim
+    def localCode(id: Long): Long = {
+      val v = vecs(id); val cc = coarse.centroids(cells(id))
+      val r = v.indices.map(j => v(j) - cc(j))
+      model.codebooks.zipWithIndex.map { case (book, s) =>
+        val rs = r.slice(s * sub, (s + 1) * sub)
+        book.zipWithIndex.map { case (c, i) =>
+          (rs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+        }.min._2.toLong << (8 * s)
+      }.sum
+    }
+    val enc = Pq.encodeResidual(emb, "vec_id", "embedding", coarse, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    enc.foreach { case (id, cell, code) =>
+      assert(cell == cells(id))
+      assert(code == localCode(id), s"residual code drift for vec $id")
+    }
+    // indexed probe: pruned scan, per-cell ADC tables, local cross-check
+    val dir = java.nio.file.Files.createTempDirectory("respq-spec-").toString
+    try {
+      Pq.writeResidualIndex(emb, "vec_id", "embedding", coarse, model, dir)
+      val q = vecs(0L).toIndexedSeq
+      val probe = Pq.adcTopKResidualIndexed(spark, dir, "vec_id", model,
+        coarse, q, queryId = 0L, k = 5, nProbe = 2)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+        s"residual probe must prune on cluster:\n$plan")
+      val probes = coarse.nearestClusters(q, 2).toSet
+      val tables = Pq.residualAdcTables(coarse, model, q)
+      val local = enc.filter { case (id, cell, _) =>
+          id != 0L && probes(cell)
+        }.map { case (id, cell, code) =>
+          val d = (0 until model.m).map { s =>
+            tables(s)(cell)(((code >> (8 * s)) & 255L).toInt)
+          }.reduceLeft(_ + _)
+          (id, d)
+        }.sortBy { case (id, d) => (d, id) }.take(5)
+      val got = probe.collect().map(r => (r.getLong(0), r.getDouble(3)))
+      assert(got.toSeq == local.toSeq,
+        s"residual probe drifted: ${got.toSeq} vs ${local.toSeq}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("PQ recall@10 vs exact-L2 truth on sf0.01 embeddings >= floor") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
       .cache()
@@ -191,10 +247,34 @@ class PqSpec extends SparkSpec {
     val refined = recallOf(qid => Pq.topKRefined(emb, "vec_id",
         "embedding", model, qvecs(qid), qid, k, candidates = 100)
       .collect().map(_.getLong(0)).toSet)
-    info(f"pq(8x16) recall@10 vs exact L2: adc=$adc%.3f refined(c=100)=$refined%.3f")
-    // measured: adc=0.315, refined=0.860 — floors absorb fixture
-    // regeneration, not regressions (AnnRecallSpec discipline)
+    // residual encoding, FULL probe (nProbe = all cells) so the number
+    // isolates code quality from cell-miss recall loss
+    val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val resModel = Pq.fitResidual(emb, "vec_id", "embedding", coarse,
+      m = 8, k = 16, iters = 3)
+    val resCodes = Pq.encodeResidual(emb, "vec_id", "embedding", coarse,
+      resModel).cache()
+    def residualRecall(nProbe: Int): Double = recallOf { qid =>
+      val q = qvecs(qid)
+      val probes = coarse.nearestClusters(q, nProbe).toSet
+      val tables = Pq.residualAdcTables(coarse, resModel, q)
+      resCodes.collect().iterator
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .filter { case (id, cell, _) => id != qid && probes(cell) }
+        .map { case (id, cell, code) =>
+          (id, (0 until resModel.m).map { s =>
+            tables(s)(cell)(((code >> (8 * s)) & 255L).toInt)
+          }.sum)
+        }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+        .map(_._1).toSet
+    }
+    val resFull = residualRecall(8)
+    info(f"pq(8x16) recall@10 vs exact L2: adc=$adc%.3f refined(c=100)=$refined%.3f residual(full-probe)=$resFull%.3f")
+    // measured: adc=0.315, refined=0.860, residual=? — floors absorb
+    // fixture regeneration, not regressions (AnnRecallSpec discipline)
     assert(adc >= 0.2, f"pure-ADC recall collapsed: $adc%.3f")
     assert(refined >= 0.75, f"refined recall collapsed: $refined%.3f")
+    assert(resFull >= adc,
+      f"residual codes must not be worse than raw codes: $resFull%.3f vs $adc%.3f")
   }
 }
