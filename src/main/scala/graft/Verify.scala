@@ -36,7 +36,12 @@ object Verify {
       graft.util.Fs.deleteRecursively(out)
     }
     out.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter (regex on query name, same contract as Bench's);
+    // the driver leaves it unset so official dumps are always complete
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
