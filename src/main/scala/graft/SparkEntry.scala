@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, CoreQueries, ExtQueries, FunctionQueries, PipelineQueries, RetrievalQueries, SurfaceQueries}
+import graft.queries.{CdcQueries, CoreQueries, ExtQueries, FunctionQueries, PipelineQueries, QualityQueries, RetrievalQueries, SurfaceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtQueries.queries ++ PipelineQueries.queries ++
       SurfaceQueries.queries ++ FunctionQueries.queries ++
-      CdcQueries.queries ++ RetrievalQueries.queries
+      CdcQueries.queries ++ RetrievalQueries.queries ++
+      QualityQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles ++ PipelineQueries.oracles ++
       SurfaceQueries.oracles ++ FunctionQueries.oracles ++
-      CdcQueries.oracles ++ RetrievalQueries.oracles
+      CdcQueries.oracles ++ RetrievalQueries.oracles ++
+      QualityQueries.oracles
 }

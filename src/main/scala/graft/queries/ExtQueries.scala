@@ -745,6 +745,29 @@ object ExtQueries {
       Seq("event_type"))
   }
 
+  /** Mergeable Count-Min frequency sketch, merged path: per-source CMS
+    * of the token stream unioned via Cms.union (sketch blobs, never raw
+    * rows), then every vocabulary term probed — the bounded-memory
+    * heavy-hitters report. Construction-pinned oracle (q132 discipline):
+    * at width ⌈e/ε⌉ = 2719 this corpus's ~31-term vocabulary is
+    * collision-free in at least one of the 5 hash rows, so est = exact
+    * and the exact-count SQL is a binding oracle; CmsSpec covers the
+    * collision/overestimate case with a deliberately tiny sketch. */
+  def q153CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 1)
+    val perSource = graft.operators.Cms.build(toks, Seq("source"), "term")
+    val merged = graft.operators.Cms.rollup(perSource, Nil)
+      .collect().head.getAs[Array[Byte]](0)
+    val vocab = toks.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.operators.Cms.estimate(merged, vocab)
+      .toDF("term", "occurrences")
+      .orderBy(desc("occurrences"), col("term")).limit(20)
+  }
+
   /** File-stats-index range read: candidate files from the materialized
     * min/max table, exact predicate re-applied — the oracle computes
     * from the raw table, so the index can only reduce IO, never change
@@ -1064,6 +1087,7 @@ object ExtQueries {
     "q141_orc_roundtrip" -> (q141OrcRoundtrip _),
     "q143_csv_roundtrip" -> (q143CsvRoundtrip _),
     "q144_hll_distinct" -> (q144HllDistinct _),
+    "q153_cms_heavyhitters" -> (q153CmsHeavyHitters _),
     "q145_stats_pruned" -> (q145StatsPruned _),
     "q142_pagerank" -> (q142PageRank _),
     "q126_sql_sampling" -> (q126SqlSampling _),
@@ -1845,6 +1869,15 @@ object ExtQueries {
          |${iter("r2", "r3")}
          |SELECT node, rank_ppm FROM r3""".stripMargin
     },
+    "q153_cms_heavyhitters" ->
+      // exact counts: binding because the sketch is collision-free for
+      // this vocabulary by construction (see q153's scaladoc)
+      """SELECT term, count(*) AS occurrences FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents)
+        |WHERE len(term) >= 1
+        |GROUP BY term ORDER BY occurrences DESC, term LIMIT 20"""
+        .stripMargin,
     "q145_stats_pruned" ->
       // computed from the RAW table: proves the index path changed
       // nothing while reading fewer files
