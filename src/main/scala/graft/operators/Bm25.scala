@@ -149,6 +149,83 @@ object Bm25 {
       .parquet(s"$path/stats")
   }
 
+  /** Stateless per-row postings (STREAM-SAFE form of [[postings]]): tf
+    * comes from counting inside each document's own token array instead
+    * of a groupBy, so the transform is a pure projection — no streaming
+    * aggregation, no watermark, and the exactly-once parquet stream sink
+    * applies. Identical rows to [[postings]] by construction (PostingsSpec
+    * pins it). */
+  def postingsStateless(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(array_distinct(col("__toks"))).as("term"))
+      .filter(length(col("term")) >= 1)
+      .select(col(idCol), size(col("__toks")).as("dl"), col("term"),
+        size(filter(col("__toks"), _ === col("term"))).cast("long").as("tf"))
+
+  /** Continuous lexical-index maintenance: drain new document files from
+    * `srcDir` into the bucket-partitioned postings table at
+    * `path`/postings, exactly once across restarts (file-sink metadata
+    * log + checkpoint = the bookmark). A second drain ([[doclenIngestOnce]])
+    * maintains `path`/doclen — the slim (id, dl) table probes read their
+    * (N, L) corpus stats from. Maintenance cost tracks NEW documents,
+    * never corpus size; a crashed drain replays its batch into the sink
+    * log idempotently. Probe with [[topKStreamed]]. */
+  def indexIngestOnce(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, path: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val post = postingsStateless(
+      spark.readStream.schema(schema).parquet(srcDir), idCol, textCol)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+    val q = post.writeStream
+      .format("parquet")
+      .partitionBy("bucket")
+      .option("path", s"$path/postings")
+      .option("checkpointLocation", s"$checkpointDir/postings")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dl = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col(idCol), TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("dl"))
+    val q2 = dl.writeStream
+      .format("parquet")
+      .option("path", s"$path/doclen")
+      .option("checkpointLocation", s"$checkpointDir/doclen")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+  }
+
+  /** Probe a stream-maintained index ([[indexIngestOnce]] layout): df(t)
+    * comes from the SAME pruned posting scan that scoring reads (a
+    * term's df is its posting-row count — no separate terms table to
+    * keep transactionally consistent with the postings), and (N, L) from
+    * the slim doclen table. Identical output to [[topK]] over the union
+    * of all drained documents. */
+  def topKStreamed(spark: SparkSession, path: String, idCol: String,
+      query: Seq[String], k: Int, buckets: Int = 64): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val terms = query.distinct
+    // bucket ids via the same pmod(xxhash64) the writer used, evaluated
+    // on a |terms|-row local relation (O(query), not O(corpus))
+    val qBuckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qBuckets: _*) &&
+        col("term").isin(terms: _*))
+      .localCheckpoint() // one pruned scan feeds df AND scoring
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val statsDf = spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__l"))
+    scoreAndRank(post.drop("bucket"), dfreq, statsDf, idCol, k)
+  }
+
   /** Probe the materialized index: reads ONLY the query terms' buckets
     * (partition pruning on the term-hash bucket + term pushdown inside
     * each bucket), so probe cost tracks posting-list length rather than

@@ -32,7 +32,7 @@ object RetrievalQueries {
     .TrieMap.empty[String, String]
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      bm25Indexes.values
+      (bm25Indexes.values ++ streamIndexes.values)
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-bm25-index-cleanup"))
 
@@ -49,6 +49,29 @@ object RetrievalQueries {
       p
     })
     Bm25.topKIndexed(s, path, "doc_id", probeTerms, k = 25)
+  }
+
+  /** q154: the probe against a STREAM-maintained index — documents
+    * drained through the exactly-once file-sink path (checkpoint =
+    * bookmark, stateless per-row postings transform), then probed with
+    * df computed from the same pruned posting scan that scoring reads.
+    * Identical output and oracle to q147: the continuous-ingest index
+    * must answer exactly like a batch rebuild. */
+  private val streamIndexes = scala.collection.concurrent
+    .TrieMap.empty[String, String]
+
+  def q154Bm25Streamed(s: SparkSession, dir: String): DataFrame = {
+    val path = streamIndexes.getOrElseUpdate(dir, {
+      cleanupHook
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25-stream-").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.write.mode("append").parquet(s"$root/src")
+      Bm25.indexIngestOnce(s, s"$root/src", docs.schema, s"$root/idx",
+        s"$root/ckp", "doc_id", "text")
+      root
+    })
+    Bm25.topKStreamed(s, s"$path/idx", "doc_id", probeTerms, k = 25)
   }
 
   /** The fixed 3-query batch for q149 (one row per distinct query term). */
@@ -93,7 +116,8 @@ object RetrievalQueries {
     "q147_bm25" -> (q147Bm25 _),
     "q148_bm25_indexed" -> (q148Bm25Indexed _),
     "q149_bm25_batch" -> (q149Bm25Batch _),
-    "q150_rrf_fusion" -> (q150RrfFusion _))
+    "q150_rrf_fusion" -> (q150RrfFusion _),
+    "q154_bm25_streamed" -> (q154Bm25Streamed _))
 
   /** Shared oracle CTE: exact-integer BM25 postings/df/stats over
     * `documents` filtered to a term list, replaying Bm25.scorePpm's
@@ -138,6 +162,7 @@ object RetrievalQueries {
   def oracles: Map[String, String] = Map(
     "q147_bm25" -> bm25TopSql,
     "q148_bm25_indexed" -> bm25TopSql,
+    "q154_bm25_streamed" -> bm25TopSql,
     "q149_bm25_batch" ->
       s"""WITH q(query_id, term) AS (VALUES $batchValues),
          |${bm25Cte(batchList)},

@@ -102,6 +102,47 @@ class Bm25Spec extends SparkSpec {
   test("query terms absent from the corpus yield an empty result, not error") {
     assert(Bm25.topK(corpus, "doc_id", "text", Seq("zzz"), 3).count() == 0)
   }
+
+  test("postingsStateless == postings (the stream-safe per-row form)") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dl", "term", "tf")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+    assert(norm(Bm25.postingsStateless(corpus, "doc_id", "text")) ==
+      norm(Bm25.postings(corpus, "doc_id", "text")))
+  }
+
+  test("streamed index: drains are exactly-once and probe == direct topK") {
+    val src = java.nio.file.Files.createTempDirectory("bm25-src").toString
+    val idx = java.nio.file.Files.createTempDirectory("bm25-sidx").toString
+    val ckp = java.nio.file.Files.createTempDirectory("bm25-ckp").toString
+    try {
+      val half1 = corpus.filter($"doc_id" < 2L)
+      val half2 = corpus.filter($"doc_id" >= 2L)
+      half1.write.mode("append").parquet(src)
+      val schema = corpus.schema
+      Bm25.indexIngestOnce(spark, src, schema, idx, ckp, "doc_id", "text",
+        buckets = 8)
+      val probe1 = Bm25.topKStreamed(spark, idx, "doc_id",
+        Seq("cat", "rare"), 4, buckets = 8).collect().toSeq
+      assert(probe1 == Bm25.topK(half1, "doc_id", "text",
+        Seq("cat", "rare"), 4).collect().toSeq)
+      // re-drain with nothing new: index unchanged (exactly-once)
+      Bm25.indexIngestOnce(spark, src, schema, idx, ckp, "doc_id", "text",
+        buckets = 8)
+      assert(Bm25.topKStreamed(spark, idx, "doc_id", Seq("cat", "rare"), 4,
+        buckets = 8).collect().toSeq == probe1)
+      // new documents arrive: incremental drain == batch recompute
+      half2.write.mode("append").parquet(src)
+      Bm25.indexIngestOnce(spark, src, schema, idx, ckp, "doc_id", "text",
+        buckets = 8)
+      assert(Bm25.topKStreamed(spark, idx, "doc_id", Seq("cat", "rare"), 4,
+        buckets = 8).collect().toSeq ==
+        Bm25.topK(corpus, "doc_id", "text", Seq("cat", "rare"), 4)
+          .collect().toSeq)
+    } finally Seq(src, idx, ckp).foreach(p =>
+      graft.util.Fs.deleteRecursively(new java.io.File(p)))
+  }
 }
 
 class FusionSpec extends SparkSpec {
