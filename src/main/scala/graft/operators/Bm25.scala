@@ -39,9 +39,9 @@ object Bm25 {
     * computed scan-side before the explode). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
-        .as("term"),
-        TextFunctions.tokenCount(col(textCol)).as("dl"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"),
+        size(col("__toks")).as("dl")) // ONE split feeds term stream AND dl
       .filter(length(col("term")) >= 1)
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -106,10 +106,16 @@ object Bm25 {
       queryTerms: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val q = queryTerms.select(col("query_id"), col("term")).distinct()
+    // the batch's term universe is serving-batch-sized by contract:
+    // collect it so the term filter is an `isin` PREDICATE Catalyst can
+    // push below the postings aggregation (a join would sit above the
+    // groupBy and force tf for every term in the corpus).
+    val termList = q.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
     // df(t) over rows filtered to the batch's term universe equals global
     // df(t): the filter is per-term, so it commutes with the per-term count.
     val post = postings(docs, idCol, textCol)
-      .join(broadcast(q.select(col("term")).distinct()), Seq("term"))
+      .filter(col("term").isin(termList: _*))
       .localCheckpoint()
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val scored = post
