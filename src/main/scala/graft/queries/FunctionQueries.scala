@@ -58,6 +58,38 @@ object FunctionQueries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
 
+  /** ROLLUP grouping-set hierarchy with GROUPING flags: the subtotal
+    * report CUBE (q51) doesn't cover — (flag, status), (flag), () levels
+    * only, each row tagged with which columns are aggregated away.
+    * Decimal-exact sum exported as double (the q145 float contract). */
+  def q155Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
+  /** Correlated scalar subqueries — ONE shared ANSI string is both the
+    * Spark query and the DuckDB oracle (q93/q126 discipline): per-customer
+    * order count and max order value via correlated aggregates (Catalyst
+    * decorrelates both into left outer aggregate joins — the plan a
+    * hand-written join would produce, from subquery syntax). */
+  private val correlatedSql =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders o
+      |     WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT max(o.o_totalprice) FROM orders o
+      |     WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin
+
+  def q156Correlated(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(correlatedSql)
+  }
+
   /** Ranking-function variants over one window. */
   def q52RankVariants(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
@@ -166,6 +198,8 @@ object FunctionQueries {
     "q49_left_outer" -> (q49LeftOuter _),
     "q50_full_outer" -> (q50FullOuter _),
     "q51_cube" -> (q51Cube _),
+    "q155_rollup" -> (q155Rollup _),
+    "q156_correlated" -> (q156Correlated _),
     "q52_rank_variants" -> (q52RankVariants _),
     "q54_string_zoo" -> (q54StringZoo _),
     "q55_date_zoo" -> (q55DateZoo _))
@@ -229,6 +263,14 @@ object FunctionQueries {
     "q51_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q155_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q156_correlated" -> correlatedSql,
     "q52_rank_variants" ->
       """SELECT o_orderstatus, o_orderkey,
         | CAST(rank() OVER w AS INTEGER) AS rnk,

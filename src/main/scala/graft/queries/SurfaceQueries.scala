@@ -260,6 +260,27 @@ object SurfaceQueries {
         min(col("__p")).cast("long").as("purchase_ts"))
   }
 
+  /** Event-sequence motif matching (the MATCH_RECOGNIZE use case,
+    * Spark-first): each user's event history becomes one ordered
+    * initials string — sort happens INSIDE the per-user array
+    * (array_sort on (ts, event_id) structs after one shuffle), never a
+    * global sort — and motifs are regexp counts over that string.
+    * Initials are unique per event type (c,e,p,s,v), so 'vc' is exactly
+    * view→click adjacency and 'v[^p]*p' is view-eventually-purchase;
+    * patterns stay in the Java∩RE2 common dialect. */
+  def q157EventMotifs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("__e"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", transform(array_sort(collect_list(col("__e"))),
+        e => e.getField("c"))).as("seq"))
+      .select(col("user_id"), length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("vc")).as("n_view_click"),
+        regexp_count(col("seq"), lit("v[^p]*p")).as("n_view_to_purchase"),
+        regexp_count(col("seq"), lit("ee")).as("n_error_bursts"))
+
   /** Weekly retention cohorts: users grouped by their first signup
     * week, counted distinct per whole-week offset of later activity —
     * the cohort matrix in long form. Offsets are exact integer
@@ -299,6 +320,7 @@ object SurfaceQueries {
     "q105_stream_join" -> (q105StreamJoin _),
     "q116_psi" -> (q116Psi _),
     "q110_funnel" -> (q110Funnel _),
+    "q157_event_motifs" -> (q157EventMotifs _),
     "q111_cohorts" -> (q111Cohorts _),
     "q113_skew_report" -> (q113SkewReport _),
     "q106_histogram" -> (q106Histogram _),
@@ -355,6 +377,19 @@ object SurfaceQueries {
         |t AS (SELECT COUNT(*) AS tt FROM events)
         |SELECT user_id, n, (n * 1000000) // tt AS share_ppm
         |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "q157_event_motifs" ->
+      """SELECT user_id, CAST(len(seq) AS INTEGER) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'vc')) AS INTEGER)
+        |    AS n_view_click,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INTEGER)
+        |    AS n_view_to_purchase,
+        |  CAST(len(regexp_extract_all(seq, 'ee')) AS INTEGER)
+        |    AS n_error_bursts
+        |FROM (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY user_id)""".stripMargin,
     "q110_funnel" ->
       // staged mins via joins (the window formulation's relational twin);
       // null stages propagate through the > comparison identically
