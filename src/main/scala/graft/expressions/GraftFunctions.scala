@@ -46,6 +46,15 @@ object GraftFunctions {
   def rollingXxHash64(tokens: Column): Column =
     TextExpressionFunctions.rollingXxHash64(tokens)
 
+  /** Codegen'd raw-DEFLATE compressed length of the UTF-8 text. */
+  def deflateLength(text: Column): Column =
+    TextExpressionFunctions.deflateLength(text)
+
+  /** Codegen'd compression ratio in ppm (deflate_len·10^6 div utf8_len;
+    * NULL for empty text) — the Gopher-family quality signal. */
+  def compressionRatioPpm(text: Column): Column =
+    TextExpressionFunctions.compressionRatioPpm(text)
+
   /** Codegen'd word n-gram shingles (space-joined) of a token array —
     * a per-row loop; no window, no interpreted HOF. Requires n >= 2. */
   def wordShingles(tokens: Column, n: Int): Column =

@@ -174,4 +174,18 @@ object TextFunctions {
     * and tracks the real count). One codegen'd regex scan per row. */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpeSegmentPattern))
+
+  /** Raw-DEFLATE compressed length of the UTF-8 text — one codegen'd
+    * expression ([[org.apache.spark.sql.graft.DeflateLength]]). */
+  def deflateLength(text: Column): Column =
+    graft.expressions.GraftFunctions.deflateLength(text)
+
+  /** Compression ratio in ppm: `deflate_len · 10^6 div utf8_len` — the
+    * Gopher-family quality signal (near-0 = degenerate repetition,
+    * near-10^6 = high-entropy noise; natural text sits between). Pure
+    * integer arithmetic over the per-JVM-deterministic deflate length;
+    * see [[graft.util.Deflate]] for why this signal is spec-gated
+    * rather than DuckDB-oracled. Empty text yields NULL (0/0). */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.GraftFunctions.compressionRatioPpm(text)
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HashMin label propagation (the Pregel-style connected-components
+  * algorithm; public knowledge — Kang et al., PEGASUS, ICDM 2009) —
+  * the fully-distributed graph-labeling path that complements
+  * [[Components.connectedComponents]]: union-find collects edges on the
+  * driver (bounded at 1M edges), star contraction converges in
+  * O(log n) supersteps but rewrites edges; HashMin touches only the
+  * label table and is the shape a 1000-executor job runs when the edge
+  * table itself is TB-scale and iteration count can be budgeted.
+  *
+  * Each node starts labeled with its own id; every iteration a node
+  * takes the min of its label and its in-neighbors' labels. After K
+  * iterations every node within graph distance K of its component's
+  * minimum carries that minimum — so with symmetric edges and K >=
+  * diameter the labels ARE the connected components, and for smaller K
+  * the result is still deterministic (bounded-radius communities
+  * around local minima), which is what makes a fixed-iteration run
+  * SQL-replayable: the oracle unrolls the same K joins and must match
+  * bit-for-bit. No floats anywhere — labels are the node ids.
+  *
+  * Scale shape (mirrors [[PageRank.run]]): one shuffle join
+  * (edges ⋈ labels on src) + one partial-aggregated min per dst per
+  * iteration — min combines map-side, so the shuffle carries at most
+  * one row per (map partition, dst). Labels are localCheckpointed per
+  * iteration to keep lineage O(1) in iteration count. Total cost:
+  * K × (|E| join + |V| agg) — no driver-side state at any size. */
+object LabelProp {
+
+  /** (node, label) after `iters` exact HashMin iterations. Pass
+    * symmetric edges (both directions) for undirected semantics —
+    * propagation follows edge direction src→dst. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    (1 to iters).foreach { _ =>
+      val incoming = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label").as("nl"))
+        .groupBy(col("node")).agg(min(col("nl")).as("m"))
+      labels = labels.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("m"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

@@ -160,4 +160,43 @@ object Profile {
           .otherwise(lit(mn) + (col("bin") + 1L) * lit(w)).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Approximate quantiles read off the equi-width [[histogram]] — the
+    * mergeable-quantile member of the sketch family ([[Sketches]] HLL =
+    * distinct, Bloom = membership, [[Cms]] = frequency): histograms
+    * over partitions/days union by summing bin counts, and quantiles of
+    * the union come from the merged counts — no re-scan, unlike exact
+    * percentile_disc. Error is bounded by one bin width (range/buckets).
+    *
+    * For each requested percent q, the answer is the UPPER EDGE of the
+    * first bin whose cumulative count reaches q% of non-null rows —
+    * `100·cum >= q·N` in pure integer arithmetic (no ceil, no float
+    * rank), and the edges are the histogram's exactly-rounded IEEE
+    * doubles, so any engine reproduces the result bit-for-bit.
+    *
+    * Scale shape: everything after the histogram's partial-agg scan
+    * operates on `buckets` rows — the cumulative window is a
+    * single-partition sort of `buckets` rows by construction, and the
+    * percents table is a literal local relation. */
+  def histogramQuantiles(df: DataFrame, c: String, buckets: Int,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "need at least one percent")
+    require(percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = histogram(df, c, buckets).localCheckpoint()
+    val cum = h.withColumn("cum",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin"))
+        .rowsBetween(Long.MinValue, 0)))
+    val tot = h.agg(sum(col("n")).as("total"))
+    val pcts = percents.toDF("pct")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct")).agg(min(col("bin")).as("bin"))
+      .join(h.select(col("bin"), col("hi")), "bin")
+      .select(col("pct").cast("long").as("pct"), col("bin"),
+        col("hi").as("q_value"))
+  }
 }

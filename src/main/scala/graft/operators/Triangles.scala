@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting (public algorithm: degree-oriented
+  * node-iterator — Cohen, "Graph twiddling in a MapReduce world", 2009;
+  * Suri & Vassilvitskii, WWW 2011) — the clustering-coefficient /
+  * community-density primitive of the graph family alongside
+  * [[PageRank]] and [[LabelProp]].
+  *
+  * Every edge is oriented from its lower-(degree, id) endpoint to the
+  * higher one; wedges are enumerated only at each edge's SOURCE, so the
+  * per-node wedge count is bounded by out-degree², and under degree
+  * orientation max out-degree is O(√|E|) — total wedge volume is
+  * O(|E|^1.5) regardless of skew (a raw id-orientation puts all wedges
+  * on low-id hubs and can be quadratic on one reducer). Each triangle
+  * has exactly one vertex with out-edges to the other two, and its
+  * closing edge appears in exactly one orientation, so each triangle
+  * materializes exactly once — no post-hoc dedup. All arithmetic is
+  * integer; the oracle can replay with the simpler a<b<c 3-way
+  * self-join (orientation changes intermediate sizes, never results).
+  *
+  * Scale shape: degrees are one partial agg; orientation one join; the
+  * wedge self-join and the closing-edge join shuffle on node ids only
+  * (12–24 bytes/row). localCheckpoints keep the oriented edge table
+  * single-derivation across its three consumers. */
+object Triangles {
+
+  /** (node, n_triangles) — exact per-node triangle memberships over the
+    * undirected simple graph induced by `edges` (direction and
+    * duplicates ignored, self-loops dropped). Nodes in no triangle are
+    * omitted. */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low-(d, n) → high-(d, n): struct comparison gives the
+    // lexicographic (degree, id) total order directly
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    // wedges at u close against an oriented edge between the two tips:
+    // exactly one of (v,w)/(w,v) is present, so each triangle lands once
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") =!= col("y.v"))
+      .select(col("x.u").as("n1"), col("x.v").as("n2"), col("y.v").as("n3"))
+    val tri = wedges
+      .join(oriented.as("c"),
+        col("n2") === col("c.u") && col("n3") === col("c.v"))
+      .select(col("n1"), col("n2"), col("n3"))
+    tri.select(col("n1").as("node"))
+      .union(tri.select(col("n2").as("node")))
+      .union(tri.select(col("n3").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -834,6 +834,76 @@ object ExtQueries {
     graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
   }
 
+  /** HashMin label propagation on the q142 graph: 4 exact iterations of
+    * min-label flooding — the fully-distributed connected-components
+    * path (vs [[graft.operators.Components]]'s driver union-find). The
+    * oracle unrolls the same 4 joins; labels are node ids, so every
+    * iteration is integer-exact on any engine. */
+  def q158LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_suppkey").as("a"),
+        (col("o_custkey") + lit(100000L)).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.LabelProp.run(edges, "src", "dst", iters = 4)
+  }
+
+  /** Exact per-node triangle counts on the part co-occurrence graph
+    * (parts sharing an order are adjacent) — degree-oriented wedge
+    * enumeration keeps wedge volume O(|E|^1.5) under skew; the oracle
+    * replays with the orientation-free a<b<c 3-way self-join, which is
+    * only equivalent because each triangle materializes exactly once in
+    * both forms. */
+  def q159Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .distinct()
+    graft.operators.Triangles.perNode(edges, "src", "dst")
+  }
+
+  /** Deterministic categorical encoding, fit + transform in one run:
+    * the (p_brand → index) dictionary is fit by (frequency DESC, value
+    * ASC) and every part row is scored against it — the train/serve
+    * StringIndexer shape with an engine-replayable tie-break. */
+  def q160CategoryEncode(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val dict = graft.operators.CategoryEncode.fit(p, "p_brand")
+    graft.operators.CategoryEncode
+      .transform(p, "p_brand", dict, "brand_idx")
+      .select(col("p_partkey"), col("p_brand"), col("brand_idx"))
+  }
+
+  /** Compression-ratio quality signal (Gopher §A1.2): deflate length
+    * and ratio in ppm per document, plus the keep-band flag (natural
+    * text sits between degenerate repetition and noise). Rows-only:
+    * deflate output is deterministic per JVM but not engine-portable —
+    * pinned by `DeflateSpec` (independent one-shot replay, class
+    * ordering, codegen/interpreted agreement) instead of DuckDB. */
+  def q161CompressionRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("utf8_len"),
+        TextFunctions.deflateLength(col("text")).as("deflate_len"),
+        TextFunctions.compressionRatio(col("text")).as("ratio_ppm"))
+      .withColumn("keep",
+        col("ratio_ppm").between(120000L, 900000L))
+      .orderBy(col("doc_id"))
+
+  /** Mergeable approximate quantiles read off the equi-width histogram
+    * (q106's grid): upper edge of the first bin whose cumulative count
+    * reaches the rank — pure integer selection over exactly-rounded
+    * IEEE edges, so DuckDB replays it bit-for-bit. */
+  def q162HistQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogramQuantiles(
+      t(s, dir, "lineitem"), "l_extendedprice", buckets = 8,
+      percents = Seq(25, 50, 75, 95, 100))
+
   /** Corpus-boilerplate strip: spans present in >= 3 distinct documents
     * are removed everywhere (first copy included) — the MassiveText
     * "repeated lines across documents" rule on q104's span grid. At this
@@ -1090,6 +1160,11 @@ object ExtQueries {
     "q153_cms_heavyhitters" -> (q153CmsHeavyHitters _),
     "q145_stats_pruned" -> (q145StatsPruned _),
     "q142_pagerank" -> (q142PageRank _),
+    "q158_labelprop" -> (q158LabelProp _),
+    "q159_triangles" -> (q159Triangles _),
+    "q160_category_encode" -> (q160CategoryEncode _),
+    "q161_compression_ratio" -> (q161CompressionRatio _),
+    "q162_hist_quantiles" -> (q162HistQuantiles _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -1869,6 +1944,92 @@ object ExtQueries {
          |${iter("r2", "r3")}
          |SELECT node, rank_ppm FROM r3""".stripMargin
     },
+    "q158_labelprop" -> {
+      // the exact HashMin update, unrolled: labels are node ids, all
+      // integer arithmetic, so each iteration matches bit-for-bit
+      val iters = Seq("l0" -> "l1", "l1" -> "l2", "l2" -> "l3",
+        "l3" -> "l4").map { case (prev, cur) =>
+        s"""$cur AS (
+           |  SELECT p.node,
+           |    LEAST(p.label, COALESCE(c.m, p.label)) AS label
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT e.dst AS node, MIN(r.label) AS m
+           |    FROM edges e
+           |    JOIN $prev r ON e.src = r.node
+           |    GROUP BY e.dst) c ON p.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$iters
+         |SELECT node, label FROM l4""".stripMargin
+    },
+    "q159_triangles" ->
+      // orientation-free replay: each triangle appears exactly once as
+      // a<b<c, so corner counts match the degree-oriented plan's
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, COUNT(*) AS n_triangles FROM (
+        |  SELECT n1 AS node FROM tri
+        |  UNION ALL SELECT n2 FROM tri
+        |  UNION ALL SELECT n3 FROM tri)
+        |GROUP BY node""".stripMargin,
+    "q160_category_encode" ->
+      // the exact fit order: frequency DESC, value ASC, 0-based
+      """WITH d AS (
+        |  SELECT p_brand AS value, COUNT(*) AS n FROM part
+        |  WHERE p_brand IS NOT NULL GROUP BY 1),
+        |dict AS (
+        |  SELECT value,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, value) - 1 AS BIGINT)
+        |      AS idx
+        |  FROM d)
+        |SELECT p.p_partkey, p.p_brand,
+        |  CAST(COALESCE(dict.idx, -1) AS BIGINT) AS brand_idx
+        |FROM part p LEFT JOIN dict ON p.p_brand = dict.value""".stripMargin,
+    "q162_hist_quantiles" ->
+      // q106's histogram grid + integer rank selection; edges are
+      // exactly-rounded IEEE doubles so hi matches bit-for-bit
+      """WITH b AS (
+        |  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |         MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |  FROM lineitem),
+        |bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+        |cnt AS (
+        |  SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.mn)
+        |      * 8 / (b.mx - b.mn)) AS BIGINT), 7) AS bin,
+        |    COUNT(*) AS n
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT bin,
+        |    CASE WHEN bin = 7 THEN b.mx
+        |         ELSE b.mn + (bin + 1) * ((b.mx - b.mn) / 8) END AS hi,
+        |    COALESCE(n, 0) AS n
+        |  FROM bins LEFT JOIN cnt USING (bin), b),
+        |c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM h),
+        |tot AS (SELECT SUM(n) AS total FROM h),
+        |p AS (SELECT unnest([25, 50, 75, 95, 100]) AS pct),
+        |sel AS (
+        |  SELECT p.pct, MIN(c.bin) AS bin
+        |  FROM c, tot, p WHERE c.cum * 100 >= p.pct * tot.total
+        |  GROUP BY p.pct)
+        |SELECT CAST(sel.pct AS BIGINT) AS pct, sel.bin, h.hi AS q_value
+        |FROM sel JOIN h USING (bin)""".stripMargin,
     "q153_cms_heavyhitters" ->
       // exact counts: binding because the sketch is collision-free for
       // this vocabulary by construction (see q153's scaladoc)

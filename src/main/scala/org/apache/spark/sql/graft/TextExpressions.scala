@@ -379,7 +379,71 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
 }
 
 /** Column-level API for the text expressions. */
+/** Raw-DEFLATE compressed length of a string's UTF-8 bytes as ONE
+  * codegen'd expression — the compression-ratio quality signal
+  * (see [[graft.util.Deflate]] for the determinism contract). The
+  * compressor call dominates, so codegen's win here is staying inside
+  * the surrounding WholeStageCodegen span (no row materialization
+  * boundary), not the loop body itself. */
+case class DeflateLength(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_length"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.util.Deflate.length(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.util.Deflate.length($s.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength =
+    copy(newChild)
+}
+
+/** Compression ratio in ppm: `deflate_len · 10^6 div utf8_len`, NULL
+  * for empty text — deflate and the exact integer division fused into
+  * one expression so the ratio needs no post-hoc DIV plumbing and both
+  * longs stay exact (Java long division of non-negatives IS floor). */
+case class CompressionRatioPpm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_compression_ratio_ppm"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    if (b.length == 0) null
+    else Long.box(graft.util.Deflate.length(b) * 1000000L / b.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |if ($b.length == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.util.Deflate.length($b) * 1000000L / $b.length;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatioPpm =
+    copy(newChild)
+}
+
 object TextExpressionFunctions {
+  def deflateLength(text: Column): Column =
+    ExpressionUtils.column(DeflateLength(ExpressionUtils.expression(text)))
+
+  def compressionRatioPpm(text: Column): Column =
+    ExpressionUtils.column(CompressionRatioPpm(ExpressionUtils.expression(text)))
+
   def rollingXxHash64(tokens: Column): Column =
     ExpressionUtils.column(RollingXxHash64(ExpressionUtils.expression(tokens)))
 

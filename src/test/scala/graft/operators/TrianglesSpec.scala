@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // brute-force per-node triangle memberships over the simple graph
+  private def local(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 < p._2).distinct.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes; j <- nodes if i < j && und((i, j))
+      k <- nodes if j < k && und((j, k)) && und((i, k))
+    } yield (i, j, k)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Triangles.perNode(edges.toDF("src", "dst"), "src", "dst")
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("one triangle counts once at each corner") {
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("direction, duplicates and self-loops are ignored") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (2L, 2L))
+    assert(run(e) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("K4 gives every node 3 triangles; nodes outside triangles are absent") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val e = k4 ++ Seq((3L, 9L)) // pendant node 9: in no triangle
+    val got = run(e)
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("hub-heavy skew graph matches brute force (orientation stress)") {
+    // hub 0 connected to all; ring among the spokes creates triangles
+    val n = 14L
+    val hub = (1L until n).map(i => (0L, i))
+    val ring = (1L until n).map(i => (i, if (i == n - 1) 1L else i + 1))
+    val e = hub ++ ring
+    assert(run(e) == local(e))
+  }
+
+  test("matches brute force on random graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val e = Seq.fill(80)(
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      assert(run(e) == local(e), s"drift at seed=$seed")
+    }
+  }
+}
