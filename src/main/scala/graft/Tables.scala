@@ -16,16 +16,33 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table. `events.ts` is written as parquet TIMESTAMP(NANOS),
-    * which Spark's reader does not support natively: we read it as raw
-    * nanos (legacy long mode) and floor-convert to a microsecond timestamp,
-    * the same truncation DuckDB applies when casting TIMESTAMP_NS→TIMESTAMP.
+  /** Normalize an events frame whose `ts` may be parquet TIMESTAMP(NANOS)
+    * (older fixtures; Spark reads it as raw long in legacy mode) or
+    * TIMESTAMP(MICROS) without UTC adjustment (current fixtures; Spark
+    * infers TIMESTAMP_NTZ). Both normalize to a session-zone TIMESTAMP —
+    * the session is pinned to UTC, so the wall-clock values are identical
+    * and downstream epoch arithmetic (`cast(ts as bigint)`, window frames)
+    * stays legal. Shared by every events reader so code paths cannot drift;
+    * the nanos→micros floor matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** Load one table. `events.ts` may be TIMESTAMP(NANOS) in old fixtures:
+    * legacy-nanos mode makes the read succeed either way, and
+    * [[normalizeEventTs]] converts only when the raw long actually surfaced.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
@@ -33,7 +50,22 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` works over the same
     * data (the reference's interactive surface is SQL-over-catalog —
-    * reference: README.md:245-276). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    * reference: README.md:245-276). Registration is failure-isolated: one
+    * unreadable table must not take down queries that never touch it. A table
+    * whose load fails is dropped from the view catalog (so a stale view from
+    * a prior registration cannot serve wrong data) and the failure is
+    * recorded; queries touching it then fail at analysis with a
+    * view-not-found error naming the table, while every other query runs.
+    * Returns the names of tables that failed to register (empty = all good).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Seq[String] =
+    all.flatMap { n =>
+      try { load(spark, sfDir, n).createOrReplaceTempView(n); None }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          spark.catalog.dropTempView(n)
+          System.err.println(s"[graft] registerAll: table '$n' failed to load from $sfDir: ${e.getMessage}")
+          Some(n)
+      }
+    }
 }

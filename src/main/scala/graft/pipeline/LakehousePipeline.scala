@@ -62,10 +62,8 @@ object LakehousePipeline {
         .parquet(wh.table(Medallion.Bronze, "events"))
         .withColumn("source_file",
           regexp_extract(input_file_name(), "([^/]+)$", 1))
-      val bronze =
-        (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw).observe(bronzeObs, count(lit(1)).as("n"))
+      val bronze = graft.Tables.normalizeEventTs(raw)
+        .observe(bronzeObs, count(lit(1)).as("n"))
       val cleansed = Cleanse.rangeRules(bronze,
         Seq(col("value").isNotNull, col("value") >= 0,
           col("event_type").isNotNull && col("event_type") =!= ""))

@@ -904,6 +904,56 @@ object ExtQueries {
       t(s, dir, "lineitem"), "l_extendedprice", buckets = 8,
       percents = Seq(25, 50, 75, 95, 100))
 
+  /** Incremental gold refresh replayed against a full recompute (r6
+    * verdict item 7): events split at the corpus's median day into a
+    * standing gold aggregate and a "new day's" increment, each
+    * aggregated independently, then combined with
+    * [[graft.pipeline.IncrementalAgg.mergeWithSketches]] — sums/counts
+    * merged exactly, distinct users carried as a mergeable HLL sketch.
+    * The DuckDB oracle is the full-history recompute, which the merged
+    * exact measures must hash-match bit-for-bit; `users_est_ok` pins the
+    * sketch-union path (merged estimate within 5% of the true per-day
+    * distinct, so a lost/double-unioned sketch flips it to 0 and
+    * hash-mismatches the oracle's constant 1). Sums ride on
+    * decimal(18,6) so merge order cannot perturb the double.
+    * Scale shape: the merge shuffles |days| rows, never facts — the
+    * O(day) maintenance the reference's full recompute lacks. */
+  def q163IncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("event_date"),
+        col("user_id"), col("value"))
+    // Deterministic history/increment split: last 2 distinct days are
+    // "new". approxQuantile on date-as-epoch-day keeps this one tiny
+    // driver value, not a sort.
+    val cut = ev.select(max(col("event_date"))).head.getDate(0)
+    val cutoff = java.time.LocalDate.parse(cut.toString).minusDays(2)
+    def aggPart(df: DataFrame): DataFrame = df
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast("decimal(18,6)")).as("value_sum"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        hll_sketch_agg(col("user_id")).as("users_hll"))
+    val gold = aggPart(ev.filter(col("event_date") < lit(cutoff.toString)))
+    val inc = aggPart(ev.filter(col("event_date") >= lit(cutoff.toString)))
+    val merged = graft.pipeline.IncrementalAgg.mergeWithSketches(
+      gold, inc, keys = Seq("event_date"),
+      sums = Seq("event_count", "value_sum"),
+      mins = Seq("value_min"), maxs = Seq("value_max"),
+      sketches = Seq("users_hll"))
+    val exact = ev.groupBy(col("event_date"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_date")
+      .select(col("event_date"),
+        col("event_count"),
+        col("value_sum").cast("double").as("value_sum"),
+        col("value_min"), col("value_max"),
+        when(abs(hll_sketch_estimate(col("users_hll")).cast("double") -
+              col("exact_users")) <= col("exact_users") * 0.05, 1L)
+          .otherwise(0L).as("users_est_ok"))
+      .orderBy(col("event_date"))
+  }
+
   /** Corpus-boilerplate strip: spans present in >= 3 distinct documents
     * are removed everywhere (first copy included) — the MassiveText
     * "repeated lines across documents" rule on q104's span grid. At this
@@ -1165,6 +1215,7 @@ object ExtQueries {
     "q160_category_encode" -> (q160CategoryEncode _),
     "q161_compression_ratio" -> (q161CompressionRatio _),
     "q162_hist_quantiles" -> (q162HistQuantiles _),
+    "q163_incremental_refresh" -> (q163IncrementalRefresh _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2039,6 +2090,18 @@ object ExtQueries {
         |WHERE len(term) >= 1
         |GROUP BY term ORDER BY occurrences DESC, term LIMIT 20"""
         .stripMargin,
+    "q163_incremental_refresh" ->
+      // full-history recompute: the incremental merge's exact measures
+      // must match bit-for-bit; users_est_ok=1 is binding because the
+      // Spark side computes it from |HLL estimate - exact| <= 5%
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  COUNT(*) AS event_count,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  MIN(value) AS value_min,
+        |  MAX(value) AS value_max,
+        |  CAST(1 AS BIGINT) AS users_est_ok
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_stats_pruned" ->
       // computed from the RAW table: proves the index path changed
       // nothing while reading fewer files

@@ -51,6 +51,28 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("q163: incremental refresh == full recompute on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.q163IncrementalRefresh(
+      spark, "/root/testdata/sf0.001")
+    val full = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(to_date(col("ts")).as("event_date"), col("user_id"), col("value"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"))
+      .orderBy("event_date")
+    val gotRows = out.collect()
+    assert(gotRows.nonEmpty)
+    assert(gotRows.forall(_.getLong(5) == 1L),
+      "HLL estimate drifted >5% from exact distinct on some day")
+    val got = gotRows.map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val exp = full.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == exp, "merged exact measures differ from full recompute")
+  }
+
   test("merge rejects mismatched columns") {
     val gold = Seq(("a", 1L)).toDF("k", "n")
     val inc = Seq(("a", 1L, 2.0)).toDF("k", "n", "extra")
