@@ -43,18 +43,24 @@ object IncrementalAgg {
       .agg(measures.head, measures.tail: _*)
   }
 
-  /** [[merge]] extended with DISTINCT-COUNT measures: `sketches` names
+  /** [[merge]] extended with sketch-form measures: `sketches` names
     * binary HLL sketch columns ([[graft.operators.Sketches.build]]'s
-    * output) combined per key with a lossless sketch union. Exact
-    * distinct is NOT mergeable — `distinct(a ∪ b)` cannot be computed
-    * from `distinct(a)` and `distinct(b)` — which is exactly why the
-    * reference recomputes gold from full history; keeping the MEASURE in
-    * mergeable sketch form closes the last gap in O(day) maintenance.
-    * Read estimates off with [[graft.operators.Sketches.estimate]]. */
+    * output, distinct counts) and `kllSketches` names binary KLL sketch
+    * columns ([[graft.operators.Kll.build]]'s output, quantiles), each
+    * combined per key with a lossless sketch union. Exact distinct and
+    * exact quantiles are NOT mergeable — `distinct(a ∪ b)` / an exact
+    * percentile of `a ∪ b` cannot be computed from the per-side results
+    * — which is exactly why the reference recomputes gold from full
+    * history; keeping the MEASURE in mergeable sketch form closes the
+    * last gap in O(day) maintenance. Read estimates off with
+    * [[graft.operators.Sketches.estimate]] /
+    * [[graft.operators.Kll.quantiles]]. */
   def mergeWithSketches(gold: DataFrame, increment: DataFrame,
       keys: Seq[String], sums: Seq[String], mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil, sketches: Seq[String] = Nil): DataFrame = {
-    val expect = (keys ++ sums ++ mins ++ maxs ++ sketches).sorted
+      maxs: Seq[String] = Nil, sketches: Seq[String] = Nil,
+      kllSketches: Seq[String] = Nil): DataFrame = {
+    val expect = (keys ++ sums ++ mins ++ maxs ++ sketches ++ kllSketches)
+      .sorted
     require(gold.columns.sorted.sameElements(expect) &&
       increment.columns.sorted.sameElements(expect),
       s"aggregate merge expects columns $expect, got " +
@@ -64,7 +70,9 @@ object IncrementalAgg {
         mins.map(c => min(col(c)).as(c)) ++
         maxs.map(c => max(col(c)).as(c)) ++
         sketches.map(c => hll_union_agg(col(c),
-          allowDifferentLgConfigK = false).as(c))
+          allowDifferentLgConfigK = false).as(c)) ++
+        kllSketches.map(c =>
+          org.apache.spark.sql.graft.KllFunctions.kllUnion(col(c)).as(c))
     gold.unionByName(increment)
       .groupBy(keys.map(col): _*)
       .agg(measures.head, measures.tail: _*)

@@ -904,6 +904,30 @@ object ExtQueries {
       t(s, dir, "lineitem"), "l_extendedprice", buckets = 8,
       percents = Seq(25, 50, 75, 95, 100))
 
+  /** Mergeable KLL quantile sketches, merged path end-to-end: per-
+    * (lang, source) sketches of n_chars built in one scan, unioned to
+    * per-lang via [[graft.operators.Kll.rollup]] (blob merge — the
+    * incremental path), then integer-percent quantiles + exact item
+    * counts probed off the merged sketches. Construction-pinned oracle
+    * (q153/q162 discipline): k=8192 far exceeds any per-lang doc count
+    * at verification scales (sf0.1: ~1250/lang), so every sketch stays
+    * in its exact-retention regime and the INCLUSIVE rank rule
+    * `100·cum >= p·N` replays bit-for-bit in SQL; KllSpec covers the
+    * compacted approximate regime and merge associativity. Unlike q162's
+    * histogram grid, no value range is assumed. */
+  def q164KllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val perSource = graft.operators.Kll.build(
+      t(s, dir, "documents").filter(col("n_chars").isNotNull),
+      Seq("lang", "source"), "n_chars", k = 8192)
+    val perLang = graft.operators.Kll.rollup(perSource, Seq("lang"))
+      .withColumn("n_items",
+        org.apache.spark.sql.graft.KllFunctions.kllN(col("kll")))
+    graft.operators.Kll.quantiles(perLang, Seq("lang", "n_items"),
+        percents = Seq(25, 50, 75, 95, 100))
+      .select(col("lang"), col("pct"), col("q_value"), col("n_items"))
+      .orderBy(col("lang"), col("pct"))
+  }
+
   /** Incremental gold refresh replayed against a full recompute (r6
     * verdict item 7): events split at the corpus's median day into a
     * standing gold aggregate and a "new day's" increment, each
@@ -1216,6 +1240,7 @@ object ExtQueries {
     "q161_compression_ratio" -> (q161CompressionRatio _),
     "q162_hist_quantiles" -> (q162HistQuantiles _),
     "q163_incremental_refresh" -> (q163IncrementalRefresh _),
+    "q164_kll_quantiles" -> (q164KllQuantiles _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2090,6 +2115,26 @@ object ExtQueries {
         |WHERE len(term) >= 1
         |GROUP BY term ORDER BY occurrences DESC, term LIMIT 20"""
         .stripMargin,
+    "q164_kll_quantiles" ->
+      // exact-regime replay: sketches retain everything at this scale,
+      // so the INCLUSIVE rank rule (100*cum >= pct*N) is exact
+      """WITH vals AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cnt AS (SELECT lang, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    SUM(n) OVER (PARTITION BY lang) AS total
+        |  FROM cnt),
+        |p AS (SELECT unnest([25, 50, 75, 95, 100]) AS pct),
+        |sel AS (
+        |  SELECT c.lang, p.pct, MIN(c.v) AS q_value, MIN(c.total) AS total
+        |  FROM c, p WHERE c.cum * 100 >= p.pct * c.total
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(pct AS BIGINT) AS pct, q_value,
+        |  CAST(total AS BIGINT) AS n_items
+        |FROM sel ORDER BY lang, pct""".stripMargin,
     "q163_incremental_refresh" ->
       // full-history recompute: the incremental merge's exact measures
       // must match bit-for-bit; users_est_ok=1 is binding because the

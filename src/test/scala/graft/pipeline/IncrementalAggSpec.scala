@@ -51,6 +51,26 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("mergeWithSketches: KLL quantile columns union losslessly (exact regime)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Kll
+    val facts = (1 to 600).map { i =>
+      (if (i % 2 == 0) "old" else "new", s"k${i % 3}",
+        ((i.toLong * 131) % 1000).toDouble)
+    }.toDF("batch", "k", "v")
+    def aggOf(b: String) = Kll.build(
+      facts.filter(col("batch") === b).drop("batch"), Seq("k"), "v", k = 2048)
+    val merged = IncrementalAgg.mergeWithSketches(aggOf("old"), aggOf("new"),
+      Seq("k"), sums = Nil, kllSketches = Seq("kll"))
+    val direct = Kll.build(facts.drop("batch"), Seq("k"), "v", k = 2048)
+    val qs = Seq(25, 50, 75, 100)
+    def read(df: org.apache.spark.sql.DataFrame) =
+      Kll.quantiles(df, Seq("k"), qs).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(read(merged) == read(direct),
+      "incrementally merged KLL diverged from direct build in exact regime")
+  }
+
   test("q163: incremental refresh == full recompute on the events fixture") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.ExtQueries.q163IncrementalRefresh(
