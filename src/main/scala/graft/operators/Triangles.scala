@@ -43,28 +43,38 @@ object Triangles {
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient low-(d, n) → high-(d, n): struct comparison gives the
     // lexicographic (degree, id) total order directly
+    // dv (degree of the edge's high endpoint) rides along so wedge tips
+    // can be ordered by the SAME (degree, id) total order the closing
+    // edge is oriented by — each tip pair is then emitted exactly once,
+    // already in closing-edge orientation (halves the wedge volume vs
+    // emitting both orders and letting the join discard one).
     val oriented = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          struct(col("a").as("u"), col("b").as("v")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
       .localCheckpoint()
-    // wedges at u close against an oriented edge between the two tips:
-    // exactly one of (v,w)/(w,v) is present, so each triangle lands once
+    // wedges at u close against the oriented edge between the two tips;
+    // tips ordered low-(d, n) → high-(d, n) match the closing edge's
+    // orientation directly, so each triangle lands exactly once
     val wedges = oriented.as("x")
       .join(oriented.as("y"),
-        col("x.u") === col("y.u") && col("x.v") =!= col("y.v"))
+        col("x.u") === col("y.u") &&
+          struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v")))
       .select(col("x.u").as("n1"), col("x.v").as("n2"), col("y.v").as("n3"))
     val tri = wedges
       .join(oriented.as("c"),
         col("n2") === col("c.u") && col("n3") === col("c.v"))
       .select(col("n1"), col("n2"), col("n3"))
-    tri.select(col("n1").as("node"))
-      .union(tri.select(col("n2").as("node")))
-      .union(tri.select(col("n3").as("node")))
+    // explode, not union-of-projections: a 3-branch Union re-derives the
+    // two expensive joins three times (no auto plan reuse across
+    // branches); explode counts all three corners in ONE derivation
+    tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }
