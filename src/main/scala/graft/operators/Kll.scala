@@ -57,4 +57,49 @@ object Kll {
       sketchCol: String = "kll"): DataFrame =
     sketches.select(groupCols.map(col) :+
       KllFunctions.kllN(col(sketchCol)).as("n_items"): _*)
+
+  /** Stream-maintained quantile profile: drain available files from
+    * `srcDir` (checkpoint = bookmark, each file once across restarts)
+    * and land each microbatch's per-group sketches under
+    * `stateDir/batch_id=N/`. Exactly-once WITHOUT a transactional sink:
+    * a retried batch carries the same batchId, and dynamic partition
+    * overwrite rewrites that batch's own partition instead of appending
+    * a duplicate — the same idempotence discipline as
+    * `Medallion.overwritePartitions`. Serving reads fold the batch
+    * sketches with [[rollup]] (|batches|×|groups| KB blobs, never raw
+    * rows), so maintenance cost tracks the increment and profile cost
+    * tracks the number of drains — the [[graft.operators.Bm25]]
+    * stream-index shape applied to quantiles. */
+  def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, checkpointDir: String, groupCols: Seq[String],
+      valueCol: String, k: Int = 200): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        build(batch, groupCols, valueCol, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Quantiles + exact counts off a [[sketchIngestOnce]] state dir —
+    * identical to a direct [[build]]+[[quantiles]] over the union of
+    * all drained rows (sketch union is associative; exact in the
+    * n <= k regime, within KLL rank error above it). */
+  def profile(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      groupCols: Seq[String], percents: Seq[Int]): DataFrame = {
+    val merged = rollup(
+      spark.read.parquet(stateDir).drop("batch_id"), groupCols)
+      .withColumn("n_items", KllFunctions.kllN(col("kll")))
+    quantiles(merged, groupCols :+ "n_items", percents)
+  }
 }

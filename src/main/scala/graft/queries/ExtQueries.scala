@@ -928,6 +928,44 @@ object ExtQueries {
       .orderBy(col("lang"), col("pct"))
   }
 
+  private val kllStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stream-maintained quantile profile, SAME oracle as q164: documents
+    * drained in two batches (checkpoint = bookmark, exactly-once via
+    * per-batch dynamic partition overwrite), per-batch KLL sketches
+    * landed under batch_id=N/, profile = blob-union rollup at read time.
+    * Sketch union is associative and every sketch stays in the exact-
+    * retention regime (k=8192), so the streamed profile must equal the
+    * one-shot full recompute bit-for-bit — any duplicate or dropped
+    * batch breaks n_items and the hash. Ingest runs once per dir per
+    * JVM (TrieMap, q143 discipline); reruns only re-read the state. */
+  def q165StreamKllProfile(s: SparkSession, dir: String): DataFrame = {
+    val state = kllStreamDirs.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-kll-stream-").toString
+      val half = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val schema = org.apache.spark.sql.types.StructType(
+        half.schema.filterNot(_.name == "doc_id"))
+      // two arrivals: even/odd doc batches, drained separately
+      half.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Kll.sketchIngestOnce(s, s"$root/src", schema,
+        s"$root/state", s"$root/ckpt", Seq("lang"), "n_chars", k = 8192)
+      half.filter(col("doc_id") % 2 =!= 0).drop("doc_id")
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Kll.sketchIngestOnce(s, s"$root/src", schema,
+        s"$root/state", s"$root/ckpt", Seq("lang"), "n_chars", k = 8192)
+      s"$root/state"
+    })
+    graft.operators.Kll.profile(s, state, Seq("lang"),
+        percents = Seq(25, 50, 75, 95, 100))
+      .select(col("lang"), col("pct"), col("q_value"), col("n_items"))
+      .orderBy(col("lang"), col("pct"))
+  }
+
   /** Incremental gold refresh replayed against a full recompute (r6
     * verdict item 7): events split at the corpus's median day into a
     * standing gold aggregate and a "new day's" increment, each
@@ -1241,6 +1279,7 @@ object ExtQueries {
     "q162_hist_quantiles" -> (q162HistQuantiles _),
     "q163_incremental_refresh" -> (q163IncrementalRefresh _),
     "q164_kll_quantiles" -> (q164KllQuantiles _),
+    "q165_stream_kll_profile" -> (q165StreamKllProfile _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2118,6 +2157,26 @@ object ExtQueries {
     "q164_kll_quantiles" ->
       // exact-regime replay: sketches retain everything at this scale,
       // so the INCLUSIVE rank rule (100*cum >= pct*N) is exact
+      """WITH vals AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cnt AS (SELECT lang, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    SUM(n) OVER (PARTITION BY lang) AS total
+        |  FROM cnt),
+        |p AS (SELECT unnest([25, 50, 75, 95, 100]) AS pct),
+        |sel AS (
+        |  SELECT c.lang, p.pct, MIN(c.v) AS q_value, MIN(c.total) AS total
+        |  FROM c, p WHERE c.cum * 100 >= p.pct * c.total
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(pct AS BIGINT) AS pct, q_value,
+        |  CAST(total AS BIGINT) AS n_items
+        |FROM sel ORDER BY lang, pct""".stripMargin,
+    "q165_stream_kll_profile" ->
+      // same full recompute as q164: the streamed two-drain profile
+      // must equal it bit-for-bit (associative union, exact regime)
       """WITH vals AS (
         |  SELECT lang, CAST(n_chars AS DOUBLE) AS v
         |  FROM documents WHERE n_chars IS NOT NULL),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamKllSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-maintained profile == direct build; drains are exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kll_stream_")
+      .toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    try {
+      val all = (1 to 400).map(i =>
+        (s"g${i % 3}", ((i.toLong * 131) % 997).toDouble)).toDF("g", "v")
+      val schema = all.schema
+      // drain 1: first half
+      all.filter(col("v") < 500).write.mode("append").parquet(src)
+      Kll.sketchIngestOnce(spark, src, schema, state, ckpt,
+        Seq("g"), "v", k = 2048)
+      // drain 2: the rest, arriving later
+      all.filter(col("v") >= 500).write.mode("append").parquet(src)
+      Kll.sketchIngestOnce(spark, src, schema, state, ckpt,
+        Seq("g"), "v", k = 2048)
+      val qs = Seq(25, 50, 75, 100)
+      def readProfile(df: org.apache.spark.sql.DataFrame) = df
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getDouble(3), r.getLong(1)))).toMap
+      // profile columns: (g, n_items, pct, q_value) — order per
+      // Kll.quantiles(groupCols :+ n_items, …)
+      val streamed = Kll.profile(spark, state, Seq("g"), qs)
+        .select(col("g"), col("n_items"), col("pct"), col("q_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getDouble(3), r.getLong(1)))).toMap
+      val direct0 = Kll.build(all, Seq("g"), "v", k = 2048)
+      val direct = Kll.quantiles(
+          direct0.withColumn("n_items",
+            org.apache.spark.sql.graft.KllFunctions.kllN(col("kll"))),
+          Seq("g", "n_items"), qs)
+        .select(col("g"), col("n_items"), col("pct"), col("q_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getDouble(3), r.getLong(1)))).toMap
+      assert(streamed == direct,
+        "stream-maintained profile diverged from direct build")
+      // exactly-once: a drain with nothing new leaves the state as-is
+      val before = spark.read.parquet(state).count()
+      Kll.sketchIngestOnce(spark, src, schema, state, ckpt,
+        Seq("g"), "v", k = 2048)
+      assert(spark.read.parquet(state).count() == before)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
+}
