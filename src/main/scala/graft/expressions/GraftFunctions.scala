@@ -83,5 +83,8 @@ object GraftFunctions {
 
   /** Register `graft_cosine` / `graft_dot` with the session's SQL function
     * registry. */
-  def register(spark: SparkSession): Unit = VectorFunctions.register(spark)
+  def register(spark: SparkSession): Unit = {
+    VectorFunctions.register(spark)
+    org.apache.spark.sql.graft.KllFunctions.register(spark)
+  }
 }

@@ -966,6 +966,32 @@ object ExtQueries {
       .orderBy(col("lang"), col("pct"))
   }
 
+  /** q164's KLL profile from PURE SQL TEXT (the reference's Athena
+    * discipline, q74/q69 pattern): build/union/probe driven entirely
+    * through `spark.sql` over the registered views + the graft_kll_*
+    * functions — proving the sketch family is first-class on the SQL
+    * surface, not DataFrame-only. Same construction-pinned oracle as
+    * q164 (exact-retention regime). */
+  def q166SqlKll(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    graft.Tables.registerAll(s, dir)
+    s.sql("""
+      WITH sk AS (
+        SELECT lang, source,
+               graft_kll_agg(CAST(n_chars AS DOUBLE), 8192) AS kll
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY lang, source),
+      m AS (
+        SELECT lang, graft_kll_union_agg(kll) AS kll
+        FROM sk GROUP BY lang),
+      p AS (SELECT explode(array(25, 50, 75, 95, 100)) AS pct)
+      SELECT m.lang, CAST(p.pct AS BIGINT) AS pct,
+             graft_kll_quantile(m.kll, CAST(p.pct AS DOUBLE) / 100) AS q_value,
+             graft_kll_n(m.kll) AS n_items
+      FROM m CROSS JOIN p
+      ORDER BY lang, pct""")
+  }
+
   /** Incremental gold refresh replayed against a full recompute (r6
     * verdict item 7): events split at the corpus's median day into a
     * standing gold aggregate and a "new day's" increment, each
@@ -1280,6 +1306,7 @@ object ExtQueries {
     "q163_incremental_refresh" -> (q163IncrementalRefresh _),
     "q164_kll_quantiles" -> (q164KllQuantiles _),
     "q165_stream_kll_profile" -> (q165StreamKllProfile _),
+    "q166_sql_kll" -> (q166SqlKll _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2177,6 +2204,26 @@ object ExtQueries {
     "q165_stream_kll_profile" ->
       // same full recompute as q164: the streamed two-drain profile
       // must equal it bit-for-bit (associative union, exact regime)
+      """WITH vals AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cnt AS (SELECT lang, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    SUM(n) OVER (PARTITION BY lang) AS total
+        |  FROM cnt),
+        |p AS (SELECT unnest([25, 50, 75, 95, 100]) AS pct),
+        |sel AS (
+        |  SELECT c.lang, p.pct, MIN(c.v) AS q_value, MIN(c.total) AS total
+        |  FROM c, p WHERE c.cum * 100 >= p.pct * c.total
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(pct AS BIGINT) AS pct, q_value,
+        |  CAST(total AS BIGINT) AS n_items
+        |FROM sel ORDER BY lang, pct""".stripMargin,
+    "q166_sql_kll" ->
+      // same full recompute as q164/q165: the pure-SQL sketch pipeline
+      // must match it bit-for-bit (exact-retention regime)
       """WITH vals AS (
         |  SELECT lang, CAST(n_chars AS DOUBLE) AS v
         |  FROM documents WHERE n_chars IS NOT NULL),

@@ -176,6 +176,32 @@ case class KllN(child: Expression)
 }
 
 object KllFunctions {
+  /** Expose the KLL family to the SQL surface (the reference's primary
+    * interface is SQL-over-catalog): `graft_kll_agg(v, k)` (k an int
+    * literal — evaluated at registration, same contract as
+    * graft_shingles), `graft_kll_union_agg(blob)`,
+    * `graft_kll_quantile(blob, rank)`, `graft_kll_n(blob)`. Bare
+    * AggregateFunctions from the registry are wrapped in
+    * AggregateExpression by the analyzer, as for built-in aggregates. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_kll_agg",
+      exprs => {
+        val k = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_agg k must be an int literal, got $other")
+        }
+        KllSketchAgg(exprs(0), k)
+      }, "built-in")
+    registry.createOrReplaceTempFunction("graft_kll_union_agg",
+      exprs => KllUnionAgg(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("graft_kll_quantile",
+      exprs => KllQuantile(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_kll_n",
+      exprs => KllN(exprs(0)), "built-in")
+  }
+
   def kllAgg(value: Column, k: Int): Column =
     ExpressionUtils.column(
       KllSketchAgg(ExpressionUtils.expression(value), k)

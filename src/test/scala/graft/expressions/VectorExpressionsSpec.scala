@@ -230,4 +230,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Byte](0) == Seq[Byte](127, -63))
     assert(r.getDouble(1) == 1.0)
   }
+
+  test("SQL surface: graft_kll_* family registered and exact on small input") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """WITH t AS (SELECT explode(array(1.0d, 2.0d, 3.0d, 4.0d)) AS v),
+        |sk AS (SELECT graft_kll_agg(v, 200) AS kll FROM t),
+        |m AS (SELECT graft_kll_union_agg(kll) AS kll FROM sk)
+        |SELECT graft_kll_quantile(kll, 0.5d) AS p50,
+        |       graft_kll_n(kll) AS n FROM m""".stripMargin).rows.head
+    assert(r.getDouble(0) == 2.0) // inclusive rank: 2 of 4 <= 2.0
+    assert(r.getLong(1) == 4L)
+  }
 }
