@@ -86,5 +86,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
     org.apache.spark.sql.graft.KllFunctions.register(spark)
+    org.apache.spark.sql.graft.ThetaFunctions.register(spark)
   }
 }

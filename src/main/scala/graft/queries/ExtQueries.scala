@@ -992,6 +992,29 @@ object ExtQueries {
       ORDER BY lang, pct""")
   }
 
+  /** Audience overlap via theta-sketch set algebra: per-event-type
+    * distinct-user sketches (built per-day first, then blob-union
+    * rolled up — exercising the incremental path), every type pair's
+    * |A|, |B|, |A ∩ B|, |A \ B| answered from the sketches alone.
+    * Exact answers require set operations HLL cannot do; the exact
+    * alternative is a distinct self-join over raw ids per question.
+    * Construction-pinned oracle (q153/q164 discipline): lgK=14 nominal
+    * 16384 far exceeds the 1500-user universe at sf0.1, so every
+    * sketch stays in exact mode (θ=1) and intersections/differences of
+    * exact sketches are exact; ThetaSpec covers estimation mode. */
+  def q167ThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val daily = graft.operators.Theta.build(ev,
+      Seq("event_type", "day"), "user_id", lgK = 14)
+    val perType = graft.operators.Theta.rollup(daily, Seq("event_type"))
+    graft.operators.Theta.pairwiseOverlap(perType, "event_type")
+      .withColumnRenamed("seg_a", "type_a")
+      .withColumnRenamed("seg_b", "type_b")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Incremental gold refresh replayed against a full recompute (r6
     * verdict item 7): events split at the corpus's median day into a
     * standing gold aggregate and a "new day's" increment, each
@@ -1307,6 +1330,7 @@ object ExtQueries {
     "q164_kll_quantiles" -> (q164KllQuantiles _),
     "q165_stream_kll_profile" -> (q165StreamKllProfile _),
     "q166_sql_kll" -> (q166SqlKll _),
+    "q167_theta_overlap" -> (q167ThetaOverlap _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2241,6 +2265,26 @@ object ExtQueries {
         |SELECT lang, CAST(pct AS BIGINT) AS pct, q_value,
         |  CAST(total AS BIGINT) AS n_items
         |FROM sel ORDER BY lang, pct""".stripMargin,
+    "q167_theta_overlap" ->
+      // exact replay: distinct (type, user) pairs joined on user give
+      // the true overlaps; sketches are in exact mode by construction
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+        |pr AS (
+        |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+        |         ta.n AS users_a, tb.n AS users_b
+        |  FROM t ta, t tb WHERE ta.event_type < tb.event_type),
+        |ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         COUNT(*) AS c
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.users_a, pr.users_b,
+        |  COALESCE(ov.c, 0) AS overlap,
+        |  pr.users_a - COALESCE(ov.c, 0) AS only_a
+        |FROM pr LEFT JOIN ov USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin,
     "q163_incremental_refresh" ->
       // full-history recompute: the incremental merge's exact measures
       // must match bit-for-bit; users_est_ok=1 is binding because the
