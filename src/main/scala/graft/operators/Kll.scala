@@ -73,23 +73,10 @@ object Kll {
   def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
       stateDir: String, checkpointDir: String, groupCols: Seq[String],
-      valueCol: String, k: Int = 200): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        build(batch, groupCols, valueCol, k)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(stateDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      valueCol: String, k: Int = 200): Unit =
+    graft.streaming.BatchPartitionIngest.ingestOnce(
+      spark, srcDir, schema, stateDir, checkpointDir)(
+      build(_, groupCols, valueCol, k))
 
   /** Quantiles + exact counts off a [[sketchIngestOnce]] state dir —
     * identical to a direct [[build]]+[[quantiles]] over the union of

@@ -41,6 +41,19 @@ object Theta {
   def estimateLong(sketch: Column): Column =
     round(ThetaFunctions.thetaEstimate(sketch)).cast("long")
 
+  /** Stream-maintained segment sketches: per-microbatch theta sketches
+    * landed exactly-once under batch_id=N/ (the
+    * [[graft.streaming.BatchPartitionIngest]] primitive shared with
+    * [[Kll.sketchIngestOnce]]); serve with [[rollup]] over the state
+    * dir, then [[pairwiseOverlap]] / [[estimateLong]]. */
+  def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, checkpointDir: String, groupCols: Seq[String],
+      valueCol: String, lgK: Int = 14): Unit =
+    graft.streaming.BatchPartitionIngest.ingestOnce(
+      spark, srcDir, schema, stateDir, checkpointDir)(
+      build(_, groupCols, valueCol, lgK))
+
   /** All segment pairs (a < b on `segCol`) with distinct sizes, overlap
     * |A ∩ B| and difference |A \ B| — pure blob algebra over the sketch
     * table self-join (|segments|² pair rows, corpus never re-read). */

@@ -58,9 +58,10 @@ object IncrementalAgg {
   def mergeWithSketches(gold: DataFrame, increment: DataFrame,
       keys: Seq[String], sums: Seq[String], mins: Seq[String] = Nil,
       maxs: Seq[String] = Nil, sketches: Seq[String] = Nil,
-      kllSketches: Seq[String] = Nil): DataFrame = {
-    val expect = (keys ++ sums ++ mins ++ maxs ++ sketches ++ kllSketches)
-      .sorted
+      kllSketches: Seq[String] = Nil,
+      thetaSketches: Seq[String] = Nil): DataFrame = {
+    val expect = (keys ++ sums ++ maxs ++ mins ++ sketches ++ kllSketches ++
+      thetaSketches).sorted
     require(gold.columns.sorted.sameElements(expect) &&
       increment.columns.sorted.sameElements(expect),
       s"aggregate merge expects columns $expect, got " +
@@ -72,7 +73,9 @@ object IncrementalAgg {
         sketches.map(c => hll_union_agg(col(c),
           allowDifferentLgConfigK = false).as(c)) ++
         kllSketches.map(c =>
-          org.apache.spark.sql.graft.KllFunctions.kllUnion(col(c)).as(c))
+          org.apache.spark.sql.graft.KllFunctions.kllUnion(col(c)).as(c)) ++
+        thetaSketches.map(c =>
+          org.apache.spark.sql.graft.ThetaFunctions.thetaUnion(col(c)).as(c))
     gold.unionByName(increment)
       .groupBy(keys.map(col): _*)
       .agg(measures.head, measures.tail: _*)

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Exactly-once streaming maintenance of an AGGREGATED state table,
+  * without a transactional sink: each microbatch's aggregate lands under
+  * `stateDir/batch_id=N/` via dynamic partition overwrite, so a retried
+  * batch (same batchId) rewrites its own partition instead of appending
+  * a duplicate — idempotence by layout, the same discipline as
+  * `Medallion.overwritePartitions`. The checkpoint is the bookmark
+  * (AvailableNow drain: each source file exactly once across restarts).
+  *
+  * This is the streaming primitive behind the sketch families
+  * ([[graft.operators.Kll.sketchIngestOnce]],
+  * [[graft.operators.Theta.sketchIngestOnce]]): any aggregate whose
+  * MEASURES are mergeable (sketch blobs, sums, min/max) can be
+  * maintained this way, with serving reads folding the per-batch rows —
+  * |batches|×|groups| rows, never the raw stream. Periodic compaction =
+  * fold the batch table and restart the layout.
+  */
+object BatchPartitionIngest {
+
+  /** Drain `srcDir` (parquet files, `schema`), reduce each microbatch
+    * with `batchAgg`, and land the result under `stateDir/batch_id=N/`.
+    * Blocks until the drain completes. */
+  def ingestOnce(spark: SparkSession, srcDir: String, schema: StructType,
+      stateDir: String, checkpointDir: String)(
+      batchAgg: DataFrame => DataFrame): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchAgg(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

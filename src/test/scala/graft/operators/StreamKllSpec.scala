@@ -57,4 +57,32 @@ class StreamKllSpec extends SparkSpec {
       ()
     }
   }
+
+  test("theta ingest via the shared primitive: streamed overlap == direct") {
+    val root = java.nio.file.Files.createTempDirectory("graft_theta_stream_")
+      .toString
+    try {
+      val all = (0 until 600).map(i =>
+        (if (i < 400) "A" else "B", (i % 450).toLong)).toDF("seg", "uid")
+      all.filter(col("uid") < 225).write.mode("append").parquet(s"$root/src")
+      Theta.sketchIngestOnce(spark, s"$root/src", all.schema,
+        s"$root/state", s"$root/ckpt", Seq("seg"), "uid", lgK = 12)
+      all.filter(col("uid") >= 225).write.mode("append").parquet(s"$root/src")
+      Theta.sketchIngestOnce(spark, s"$root/src", all.schema,
+        s"$root/state", s"$root/ckpt", Seq("seg"), "uid", lgK = 12)
+      def overlap(sk: org.apache.spark.sql.DataFrame) =
+        Theta.pairwiseOverlap(Theta.rollup(
+            sk, Seq("seg")), "seg")
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val streamed = overlap(
+        spark.read.parquet(s"$root/state").drop("batch_id"))
+      val direct = overlap(Theta.build(all, Seq("seg"), "uid", lgK = 12))
+      assert(streamed == direct)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
 }

@@ -71,6 +71,26 @@ class IncrementalAggSpec extends SparkSpec {
       "incrementally merged KLL diverged from direct build in exact regime")
   }
 
+  test("mergeWithSketches: theta columns union losslessly (exact mode)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Theta
+    val facts = (0 until 800).map { i =>
+      (if (i % 2 == 0) "old" else "new", s"k${i % 2}", (i % 300).toLong)
+    }.toDF("batch", "k", "uid")
+    def aggOf(b: String) = Theta.build(
+      facts.filter(col("batch") === b).drop("batch"), Seq("k"), "uid",
+      lgK = 12)
+    val merged = IncrementalAgg.mergeWithSketches(aggOf("old"), aggOf("new"),
+      Seq("k"), sums = Nil, thetaSketches = Seq("theta"))
+    val est = merged
+      .select(col("k"), Theta.estimateLong(col("theta")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k0 holds even i: uid = i%300 over even i → 150 distinct... replay:
+    val exact = facts.groupBy("k").agg(countDistinct(col("uid")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact, s"merged theta $est != exact $exact")
+  }
+
   test("q163: incremental refresh == full recompute on the events fixture") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.ExtQueries.q163IncrementalRefresh(
