@@ -136,7 +136,8 @@ object ExtQueries {
         mlshIndexes.values.map(_._1) ++
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
         ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
-        resIndexes.values)
+        resIndexes.values ++ kllStreamDirs.values.map(
+          new java.io.File(_).getParent))
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -942,6 +943,7 @@ object ExtQueries {
     * JVM (TrieMap, q143 discipline); reruns only re-read the state. */
   def q165StreamKllProfile(s: SparkSession, dir: String): DataFrame = {
     val state = kllStreamDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
       val root = java.nio.file.Files
         .createTempDirectory("graft-kll-stream-").toString
       val half = t(s, dir, "documents")
