@@ -31,6 +31,60 @@ object FileIndex {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** [[buildStats]] extended with per-file BLOOM membership sketches for
+    * `bloomCols` — the Iceberg/Delta file-skipping shape for EQUALITY
+    * predicates, where min/max envelopes are useless unless the table
+    * is clustered on the column (a needle key's [min, max] spans almost
+    * everything under arbitrary layout, but its bloom bit pattern does
+    * not). Reuses Spark's own runtime-join-filter machinery
+    * (`BloomFilterAggregate`/`BloomFilterMightContain`, xxhash64'd on
+    * both sides), so build and probe are the codegen'd paths the
+    * optimizer itself trusts. `bloomNumBits` bounds each blob at
+    * numBits/8 bytes per file per column. */
+  def buildStatsWithBloom(spark: SparkSession, tableDir: String,
+      rangeCols: Seq[String], bloomCols: Seq[String],
+      expectedItemsPerFile: Long = 1000000L,
+      bloomNumBits: Long = 8L * 1024 * 1024): DataFrame = {
+    require(bloomCols.nonEmpty, "buildStatsWithBloom needs bloom columns")
+    val rangeAggs = rangeCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val bloomAggs = bloomCols.map(c =>
+      org.apache.spark.sql.graft.BloomFunctions
+        .bloomAgg(col(c), expectedItemsPerFile, bloomNumBits)
+        .as(s"${c}_bloom"))
+    spark.read.parquet(tableDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), (rangeAggs ++ bloomAggs): _*)
+  }
+
+  /** Files whose bloom admits `c = value` (false positives possible —
+    * the pruned read's exact predicate discharges them; false negatives
+    * impossible by bloom construction, so no row can be lost). The
+    * probe runs driver-side over the collected (file, blob) rows —
+    * bounded by file count, the same cardinality [[candidateFiles]]
+    * already materializes (`might_contain` itself only accepts a
+    * constant sketch, its broadcast-runtime-filter shape). */
+  def candidateFilesEquals(stats: DataFrame, c: String,
+      value: Any): Seq[String] =
+    stats.select(col("file"), col(s"${c}_bloom"))
+      .collect()
+      .filter(r => r.isNullAt(1) ||
+        org.apache.spark.sql.graft.BloomFunctions
+          .mightContainBlob(r.getAs[Array[Byte]](1), value))
+      .map(_.getString(0)).toSeq
+
+  /** Equality read through the bloom index: read only files that might
+    * contain the key, re-apply the exact predicate (advisory-index
+    * discipline — results can never differ from a full-scan filter). */
+  def prunedEqualityRead(spark: SparkSession, tableDir: String,
+      stats: DataFrame, c: String, value: Any): DataFrame = {
+    val files = candidateFilesEquals(stats, c, value)
+    if (files.isEmpty)
+      spark.read.parquet(tableDir).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(col(c) === lit(value))
+  }
+
   /** Files whose [min, max] envelope admits `lo <= c <= hi`. */
   def candidateFiles(stats: DataFrame, c: String, lo: Column,
       hi: Column): Seq[String] =

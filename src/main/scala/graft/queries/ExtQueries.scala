@@ -785,6 +785,28 @@ object ExtQueries {
           .as("sum_qty"))
   }
 
+  /** Bloom-index equality read (Iceberg/Delta file-skipping for point
+    * predicates): candidate files from per-file bloom sketches of
+    * l_partkey (Spark's own BloomFilterAggregate machinery), exact
+    * predicate re-applied — q145's advisory-index discipline, so the
+    * oracle computes from the raw table and any bloom bug (lost file =
+    * false negative) hash-mismatches. Range stats cannot serve point
+    * probes on unclustered layout; the bloom column is what makes the
+    * stats table answer them (FileIndexSpec proves the pruning). */
+  def q168BloomPruned(s: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/lineitem.parquet"
+    val stats = graft.operators.FileIndex.buildStatsWithBloom(s, table,
+      rangeCols = Nil, bloomCols = Seq("l_partkey"),
+      expectedItemsPerFile = 300000L, bloomNumBits = 1L * 1024 * 1024)
+    graft.operators.FileIndex
+      .prunedEqualityRead(s, table, stats, "l_partkey", 1L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CSV raw-zone round-trip (the landing format object-store ingest
     * actually receives): documents written as RFC4180-quoted CSV once
     * per dir, read back with an explicit schema (+ multiLine, so
@@ -1333,6 +1355,7 @@ object ExtQueries {
     "q165_stream_kll_profile" -> (q165StreamKllProfile _),
     "q166_sql_kll" -> (q166SqlKll _),
     "q167_theta_overlap" -> (q167ThetaOverlap _),
+    "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2267,6 +2290,15 @@ object ExtQueries {
         |SELECT lang, CAST(pct AS BIGINT) AS pct, q_value,
         |  CAST(total AS BIGINT) AS n_items
         |FROM sel ORDER BY lang, pct""".stripMargin,
+    "q168_bloom_pruned" ->
+      // computed from the RAW table (q145 discipline): the bloom index
+      // may only reduce IO; a lost file would change these counts
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_theta_overlap" ->
       // exact replay: distinct (type, user) pairs joined on user give
       // the true overlaps; sketches are in exact mode by construction

@@ -45,6 +45,40 @@ class FileIndexSpec extends SparkSpec {
     assert(got == 11L)
   }
 
+  test("bloom index prunes files for equality keys min/max cannot") {
+    val dir = tmpDir() + "/b"
+    // hash-scattered layout: every file's [min, max] spans ~the whole
+    // key domain, so range stats prune NOTHING for an equality probe —
+    // the case the bloom column exists for. Keys are sparse (every 50th
+    // value), files small and many.
+    // even keys only: every odd key is a guaranteed hole INSIDE the
+    // [min, max] envelope of every file (scattered layout), so range
+    // stats cannot prune an odd-key probe but the bloom can
+    (1 to 40000).map(i => (2L * i, s"v$i")).toDF("k", "v")
+      .repartition(25).write.parquet(dir)
+    val stats = FileIndex.buildStatsWithBloom(spark, dir,
+      rangeCols = Seq("k"), bloomCols = Seq("k"),
+      expectedItemsPerFile = 2000L, bloomNumBits = 64L * 1024).cache()
+    val total = stats.count()
+    assert(total > 5, s"need a multi-file table, got $total files")
+    // probe a key that is ABSENT: bloom should prune (almost) all files
+    val absent = FileIndex.candidateFilesEquals(stats, "k", 39999L)
+    assert(absent.size * 3 < total,
+      s"absent-key probe should prune most files: ${absent.size} of $total")
+    assert(FileIndex.prunedEqualityRead(spark, dir, stats, "k", 39999L)
+      .count() == 0L)
+    // range stats CANNOT prune this probe (scattered layout)
+    assert(FileIndex.candidateFiles(stats, "k", lit(39999L), lit(39999L)).size
+      == total.toInt)
+    // present key: exact equality with the plain filter
+    val key = 2L * 123
+    val pruned = FileIndex.prunedEqualityRead(spark, dir, stats, "k",
+      key).select("v").collect().map(_.getString(0)).toSet
+    val plain = spark.read.parquet(dir).filter(col("k") === key)
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(pruned == plain && plain.nonEmpty)
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val dir = tmpDir() + "/e"
     Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)
