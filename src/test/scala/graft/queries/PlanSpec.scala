@@ -78,6 +78,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // the hot-key window-rank form is banned
   }
 
+  test("q164 KLL build partial-aggregates sketches map-side (ObjectHashAggregate)") {
+    val p = plan("q164_kll_quantiles")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_kll_agg"), p)
+    // the scan reads only the three needed columns
+    assert(p.contains("ReadSchema: struct<lang:string,source:string,n_chars:bigint>"), p)
+  }
+
+  test("q167 theta build partial-aggregates sketches map-side") {
+    val p = plan("q167_theta_overlap")
+    assert(p.contains("partial_graft_theta_agg"), p)
+    assert(p.contains("partial_graft_theta_union_agg"), p)
+  }
+
   test("q108 outliers broadcast the per-group moments over the scan") {
     val p = plan("q108_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
