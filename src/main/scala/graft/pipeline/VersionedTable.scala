@@ -41,13 +41,41 @@ object VersionedTable {
     next
   }
 
+  /** The data directory a manifested version resolves to: its own
+    * `v=N` unless the manifest carries a `data=K` redirect line (a
+    * [[rollback]] commit — content-free, pointing at the restored
+    * snapshot's data). Redirects are written pre-resolved, so one hop
+    * always lands on a real data version. */
+  private def dataVersion(table: String, v: Long): Long = {
+    val m = manifestDir(table).resolve(v.toString)
+    Files.readAllLines(m).asScala
+      .collectFirst { case l if l.startsWith("data=") =>
+        l.stripPrefix("data=").trim.toLong }
+      .getOrElse(v)
+  }
+
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no versions in $table"))
     require(versions(table).contains(v), s"version $v not retained in $table")
-    spark.read.parquet(s"$table/v=$v")
+    spark.read.parquet(s"$table/v=${dataVersion(table, v)}")
+  }
+
+  /** Iceberg's `rollback_to_snapshot` for this layer: make `toVersion`'s
+    * content current WITHOUT rewriting data or erasing history — a new
+    * manifest commits a `data=` redirect at the old snapshot's data
+    * directory (pre-resolved, so redirect chains never form). History
+    * stays time-travelable; the bad intermediate versions remain
+    * readable until [[expire]]d. Returns the new current version. */
+  def rollback(table: String, toVersion: Long): Long = {
+    require(versions(table).contains(toVersion),
+      s"version $toVersion not retained in $table")
+    val next = latestVersion(table).get + 1L
+    Files.writeString(manifestDir(table).resolve(next.toString),
+      s"${System.currentTimeMillis()}\ndata=${dataVersion(table, toVersion)}\n")
+    next
   }
 
   /** Logical-plan builder for the `graft_version('table'[, version])` SQL
@@ -65,18 +93,26 @@ object VersionedTable {
   }
 
   /** M1: expire old snapshots, keeping the newest `keepLast`. The manifest
-    * is removed first so readers can never resolve a half-deleted version. */
+    * is removed first so readers can never resolve a half-deleted version.
+    * A data directory referenced by a RETAINED manifest's `data=` redirect
+    * (a [[rollback]] target) survives even when its own manifest expires —
+    * deleting it would corrupt the current snapshot. */
   def expire(table: String, keepLast: Int): Seq[Long] = {
     val vs = versions(table)
     val drop = vs.dropRight(keepLast)
+    // resolve BEFORE dropping manifests: kept versions' data dirs are live
+    val live = vs.drop(math.max(0, vs.size - keepLast))
+      .map(dataVersion(table, _)).toSet
     drop.foreach { v =>
       Files.deleteIfExists(manifestDir(table).resolve(v.toString))
-      val dir = new java.io.File(s"$table/v=$v")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
+      if (!live.contains(v)) {
+        val dir = new java.io.File(s"$table/v=$v")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(dir)
       }
-      rm(dir)
     }
     drop
   }

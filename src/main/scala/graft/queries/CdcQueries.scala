@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.Cdc
+import graft.pipeline.{Cdc, VersionedTable}
 
 /** CDC query surface: MERGE upsert, SCD type-2 history, snapshot diff —
   * the Iceberg mutation features the reference's lakehouse brief declares
@@ -95,13 +95,53 @@ object CdcQueries {
     s.sql(mergeSql)
   }
 
+  private val rollbackTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Snapshot rollback end-to-end (Iceberg `rollback_to_snapshot`,
+    * reference: iceberg_maintenance.py surface): a good gold aggregate
+    * is committed (v1), a corrupted recompute lands on top (v2), and
+    * rollback makes v1's content current again as a NEW redirect commit
+    * (v3) — no data rewrite, history intact. The query reads the
+    * CURRENT table; the oracle recomputes the good aggregate from raw —
+    * so a rollback bug (reading v2, losing rows, breaking the redirect)
+    * hash-mismatches. Setup once per dir per JVM (q143 discipline). */
+  def q169Rollback(s: SparkSession, dir: String): DataFrame = {
+    val table = rollbackTables.getOrElseUpdate(dir, {
+      val t0 = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString + "/gold"
+      val good = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+      VersionedTable.write(good, t0)
+      VersionedTable.write(
+        good.withColumn("n_orders", lit(0L))
+          .withColumn("total_price", lit(0.0d)), t0)
+      VersionedTable.rollback(t0, 1L)
+      t0
+    })
+    VersionedTable.read(s, table)
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
     "q89_snapshot_diff" -> (q89SnapshotDiff _),
-    "q93_sql_merge" -> (q93SqlMerge _))
+    "q93_sql_merge" -> (q93SqlMerge _),
+    "q169_rollback" -> (q169Rollback _))
 
   val oracles: Map[String, String] = Map(
+    "q169_rollback" ->
+      // the GOOD aggregate from raw orders: reading the rolled-back
+      // current snapshot must reproduce it exactly
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
     // the operator form must produce exactly what the SQL text declares
     "q87_merge_upsert" -> mergeSql,

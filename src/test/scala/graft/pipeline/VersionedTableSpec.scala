@@ -53,4 +53,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(table) == Seq(1L))
     assert(VersionedTable.read(spark, table).count() == 1)
   }
+
+  test("rollback restores old content as current, keeps history, survives expire") {
+    val table = Files.createTempDirectory("graft_vt3_").toString + "/t"
+    VersionedTable.write(Seq(1, 2).toDF("x"), table)          // v1 good
+    VersionedTable.write(Seq(9, 9, 9).toDF("x"), table)       // v2 bad
+    val v3 = VersionedTable.rollback(table, 1L)
+    assert(v3 == 3L)
+    // current content == v1's, history still time-travelable
+    assert(VersionedTable.read(spark, table).count() == 2)
+    assert(VersionedTable.read(spark, table, Some(2L)).count() == 3)
+    assert(VersionedTable.read(spark, table, Some(3L)).count() == 2)
+    // rollback-of-rollback pre-resolves: v4 points at v1's data directly
+    val v4 = VersionedTable.rollback(table, 3L)
+    assert(VersionedTable.read(spark, table, Some(v4)).count() == 2)
+    // expire down to the newest 2 manifests (v3, v4): both redirect to
+    // v1's data, which must survive although v1's manifest is gone
+    val dropped = VersionedTable.expire(table, keepLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(VersionedTable.versions(table) == Seq(3L, 4L))
+    assert(VersionedTable.read(spark, table).count() == 2)
+    assert(new java.io.File(s"$table/v=1").isDirectory,
+      "redirect target data dir must survive expire")
+    assert(!new java.io.File(s"$table/v=2").isDirectory,
+      "unreferenced expired data dir must be deleted")
+    intercept[Exception] { VersionedTable.read(spark, table, Some(1L)) }
+  }
 }
