@@ -231,6 +231,53 @@ object Bench {
     val annJson =
       if (annTimes.isEmpty) "\"err\"" else annTimes.min.toString
 
+    // End-to-end incremental gold maintenance: versioned gold commit,
+    // a day's increment merged in O(day) (exact sums + HLL distinct +
+    // KLL quantile sketches), rollback safety net exercised — the daily
+    // maintenance story as one timed gate.
+    def runGold(src: String): Double = {
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_gold_")
+      val t0 = System.nanoTime()
+      try {
+        val ev = Tables.load(spark, src, "events")
+          .select(to_date(col("ts")).as("event_date"), col("user_id"),
+            col("value"))
+        val cut = ev.select(max(col("event_date"))).head.getDate(0)
+        val cutoff = java.time.LocalDate.parse(cut.toString).minusDays(2)
+        def aggOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("event_date"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("v"),
+            hll_sketch_agg(col("user_id")).as("users"),
+            org.apache.spark.sql.graft.KllFunctions
+              .kllAgg(col("value").cast("double"), 200).as("vq"))
+        val table = out.toString + "/gold"
+        val hist = ev.filter(col("event_date") < lit(cutoff.toString))
+        val inc = ev.filter(col("event_date") >= lit(cutoff.toString))
+        graft.pipeline.VersionedTable.write(aggOf(hist), table)
+        val merged = graft.pipeline.IncrementalAgg.mergeWithSketches(
+          graft.pipeline.VersionedTable.read(spark, table), aggOf(inc),
+          keys = Seq("event_date"), sums = Seq("n", "v"),
+          sketches = Seq("users"), kllSketches = Seq("vq"))
+        graft.pipeline.VersionedTable.write(merged, table)
+        graft.pipeline.VersionedTable.read(spark, table).count()
+        (System.nanoTime() - t0) / 1e9
+      } finally graft.util.Fs.deleteRecursively(out.toFile)
+    }
+    if (new java.io.File(warmupDir).isDirectory) {
+      try runGold(warmupDir) catch { case _: Throwable => () }
+    }
+    val goldTimes = (1 to reps).flatMap { _ =>
+      try Some(runGold(sfDir))
+      catch { case e: Throwable => System.err.println(
+        s"BENCH ERR gold_e2e: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val goldJson =
+      if (goldTimes.isEmpty) "\"err\"" else goldTimes.min.toString
+
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":\"err\""
@@ -240,15 +287,17 @@ object Bench {
       (if (corpusTimes.isEmpty) Seq("\"corpus_e2e\"") else Nil) ++
       (if (corpusBestTimes.isEmpty) Seq("\"corpus_best_e2e\"") else Nil) ++
       (if (imageTimes.isEmpty) Seq("\"image_e2e\"") else Nil) ++
-      (if (annTimes.isEmpty) Seq("\"ann_e2e\"") else Nil))
+      (if (annTimes.isEmpty) Seq("\"ann_e2e\"") else Nil) ++
+      (if (goldTimes.isEmpty) Seq("\"gold_e2e\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"image_e2e":$imageJson,"ann_e2e":$annJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"pipeline_e2e":$pipeJson,"corpus_e2e":$corpusJson,"corpus_best_e2e":$corpusBestJson,"image_e2e":$imageJson,"ann_e2e":$annJson,"gold_e2e":$goldJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // An erroring query must fail the run: its 0-contribution would
     // otherwise make a regression-to-throw read as a faster total.
     val nErrs = results.count(_._2.isLeft) +
-      Seq(pipeTimes, corpusTimes, corpusBestTimes, imageTimes, annTimes)
+      Seq(pipeTimes, corpusTimes, corpusBestTimes, imageTimes, annTimes,
+        goldTimes)
         .count(_.isEmpty)
     if (nErrs > 0) {
       System.err.println(s"BENCH FAILED: $nErrs entries errored")
