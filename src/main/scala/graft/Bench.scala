@@ -48,6 +48,13 @@ object Bench {
           None
         }
       }
+      // free dead localCheckpoint blocks before the next query: the
+      // ContextCleaner only drops a checkpointed RDD's blocks after the
+      // JVM GCs its reference, so without a nudge the blocks of 150+
+      // earlier queries pile up in the block manager and the heavy
+      // tail queries (q159) measure GC pressure, not their own plan
+      // (observed 2x inflation in full-catalog runs vs solo).
+      System.gc()
       name -> (if (times.isEmpty) Left("err") else Right(times.min))
     }
     // End-to-end medallion pipeline (ingest → silver → gold →
