@@ -47,10 +47,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // let ContextCleaner drop finished queries' localCheckpoint
+      // synchronously drop finished queries' cached/localCheckpoint
       // blocks (same hygiene as Bench — measured 2x tail inflation
       // without it on the full catalog)
-      System.gc()
+      Bench.freeBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

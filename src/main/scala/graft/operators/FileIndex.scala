@@ -46,32 +46,63 @@ object FileIndex {
       expectedItemsPerFile: Long = 1000000L,
       bloomNumBits: Long = 8L * 1024 * 1024): DataFrame = {
     require(bloomCols.nonEmpty, "buildStatsWithBloom needs bloom columns")
+    val src = spark.read.parquet(tableDir)
     val rangeAggs = rangeCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-    val bloomAggs = bloomCols.map(c =>
+    // Record the indexed column's Spark type AS COLUMN METADATA on the
+    // bloom column (survives a parquet round-trip of the stats table):
+    // XxHash64 hashes IntegerType and LongType differently, so probes
+    // MUST hash their literal with the build-side type or silently
+    // false-negative — the metadata makes the probe self-describing.
+    val bloomAggs = bloomCols.map { c =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(BloomTypeKey, src.schema(c).dataType.json).build()
       org.apache.spark.sql.graft.BloomFunctions
         .bloomAgg(col(c), expectedItemsPerFile, bloomNumBits)
-        .as(s"${c}_bloom"))
-    spark.read.parquet(tableDir)
-      .groupBy(input_file_name().as("file"))
+        .as(s"${c}_bloom", meta)
+    }
+    src.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), (rangeAggs ++ bloomAggs): _*)
   }
+
+  /** Metadata key carrying the indexed column's DataType JSON on a
+    * `<c>_bloom` stats column. */
+  val BloomTypeKey = "graft_bloom_type"
 
   /** Files whose bloom admits `c = value` (false positives possible —
     * the pruned read's exact predicate discharges them; false negatives
     * impossible by bloom construction, so no row can be lost). The
-    * probe runs driver-side over the collected (file, blob) rows —
-    * bounded by file count, the same cardinality [[candidateFiles]]
-    * already materializes (`might_contain` itself only accepts a
-    * constant sketch, its broadcast-runtime-filter shape). */
+    * probe is a DISTRIBUTED filter over the stats table: each executor
+    * deserializes only its own rows' blobs against the constant
+    * pre-hashed key, and only the surviving file NAMES are collected —
+    * at 100 TB / 256 MB files that is ~400k name strings, where
+    * collecting the blobs themselves (~1 MB × files × columns) would
+    * OOM the driver. A NULL blob (all-null file) is conservatively kept.
+    * The probe hash uses the build-side column type recorded by
+    * [[buildStatsWithBloom]] ([[BloomTypeKey]] metadata), so an Int
+    * probe against a Long-built bloom cannot silently false-negative. */
   def candidateFilesEquals(stats: DataFrame, c: String,
       value: Any): Seq[String] =
-    stats.select(col("file"), col(s"${c}_bloom"))
-      .collect()
-      .filter(r => r.isNullAt(1) ||
+    candidateFilesEqualsPlan(stats, c, value)
+      .collect().map(_.getString(0)).toSeq
+
+  /** The probe as an un-collected single-column plan (file names only) —
+    * exposed so specs can assert the collected schema carries no blob. */
+  def candidateFilesEqualsPlan(stats: DataFrame, c: String,
+      value: Any): DataFrame = {
+    val bloomCol = s"${c}_bloom"
+    val meta = stats.schema(bloomCol).metadata
+    val dt =
+      if (meta.contains(BloomTypeKey))
+        org.apache.spark.sql.types.DataType.fromJson(
+          meta.getString(BloomTypeKey))
+      else org.apache.spark.sql.catalyst.expressions.Literal(value).dataType
+    val h = org.apache.spark.sql.graft.BloomFunctions.hashValue(value, dt)
+    stats.filter(col(bloomCol).isNull ||
         org.apache.spark.sql.graft.BloomFunctions
-          .mightContainBlob(r.getAs[Array[Byte]](1), value))
-      .map(_.getString(0)).toSeq
+          .mightContainHashed(col(bloomCol), h))
+      .select(col("file"))
+  }
 
   /** Equality read through the bloom index: read only files that might
     * contain the key, re-apply the exact predicate (advisory-index

@@ -98,6 +98,16 @@ object CdcQueries {
   private val rollbackTables =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Delete the per-dir rollback warehouses on JVM exit — the
+    * ExtQueries.indexCleanupHook discipline, so repeated bench/verify
+    * processes don't accumulate graft-rollback-* dirs in the temp dir. */
+  private lazy val rollbackCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      rollbackTables.values.foreach(t => graft.util.Fs.deleteRecursively(
+        new java.io.File(t).getParentFile))
+    }, "graft-rollback-cleanup"))
+  }
+
   /** Snapshot rollback end-to-end (Iceberg `rollback_to_snapshot`,
     * reference: iceberg_maintenance.py surface): a good gold aggregate
     * is committed (v1), a corrupted recompute lands on top (v2), and
@@ -108,6 +118,7 @@ object CdcQueries {
     * hash-mismatches. Setup once per dir per JVM (q143 discipline). */
   def q169Rollback(s: SparkSession, dir: String): DataFrame = {
     val table = rollbackTables.getOrElseUpdate(dir, {
+      rollbackCleanupHook
       val t0 = java.nio.file.Files
         .createTempDirectory("graft-rollback-").toString + "/gold"
       val good = t(s, dir, "orders")

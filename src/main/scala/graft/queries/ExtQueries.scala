@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -136,8 +136,8 @@ object ExtQueries {
         mlshIndexes.values.map(_._1) ++
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
         ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
-        resIndexes.values ++ kllStreamDirs.values.map(
-          new java.io.File(_).getParent))
+        resIndexes.values ++ (kllStreamDirs.values ++
+          thetaStreamDirs.values).map(new java.io.File(_).getParent))
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -439,13 +439,20 @@ object ExtQueries {
     * continuous-crawl serving path: every 10th doc stands in as today's
     * batch, the rest as the already-indexed corpus; the probe reads only
     * the index tables (banded longs + inverted shingle index), never the
-    * corpus text (NearDupIndexSpec asserts the scan set). Rows-only
-    * (xxhash64). */
+    * corpus text (NearDupIndexSpec asserts the scan set). Texts are the
+    * [[plantedText]] construction: batch doc b (b ≡ 0 mod 10) is the
+    * twin of index doc b+1 (b+1 ≡ 1 mod 10, always indexed), all other
+    * docs pairwise-disjoint — so build + probe through the full banded
+    * index must emit EXACTLY {(b, b+1, 1.0)}, hash-checkable by a plain
+    * DuckDB join (r7 verdict item 4; was rows-only). */
   private val ndIndexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   def q86IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+      .select(col("doc_id"), plantedText(
+        when(col("doc_id") % 10 === 0, col("doc_id") + 1)
+          .otherwise(col("doc_id"))).as("text"))
     val path = ndIndexes.getOrElseUpdate(dir, {
       indexCleanupHook
       val p = java.nio.file.Files
@@ -1039,6 +1046,46 @@ object ExtQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  private val thetaStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stream-maintained audience sketches, SAME oracle as q167: events
+    * drained in two batches (even/odd user ids), per-batch theta
+    * sketches landed exactly-once under batch_id=N/ via the shared
+    * [[graft.streaming.BatchPartitionIngest]] primitive, overlap served
+    * by blob-union rollup + set algebra at read time — q165's streamed-
+    * ingest discipline applied to the theta family (r7 verdict item 5).
+    * Theta union is associative and every sketch stays in exact mode
+    * (lgK=14 ≫ the user universe), so streamed == one-shot == the
+    * DuckDB distinct-join replay bit-for-bit; a duplicated or dropped
+    * drain breaks users_a/users_b and the hash. Ingest runs once per
+    * dir per JVM (TrieMap, q143 discipline). */
+  def q170StreamThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val state = thetaStreamDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-theta-stream-").toString
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      ev.filter(col("user_id") % 2 === 0)
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Theta.sketchIngestOnce(s, s"$root/src", ev.schema,
+        s"$root/state", s"$root/ckpt", Seq("event_type"), "user_id",
+        lgK = 14)
+      ev.filter(col("user_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Theta.sketchIngestOnce(s, s"$root/src", ev.schema,
+        s"$root/state", s"$root/ckpt", Seq("event_type"), "user_id",
+        lgK = 14)
+      s"$root/state"
+    })
+    val perType = graft.operators.Theta.rollup(
+      s.read.parquet(state).drop("batch_id"), Seq("event_type"))
+    graft.operators.Theta.pairwiseOverlap(perType, "event_type")
+      .withColumnRenamed("seg_a", "type_a")
+      .withColumnRenamed("seg_b", "type_b")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Incremental gold refresh replayed against a full recompute (r6
     * verdict item 7): events split at the corpus's median day into a
     * standing gold aggregate and a "new day's" increment, each
@@ -1187,16 +1234,39 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("lang")),
       "doc_id", factor = 2.3)
 
+  /** 12 pairwise-unique tokens derived from `base` ("t<base>_0" …
+    * "t<base>_11"): docs sharing a base have IDENTICAL text (shingle
+    * jaccard exactly 1.0 — identical minhash signatures, so every band
+    * collides and recall is guaranteed, not probabilistic); docs with
+    * different bases share NO token, so no shingle either (jaccard 0 <
+    * any threshold — a spurious band collision cannot survive the exact
+    * verify). This makes an xxhash64-based near-dup operator's OUTPUT
+    * data-independent given the id set — the q73 construction-pinned-
+    * oracle trick generalized from "all duplicates" to "planted pairs". */
+  private def plantedText(base: Column): Column =
+    concat_ws(" ", (0 until 12).map(j =>
+      concat(lit("t"), base.cast("string"), lit(s"_$j"))): _*)
+
   /** MinHash near-dup pairs from PURE SQL TEXT (the reference's Athena
     * discipline applied to the extension surface, as q69 did for as-of):
-    * same parameters as q27, driven entirely through `spark.sql` over the
-    * registered views + `graft_shingles`. Rows-only (xxhash64 has no
-    * DuckDB analogue); SqlNearDupSpec pins SQL == DataFrame operator. */
+    * same parameters as q27, driven entirely through `spark.sql` over a
+    * registered view + `graft_shingles`. Runs over a PLANTED-PAIR corpus
+    * ([[plantedText]], base = doc_id floored to even: docs 2k and 2k+1
+    * are twins, everything else pairwise-disjoint), so the full SQL
+    * pipeline — shingling, seeded minima, banding, bucket guard,
+    * first-agreeing-band dedup, exact-Jaccard verify — must emit
+    * EXACTLY {(2k, 2k+1, 1.0)}, which a plain DuckDB join reproduces
+    * (r7 verdict item 4: flips this entry from rows-only to
+    * hash-matched). SqlNearDupSpec additionally pins SQL == DataFrame
+    * operator on free-text corpora. */
   def q74SqlNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    graft.Tables.registerAll(s, dir)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        plantedText(col("doc_id") - col("doc_id") % 2).as("text"))
+      .createOrReplaceTempView("documents_planted")
     s.sql(NearDup.minhashPairsSql(shingleSize = 2, bands = 8,
-      rowsPerBand = 2, threshold = 0.5))
+      rowsPerBand = 2, threshold = 0.5, table = "documents_planted"))
   }
 
   /** Adversarial duplicate-heavy corpus — the skew stress for the
@@ -1355,6 +1425,7 @@ object ExtQueries {
     "q165_stream_kll_profile" -> (q165StreamKllProfile _),
     "q166_sql_kll" -> (q166SqlKll _),
     "q167_theta_overlap" -> (q167ThetaOverlap _),
+    "q170_stream_theta_overlap" -> (q170StreamThetaOverlap _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -1368,6 +1439,29 @@ object ExtQueries {
     "q121_mixture_resample" -> (q121MixtureResample _))
 
   private val splitToks = "regexp_split_to_array(text, '\\s+')"
+
+  /** Exact replay for q167/q170: distinct (type, user) pairs joined on
+    * user give the true overlaps; sketches are in exact mode by
+    * construction, so both the one-shot and the streamed build must
+    * reproduce this bit-for-bit. */
+  private val thetaOverlapOracle: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |t AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+      |pr AS (
+      |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+      |         ta.n AS users_a, tb.n AS users_b
+      |  FROM t ta, t tb WHERE ta.event_type < tb.event_type),
+      |ov AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         COUNT(*) AS c
+      |  FROM u a JOIN u b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pr.type_a, pr.type_b, pr.users_a, pr.users_b,
+      |  COALESCE(ov.c, 0) AS overlap,
+      |  pr.users_a - COALESCE(ov.c, 0) AS only_a
+      |FROM pr LEFT JOIN ov USING (type_a, type_b)
+      |ORDER BY type_a, type_b""".stripMargin
 
   /** Sign-LSH bucket as DuckDB SQL over literal hyperplanes: bit h is the
     * sign of dot(vec, plane_h) — the exact formula of
@@ -2299,26 +2393,9 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_partkey = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q167_theta_overlap" ->
-      // exact replay: distinct (type, user) pairs joined on user give
-      // the true overlaps; sketches are in exact mode by construction
-      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
-        |t AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
-        |pr AS (
-        |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
-        |         ta.n AS users_a, tb.n AS users_b
-        |  FROM t ta, t tb WHERE ta.event_type < tb.event_type),
-        |ov AS (
-        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |         COUNT(*) AS c
-        |  FROM u a JOIN u b
-        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT pr.type_a, pr.type_b, pr.users_a, pr.users_b,
-        |  COALESCE(ov.c, 0) AS overlap,
-        |  pr.users_a - COALESCE(ov.c, 0) AS only_a
-        |FROM pr LEFT JOIN ov USING (type_a, type_b)
-        |ORDER BY type_a, type_b""".stripMargin,
+    "q167_theta_overlap" -> thetaOverlapOracle,
+    // the streamed build must land on the identical exact answer
+    "q170_stream_theta_overlap" -> thetaOverlapOracle,
     "q163_incremental_refresh" ->
       // full-history recompute: the incremental merge's exact measures
       // must match bit-for-bit; users_est_ok=1 is binding because the
@@ -2415,6 +2492,18 @@ object ExtQueries {
         |SELECT m.mid AS id_a, d.doc_id AS id_b,
         |  CAST(1.0 AS DOUBLE) AS jaccard
         |FROM documents d, m WHERE d.doc_id <> m.mid""".stripMargin,
+    // planted-pair constructions (see plantedText): the expected pair
+    // set depends only on the id set, so the oracle is a plain join
+    "q74_sql_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0""".stripMargin,
+    "q86_incremental_neardup" ->
+      """SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 0""".stripMargin,
     "q20_token_stats" ->
       s"""SELECT doc_id,
          | CAST(len($splitToks) AS INTEGER) AS n_tokens,

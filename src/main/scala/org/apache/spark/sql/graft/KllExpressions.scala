@@ -143,6 +143,11 @@ case class KllQuantile(left: Expression, right: Expression)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
+  // An EMPTY sketch (all-null group) evaluates to NULL even when both
+  // children are non-nullable (KllSketchAgg declares nullable=false), so
+  // nullability cannot be inherited from the children — a non-nullable
+  // graft_kll_quantile(kll, 0.5d) would unbox the null downstream.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_kll_quantile"
 
   override protected def nullSafeEval(sketch: Any, rank: Any): Any = {

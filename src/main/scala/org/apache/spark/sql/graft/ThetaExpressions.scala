@@ -83,10 +83,15 @@ case class ThetaSketchAgg(
     copy(child = newChild)
 }
 
-/** Lossless union of serialized theta sketches (rollup path). */
+/** Lossless union of serialized theta sketches (rollup path). The
+  * buffer is a MAX-size Union (lgK=26, DataSketches' ceiling), the
+  * KllUnionAgg discipline: a union buffer never adds error beyond its
+  * inputs', but a small one (e.g. a pinned 14) would silently cap
+  * nominal entries and drop exact-mode inputs built at lgK>14 into
+  * estimation mode — breaking the construction-pinned-oracle contract.
+  * The result's theta is governed entirely by the input sketches. */
 case class ThetaUnionAgg(
     child: Expression,
-    lgK: Int = 14,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union]
@@ -97,8 +102,11 @@ case class ThetaUnionAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_theta_union_agg"
 
-  override def createAggregationBuffer(): Union =
-    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+  // 26 = org.apache.datasketches.thetacommon.ThetaUtil.MAX_LG_NOM_LONGS
+  private def maxUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(26).buildUnion()
+
+  override def createAggregationBuffer(): Union = maxUnion()
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -117,7 +125,7 @@ case class ThetaUnionAgg(
     buffer.getResult.toByteArray
 
   override def deserialize(bytes: Array[Byte]): Union = {
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    val u = maxUnion()
     u.union(Memory.wrap(bytes))
     u
   }

@@ -79,6 +79,36 @@ class FileIndexSpec extends SparkSpec {
     assert(pruned == plain && plain.nonEmpty)
   }
 
+  test("bloom probe is distributed: collected schema is file names only, " +
+      "blobs never reach the driver; type-mismatched probes still match") {
+    val dir = tmpDir() + "/d"
+    (1 to 4000).map(i => (2L * i, s"v$i")).toDF("k", "v")
+      .repartition(6).write.parquet(dir)
+    val statsDir = tmpDir() + "/stats"
+    // parquet round-trip: the BloomTypeKey column metadata must survive
+    FileIndex.buildStatsWithBloom(spark, dir,
+      rangeCols = Nil, bloomCols = Seq("k"),
+      expectedItemsPerFile = 1000L, bloomNumBits = 64L * 1024)
+      .write.parquet(statsDir)
+    val stats = spark.read.parquet(statsDir)
+    assert(stats.schema("k_bloom").metadata.contains(FileIndex.BloomTypeKey))
+    // the probe plan's output is ONE string column — the collect that
+    // follows it moves file names, never megabyte blobs (the 100 TB
+    // driver-memory contract)
+    val plan = FileIndex.candidateFilesEqualsPlan(stats, "k", 246L)
+    assert(plan.schema.map(_.name) == Seq("file"))
+    assert(!plan.queryExecution.executedPlan.output
+      .exists(_.name.contains("bloom")))
+    // an Int probe against the Long-built bloom must hash as a Long
+    // (recorded type), not as an Int — a wrong-width hash would silently
+    // prune the file that holds the key
+    val viaInt = FileIndex.candidateFilesEquals(stats, "k", 246).toSet
+    val viaLong = FileIndex.candidateFilesEquals(stats, "k", 246L).toSet
+    assert(viaInt == viaLong && viaLong.nonEmpty)
+    assert(FileIndex.prunedEqualityRead(spark, dir, stats, "k", 246)
+      .count() === spark.read.parquet(dir).filter(col("k") === 246L).count())
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val dir = tmpDir() + "/e"
     Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)
