@@ -48,6 +48,17 @@ object Tables {
     }
   }
 
+  // Last dir fully registered per session: SQL-surface queries call
+  // registerAll on every invocation, and re-deriving 10 parquet reads
+  // (footer/schema resolution each) costs ~0.1-0.2s per call — pure
+  // overhead when the views already point at the same dir (bench reps
+  // pay it 3x per SQL query). Weak keys so a dropped session doesn't
+  // pin its catalog. Only a FULLY successful registration is cached;
+  // any failure clears the entry so the next call retries everything.
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every table as a temp view so `spark.sql` works over the same
     * data (the reference's interactive surface is SQL-over-catalog —
     * reference: README.md:245-276). Registration is failure-isolated: one
@@ -56,10 +67,14 @@ object Tables {
     * a prior registration cannot serve wrong data) and the failure is
     * recorded; queries touching it then fail at analysis with a
     * view-not-found error naming the table, while every other query runs.
+    * Idempotent per (session, dir): a repeat call for the already-registered
+    * dir is a no-op (nothing in the repo shadows these ten view names).
     * Returns the names of tables that failed to register (empty = all good).
     */
-  def registerAll(spark: SparkSession, sfDir: String): Seq[String] =
-    all.flatMap { n =>
+  def registerAll(spark: SparkSession, sfDir: String): Seq[String] = {
+    if (sfDir == registeredDir.get(spark)) return Nil
+    registeredDir.remove(spark) // mid-registration state is never trusted
+    val failures = all.flatMap { n =>
       try { load(spark, sfDir, n).createOrReplaceTempView(n); None }
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -68,4 +83,7 @@ object Tables {
           Some(n)
       }
     }
+    if (failures.isEmpty) registeredDir.put(spark, sfDir)
+    failures
+  }
 }

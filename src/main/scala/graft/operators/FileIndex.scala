@@ -18,17 +18,36 @@ import org.apache.spark.sql.functions._
   * is the truth (gated by an oracle that computes from the raw table). */
 object FileIndex {
 
-  /** One row per parquet file: (file, n_rows, <c>_min, <c>_max per
-    * stats column). One full scan to build; rebuild per partition after
-    * compaction (or append-merge — stats rows are per-file facts). */
-  def buildStats(spark: SparkSession, tableDir: String,
-      cols: Seq[String]): DataFrame = {
+  private def rangeStatsOf(src: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "buildStats needs at least one column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-    spark.read.parquet(tableDir)
-      .groupBy(input_file_name().as("file"))
+    src.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** One row per parquet file: (file, n_rows, <c>_min, <c>_max per
+    * stats column). One full scan to build; rebuild per partition after
+    * compaction (or append-merge via [[statsForFiles]] — stats rows are
+    * per-file facts). */
+  def buildStats(spark: SparkSession, tableDir: String,
+      cols: Seq[String]): DataFrame =
+    rangeStatsOf(spark.read.parquet(tableDir), cols)
+
+  /** Stats rows for SPECIFIC files — the incremental-maintenance path:
+    * after a day's append, scan ONLY the new files and union the rows
+    * into the standing stats table (`stats.unionByName(...)`). Stats
+    * rows are per-file facts, so the union equals a full rebuild by
+    * construction (`FileIndexSpec` pins it) — upkeep is O(increment),
+    * never O(table), which is what keeps a 400k-file stats table
+    * maintainable at one append per day. Compaction REPLACES files, so
+    * compacted partitions still need their rows rebuilt (drop rows
+    * whose file no longer exists, add the new files' rows — both sides
+    * O(touched files)). */
+  def statsForFiles(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "statsForFiles needs at least one file")
+    rangeStatsOf(spark.read.parquet(files: _*), cols)
   }
 
   /** [[buildStats]] extended with per-file BLOOM membership sketches for

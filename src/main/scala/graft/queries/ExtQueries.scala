@@ -886,14 +886,26 @@ object ExtQueries {
     * enumeration keeps wedge volume O(|E|^1.5) under skew; the oracle
     * replays with the orientation-free a<b<c 3-way self-join, which is
     * only equivalent because each triangle materializes exactly once in
-    * both forms. */
+    * both forms.
+    *
+    * Edge generation is ONE groupBy + scan-side pair explode, not a
+    * lineitem self-join: collect the (deduped, sorted) part set per
+    * order, then posexplode the set and explode each element's tail
+    * slice — per-order group sizes are bounded (items per order), so
+    * the pair streams are generated inside codegen'd generators (no
+    * higher-order lambdas, which are CodegenFallback) and the join
+    * shuffle + 3.6M-row join output of the self-join form disappear.
+    * No distinct here either: Triangles itself canonicalizes+dedups
+    * edges, so an outer distinct would be a second full shuffle of the
+    * same pair set. */
   def q159Triangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
-      .filter(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      .distinct()
+    val edges = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(posexplode(col("pks")).as(Seq("i", "src")), col("pks"))
+      .select(col("src"),
+        explode(expr("slice(pks, i + 2, size(pks) - i - 1)")).as("dst"))
     graft.operators.Triangles.perNode(edges, "src", "dst")
   }
 

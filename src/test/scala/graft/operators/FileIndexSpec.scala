@@ -109,6 +109,31 @@ class FileIndexSpec extends SparkSpec {
       .count() === spark.read.parquet(dir).filter(col("k") === 246L).count())
   }
 
+  test("incremental stats: append-day rows union to exactly a full rebuild") {
+    val dir = tmpDir() + "/inc"
+    (1 to 3000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4).write.parquet(dir)
+    val standing = FileIndex.buildStats(spark, dir, Seq("k"))
+      .localCheckpoint() // freeze: built BEFORE the append lands
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    (3001 to 4000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    val newFiles = spark.read.parquet(dir).inputFiles.toSet -- before
+    assert(newFiles.nonEmpty)
+    // O(increment): scan only the appended files, union into standing
+    val merged = standing.unionByName(
+      FileIndex.statsForFiles(spark, newFiles.toSeq, Seq("k")))
+    val rebuilt = FileIndex.buildStats(spark, dir, Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getInt(3))).toSet
+    assert(rows(merged) == rows(rebuilt))
+    // and the merged table serves pruned reads over the appended range
+    val got = FileIndex.prunedRangeRead(spark, dir, merged, "k",
+      lit(3500), lit(3600)).count()
+    assert(got == 101L)
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val dir = tmpDir() + "/e"
     Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)
