@@ -32,9 +32,14 @@ object LabelProp {
 
   /** (node, label) after `iters` exact HashMin iterations. Pass
     * symmetric edges (both directions) for undirected semantics —
-    * propagation follows edge direction src→dst. */
+    * propagation follows edge direction src→dst.
+    *
+    * `broadcastMaxNodes`: same gate as [[PageRank.run]] — under it,
+    * each iteration broadcasts the |V|-row label state instead of
+    * exchanging the static |E|-row edge table; join strategy never
+    * changes the min-label values. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -45,12 +50,14 @@ object LabelProp {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
+    val fits = nodes.count() <= broadcastMaxNodes
+    def state(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var labels = nodes.select(col("node"), col("node").as("label"))
     (1 to iters).foreach { _ =>
-      val incoming = e.join(labels, e("src") === labels("node"))
+      val incoming = e.join(state(labels), e("src") === labels("node"))
         .select(col("dst").as("node"), col("label").as("nl"))
         .groupBy(col("node")).agg(min(col("nl")).as("m"))
-      labels = labels.join(incoming, Seq("node"), "left")
+      labels = labels.join(state(incoming), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("m"), col("label")))
             .as("label"))

@@ -30,9 +30,18 @@ object PageRank {
 
   /** (node, rank_ppm) after `iters` exact fixed-point iterations.
     * `dampingPct` is the damping factor in percent (85 = the standard
-    * 0.85); base = (100 − dampingPct)·10,000 ppm. */
+    * 0.85); base = (100 − dampingPct)·10,000 ppm.
+    *
+    * `broadcastMaxNodes`: the rank table is |V| rows of 16 bytes while
+    * the per-iteration join streams |E| edge rows — when |V| fits the
+    * gate (4M nodes ≈ 100 MB hashed), each iteration BROADCASTS the
+    * fresh ranks instead of exchanging the static edge table every
+    * round. AQE cannot make this call: the checkpointed frames carry no
+    * stats. Join strategy never changes values, so the bit-exact
+    * contract holds either way; above the gate the shuffle form runs
+    * and the O(K·(|E|+|V|)) story is unchanged. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
@@ -56,14 +65,16 @@ object PageRank {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
       .localCheckpoint()
     val base = (100L - dampingPct) * 10000L
+    val fits = nodes.count() <= broadcastMaxNodes
+    def state(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     (1 to iters).foreach { _ =>
       val contribs = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
+        .join(state(ranks), withDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank_ppm DIV outd").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(state(contribs), Seq("node"), "left")
         .select(col("node"),
           expr(s"CAST($base + ($dampingPct * coalesce(s, 0)) DIV 100 " +
             "AS BIGINT)").as("rank_ppm"))
