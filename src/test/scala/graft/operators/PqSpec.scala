@@ -126,6 +126,34 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("batched concurrent probes == the sequential probe loop") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-many-").toString
+    try {
+      Pq.writeIvfPqIndex(emb, "vec_id", "embedding", coarse, model, dir)
+      val queries = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toSeq
+      assert(queries.size >= 3)
+      val batched = Pq.topKRefinedIndexedMany(spark, dir, emb, "vec_id",
+        "embedding", model, coarse, queries, k = 3, candidates = 6,
+        nProbe = 2, parallelism = 4)
+      val sequential = queries.map { case (qid, q) =>
+        qid -> Pq.topKRefinedIndexed(spark, dir, emb, "vec_id", "embedding",
+            model, coarse, q, qid, k = 3, candidates = 6, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }.toMap
+      assert(batched == sequential,
+        "concurrent submission must not change any probe's result")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("streaming encode ingest: two drains == batch index; re-drain is a no-op") {
     val emb = corpus.cache()
     val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 2, iters = 2)
