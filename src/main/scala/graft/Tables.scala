@@ -86,4 +86,11 @@ object Tables {
     if (failures.isEmpty) registeredDir.put(spark, sfDir)
     failures
   }
+
+  /** Forget the cached registration for `spark` — REQUIRED after any
+    * code deliberately shadows or drops one of the ten shared view
+    * names (test fixtures do), so the next [[registerAll]] re-registers
+    * instead of trusting the stale cache. */
+  def invalidateRegistration(spark: SparkSession): Unit =
+    registeredDir.remove(spark)
 }

@@ -5,8 +5,18 @@ import graft.SparkSpec
 /** Golden gate for the pure-SQL minhash near-dup text: on the same
   * corpus, the SQL form must return EXACTLY the DataFrame operator's
   * pairs (bit-identical jaccard — both run in Spark, same arithmetic). */
-class SqlNearDupSpec extends SparkSpec {
+class SqlNearDupSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // this suite shadows the shared `documents` view with its fixtures;
+  // restore the catalog and the Tables registration cache so suites
+  // running after us see real tables, not a fixture
+  override def afterAll(): Unit = {
+    spark.catalog.dropTempView("documents")
+    graft.Tables.invalidateRegistration(spark)
+    super.afterAll()
+  }
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

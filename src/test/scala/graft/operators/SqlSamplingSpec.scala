@@ -9,8 +9,18 @@ import graft.SparkSpec
   * assignSplits(0.8/0.1/0.1) → stratifiedSample(en→0.25, else keep).
   * The SQL string itself is shared with the DuckDB oracle, so this spec
   * closes the remaining gap: SQL == operators == oracle. */
-class SqlSamplingSpec extends SparkSpec {
+class SqlSamplingSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // this suite shadows the shared `documents` view with its fixture;
+  // restore the catalog and the Tables registration cache so suites
+  // running after us see real tables, not the fixture
+  override def afterAll(): Unit = {
+    spark.catalog.dropTempView("documents")
+    graft.Tables.invalidateRegistration(spark)
+    super.afterAll()
+  }
 
   test("q126 SQL equals the operator composition row for row") {
     val docs = (1L to 4000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
