@@ -39,9 +39,16 @@ object PageRank {
     * round. AQE cannot make this call: the checkpointed frames carry no
     * stats. Join strategy never changes values, so the bit-exact
     * contract holds either way; above the gate the shuffle form runs
-    * and the O(K·(|E|+|V|)) story is unchanged. */
+    * and the O(K·(|E|+|V|)) story is unchanged.
+    *
+    * `materializePerIteration = false` skips the per-iteration
+    * localCheckpoint — for plan inspection (the checkpointed form's
+    * final plan is an RDD scan, hiding the iteration join) or when a
+    * caller with few iterations wants one lazy composite; the default
+    * keeps lineage O(1) in iteration count. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      dampingPct: Int = 85, broadcastMaxNodes: Long = 4000000L): DataFrame = {
+      dampingPct: Int = 85, broadcastMaxNodes: Long = 4000000L,
+      materializePerIteration: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
@@ -74,11 +81,11 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("rank_ppm DIV outd").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(state(contribs), Seq("node"), "left")
+      val next = nodes.join(state(contribs), Seq("node"), "left")
         .select(col("node"),
           expr(s"CAST($base + ($dampingPct * coalesce(s, 0)) DIV 100 " +
             "AS BIGINT)").as("rank_ppm"))
-        .localCheckpoint()
+      ranks = if (materializePerIteration) next.localCheckpoint() else next
     }
     ranks
   }

@@ -92,6 +92,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_graft_theta_union_agg"), p)
   }
 
+  test("pagerank iteration broadcasts the rank state under the gate") {
+    // the checkpointed form's final plan is an RDD scan, so inspect the
+    // operator's lazy form: the |V|-row state must broadcast — the
+    // static |E| edge table is never exchanged per iteration
+    import org.apache.spark.sql.functions.col
+    val edges = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val p = graft.operators.PageRank
+      .run(edges, "src", "dst", iters = 1, materializePerIteration = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q159 triangles: bloom semi-join reduction guards the closing join") {
+    val p = plan("q159_triangles")
+    // the wedge stream is filtered by might_contain BEFORE the closing
+    // join's exchange — without it 20x the triangle count crosses the wire
+    assert(p.contains("might_contain"), p)
+  }
+
   test("q108 outliers broadcast the per-group moments over the scan") {
     val p = plan("q108_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
