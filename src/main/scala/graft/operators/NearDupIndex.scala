@@ -86,16 +86,37 @@ object NearDupIndex {
     * (new_id, old_id, jaccard) with jaccard >= threshold. Within-batch
     * duplicates are the caller's composition ([[NearDup.minhashPairs]]
     * on the batch) — this operator is strictly batch × corpus. */
+  /** Read an index table, tolerating BOTH layouts: the one-shot
+    * [[write]] layout (no batch column) and the [[streamIngest]] layout
+    * (rows partitioned by batch_id). `excludeBatchId >= 0` drops that
+    * batch's rows — a retried streaming batch must not see its own
+    * partially-landed index rows, or its docs would collide with
+    * themselves and be dropped as duplicates. */
+  private def readIdxTable(spark: SparkSession, path: String,
+      excludeBatchId: Long): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("batch_id") && excludeBatchId >= 0)
+      df.filter(col("batch_id") =!= excludeBatchId)
+    else df
+  }
+
   def probe(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, excludeBatchId: Long = -1L): DataFrame = {
     val p = readMeta(root)
     val banded = NearDup.minhashBands(batch, idCol, textCol, p.shingleSize,
         p.bands, p.rowsPerBand)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
       .localCheckpoint() // batch is small; bands feed two join branches
-    val cells = spark.read.parquet(s"$root/cells")
-    val idxBands = spark.read.parquet(s"$root/bands")
+    // per-batch cell stats roll up to the global stats at probe time —
+    // an O(|cells|·|batches|) agg, never O(corpus)
+    val cellsRaw = readIdxTable(spark, s"$root/cells", excludeBatchId)
+    val cells =
+      if (cellsRaw.columns.contains("batch_id"))
+        cellsRaw.groupBy(col("band"), col("band_hash"))
+          .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))
+      else cellsRaw
+    val idxBands = readIdxTable(spark, s"$root/bands", excludeBatchId)
     // small cells: one candidate per stored member sharing the cell;
     // oversized cells: a single star to the stored min id — the cell's
     // members are mutual near-dups, the min id represents them all
@@ -115,9 +136,9 @@ object NearDupIndex {
     val newSizes = newEx.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_new"))
       .select(col(idCol).as("new_id"), col("n_new"))
-    val oldSizes = spark.read.parquet(s"$root/docs")
+    val oldSizes = readIdxTable(spark, s"$root/docs", excludeBatchId)
       .select(col(idCol).as("old_id"), col("n").as("n_old"))
-    val idxSh = spark.read.parquet(s"$root/shingles")
+    val idxSh = readIdxTable(spark, s"$root/shingles", excludeBatchId)
       .select(col(idCol).as("old_id"), col("sh"))
     val common = cands
       .join(newEx.select(col(idCol).as("new_id"), col("sh")), Seq("new_id"))
@@ -165,4 +186,90 @@ object NearDupIndex {
     swap("docs")
     swap("cells")
   }
+
+  /** EXACTLY-ONCE streamed crawl dedup — the continuous-ingest
+    * composition of this index: drain `srcDir` (checkpoint = bookmark,
+    * AvailableNow), and for each microbatch (1) dedup the batch within
+    * itself (exact + near-dup, min-id keeper), (2) [[probe]] the
+    * survivors against everything already indexed and drop the hits,
+    * (3) land the novel docs' index rows (bands/cells/shingles/docs)
+    * and their ids (`accepted/`) under `batch_id=N/` partitions via
+    * dynamic partition overwrite. A retried batch rewrites its OWN
+    * partitions in every table instead of appending duplicates — the
+    * [[graft.streaming.BatchPartitionIngest]] idempotence-by-layout
+    * discipline applied to a multi-table state — and the retry's probe
+    * EXCLUDES its own batch id, so partially-landed rows from the
+    * failed attempt can never make the batch collide with itself.
+    *
+    * Cost shape per batch: the batch is tokenized once; the probe joins
+    * key on longs against the stored tables; cell stats roll up from
+    * per-batch rows (O(|cells|·|batches|), compactable). Nothing ever
+    * re-reads accepted corpus TEXT — daily batch ≪ corpus is the whole
+    * point at crawl scale. */
+  def streamIngest(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, root: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): Unit = {
+    if (!Files.exists(metaPath(root))) {
+      Files.createDirectories(Paths.get(root))
+      writeMeta(root, Params(shingleSize, bands, rowsPerBand))
+    } else {
+      val p = readMeta(root)
+      require(p == Params(shingleSize, bands, rowsPerBand),
+        s"streamIngest params $shingleSize/$bands/$rowsPerBand do not " +
+          s"match the existing index meta $p")
+    }
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        val exact = Dedup.exactKeepFirst(b, textCol, idCol)
+          .localCheckpoint()
+        val pairs = NearDup.minhashPairs(exact, idCol, textCol,
+          shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
+        val batchClean =
+          Components.keepClusterRepresentatives(exact, idCol, pairs)
+        // docs/ is written LAST of the index tables, so its existence
+        // proves at least one batch fully landed; a first-batch retry
+        // after a partial crash sees no docs/ and correctly probes
+        // nothing
+        val novel =
+          if (!Files.exists(Paths.get(root, "docs"))) batchClean
+          else {
+            val hits = probe(spark, root, batchClean, idCol, textCol,
+                threshold, maxBucketSize, excludeBatchId = batchId)
+              .select(col("new_id").as(idCol)).distinct()
+            batchClean.join(hits, Seq(idCol), "left_anti")
+          }
+        val nv = novel.localCheckpoint() // feeds five writes
+        def land(df: DataFrame, table: String,
+            partCols: Seq[String] = Nil): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id" +: partCols: _*)
+            .parquet(s"$root/$table")
+        val bandedNv = NearDup.minhashBands(nv, idCol, textCol,
+          shingleSize, bands, rowsPerBand).localCheckpoint()
+        land(bandedNv, "bands", Seq("band"))
+        land(bandedNv.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id")),
+          "cells")
+        val exNv = NearDup.explodedShingles(nv, idCol, textCol,
+          shingleSize).localCheckpoint()
+        land(exNv, "shingles")
+        land(nv.select(col(idCol)), "accepted")
+        land(exNv.groupBy(col(idCol)).agg(count(lit(1)).as("n")), "docs")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Ids accepted by [[streamIngest]] across all drained batches. */
+  def accepted(spark: SparkSession, root: String, idCol: String): DataFrame =
+    spark.read.parquet(s"$root/accepted").select(col(idCol))
 }

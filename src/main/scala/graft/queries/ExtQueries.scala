@@ -136,7 +136,8 @@ object ExtQueries {
         mlshIndexes.values.map(_._1) ++
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
         ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
-        resIndexes.values ++ (kllStreamDirs.values ++
+        resIndexes.values ++ crawlDedupDirs.values ++
+        (kllStreamDirs.values ++
           thetaStreamDirs.values).map(new java.io.File(_).getParent))
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
@@ -1058,6 +1059,44 @@ object ExtQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  private val crawlDedupDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Streamed crawl dedup end-to-end: the [[plantedText]] corpus drained
+    * in two arrivals (evens, then odds — doc 2k+1 is the twin of doc
+    * 2k), each microbatch deduped within itself AND against everything
+    * already indexed, novel docs' index rows and ids landed exactly-once
+    * under batch_id=N/ (dynamic partition overwrite; a retried batch
+    * rewrites its own partitions and its probe excludes its own id).
+    * Construction-pinned oracle: batch 1's evens are pairwise-disjoint
+    * (all accepted); batch 2's odd doc 2k+1 is identical to indexed doc
+    * 2k (jaccard exactly 1.0 — dropped), except odds with no even
+    * partner in the table (accepted). The accepted set is therefore a
+    * plain SQL expression over the id set — a duplicate slipping
+    * through, a novel doc lost, or a double-landed batch all
+    * hash-mismatch. */
+  def q171StreamCrawlDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = crawlDedupDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-crawl-dedup-").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          plantedText(col("doc_id") - col("doc_id") % 2).as("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("append").parquet(s"$r/src")
+      graft.operators.NearDupIndex.streamIngest(s, s"$r/src", docs.schema,
+        s"$r/index", s"$r/ckpt", "doc_id", "text")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$r/src")
+      graft.operators.NearDupIndex.streamIngest(s, s"$r/src", docs.schema,
+        s"$r/index", s"$r/ckpt", "doc_id", "text")
+      r
+    })
+    graft.operators.NearDupIndex.accepted(s, s"$root/index", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   private val thetaStreamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1438,6 +1477,7 @@ object ExtQueries {
     "q166_sql_kll" -> (q166SqlKll _),
     "q167_theta_overlap" -> (q167ThetaOverlap _),
     "q170_stream_theta_overlap" -> (q170StreamThetaOverlap _),
+    "q171_stream_crawl_dedup" -> (q171StreamCrawlDedup _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2408,6 +2448,15 @@ object ExtQueries {
     "q167_theta_overlap" -> thetaOverlapOracle,
     // the streamed build must land on the identical exact answer
     "q170_stream_theta_overlap" -> thetaOverlapOracle,
+    // planted construction: evens always accepted; odds only without an
+    // even twin in the table (see q171 scaladoc)
+    "q171_stream_crawl_dedup" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT a.doc_id FROM documents a
+        |LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+        |WHERE a.doc_id % 2 = 1 AND b.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "q163_incremental_refresh" ->
       // full-history recompute: the incremental merge's exact measures
       // must match bit-for-bit; users_est_ok=1 is binding because the
