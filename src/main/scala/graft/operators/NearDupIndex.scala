@@ -272,4 +272,52 @@ object NearDupIndex {
   /** Ids accepted by [[streamIngest]] across all drained batches. */
   def accepted(spark: SparkSession, root: String, idCol: String): DataFrame =
     spark.read.parquet(s"$root/accepted").select(col(idCol))
+
+  /** Fold a [[streamIngest]] index's batch partitions into ONE (the
+    * minimum existing batch id) — the maintenance step that keeps the
+    * probe-time cell-stats rollup O(|cells|) after many drains, and the
+    * per-table file counts bounded. Pure LAYOUT change: every rollup the
+    * probe performs is value-equal regardless of how rows are split
+    * across batch partitions, so probes before, after, and even DURING
+    * a crashed half-compaction (some tables folded, some not — each
+    * table individually consistent via the .new/.old swap) return
+    * identical results. The folded rows keep a REAL batch id that the
+    * checkpoint has already committed, so a later drain's new batch ids
+    * (strictly increasing) can never collide with it. */
+  def compactStream(spark: SparkSession, root: String): Unit = {
+    // partition-column inference reads batch_id back as int — cast
+    val minId = spark.read.parquet(s"$root/accepted")
+      .agg(min(col("batch_id").cast("long"))).head.getLong(0)
+    def fold(table: String, partCols: Seq[String] = Nil): Unit = {
+      val cur = Paths.get(root, table)
+      val nw = Paths.get(root, s"$table.new")
+      val old = Paths.get(root, s"$table.old")
+      graft.util.Fs.deleteRecursively(nw.toFile)
+      spark.read.parquet(cur.toString)
+        .withColumn("batch_id", lit(minId))
+        .write.mode("overwrite")
+        .partitionBy("batch_id" +: partCols: _*)
+        .parquet(nw.toString)
+      graft.util.Fs.deleteRecursively(old.toFile)
+      Files.move(cur, old)
+      Files.move(nw, cur)
+      graft.util.Fs.deleteRecursively(old.toFile)
+    }
+    fold("bands", Seq("band"))
+    // per-batch cell stats merge into true global stats (sum/min)
+    val cells = spark.read.parquet(s"$root/cells")
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))
+      .localCheckpoint() // sever from the dir being swapped
+    cells.withColumn("batch_id", lit(minId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$root/cells.new")
+    graft.util.Fs.deleteRecursively(Paths.get(root, "cells.old").toFile)
+    Files.move(Paths.get(root, "cells"), Paths.get(root, "cells.old"))
+    Files.move(Paths.get(root, "cells.new"), Paths.get(root, "cells"))
+    graft.util.Fs.deleteRecursively(Paths.get(root, "cells.old").toFile)
+    fold("shingles")
+    fold("docs")
+    fold("accepted")
+  }
 }

@@ -80,6 +80,41 @@ class StreamNearDupSpec extends SparkSpec {
     graft.util.Fs.deleteRecursively(new java.io.File(root))
   }
 
+  test("compaction folds batch partitions without changing probes, " +
+      "and ingest continues after it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snd_cmp_").toString
+    val b1 = Seq((0L, doc(0)), (2L, doc(2))).toDF("doc_id", "text")
+    val b2 = Seq((4L, doc(4)), (6L, doc(6))).toDF("doc_id", "text")
+    b1.write.mode("append").parquet(s"$root/src")
+    NearDupIndex.streamIngest(spark, s"$root/src", b1.schema,
+      s"$root/index", s"$root/ckpt", "doc_id", "text")
+    b2.write.mode("append").parquet(s"$root/src")
+    NearDupIndex.streamIngest(spark, s"$root/src", b2.schema,
+      s"$root/index", s"$root/ckpt", "doc_id", "text")
+    val batch = Seq((100L, doc(2)), (101L, doc(6))).toDF("doc_id", "text")
+    def pairs() = NearDupIndex.probe(spark, s"$root/index", batch,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = pairs()
+    assert(before == Seq((100L, 2L), (101L, 6L)))
+    NearDupIndex.compactStream(spark, s"$root/index")
+    assert(pairs() == before, "compaction changed probe results")
+    assert(NearDupIndex.accepted(spark, s"$root/index", "doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 2L, 4L, 6L))
+    // everything now lives in ONE batch partition per table
+    assert(spark.read.parquet(s"$root/index/accepted")
+      .select("batch_id").distinct().count() == 1L)
+    // ingest keeps working after compaction: a dup drops, a novel lands
+    val b3 = Seq((8L, doc(8)), (9L, doc(0))).toDF("doc_id", "text")
+    b3.write.mode("append").parquet(s"$root/src")
+    NearDupIndex.streamIngest(spark, s"$root/src", b3.schema,
+      s"$root/index", s"$root/ckpt", "doc_id", "text")
+    assert(NearDupIndex.accepted(spark, s"$root/index", "doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 2L, 4L, 6L, 8L))
+    graft.util.Fs.deleteRecursively(new java.io.File(root))
+  }
+
   test("mismatched params against an existing index refuse") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snd_meta_").toString
