@@ -78,6 +78,15 @@ object Kll {
       spark, srcDir, schema, stateDir, checkpointDir)(
       build(_, groupCols, valueCol, k))
 
+  /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
+    * (blob union per group) — serving rollups stay O(|groups|) after
+    * many drains; sketch union is associative, so [[profile]] is
+    * unchanged across compaction. */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, groupCols: Seq[String]): Unit =
+    graft.streaming.BatchPartitionIngest.compactState(spark, stateDir)(
+      rollup(_, groupCols))
+
   /** Quantiles + exact counts off a [[sketchIngestOnce]] state dir —
     * identical to a direct [[build]]+[[quantiles]] over the union of
     * all drained rows (sketch union is associative; exact in the

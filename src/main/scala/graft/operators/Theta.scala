@@ -54,6 +54,15 @@ object Theta {
       spark, srcDir, schema, stateDir, checkpointDir)(
       build(_, groupCols, valueCol, lgK))
 
+  /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
+    * (theta union per group) — the [[Kll.compactState]] discipline for
+    * the set-operation family; union associativity keeps every overlap
+    * answer unchanged across compaction. */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, groupCols: Seq[String]): Unit =
+    graft.streaming.BatchPartitionIngest.compactState(spark, stateDir)(
+      rollup(_, groupCols))
+
   /** All segment pairs (a < b on `segCol`) with distinct sizes, overlap
     * |A ∩ B| and difference |A \ B| — pure blob algebra over the sketch
     * table self-join (|segments|² pair rows, corpus never re-read). */

@@ -45,4 +45,34 @@ object BatchPartitionIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Fold a state dir's batch partitions into ONE (the minimum committed
+    * batch id) with the caller's merge aggregation — the maintenance
+    * step that keeps serving-time rollups O(|groups|) after many drains
+    * instead of O(|groups|·|batches|). The folded rows keep a REAL,
+    * already-committed batch id, so later drains' strictly-increasing
+    * ids cannot collide. Swap is write-new → rename: a reader racing
+    * the two renames can transiently fail and must retry (single-node
+    * rename window; an object-store deployment uses a manifest commit
+    * instead), but the state can never be seen double-counted — the
+    * alternative, overwriting the min partition in place and then
+    * deleting siblings, WOULD double-count on a crash between the two
+    * steps, which is why it is not used. */
+  def compactState(spark: SparkSession, stateDir: String)(
+      fold: DataFrame => DataFrame): Unit = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val df = spark.read.parquet(stateDir)
+    // partition-column inference reads batch_id back as int — cast
+    val minId = df.agg(min(col("batch_id").cast("long"))).head.getLong(0)
+    val nw = stateDir + ".new"
+    val old = stateDir + ".old"
+    graft.util.Fs.deleteRecursively(new java.io.File(nw))
+    fold(df.drop("batch_id"))
+      .withColumn("batch_id", lit(minId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(nw)
+    graft.util.Fs.deleteRecursively(new java.io.File(old))
+    JFiles.move(Paths.get(stateDir), Paths.get(old))
+    JFiles.move(Paths.get(nw), Paths.get(stateDir))
+    graft.util.Fs.deleteRecursively(new java.io.File(old))
+  }
 }

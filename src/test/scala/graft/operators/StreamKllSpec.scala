@@ -58,6 +58,53 @@ class StreamKllSpec extends SparkSpec {
     }
   }
 
+  test("state compaction: profile unchanged, one partition, ingest continues") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kll_cmp_")
+      .toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    try {
+      val all = (1 to 300).map(i =>
+        (s"g${i % 2}", ((i.toLong * 131) % 997).toDouble)).toDF("g", "v")
+      all.filter(col("v") < 500).write.mode("append").parquet(src)
+      Kll.sketchIngestOnce(spark, src, all.schema, state, ckpt,
+        Seq("g"), "v", k = 2048)
+      all.filter(col("v") >= 500 && col("v") < 800)
+        .write.mode("append").parquet(src)
+      Kll.sketchIngestOnce(spark, src, all.schema, state, ckpt,
+        Seq("g"), "v", k = 2048)
+      def prof() = Kll.profile(spark, state, Seq("g"), Seq(25, 50, 100))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getDouble(3), r.getLong(1)))).toMap
+      val before = prof()
+      Kll.compactState(spark, state, Seq("g"))
+      assert(prof() == before, "compaction changed the profile")
+      assert(spark.read.parquet(state)
+        .select("batch_id").distinct().count() == 1L)
+      // ingest keeps working after compaction, and the profile still
+      // equals the full direct build
+      all.filter(col("v") >= 800).write.mode("append").parquet(src)
+      Kll.sketchIngestOnce(spark, src, all.schema, state, ckpt,
+        Seq("g"), "v", k = 2048)
+      val direct = Kll.quantiles(
+          Kll.build(all, Seq("g"), "v", k = 2048)
+            .withColumn("n_items",
+              org.apache.spark.sql.graft.KllFunctions.kllN(col("kll"))),
+          Seq("g", "n_items"), Seq(25, 50, 100))
+        .select(col("g"), col("n_items"), col("pct"), col("q_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getDouble(3), r.getLong(1)))).toMap
+      assert(prof() == direct,
+        "post-compaction ingest diverged from the direct build")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
+
   test("theta ingest via the shared primitive: streamed overlap == direct") {
     val root = java.nio.file.Files.createTempDirectory("graft_theta_stream_")
       .toString
