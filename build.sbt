@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Headroom for generated-code JIT output: a 170-query catalog
+  // compiles thousands of codegen classes, and a full default code
+  // cache silently throttles the JIT for whatever runs late in the
+  // catalog (part of round-8's q60 bench inflation).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -32,6 +32,18 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    // The two lines above miss blocks whose owning RDD object was
+    // ALREADY GC'd (gone from persistentRdds, blocks still resident
+    // until the async ContextCleaner drains its queue) — the round-8
+    // q60 contamination: dead blocks accumulate across the catalog,
+    // fill the storage pool, and push later queries' localCheckpoints
+    // to disk. Purge every RDD/broadcast block synchronously.
+    org.apache.spark.graft.BlockPurge.purge(spark.sparkContext)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_MEM")) {
+      val (used, total) =
+        org.apache.spark.graft.BlockPurge.storageInUse(spark.sparkContext)
+      System.err.println(s"BENCH MEM storage used=$used total=$total")
+    }
     System.gc()
   }
 
@@ -44,6 +56,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round-8's q60 full-catalog-only inflation, root-caused: the
+      // default 100-entry codegen cache cannot hold a 170-query
+      // catalog, so every query (and every REP) re-Janino-compiles
+      // nearly all its codegen units — thousands of generated classes
+      // accumulate, and the heavy tail (q60: official 7.6 s vs 2.95 s
+      // solo) measures compile + code-cache pressure, not its plan.
+      // With the cache sized to the catalog, the measured 130-query
+      // prefix + q60 reads 2.29 s (reps=3) — BELOW the solo number.
+      // Static conf: must be set before the session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
+      // a long-lived session running many distinct queries (the test
+      // battery, a notebook, the bench catalog) thrashes the default
+      // 100-entry codegen cache into per-query recompilation — size it
+      // for a whole workload (static conf: applies when this builder
+      // CREATES the session)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
   }
 
   /** Build (or reuse) the session and ensure the custom functions are
