@@ -174,17 +174,9 @@ object NearDupIndex {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
       .write.mode("overwrite").parquet(s"$root/cells.new")
     // swap via rename so a concurrent probe sees old or new, not half
-    def swap(name: String): Unit = {
-      val cur = Paths.get(root, name)
-      val nw = Paths.get(root, s"$name.new")
-      val old = Paths.get(root, s"$name.old")
-      graft.util.Fs.deleteRecursively(old.toFile)
-      if (Files.exists(cur)) Files.move(cur, old)
-      Files.move(nw, cur)
-      graft.util.Fs.deleteRecursively(old.toFile)
-    }
-    swap("docs")
-    swap("cells")
+    // (crash inside the two-rename window → recoverSwap repairs it)
+    graft.util.Fs.swapInNew(Paths.get(root, "docs"))
+    graft.util.Fs.swapInNew(Paths.get(root, "cells"))
   }
 
   /** EXACTLY-ONCE streamed crawl dedup — the continuous-ingest
@@ -273,49 +265,58 @@ object NearDupIndex {
   def accepted(spark: SparkSession, root: String, idCol: String): DataFrame =
     spark.read.parquet(s"$root/accepted").select(col(idCol))
 
-  /** Fold a [[streamIngest]] index's batch partitions into ONE (the
-    * minimum existing batch id) — the maintenance step that keeps the
+  /** Fold a [[streamIngest]] index's batch partitions into ONE — the
+    * [[graft.streaming.BatchPartitionIngest.CompactedBatchId]] sentinel
+    * partition `batch_id=-1/` — the maintenance step that keeps the
     * probe-time cell-stats rollup O(|cells|) after many drains, and the
     * per-table file counts bounded. Pure LAYOUT change: every rollup the
     * probe performs is value-equal regardless of how rows are split
-    * across batch partitions, so probes before, after, and even DURING
-    * a crashed half-compaction (some tables folded, some not — each
-    * table individually consistent via the .new/.old swap) return
-    * identical results. The folded rows keep a REAL batch id that the
-    * checkpoint has already committed, so a later drain's new batch ids
-    * (strictly increasing) can never collide with it. */
+    * across batch partitions, so probes before and after compaction
+    * return identical results; a crash INSIDE one table's two-rename
+    * swap window leaves that table briefly missing, and the
+    * [[graft.util.Fs.recoverSwap]] preamble (run here for every table
+    * before folding) repairs it on the next compaction — readers racing
+    * that window must retry.
+    *
+    * The sentinel matters: real streaming batch ids are non-negative and
+    * [[readIdxTable]] only excludes ids >= 0, so folded rows can never
+    * be mistaken for a live batch's own partial rows — even if the
+    * streaming checkpoint is lost (or a different checkpointDir is
+    * passed) and batch ids restart at 0, batch 0's retry-exclusion probe
+    * filter cannot exclude the folded corpus, and its dynamic partition
+    * overwrite cannot wipe it. (Folding to the min real id, the previous
+    * behavior, had exactly that failure: a restarted batch 0 probed an
+    * index that silently excluded EVERYTHING folded, re-accepting every
+    * duplicate.) Run compaction in a maintenance window, not
+    * concurrently with an active drain: folding a failed-but-unretried
+    * batch's partial rows into the sentinel would put them outside the
+    * retry's own-batch exclusion. */
   def compactStream(spark: SparkSession, root: String): Unit = {
-    // partition-column inference reads batch_id back as int — cast
-    val minId = spark.read.parquet(s"$root/accepted")
-      .agg(min(col("batch_id").cast("long"))).head.getLong(0)
+    val sentinel = graft.streaming.BatchPartitionIngest.CompactedBatchId
     def fold(table: String, partCols: Seq[String] = Nil): Unit = {
       val cur = Paths.get(root, table)
+      graft.util.Fs.recoverSwap(cur)
       val nw = Paths.get(root, s"$table.new")
-      val old = Paths.get(root, s"$table.old")
       graft.util.Fs.deleteRecursively(nw.toFile)
       spark.read.parquet(cur.toString)
-        .withColumn("batch_id", lit(minId))
+        .withColumn("batch_id", lit(sentinel))
         .write.mode("overwrite")
         .partitionBy("batch_id" +: partCols: _*)
         .parquet(nw.toString)
-      graft.util.Fs.deleteRecursively(old.toFile)
-      Files.move(cur, old)
-      Files.move(nw, cur)
-      graft.util.Fs.deleteRecursively(old.toFile)
+      graft.util.Fs.swapInNew(cur)
     }
     fold("bands", Seq("band"))
     // per-batch cell stats merge into true global stats (sum/min)
+    graft.util.Fs.recoverSwap(Paths.get(root, "cells"))
     val cells = spark.read.parquet(s"$root/cells")
       .groupBy(col("band"), col("band_hash"))
       .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))
       .localCheckpoint() // sever from the dir being swapped
-    cells.withColumn("batch_id", lit(minId))
+    graft.util.Fs.deleteRecursively(Paths.get(root, "cells.new").toFile)
+    cells.withColumn("batch_id", lit(sentinel))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$root/cells.new")
-    graft.util.Fs.deleteRecursively(Paths.get(root, "cells.old").toFile)
-    Files.move(Paths.get(root, "cells"), Paths.get(root, "cells.old"))
-    Files.move(Paths.get(root, "cells.new"), Paths.get(root, "cells"))
-    graft.util.Fs.deleteRecursively(Paths.get(root, "cells.old").toFile)
+    graft.util.Fs.swapInNew(Paths.get(root, "cells"))
     fold("shingles")
     fold("docs")
     fold("accepted")

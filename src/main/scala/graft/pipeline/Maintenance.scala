@@ -371,6 +371,62 @@ object Maintenance {
         removeOrphans(dir))
     }
 
+  /** A registered streamed-state dir and its fold action — what the
+    * maintenance driver needs to keep exactly-once stream state
+    * (per-batch sketch/index partitions) compact on the same schedule
+    * as file compaction. Use the [[StreamState]] constructors rather
+    * than raw lambdas so the registry names what it maintains. */
+  final case class StreamState(kind: String, stateDir: String,
+      compact: SparkSession => Unit)
+
+  object StreamState {
+    def kll(stateDir: String, groupCols: Seq[String]): StreamState =
+      StreamState("kll", stateDir,
+        graft.operators.Kll.compactState(_, stateDir, groupCols))
+    def theta(stateDir: String, groupCols: Seq[String]): StreamState =
+      StreamState("theta", stateDir,
+        graft.operators.Theta.compactState(_, stateDir, groupCols))
+    def hll(stateDir: String, groupCols: Seq[String]): StreamState =
+      StreamState("hll", stateDir,
+        graft.operators.Sketches.compactState(_, stateDir, groupCols))
+    def cms(stateDir: String, groupCols: Seq[String]): StreamState =
+      StreamState("cms", stateDir,
+        graft.operators.Cms.compactState(_, stateDir, groupCols))
+    def nearDupIndex(root: String): StreamState =
+      StreamState("neardup_index", root,
+        graft.operators.NearDupIndex.compactStream(_, root))
+  }
+
+  /** Compact every registered streamed state behind the same
+    * try/isolate discipline as [[runAll]]: one state's failure (a
+    * half-written batch dir, a concurrent reader's transient rename
+    * race) must not stop the others' maintenance. Run in the
+    * maintenance window, not concurrently with an active drain —
+    * [[graft.operators.NearDupIndex.compactStream]]'s contract. */
+  def compactStreamStates(spark: SparkSession,
+      states: Seq[StreamState]): Seq[Report] =
+    states.map { st =>
+      try {
+        st.compact(spark)
+        Report(st.stateDir, s"compact_stream_state(${st.kind})", ok = true,
+          "batch partitions folded to the sentinel partition")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Report(st.stateDir, s"compact_stream_state(${st.kind})",
+            ok = false, String.valueOf(e.getMessage))
+      }
+    }
+
+  /** The whole nightly maintenance pass: table-file maintenance
+    * ([[runAll]]) plus streamed-state compaction
+    * ([[compactStreamStates]]) — one driver, per-entry isolation
+    * everywhere, reports concatenated. */
+  def maintainAll(spark: SparkSession, tableDirs: Seq[String],
+      streamStates: Seq[StreamState] = Nil,
+      targetFileBytes: Long = 256L * 1024 * 1024): Seq[Report] =
+    runAll(spark, tableDirs, targetFileBytes) ++
+      compactStreamStates(spark, streamStates)
+
   private def countParquetFiles(f: File): Long =
     if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
     else Option(f.listFiles()).map(_.map(countParquetFiles).sum).getOrElse(0L)

@@ -46,33 +46,40 @@ object BatchPartitionIngest {
     q.awaitTermination()
   }
 
-  /** Fold a state dir's batch partitions into ONE (the minimum committed
-    * batch id) with the caller's merge aggregation — the maintenance
-    * step that keeps serving-time rollups O(|groups|) after many drains
-    * instead of O(|groups|·|batches|). The folded rows keep a REAL,
-    * already-committed batch id, so later drains' strictly-increasing
-    * ids cannot collide. Swap is write-new → rename: a reader racing
-    * the two renames can transiently fail and must retry (single-node
-    * rename window; an object-store deployment uses a manifest commit
-    * instead), but the state can never be seen double-counted — the
-    * alternative, overwriting the min partition in place and then
-    * deleting siblings, WOULD double-count on a crash between the two
-    * steps, which is why it is not used. */
+  /** Sentinel batch id for compacted rows. Real streaming batch ids are
+    * non-negative, so folded state can never collide with a live batch —
+    * even if the checkpoint is lost or a different checkpointDir is
+    * passed and batch ids restart at 0, the restarted batch 0's dynamic
+    * partition overwrite targets `batch_id=0/`, never the folded
+    * `batch_id=-1/` partition. (Folding to the min REAL id, the previous
+    * behavior, made a restarted batch 0 silently wipe — or, for probes
+    * that exclude their own id, silently ignore — the entire folded
+    * corpus.) */
+  val CompactedBatchId: Long = -1L
+
+  /** Fold a state dir's batch partitions into ONE (the
+    * [[CompactedBatchId]] sentinel partition) with the caller's merge
+    * aggregation — the maintenance step that keeps serving-time rollups
+    * O(|groups|) after many drains instead of O(|groups|·|batches|).
+    * Swap is write-new → rename: between the two renames the state dir
+    * is briefly missing, so a reader racing the swap can transiently
+    * fail and must retry (single-node rename window; an object-store
+    * deployment uses a manifest commit instead) — and a crash inside
+    * that window is repaired by the [[graft.util.Fs.recoverSwap]]
+    * preamble on the next compaction. The state can never be seen
+    * double-counted: the alternative, overwriting the min partition in
+    * place and then deleting siblings, WOULD double-count on a crash
+    * between the two steps, which is why it is not used. */
   def compactState(spark: SparkSession, stateDir: String)(
       fold: DataFrame => DataFrame): Unit = {
-    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.file.Paths
+    graft.util.Fs.recoverSwap(Paths.get(stateDir))
     val df = spark.read.parquet(stateDir)
-    // partition-column inference reads batch_id back as int — cast
-    val minId = df.agg(min(col("batch_id").cast("long"))).head.getLong(0)
     val nw = stateDir + ".new"
-    val old = stateDir + ".old"
     graft.util.Fs.deleteRecursively(new java.io.File(nw))
     fold(df.drop("batch_id"))
-      .withColumn("batch_id", lit(minId))
+      .withColumn("batch_id", lit(CompactedBatchId))
       .write.mode("overwrite").partitionBy("batch_id").parquet(nw)
-    graft.util.Fs.deleteRecursively(new java.io.File(old))
-    JFiles.move(Paths.get(stateDir), Paths.get(old))
-    JFiles.move(Paths.get(nw), Paths.get(stateDir))
-    graft.util.Fs.deleteRecursively(new java.io.File(old))
+    graft.util.Fs.swapInNew(Paths.get(stateDir))
   }
 }

@@ -10,4 +10,32 @@ object Fs {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
+
+  import java.nio.file.{Files, Path}
+
+  /** Recovery preamble for [[swapInNew]]'s two-rename window: a crash
+    * between `move(cur, old)` and `move(new, cur)` leaves `cur` missing
+    * and `cur.old` intact — restore it. Call before READING a
+    * swap-maintained dir (compactors call it before folding; half-done
+    * `.new` output is deleted by the next swap attempt). No-op when
+    * `cur` exists. */
+  def recoverSwap(cur: Path): Unit = {
+    val old = cur.resolveSibling(cur.getFileName.toString + ".old")
+    if (!Files.exists(cur) && Files.exists(old)) Files.move(old, cur)
+  }
+
+  /** Replace dir `cur` with `cur.new` via two renames, crash-safe up to
+    * [[recoverSwap]]: at every instant either `cur` or `cur.old` holds
+    * the complete previous state, and `cur`, when present, is never a
+    * mix of old and new. The window where `cur` is briefly missing is
+    * repaired by the recovery preamble on the next swap or read. */
+  def swapInNew(cur: Path): Unit = {
+    recoverSwap(cur)
+    val nw = cur.resolveSibling(cur.getFileName.toString + ".new")
+    val old = cur.resolveSibling(cur.getFileName.toString + ".old")
+    deleteRecursively(old.toFile)
+    if (Files.exists(cur)) Files.move(cur, old)
+    Files.move(nw, cur)
+    deleteRecursively(old.toFile)
+  }
 }

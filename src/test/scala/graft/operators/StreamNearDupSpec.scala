@@ -115,6 +115,65 @@ class StreamNearDupSpec extends SparkSpec {
     graft.util.Fs.deleteRecursively(new java.io.File(root))
   }
 
+  test("compacted index survives a lost checkpoint: a restarted batch 0 " +
+      "still dedups against the folded corpus") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snd_lost_").toString
+    val b1 = Seq((0L, doc(0)), (2L, doc(2))).toDF("doc_id", "text")
+    b1.write.mode("append").parquet(s"$root/src")
+    NearDupIndex.streamIngest(spark, s"$root/src", b1.schema,
+      s"$root/index", s"$root/ckpt", "doc_id", "text")
+    NearDupIndex.compactStream(spark, s"$root/index")
+    // folded rows carry the SENTINEL id, not a real batch id — that is
+    // the whole defense below
+    assert(spark.read.parquet(s"$root/index/accepted")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq ==
+      Seq(graft.streaming.BatchPartitionIngest.CompactedBatchId))
+    // checkpoint lost (or a different dir passed): batch ids restart at
+    // 0. Under the old fold-to-min-id behavior, batch 0's own-batch
+    // exclusion (batch_id =!= 0) silently excluded the ENTIRE folded
+    // corpus and re-accepted every duplicate.
+    val b2 = Seq((10L, doc(0)), (12L, doc(12))).toDF("doc_id", "text")
+    b2.write.mode("append").parquet(s"$root/src2")
+    NearDupIndex.streamIngest(spark, s"$root/src2", b2.schema,
+      s"$root/index", s"$root/ckpt2", "doc_id", "text")
+    val got = NearDupIndex.accepted(spark, s"$root/index", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 2L, 12L),
+      s"restarted batch 0 must still see the folded corpus: $got")
+    graft.util.Fs.deleteRecursively(new java.io.File(root))
+  }
+
+  test("a crash inside one table's swap window is repaired by the next " +
+      "compaction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snd_crash_").toString
+    val b1 = Seq((0L, doc(0)), (2L, doc(2))).toDF("doc_id", "text")
+    val b2 = Seq((4L, doc(4))).toDF("doc_id", "text")
+    b1.write.mode("append").parquet(s"$root/src")
+    NearDupIndex.streamIngest(spark, s"$root/src", b1.schema,
+      s"$root/index", s"$root/ckpt", "doc_id", "text")
+    b2.write.mode("append").parquet(s"$root/src")
+    NearDupIndex.streamIngest(spark, s"$root/src", b2.schema,
+      s"$root/index", s"$root/ckpt", "doc_id", "text")
+    val batch = Seq((100L, doc(2)), (101L, doc(4))).toDF("doc_id", "text")
+    def pairs() = NearDupIndex.probe(spark, s"$root/index", batch,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = pairs()
+    assert(before == Seq((100L, 2L), (101L, 4L)))
+    // simulate a crash between move(cur, old) and move(new, cur): the
+    // docs table is briefly missing, only docs.old holds the state
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/index/docs"),
+      java.nio.file.Paths.get(s"$root/index/docs.old"))
+    NearDupIndex.compactStream(spark, s"$root/index")
+    assert(pairs() == before,
+      "recovery preamble must restore the half-swapped table")
+    graft.util.Fs.deleteRecursively(new java.io.File(root))
+  }
+
   test("mismatched params against an existing index refuse") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snd_meta_").toString
