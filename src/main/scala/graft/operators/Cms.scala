@@ -74,4 +74,36 @@ object Cms {
     val s = CountMinSketch.readFrom(sketch)
     items.map(i => i -> s.estimateCount(i))
   }
+
+  /** Stream-maintained frequency sketches: per-microbatch CMS blobs
+    * landed exactly-once under `stateDir/batch_id=N/` — the
+    * [[graft.streaming.BatchPartitionIngest]] primitive shared with
+    * [[Kll.sketchIngestOnce]] / [[Theta.sketchIngestOnce]] /
+    * [[Sketches.sketchIngestOnce]], completing the sketch-family
+    * symmetry. Serve by [[rollup]]-ing the state dir and probing with
+    * [[estimate]]; CMS merge is cell-wise sum (associative +
+    * commutative) and the hash family is seed-pinned, so the streamed
+    * state folds to the BIT-IDENTICAL sketch of a one-shot build. */
+  def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, checkpointDir: String, groupCols: Seq[String],
+      valueCol: String, eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): Unit =
+    graft.streaming.BatchPartitionIngest.ingestOnce(
+      spark, srcDir, schema, stateDir, checkpointDir)(
+      build(_, groupCols, valueCol, eps, confidence, seed))
+
+  /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
+    * (cell-wise CMS sum per group) — the [[Kll.compactState]]
+    * discipline; merge associativity keeps every probe unchanged. */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, groupCols: Seq[String]): Unit =
+    graft.streaming.BatchPartitionIngest.compactState(spark, stateDir)(
+      rollup(_, groupCols))
+
+  /** Per-group folded sketches off a [[sketchIngestOnce]] state dir —
+    * the serving read (|batches|×|groups| KB blobs, never raw rows). */
+  def serveState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, groupCols: Seq[String]): DataFrame =
+    rollup(spark.read.parquet(stateDir).drop("batch_id"), groupCols)
 }

@@ -49,4 +49,37 @@ object Sketches {
       groupCols.map(col) :+
         hll_sketch_estimate(col(sketchCol)).cast("long")
           .as("distinct_est"): _*)
+
+  /** Stream-maintained distinct-count sketches: per-microbatch HLL
+    * sketches landed exactly-once under `stateDir/batch_id=N/` — the
+    * [[graft.streaming.BatchPartitionIngest]] primitive shared with
+    * [[Kll.sketchIngestOnce]] / [[Theta.sketchIngestOnce]], closing the
+    * family symmetry (HLL was the one sketch whose daily-append path
+    * still required a batch rebuild). Serve with [[rollup]] over the
+    * state dir, then [[estimate]]; HLL union is associative, so the
+    * streamed profile equals the one-shot build within representation
+    * effects ([[Sketches]] scaladoc — both are gated against exact). */
+  def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, checkpointDir: String, groupCols: Seq[String],
+      valueCol: String, lgK: Int = 12): Unit =
+    graft.streaming.BatchPartitionIngest.ingestOnce(
+      spark, srcDir, schema, stateDir, checkpointDir)(
+      build(_, groupCols, valueCol, lgK))
+
+  /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
+    * (HLL union per group) — the [[Kll.compactState]] discipline;
+    * union associativity keeps every estimate unchanged. */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, groupCols: Seq[String]): Unit =
+    graft.streaming.BatchPartitionIngest.compactState(spark, stateDir)(
+      rollup(_, groupCols))
+
+  /** Estimates off a [[sketchIngestOnce]] state dir — the serving read:
+    * fold the per-batch sketch rows (|batches|×|groups| KB blobs, never
+    * raw rows), then read the estimates. */
+  def profile(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      groupCols: Seq[String]): DataFrame =
+    estimate(rollup(
+      spark.read.parquet(stateDir).drop("batch_id"), groupCols), groupCols)
 }

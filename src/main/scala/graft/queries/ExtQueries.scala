@@ -137,8 +137,9 @@ object ExtQueries {
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
         ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
         resIndexes.values ++ crawlDedupDirs.values ++
-        (kllStreamDirs.values ++
-          thetaStreamDirs.values).map(new java.io.File(_).getParent))
+        (kllStreamDirs.values ++ thetaStreamDirs.values ++
+          hllStreamDirs.values ++
+          cmsStreamDirs.values).map(new java.io.File(_).getParent))
         .foreach(p => graft.util.Fs.deleteRecursively(new java.io.File(p)))
     }, "graft-index-cleanup"))
   }
@@ -1137,6 +1138,95 @@ object ExtQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  private val hllStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stream-maintained distinct-user audience (HLL), completing the
+    * sketch-family streaming symmetry (r8 verdict item 3): events
+    * drained in two batches (even/odd user ids), per-batch per-type HLL
+    * sketches landed exactly-once under batch_id=N/ via the shared
+    * [[graft.streaming.BatchPartitionIngest]] primitive, served by blob
+    * union at read time. HLL has no exact mode, so the oracle is q163's
+    * est-band discipline: `exact_users` (bit-exact, pins the universe)
+    * plus `users_est_ok` = 1 iff the sketch estimate lands within 5% of
+    * exact — a LOST drain halves a type's audience and flips the flag
+    * (a double-landed drain is invisible to HLL by union idempotence;
+    * the count-sensitive streamed detectors are q165/q170/q173). */
+  def q172StreamHllUsers(s: SparkSession, dir: String): DataFrame = {
+    val state = hllStreamDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hll-stream-").toString
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      ev.filter(col("user_id") % 2 === 0)
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Sketches.sketchIngestOnce(s, s"$root/src", ev.schema,
+        s"$root/state", s"$root/ckpt", Seq("event_type"), "user_id")
+      ev.filter(col("user_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Sketches.sketchIngestOnce(s, s"$root/src", ev.schema,
+        s"$root/state", s"$root/ckpt", Seq("event_type"), "user_id")
+      s"$root/state"
+    })
+    val est = graft.operators.Sketches.profile(s, state, Seq("event_type"))
+    val exact = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("distinct_est") - col("exact_users")) <=
+            col("exact_users") * 0.05, lit(1L)).otherwise(lit(0L))
+          .as("users_est_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cmsStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stream-maintained term-frequency sketches (CMS), q153's
+    * heavy-hitters question answered from streamed state: document
+    * tokens drained in two batches (even/odd doc ids), per-batch
+    * per-source CMS blobs landed exactly-once under batch_id=N/, served
+    * by cell-wise blob sum at read time. CMS merge is commutative
+    * cell-wise addition with a seed-pinned hash family, so the folded
+    * streamed state is value-identical to q153's one-shot build — and
+    * unlike HLL, counts are DOUBLED by an at-least-once landing, so
+    * this entry is the streamed-CMS exactly-once detector. Oracle:
+    * exact counts, binding because the sketch is collision-free for
+    * this vocabulary by construction (q153's argument). */
+  def q173StreamCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val state = cmsStreamDirs.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cms-stream-").toString
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "\\s+")).as("term"))
+        .filter(length(col("term")) >= 1)
+      toks.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Cms.sketchIngestOnce(s, s"$root/src",
+        toks.drop("doc_id").schema, s"$root/state", s"$root/ckpt",
+        Seq("source"), "term")
+      toks.filter(col("doc_id") % 2 =!= 0).drop("doc_id")
+        .write.mode("append").parquet(s"$root/src")
+      graft.operators.Cms.sketchIngestOnce(s, s"$root/src",
+        toks.drop("doc_id").schema, s"$root/state", s"$root/ckpt",
+        Seq("source"), "term")
+      s"$root/state"
+    })
+    val merged = graft.operators.Cms.serveState(s, state, Nil)
+      .collect().head.getAs[Array[Byte]](0)
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 1)
+      .distinct().collect().map(_.getString(0)).toSeq
+    graft.operators.Cms.estimate(merged, vocab)
+      .toDF("term", "occurrences")
+      .orderBy(desc("occurrences"), col("term")).limit(20)
+  }
+
   /** Incremental gold refresh replayed against a full recompute (r6
     * verdict item 7): events split at the corpus's median day into a
     * standing gold aggregate and a "new day's" increment, each
@@ -1478,6 +1568,8 @@ object ExtQueries {
     "q167_theta_overlap" -> (q167ThetaOverlap _),
     "q170_stream_theta_overlap" -> (q170StreamThetaOverlap _),
     "q171_stream_crawl_dedup" -> (q171StreamCrawlDedup _),
+    "q172_stream_hll_users" -> (q172StreamHllUsers _),
+    "q173_stream_cms_heavyhitters" -> (q173StreamCmsHeavyHitters _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2457,6 +2549,23 @@ object ExtQueries {
         |LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
         |WHERE a.doc_id % 2 = 1 AND b.doc_id IS NULL
         |ORDER BY doc_id""".stripMargin,
+    "q172_stream_hll_users" ->
+      // exact distinct + constant est-ok flag (q163 discipline): the
+      // Spark side computes users_est_ok from |HLL est - exact| <= 5%,
+      // so a lost drain flips it and hash-mismatches
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS users_est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_stream_cms_heavyhitters" ->
+      // q153's exact-count oracle: collision-free by construction, and
+      // a double-landed drain DOUBLES CMS counts — hash-mismatch
+      """SELECT term, count(*) AS occurrences FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents)
+        |WHERE len(term) >= 1
+        |GROUP BY term ORDER BY occurrences DESC, term LIMIT 20"""
+        .stripMargin,
     "q163_incremental_refresh" ->
       // full-history recompute: the incremental merge's exact measures
       // must match bit-for-bit; users_est_ok=1 is binding because the
