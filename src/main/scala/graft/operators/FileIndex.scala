@@ -63,9 +63,36 @@ object FileIndex {
   def buildStatsWithBloom(spark: SparkSession, tableDir: String,
       rangeCols: Seq[String], bloomCols: Seq[String],
       expectedItemsPerFile: Long = 1000000L,
+      bloomNumBits: Long = 8L * 1024 * 1024): DataFrame =
+    bloomStatsOf(spark.read.parquet(tableDir), rangeCols, bloomCols,
+      expectedItemsPerFile, bloomNumBits)
+
+  /** [[statsForFiles]] for a bloom-indexed table — the incremental path
+    * that keeps BLOOM stats O(increment) too: scan only the appended
+    * files, union the rows into the standing stats table. Blooms are
+    * per-file facts exactly like min/max (each row's blob is built from
+    * that file's rows alone, independent of every other file), so the
+    * union equals `buildStatsWithBloom` over the whole table — including
+    * blob bytes, since the aggregate is deterministic in (file rows,
+    * numItems, numBits); `FileIndexSpec` pins blob equality. Without
+    * this, a 400k-file bloom-indexed table needs a full O(table) rescan
+    * after every daily append, which breaks the stats layer's own
+    * 100 TB maintenance story. Pass the SAME item/bit sizing as the
+    * standing table: blooms sized differently are still correct (probe
+    * hashes match) but the fpp claim drifts. */
+  def statsForFilesWithBloom(spark: SparkSession, files: Seq[String],
+      rangeCols: Seq[String], bloomCols: Seq[String],
+      expectedItemsPerFile: Long = 1000000L,
       bloomNumBits: Long = 8L * 1024 * 1024): DataFrame = {
+    require(files.nonEmpty, "statsForFilesWithBloom needs at least one file")
+    bloomStatsOf(spark.read.parquet(files: _*), rangeCols, bloomCols,
+      expectedItemsPerFile, bloomNumBits)
+  }
+
+  private def bloomStatsOf(src: DataFrame, rangeCols: Seq[String],
+      bloomCols: Seq[String], expectedItemsPerFile: Long,
+      bloomNumBits: Long): DataFrame = {
     require(bloomCols.nonEmpty, "buildStatsWithBloom needs bloom columns")
-    val src = spark.read.parquet(tableDir)
     val rangeAggs = rangeCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     // Record the indexed column's Spark type AS COLUMN METADATA on the

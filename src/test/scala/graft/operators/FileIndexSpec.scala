@@ -134,6 +134,44 @@ class FileIndexSpec extends SparkSpec {
     assert(got == 101L)
   }
 
+  test("incremental bloom stats: appended files' rows union to exactly a " +
+      "full rebuild, blob bytes included") {
+    val dir = tmpDir() + "/incb"
+    (1 to 3000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(4).write.parquet(dir)
+    val standing = FileIndex.buildStatsWithBloom(spark, dir,
+        rangeCols = Seq("k"), bloomCols = Seq("k"),
+        expectedItemsPerFile = 2000L, bloomNumBits = 1L << 15)
+      .localCheckpoint() // freeze: built BEFORE the append lands
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    (3001 to 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    val newFiles = spark.read.parquet(dir).inputFiles.toSet -- before
+    assert(newFiles.nonEmpty)
+    // O(increment): scan only the appended files — a bloom-indexed
+    // table must NOT need the full-table rescan after every append
+    val merged = standing.unionByName(
+      FileIndex.statsForFilesWithBloom(spark, newFiles.toSeq,
+        rangeCols = Seq("k"), bloomCols = Seq("k"),
+        expectedItemsPerFile = 2000L, bloomNumBits = 1L << 15))
+    val rebuilt = FileIndex.buildStatsWithBloom(spark, dir,
+      rangeCols = Seq("k"), bloomCols = Seq("k"),
+      expectedItemsPerFile = 2000L, bloomNumBits = 1L << 15)
+    // per-file facts, INCLUDING the blob: bloom merge is bitwise OR of
+    // a deterministic hash family, so same file rows => same bytes
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        r.getAs[Array[Byte]](4).toSeq)).toSet
+    assert(rows(merged) == rows(rebuilt))
+    // the merged table still carries the probe's type metadata and
+    // serves equality reads over the appended range
+    assert(FileIndex.prunedEqualityRead(spark, dir, merged, "k", 3500)
+      .count() == 1L)
+    val probed = FileIndex.candidateFilesEquals(merged, "k", 3500).toSet
+    assert(probed.nonEmpty && probed.subsetOf(newFiles))
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val dir = tmpDir() + "/e"
     Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)
