@@ -40,6 +40,16 @@ object GraftFunctions {
       planesPerBand: Int, dim: Int): Column =
     VectorFunctions.lshBandBuckets(vec, planes, bands, planesPerBand, dim)
 
+  /** Nearest-centroid cell id (argmin of ||c||²−2·v·c, ties to the lower
+    * id) over a flat k×subDim centroid matrix carried in the codegen
+    * REFERENCES — one small generated loop whose source is identical
+    * across k-means iterations, vs the unrolled per-centroid-literal
+    * form that recompiled a fresh many-KB unit every iteration.
+    * `offset` scores v[offset, offset+subDim) — the PQ subspace form. */
+  def nearestCell(vec: Column, cells: Array[Double], k: Int, subDim: Int,
+      offset: Int = 0): Column =
+    VectorFunctions.nearestCell(vec, cells, k, subDim, offset)
+
   /** Codegen'd chained-xxhash64 fold over an array<string> column
     * (bit-identical to `aggregate(toks, 0L, (acc, t) => xxhash64(acc, t))`
     * without the interpreted lambda). */

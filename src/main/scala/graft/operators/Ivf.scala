@@ -40,16 +40,17 @@ object Ivf {
   /** Nearest-centroid id for a double-array column, as a single codegen'd
     * projection. Ranks by ||c||² − 2·v·c — the ||v||² term is constant per
     * row so it cancels in the argmin; ||c||² is folded on the driver.
-    * Ties break toward the lower cluster id (struct comparison orders by
-    * dist, then cluster). */
+    * Ties break toward the lower cluster id. The centroid matrix rides
+    * in the codegen REFERENCES ([[GraftFunctions.nearestCell]]), so
+    * every k-means iteration reuses ONE cached codegen unit instead of
+    * Janino-compiling a fresh unrolled-literal monster per iteration —
+    * the dominant cost of [[fit]] at small scale, and a codegen-cache
+    * polluter at any scale. */
   private def nearestCluster(vd: Column, m: Model): Column = {
-    val cands = m.centroids.zipWithIndex.map { case (c, i) =>
-      val cc = c.map(x => x * x).sum
-      struct(
-        (lit(cc) - lit(2.0) * GraftFunctions.dot(vd, typedLit(c.toSeq))).as("d"),
-        lit(i).as("c"))
-    }
-    array_min(array(cands: _*)).getField("c")
+    val dim = m.centroids.headOption.map(_.length).getOrElse(0)
+    require(m.centroids.forall(_.length == dim),
+      "ragged centroid matrix")
+    GraftFunctions.nearestCell(vd, m.centroids.flatten.toArray, m.k, dim)
   }
 
   /** Add the nearest-centroid cell as a `cluster` column — a pure

@@ -116,18 +116,16 @@ object Pq {
     * ranks by ||c||² − 2·v·c (the ||v_sub||² term is constant within the
     * subspace argmin, so it cancels); ties break toward the lower code,
     * exactly like [[Ivf]] cell assignment — and exactly like the oracle's
-    * first-match CASE over least(). */
+    * first-match CASE over least(). The codebook rides in the codegen
+    * REFERENCES and the subspace is an OFFSET into the full vector (no
+    * slice materialized): one small cached codegen unit shared by every
+    * iteration and every subspace shape, not m×iters unrolled-literal
+    * compilations per fit ([[Ivf.nearestCluster]] discipline). */
   private def subCode(vd: Column, book: IndexedSeq[IndexedSeq[Double]],
       s: Int, subDim: Int): Column = {
-    val subv = slice(vd, s * subDim + 1, subDim)
-    val cands = book.zipWithIndex.map { case (c, i) =>
-      val cc = c.map(x => x * x).sum
-      struct(
-        (lit(cc) - lit(2.0) * GraftFunctions.dot(subv, typedLit(c.toSeq)))
-          .as("d"),
-        lit(i).as("c"))
-    }
-    array_min(array(cands: _*)).getField("c")
+    require(book.forall(_.length == subDim), "ragged codebook")
+    GraftFunctions.nearestCell(vd, book.flatten.toArray, book.size, subDim,
+      offset = s * subDim)
   }
 
   /** The packed BIGINT code column: subspace s occupies bit lane

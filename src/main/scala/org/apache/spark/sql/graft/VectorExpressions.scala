@@ -481,6 +481,103 @@ case class CosineInt8(left: Expression, right: Expression)
       newRight: Expression): CosineInt8 = copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid cell id over a flat centroid matrix, in ONE fused
+  * codegen loop: argmin over d_i = ||c_i||² − 2·v·c_i (the ||v||² term
+  * cancels in the argmin; per-cell norms folded on the driver), ties
+  * toward the lower cell id — bit-compatible with the previous
+  * `array_min(array(struct(lit(cc)-2·dot, i)…))` unrolled form, which
+  * this replaces for one reason: the unrolled form embeds every
+  * centroid as a LITERAL, so each k-means iteration (new centroids)
+  * generates a brand-new many-KB codegen unit and pays a fresh Janino
+  * compile — k×dim literal doubles per assignment, per iteration, per
+  * fit. Here the matrix rides in the codegen references (the
+  * [[SignLshBandBuckets]] discipline): the generated SOURCE is
+  * identical across iterations and fits, so the codegen cache serves
+  * every iteration after the first.
+  *
+  * `offset` scores the subvector v[offset, offset+subDim) against the
+  * cells without materializing a slice — the PQ subspace form. */
+case class NearestCellId(child: Expression, cells: IndexedSeq[Double],
+    k: Int, subDim: Int, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  require(cells.length == k * subDim,
+    s"centroid matrix is ${cells.length} doubles, want k*subDim")
+
+  @transient private lazy val cellArr: Array[Double] = cells.toArray
+  // ||c_i||² folded once, exactly like the unrolled form's lit(cc)
+  @transient private lazy val ccArr: Array[Double] =
+    Array.tabulate(k) { c =>
+      var s = 0.0; var j = 0
+      while (j < subDim) {
+        val x = cellArr(c * subDim + j); s += x * x; j += 1
+      }
+      s
+    }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+  override def toString: String =
+    s"graft_nearest_cell($child, k=$k, subDim=$subDim, offset=$offset)"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val jmax = math.max(0,
+      math.min(subDim, x.numElements() - offset))
+    var best = Double.NaN
+    var bestC = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var j = 0
+      while (j < jmax) {
+        dot += x.getDouble(offset + j) * cellArr(c * subDim + j); j += 1
+      }
+      val d = ccArr(c) - 2.0 * dot
+      if (c == 0 || java.lang.Double.compare(d, best) < 0) {
+        best = d; bestC = c
+      }
+      c += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("nearestCells", cellArr, "double[]")
+    val ccRef = ctx.addReferenceObj("nearestCellNorms", ccArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val jmax = ctx.freshName("jmax")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      s"""
+         |int $jmax = java.lang.Math.max(0,
+         |  java.lang.Math.min($subDim, $v.numElements() - $offset));
+         |double $best = Double.NaN;
+         |int $bestC = 0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $jmax; $j++) {
+         |    $dot += $v.getDouble($offset + $j) * $cellsRef[$c * $subDim + $j];
+         |  }
+         |  double $d = $ccRef[$c] - 2.0 * $dot;
+         |  if ($c == 0 || java.lang.Double.compare($d, $best) < 0) {
+         |    $best = $d; $bestC = $c;
+         |  }
+         |}
+         |${ev.value} = $bestC;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellId =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration for the custom expressions
   * (re-exported as graft.expressions.GraftFunctions). */
 object VectorFunctions {
@@ -513,6 +610,12 @@ object VectorFunctions {
   def cosineInt8(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineInt8(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def nearestCell(vec: Column, cells: Array[Double], k: Int, subDim: Int,
+      offset: Int = 0): Column =
+    ExpressionUtils.column(NearestCellId(
+      ExpressionUtils.expression(vec), cells.toIndexedSeq, k, subDim,
+      offset))
 
   /** Expose `graft_cosine` / `graft_dot` / `graft_shingles` /
     * `graft_rolling_xxhash64` (scalar) and `graft_version` (table-valued,

@@ -67,6 +67,63 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("NearestCellId: parity with the unrolled struct-argmin, ties to " +
+      "the lower id, offset subspace, both eval paths") {
+    // cell 2 duplicates cell 0 → any vector nearest cell 0 must report
+    // 0, never 2 (tie toward the lower id, like array_min on struct)
+    val cells = IndexedSeq(
+      IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0), IndexedSeq(1.0, 0.0))
+    val flat = cells.flatten.toArray
+    val vecs = Seq(
+      Seq(0.9, 0.1), Seq(0.1, 0.9), Seq(1.0, 0.0),
+      Seq(0.5, 0.5), // exact tie between cells 0 and 1 → 0
+      Seq(-0.2, -0.4), Seq(0.0, 0.0)).toDF("v")
+    def unrolled(vd: org.apache.spark.sql.Column) = {
+      val cands = cells.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        struct(
+          (lit(cc) - lit(2.0) *
+            GraftFunctions.dot(vd, typedLit(c))).as("d"),
+          lit(i).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }
+    val rows = vecs.select(
+      GraftFunctions.nearestCell(col("v"), flat, 3, 2).as("fast"),
+      unrolled(col("v").cast("array<double>")).as("ref")).rows
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(vecs.filter(col("v") === typedLit(Seq(0.5, 0.5)))
+      .select(GraftFunctions.nearestCell(col("v"), flat, 3, 2))
+      .rows.head.getInt(0) == 0)
+    // offset form == slicing the subspace out first
+    val vecs4 = Seq(Seq(9.0, 9.0, 0.8, 0.3), Seq(0.0, 0.0, 0.1, 0.9))
+      .toDF("v")
+    val off = vecs4.select(
+      GraftFunctions.nearestCell(col("v"), flat, 3, 2, offset = 2)
+        .as("off"),
+      GraftFunctions.nearestCell(
+        slice(col("v").cast("array<double>"), 3, 2), flat, 3, 2)
+        .as("sliced")).rows
+    off.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // interpreted path: same answers as codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.NearestCellId
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    Seq(Seq(0.9, 0.1) -> 0, Seq(0.1, 0.9) -> 1, Seq(0.5, 0.5) -> 0)
+      .foreach { case (v, want) =>
+        val got = NearestCellId(
+          Literal.create(v, ArrayType(DoubleType)),
+          flat.toIndexedSeq, 3, 2, 0).eval(null)
+        assert(got == want, s"interpreted $v -> $got, want $want")
+      }
+    // short vector: missing tail treated as absent terms (dot over the
+    // available prefix), matching GraftFunctions.dot's min-length loop
+    val short = NearestCellId(
+      Literal.create(Seq(0.9), ArrayType(DoubleType)),
+      flat.toIndexedSeq, 3, 2, 0).eval(null)
+    assert(short == 0)
+  }
+
   test("SQL surface: graft_cosine / graft_dot registered functions") {
     GraftFunctions.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
