@@ -68,11 +68,19 @@ object Tables {
     * recorded; queries touching it then fail at analysis with a
     * view-not-found error naming the table, while every other query runs.
     * Idempotent per (session, dir): a repeat call for the already-registered
-    * dir is a no-op (nothing in the repo shadows these ten view names).
+    * dir is a no-op — but only after a catalog-only existence check on all
+    * ten view names (`tableExists` reads the session catalog, no parquet
+    * footers), so code that DROPPED a shared view without calling
+    * [[invalidateRegistration]] gets re-registration instead of a silent
+    * no-op serving a missing view. A view *shadowed* via
+    * `createOrReplaceTempView` still exists and cannot be detected here —
+    * shadowing code must call [[invalidateRegistration]] (the fixture
+    * suites do, in `afterAll`).
     * Returns the names of tables that failed to register (empty = all good).
     */
   def registerAll(spark: SparkSession, sfDir: String): Seq[String] = {
-    if (sfDir == registeredDir.get(spark)) return Nil
+    if (sfDir == registeredDir.get(spark) &&
+      all.forall(spark.catalog.tableExists)) return Nil
     registeredDir.remove(spark) // mid-registration state is never trusted
     val failures = all.flatMap { n =>
       try { load(spark, sfDir, n).createOrReplaceTempView(n); None }

@@ -97,12 +97,31 @@ object Triangles {
     val candidates =
       if (nEdges > bloomMaxEdges) wedges
       else {
-        // one blob on the driver, bounded by the gate (10 bits/edge)
-        val blob = oriented
-          .agg(org.apache.spark.sql.graft.BloomFunctions.bloomAgg(
-            xxhash64(col("u"), col("v")), nEdges.max(1L),
-            10L * nEdges.max(1L)))
-          .head.getAs[Array[Byte]](0)
+        // one blob on the driver, bounded by the gate (10 bits/edge).
+        // BloomFilterAggregate SILENTLY clamps to the runtime-filter
+        // session caps (default 64M bits / 4M items — built for AQE's
+        // auto-injected filters, not an explicit build): near the 16M
+        // edge gate the requested 160M bits would quietly become an
+        // 8 MB, ~4 bits/edge, ~10%-fpp filter. Raise the caps to the
+        // requested size for the duration of the build so 10 bits/edge
+        // (fpp <1%, 16M edges = 20 MB blob) is what actually runs.
+        val conf = edges.sparkSession.conf
+        val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+        val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+        val saved = Seq(kBits, kItems).map(k => k -> conf.getOption(k))
+        val blob =
+          try {
+            conf.set(kBits, (10L * nEdges.max(1L)).toString)
+            conf.set(kItems, nEdges.max(1L).toString)
+            oriented
+              .agg(org.apache.spark.sql.graft.BloomFunctions.bloomAgg(
+                xxhash64(col("u"), col("v")), nEdges.max(1L),
+                10L * nEdges.max(1L)))
+              .head.getAs[Array[Byte]](0)
+          } finally saved.foreach {
+            case (k, Some(v)) => conf.set(k, v)
+            case (k, None)    => conf.unset(k)
+          }
         wedges.filter(org.apache.spark.sql.graft.BloomFunctions
           .mightContain(blob, xxhash64(col("n2"), col("n3"))))
       }
