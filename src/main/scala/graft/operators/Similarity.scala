@@ -45,14 +45,21 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit h = sign of dot(vec, plane_h). Vectors with
-    * high cosine similarity collide with high probability. Pure projection
-    * (codegen'd dot products against literal planes). */
+    * high cosine similarity collide with high probability. ONE fused
+    * codegen loop with the plane matrix in the references
+    * ([[GraftFunctions.lshBandBuckets]] with a single band) — the
+    * previous per-plane unrolled form embedded every plane as literals,
+    * so each distinct plane set compiled its own many-KB codegen unit
+    * (the k-means-literal problem `NearestCellId` fixed for IVF/PQ).
+    * Bit semantics identical: bit h set iff dot > 0; a NULL vector
+    * keeps the old form's bucket 0 (when/otherwise folded nulls). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val vd = vec.cast("array<double>")
-    planes.zipWithIndex.map { case (plane, h) =>
-      when(GraftFunctions.dot(vd, typedLit(plane)) > 0, lit(1L << h))
-        .otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    val dim = planes.headOption.map(_.length).getOrElse(0)
+    require(planes.forall(_.length == dim), "ragged plane matrix")
+    coalesce(
+      element_at(GraftFunctions.lshBandBuckets(vec.cast("array<double>"),
+        planes.flatten.toArray, 1, planes.size, dim), 1),
+      lit(0L))
   }
 
   /** LSH-bucketed ANN: restrict the cosine scan to the query's bucket (and
