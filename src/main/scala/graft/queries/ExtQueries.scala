@@ -745,14 +745,30 @@ object ExtQueries {
     * aggregate IncrementalAgg can't merge. Rows-only (DataSketches HLL
     * is a primitive DuckDB can't replay); SketchesSpec gates merged-path
     * estimates within 5% of exact counts and merge determinism. */
+  /** Mergeable HLL distinct counts through the daily-build → rollup
+    * path, oracle-banded (q163 discipline — formerly rows-only): the
+    * exported row carries the EXACT per-type distinct (bit-for-bit
+    * oracle column) plus a flag pinning the sketch-union estimate
+    * within 5% of it. The daily→type rollup is the incremental path
+    * under test: a lost or double-unioned day moves the estimate out of
+    * band and hash-mismatches the oracle's constant 1. */
   def q144HllDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .withColumn("day", to_date(col("ts")))
     val daily = graft.operators.Sketches.build(ev,
       Seq("event_type", "day"), "user_id")
-    graft.operators.Sketches.estimate(
+    val est = graft.operators.Sketches.estimate(
       graft.operators.Sketches.rollup(daily, Seq("event_type")),
       Seq("event_type"))
+    val exact = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("distinct_est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(2.0)), lit(1L))
+          .otherwise(lit(0L)).as("users_est_ok"))
+      .orderBy(col("event_type"))
   }
 
   /** Mergeable Count-Min frequency sketch, merged path: per-source CMS
@@ -2553,6 +2569,13 @@ object ExtQueries {
       // exact distinct + constant est-ok flag (q163 discipline): the
       // Spark side computes users_est_ok from |HLL est - exact| <= 5%,
       // so a lost drain flips it and hash-mismatches
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS users_est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_hll_distinct" ->
+      // q172's band discipline on the one-shot daily-rollup path —
+      // a lost/double-unioned day blows the 5% band
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BIGINT) AS users_est_ok

@@ -37,13 +37,30 @@ object SurfaceQueries {
         |LIMIT 5""".stripMargin)
   }
 
-  /** HLL++ approximate distinct (no oracle: DuckDB's sketch differs). */
+  /** HLL++ approximate distinct, oracle-banded (q163 discipline —
+    * formerly rows-only): the raw estimates are engine-specific
+    * (DuckDB's sketch differs), so the exported row carries the EXACT
+    * distincts (bit-for-bit oracle columns) plus flags pinning each
+    * estimate inside a band of its declared precision (3× the rsd:
+    * default 0.05 → 15%, explicit 0.01 → 3%). A broken sketch path —
+    * lost partial, wrong merge, garbage estimate — blows a band, flips
+    * its flag to 0, and hash-mismatches the oracle's constant 1. */
   def q41ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_partkey")).as("__ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("__ao"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        when(abs(col("__ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.15, lit(1L)).otherwise(lit(0L))
+          .as("parts_est_ok"),
+        when(abs(col("__ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.03, lit(1L)).otherwise(lit(0L))
+          .as("orders_est_ok"))
+      .orderBy(col("l_returnflag"))
 
   /** Exact distinct counting per group. */
   def q42DistinctCounts(s: SparkSession, dir: String): DataFrame =
@@ -590,6 +607,16 @@ object SurfaceQueries {
         |GROUP BY p_brand
         |ORDER BY gross DESC
         |LIMIT 5""".stripMargin,
+    "q41_approx_distinct" ->
+      // exact distincts + constant est-ok flags (q163 discipline): the
+      // Spark side computes each flag from |estimate - exact| within
+      // 3x the declared rsd, so a broken sketch path hash-mismatches
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS exact_parts,
+        | COUNT(DISTINCT l_orderkey) AS exact_orders,
+        | CAST(1 AS BIGINT) AS parts_est_ok,
+        | CAST(1 AS BIGINT) AS orders_est_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_distinct_counts" ->
       """SELECT o_orderpriority,
         | COUNT(DISTINCT o_custkey) AS n_customers,
