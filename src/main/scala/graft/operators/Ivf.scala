@@ -104,6 +104,24 @@ object Ivf {
       .limit(k)
   }
 
+  /** Bounded deterministic fit set — the corpus-scale k-means contract
+    * made concrete: centroid quality needs a representative SAMPLE, not
+    * the corpus (standard practice is fitting on O(100·k) vectors), so
+    * at 100 TB the fit loop should scan `maxVectors` rows, not the
+    * table, while encoding stays a single full-corpus projection.
+    * Sampling is [[Sampling.deterministicSample]]'s hash-threshold on
+    * the id — the same rows at any parallelism or file layout, so a
+    * re-fit on unchanged data reproduces the model bit-for-bit (no RNG,
+    * no zipWithIndex). Under the bound the input passes through
+    * unchanged. One count() scan decides the fraction; on a real
+    * deployment that statistic comes from table metadata. */
+  def fitSample(df: DataFrame, idCol: String, maxVectors: Long): DataFrame = {
+    require(maxVectors > 0, "maxVectors must be positive")
+    val n = df.count()
+    if (n <= maxVectors) df
+    else Sampling.deterministicSample(df, idCol, maxVectors.toDouble / n)
+  }
+
   /** Lloyd's k-means with deterministic init (the k lowest-id vectors) and
     * a fixed iteration count. Per round: one projection (assignment) + one
     * posexplode aggregation; k × dim doubles collected. */

@@ -67,7 +67,7 @@ object Profile {
     // high-cardinality group degrades to a shuffle join instead of
     // OOMing a forced broadcast
     df.join(stats, Seq(groupCol))
-      .select(df.columns.map(col) :+
+      .select(df.columns.map(col).toIndexedSeq :+
         (abs(col(valueCol) - col("__mean")) > lit(z) * col("__std"))
           .as("is_outlier"): _*)
   }

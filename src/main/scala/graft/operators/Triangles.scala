@@ -117,7 +117,7 @@ object Triangles {
               .agg(org.apache.spark.sql.graft.BloomFunctions.bloomAgg(
                 xxhash64(col("u"), col("v")), nEdges.max(1L),
                 10L * nEdges.max(1L)))
-              .head.getAs[Array[Byte]](0)
+              .head().getAs[Array[Byte]](0)
           } finally saved.foreach {
             case (k, Some(v)) => conf.set(k, v)
             case (k, None)    => conf.unset(k)

@@ -51,7 +51,7 @@ object Cdc {
       .getOrElse(changes)
     // unionByName: the anti join preserves base's column order, the change
     // side keeps its own — positional union would silently mis-zip.
-    survivors.unionByName(applied.select(base.columns.map(col): _*))
+    survivors.unionByName(applied.select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Transactional upsert on a [[VersionedTable]]: read latest, merge,
@@ -191,7 +191,7 @@ object Cdc {
     val attrs = oldSnap.columns.filterNot(keys.contains).sorted
     def digested(df: DataFrame, name: String): DataFrame =
       df.select(keyCols(keys) :+
-        xxhash64(attrs.map(col): _*).as(name) :+
+        xxhash64(attrs.map(col).toIndexedSeq: _*).as(name) :+
         lit(true).as(s"__in$name"): _*)
     digested(oldSnap, "__ho")
       .join(digested(newSnap, "__hn"), keys, "full_outer")

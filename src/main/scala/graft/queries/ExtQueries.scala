@@ -1264,7 +1264,7 @@ object ExtQueries {
     // Deterministic history/increment split: last 2 distinct days are
     // "new". approxQuantile on date-as-epoch-day keeps this one tiny
     // driver value, not a sort.
-    val cut = ev.select(max(col("event_date"))).head.getDate(0)
+    val cut = ev.select(max(col("event_date"))).head().getDate(0)
     val cutoff = java.time.LocalDate.parse(cut.toString).minusDays(2)
     def aggPart(df: DataFrame): DataFrame = df
       .groupBy(col("event_date"))

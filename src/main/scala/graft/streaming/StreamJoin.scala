@@ -42,6 +42,7 @@ object StreamJoin {
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelay")
     l.join(r, cond, joinType)
       .select(col("l.*") +:
-        right.columns.filter(_ != keyCol).map(c => col(s"r.$c")): _*)
+        right.columns.filter(_ != keyCol).map(c => col(s"r.$c"))
+          .toIndexedSeq: _*)
   }
 }

@@ -31,6 +31,28 @@ class IvfSpec extends SparkSpec {
     assert(byTruth.values.flatten.toSet.size == 3)
   }
 
+  test("fitSample: deterministic across layouts, bounded, identity " +
+      "under the bound, and fit-able") {
+    val big = (0 until 2000).map { i =>
+      (i.toLong, Seq.tabulate(16)(j =>
+        (math.sin(i * 0.37 + j) * (1 + i % 3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val s3 = ids(Ivf.fitSample(big.repartition(3), "vec_id", 300L))
+    val s13 = ids(Ivf.fitSample(big.repartition(13), "vec_id", 300L))
+    assert(s3 == s13, "sample must not depend on partitioning")
+    assert(s3.size > 200 && s3.size < 420,
+      s"hash-threshold sample should land near the bound: ${s3.size}")
+    // identity under the bound — no row dropped, no extra scan effects
+    assert(ids(Ivf.fitSample(big, "vec_id", 10000L)) == ids(big))
+    // the sampled fit yields a complete usable model for the FULL corpus
+    val m = Ivf.fit(Ivf.fitSample(big, "vec_id", 300L),
+      "vec_id", "embedding", k = 4, iters = 2)
+    assert(m.k == 4 && m.centroids.forall(_.length == 16))
+    assert(Ivf.assign(big, "vec_id", "embedding", m).count() == 2000L)
+  }
+
   test("assign is a pure projection: no window, no join, no exchange") {
     val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 2)
     val plan = Ivf.assign(corpus, "vec_id", "embedding", m)

@@ -103,8 +103,8 @@ class ZOrderSpec extends SparkSpec {
     val back = spark.read.parquet(zDir)
     assert(back.columns.toSet == Set("k1", "k2", "v"))
     assert(back.count() == n)
-    assert(back.agg(sum(col("k1")), sum(col("k2"))).head ==
-      rows.toDF("k1", "k2", "v").agg(sum(col("k1")), sum(col("k2"))).head)
+    assert(back.agg(sum(col("k1")), sum(col("k2"))).head() ==
+      rows.toDF("k1", "k2", "v").agg(sum(col("k1")), sum(col("k2"))).head())
   }
 
   test("compactZorder preserves Hive partition layout and excludes partition cols") {
