@@ -53,13 +53,32 @@ class IvfSpec extends SparkSpec {
     assert(Ivf.assign(big, "vec_id", "embedding", m).count() == 2000L)
   }
 
-  test("assign is a pure projection: no window, no join, no exchange") {
+  test("assign is a pure projection: no window, no join, no exchange, " +
+      "and it rides the fused nearest-cell expression") {
     val m = Ivf.fit(corpus, "vec_id", "embedding", k = 3, iters = 2)
     val plan = Ivf.assign(corpus, "vec_id", "embedding", m)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
     assert(!plan.contains("Join"), s"join in plan:\n$plan")
     assert(!plan.contains("Exchange"), s"exchange in plan:\n$plan")
+    // the matrix-in-references form, not per-centroid unrolled literals
+    // (which recompiled a fresh codegen unit per k-means iteration).
+    // Checked on the ANALYZED plan: over this local-relation corpus the
+    // optimizer constant-folds the whole projection into a
+    // LocalTableScan (itself proof the expression evaluates interpreted).
+    val analyzed = Ivf.assign(corpus, "vec_id", "embedding", m)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_nearest_cell"),
+      s"fused expr missing:\n$analyzed")
+  }
+
+  test("fitSample plans as a scan-side filter: no exchange, no sort") {
+    val big = (0 until 500).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => (i * 0.1f + j)))).toDF("vec_id", "embedding")
+    val plan = Ivf.fitSample(big, "vec_id", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"exchange in plan:\n$plan")
+    assert(!plan.contains("Sort"), s"sort in plan:\n$plan")
   }
 
   test("materialized index: topKIndexed prunes to probed cells, same result") {

@@ -55,6 +55,14 @@ class StreamSketchSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq ==
         Seq(BatchPartitionIngest.CompactedBatchId))
       assert(est() == streamed, "compaction changed HLL estimates")
+      // serving rollup partial-aggregates the blobs map-side (the
+      // |batches|x|groups| -> |groups| fold is an ObjectHashAggregate
+      // with partial modes, like every sketch union in the repo)
+      val servePlan = Sketches.rollup(
+          spark.read.parquet(s"$root/state").drop("batch_id"), Seq("t"))
+        .queryExecution.executedPlan.toString
+      assert(servePlan.contains("ObjectHashAggregate") &&
+        servePlan.contains("partial"), servePlan)
       // exactly-once: nothing-new drain leaves the state as-is
       val rows = spark.read.parquet(s"$root/state").count()
       Sketches.sketchIngestOnce(spark, s"$root/src", all.schema,
@@ -94,6 +102,15 @@ class StreamSketchSpec extends SparkSpec {
       // streamed state must answer IDENTICALLY to the one-shot build —
       // and a double-landed drain would double every count
       assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+      // stronger: the folded BLOB is bit-identical to the one-shot blob
+      // (commutative cell-wise sums + pinned hash family ⇒ the merge
+      // order across partitions/batches cannot perturb a single byte)
+      val streamedBlob = Cms.serveState(spark, s"$root/state", Nil)
+        .collect().head.getAs[Array[Byte]](0)
+      val oneShotBlob = Cms.rollup(Cms.build(all, Seq("src"), "term"), Nil)
+        .collect().head.getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(streamedBlob, oneShotBlob),
+        "folded streamed CMS blob must be bit-identical to one-shot")
       Cms.compactState(spark, s"$root/state", Seq("src"))
       assert(spark.read.parquet(s"$root/state")
         .select(col("batch_id").cast("long")).distinct()
