@@ -89,6 +89,37 @@ object FileIndex {
       expectedItemsPerFile, bloomNumBits)
   }
 
+  /** Reconcile a standing stats table with the CURRENT file listing —
+    * the post-compaction refresh the append-only paths
+    * ([[statsForFiles]] / [[statsForFilesWithBloom]]) cannot express:
+    * compaction REPLACES files, so rows for vanished files must drop
+    * and rows for the rewritten files must be scanned in. Cost is
+    * O(changed files) data scan + O(|files|) driver-side NAME
+    * bookkeeping (the same string-list budget every probe here has —
+    * ~400k names at 100 TB, never blobs, never rows): vanished rows are
+    * dropped via a semi-join against the current listing, added files
+    * are scanned with the same per-file aggregation as the full build.
+    * Stats rows are per-file facts, so the result equals a full rebuild
+    * bit-for-bit, blob bytes included (FileIndexSpec pins it against
+    * an actual compaction). `bloomCols` empty ⇒ min/max-only table. */
+  def refreshStats(spark: SparkSession, tableDir: String, stats: DataFrame,
+      rangeCols: Seq[String], bloomCols: Seq[String] = Nil,
+      expectedItemsPerFile: Long = 1000000L,
+      bloomNumBits: Long = 8L * 1024 * 1024): DataFrame = {
+    val current = spark.read.parquet(tableDir).inputFiles.toSet
+    val known = stats.select(col("file")).collect()
+      .map(_.getString(0)).toSet
+    val currentDf = spark.createDataset(current.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file")
+    val kept = stats.join(currentDf, Seq("file"), "left_semi")
+    val added = (current -- known).toSeq
+    if (added.isEmpty) kept
+    else kept.unionByName(
+      if (bloomCols.isEmpty) statsForFiles(spark, added, rangeCols)
+      else statsForFilesWithBloom(spark, added, rangeCols, bloomCols,
+        expectedItemsPerFile, bloomNumBits))
+  }
+
   private def bloomStatsOf(src: DataFrame, rangeCols: Seq[String],
       bloomCols: Seq[String], expectedItemsPerFile: Long,
       bloomNumBits: Long): DataFrame = {

@@ -172,6 +172,36 @@ class FileIndexSpec extends SparkSpec {
     assert(probed.nonEmpty && probed.subsetOf(newFiles))
   }
 
+  test("refreshStats after compaction == full rebuild, blob bytes included") {
+    val dir = tmpDir() + "/refresh"
+    (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(8).write.parquet(dir)
+    val standing = FileIndex.buildStatsWithBloom(spark, dir,
+        rangeCols = Seq("k"), bloomCols = Seq("k"),
+        expectedItemsPerFile = 4000L, bloomNumBits = 1L << 15)
+      .localCheckpoint()
+    // compaction REPLACES files: the append-only union path cannot
+    // express this — rows must drop AND new files must scan in
+    assert(Maintenance.compact(spark, dir,
+      targetFileBytes = 256L * 1024 * 1024).ok)
+    val after = spark.read.parquet(dir).inputFiles.toSet
+    assert(after != standing.select("file").collect()
+      .map(_.getString(0)).toSet, "compaction should have replaced files")
+    val refreshed = FileIndex.refreshStats(spark, dir, standing,
+      rangeCols = Seq("k"), bloomCols = Seq("k"),
+      expectedItemsPerFile = 4000L, bloomNumBits = 1L << 15)
+    val rebuilt = FileIndex.buildStatsWithBloom(spark, dir,
+      rangeCols = Seq("k"), bloomCols = Seq("k"),
+      expectedItemsPerFile = 4000L, bloomNumBits = 1L << 15)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        r.getAs[Array[Byte]](4).toSeq)).toSet
+    assert(rows(refreshed) == rows(rebuilt))
+    assert(FileIndex.prunedEqualityRead(spark, dir, refreshed, "k", 1234)
+      .count() == 1L)
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val dir = tmpDir() + "/e"
     Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)
