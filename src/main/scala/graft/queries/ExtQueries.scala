@@ -1053,6 +1053,38 @@ object ExtQueries {
       ORDER BY lang, pct""")
   }
 
+  /** The sketch-column discipline on the PURE SQL surface: Spark 4 ships
+    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate` as SQL
+    * functions, so an analyst can build daily sketch columns and roll
+    * them up without touching the Scala API — exactly how an
+    * Athena/Iceberg deployment stores sketch columns in gold tables
+    * (reference analogue: the SQL-first interactive surface,
+    * reference: README.md:245-276). Same est-band oracle as q144/q172:
+    * exact distinct (bit-for-bit) + a 5%-band flag on the SQL-built
+    * estimate — a lost/double-unioned day flips it. */
+  def q174SqlHll(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               hll_sketch_agg(user_id) AS sketch
+        FROM events GROUP BY 1, 2),
+      rolled AS (
+        SELECT event_type,
+               hll_sketch_estimate(hll_union_agg(sketch)) AS est
+        FROM daily GROUP BY 1),
+      exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1)
+      SELECT e.event_type, e.exact_users,
+             CASE WHEN abs(r.est - e.exact_users)
+                    <= greatest(e.exact_users * 0.05, 2.0)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+               AS users_est_ok
+      FROM exact e JOIN rolled r USING (event_type)
+      ORDER BY event_type""")
+  }
+
   /** Audience overlap via theta-sketch set algebra: per-event-type
     * distinct-user sketches (built per-day first, then blob-union
     * rolled up — exercising the incremental path), every type pair's
@@ -1586,6 +1618,7 @@ object ExtQueries {
     "q171_stream_crawl_dedup" -> (q171StreamCrawlDedup _),
     "q172_stream_hll_users" -> (q172StreamHllUsers _),
     "q173_stream_cms_heavyhitters" -> (q173StreamCmsHeavyHitters _),
+    "q174_sql_hll" -> (q174SqlHll _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2576,6 +2609,12 @@ object ExtQueries {
     "q144_hll_distinct" ->
       // q172's band discipline on the one-shot daily-rollup path —
       // a lost/double-unioned day blows the 5% band
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS users_est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q174_sql_hll" ->
+      // the same band discipline on the pure-SQL sketch surface
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BIGINT) AS users_est_ok
