@@ -422,4 +422,60 @@ class PipelineSpec extends SparkSpec {
       Retry.withRetry(attempts = 2, baseDelayMs = 1)(sys.error("always"))
     }
   }
+
+  test("nightly pass: one maintainAll drives table compaction AND " +
+      "stream-state compaction; serving answers unchanged") {
+    import spark.implicits._
+    val root = tmpDir()
+    val table = s"$root/events_t"
+    // fragmented table (many small files) + a two-drain KLL stream state
+    (1 to 4000).map(i => (i.toLong, (i % 997).toDouble)).toDF("id", "v")
+      .repartition(16).write.parquet(table)
+    val all = (1 to 400).map(i => (s"g${i % 2}", (i % 97).toDouble))
+      .toDF("g", "v")
+    all.filter(col("v") < 50).write.mode("append").parquet(s"$root/src")
+    graft.operators.Kll.sketchIngestOnce(spark, s"$root/src", all.schema,
+      s"$root/state", s"$root/ckpt", Seq("g"), "v", k = 512)
+    all.filter(col("v") >= 50).write.mode("append").parquet(s"$root/src")
+    graft.operators.Kll.sketchIngestOnce(spark, s"$root/src", all.schema,
+      s"$root/state", s"$root/ckpt", Seq("g"), "v", k = 512)
+    val stats = graft.operators.FileIndex.buildStatsWithBloom(spark, table,
+        rangeCols = Seq("id"), bloomCols = Seq("id"),
+        expectedItemsPerFile = 4000L, bloomNumBits = 1L << 14)
+      .localCheckpoint()
+    def profile() = graft.operators.Kll
+      .profile(spark, s"$root/state", Seq("g"), Seq(50, 100))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val beforeProfile = profile()
+    val beforeData = spark.read.parquet(table)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val filesBefore = spark.read.parquet(table).inputFiles.length
+
+    val reports = Maintenance.maintainAll(spark,
+      tableDirs = Seq(table),
+      streamStates = Seq(Maintenance.StreamState.kll(
+        s"$root/state", Seq("g"))),
+      targetFileBytes = 256L * 1024 * 1024)
+    assert(reports.forall(_.ok), reports.filterNot(_.ok).mkString("; "))
+    assert(reports.map(_.action).count(_ == "compact") == 1)
+    assert(reports.exists(_.action.startsWith("compact_stream_state")))
+
+    // compaction really happened, data identical, profile identical
+    assert(spark.read.parquet(table).inputFiles.length < filesBefore)
+    assert(spark.read.parquet(table)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      == beforeData)
+    assert(profile() == beforeProfile)
+    assert(spark.read.parquet(s"$root/state")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq ==
+      Seq(graft.streaming.BatchPartitionIngest.CompactedBatchId))
+    // the stats table reconciles post-compaction and still serves
+    val refreshed = graft.operators.FileIndex.refreshStats(spark, table,
+      stats, rangeCols = Seq("id"), bloomCols = Seq("id"),
+      expectedItemsPerFile = 4000L, bloomNumBits = 1L << 14)
+    assert(graft.operators.FileIndex
+      .prunedEqualityRead(spark, table, refreshed, "id", 1234).count() == 1L)
+  }
 }
