@@ -71,6 +71,26 @@ object ExtQueries {
       col("doc_id"),
       TextFunctions.rollingHash(col("text")).as("rolling_hash"))
 
+  /** Rolling-fingerprint INTEGRITY on the oracle-checkable surface —
+    * the q25 family's raw xxhash64 values can never be DuckDB-replayed,
+    * but their equality STRUCTURE can: the chained fold is
+    * deterministic in the token sequence and 64-bit collision-free at
+    * corpus scale, so fingerprint-equality classes must coincide
+    * exactly with normalized-token-text equality classes, which DuckDB
+    * computes directly (q24's proven tokenization equivalence).
+    * Exported: per-doc duplicate-group size BY FINGERPRINT; the oracle
+    * groups by normalized text. An order-insensitive fold, a dropped
+    * token, cross-partition nondeterminism, or a collision all split or
+    * merge a class and hash-mismatch. */
+  def q175FingerprintClasses(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.rollingHash(col("text")).as("fp"))
+    val sizes = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dup_group_size"))
+    fp.join(sizes, "fp").select(col("doc_id"), col("dup_group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash LSH banding (signature layer; no oracle). */
   def q26MinhashBands(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashBands(t(s, dir, "documents"), "doc_id", "text",
@@ -1619,6 +1639,7 @@ object ExtQueries {
     "q172_stream_hll_users" -> (q172StreamHllUsers _),
     "q173_stream_cms_heavyhitters" -> (q173StreamCmsHeavyHitters _),
     "q174_sql_hll" -> (q174SqlHll _),
+    "q175_fingerprint_classes" -> (q175FingerprintClasses _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2619,6 +2640,16 @@ object ExtQueries {
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BIGINT) AS users_est_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_fingerprint_classes" ->
+      // equality-class replay: fingerprint groups must coincide with
+      // normalized-token-text groups (collision-free by 64-bit scale)
+      s"""WITH n AS (
+         |  SELECT doc_id, array_to_string($splitToks, ' ') AS norm
+         |  FROM documents),
+         |g AS (SELECT norm, COUNT(*) AS dup_group_size FROM n
+         |      GROUP BY norm)
+         |SELECT n.doc_id, g.dup_group_size
+         |FROM n JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
     "q173_stream_cms_heavyhitters" ->
       // q153's exact-count oracle: collision-free by construction, and
       // a double-landed drain DOUBLES CMS counts — hash-mismatch
