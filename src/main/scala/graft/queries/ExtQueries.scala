@@ -108,8 +108,13 @@ object ExtQueries {
     NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       bands = 4, maxHamming = 16)
 
-  /** Exact n-gram Jaccard similarity join via inverted shingle index
-    * (no oracle). */
+  /** Exact n-gram Jaccard similarity join via inverted shingle index.
+    * Oracle-backed since r9: every stage (DF guard, co-occurrence
+    * count, rational jaccard) is deterministic, and the xxhash64'd
+    * shingles share equality structure with shingle strings (64-bit
+    * collision-free at corpus scale), so the DuckDB string-level replay
+    * matches bit-for-bit — verified at sf0.01 AND sf0.1 before the
+    * flip. */
   def q29NgramJaccard(s: SparkSession, dir: String): DataFrame =
     NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, threshold = 0.2, maxDocFreq = 1000)
@@ -2640,6 +2645,37 @@ object ExtQueries {
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BIGINT) AS users_est_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_ngram_jaccard" ->
+      // full string-level replay (r9 flip): every stage of the DF-guarded
+      // inverted-index join is deterministic SQL, and xxhash64'd shingles
+      // share equality structure with shingle STRINGS (64-bit
+      // collision-free at corpus scale — the q175 argument), so DuckDB
+      // replays candidates, guard, co-occurrence counts and the exact
+      // rational jaccard division bit-for-bit
+      s"""WITH t AS (
+         |  SELECT doc_id, $splitToks AS toks FROM documents),
+         |e AS (SELECT doc_id,
+         |        unnest(range(0, greatest(len(toks) - 2, 0))) AS i, toks
+         |      FROM t),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(toks[i+1 : i+3], ' ') AS shingle
+         |       FROM e),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle
+         |         HAVING COUNT(*) <= 1000),
+         |idx AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |  FROM idx a JOIN idx b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)
+         |    AS jaccard
+         |FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b
+         |WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)
+         |  >= 0.2""".stripMargin,
     "q175_fingerprint_classes" ->
       // equality-class replay: fingerprint groups must coincide with
       // normalized-token-text groups (collision-free by 64-bit scale)
