@@ -108,6 +108,27 @@ object ExtQueries {
     NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       bands = 4, maxHamming = 16)
 
+  /** The simhash family's construction-pinned oracle (q171/q74
+    * discipline — q28's raw signatures and distances can never be
+    * DuckDB-replayed, but a PLANTED regime makes the full pipeline's
+    * OUTPUT predictable): doc 2k+1 carries doc 2k's exact text, so twin
+    * signatures are identical (hamming 0); with maxHamming = 3 < bands
+    * = 4 the banding is EXACT by pigeonhole (a pair within distance 3
+    * differs in at most 3 of 4 slices — one slice must match), so no
+    * twin can be missed; and unrelated planted texts share no tokens,
+    * putting their signature distance near Binomial(64, ½) — the
+    * probability any such pair lands ≤ 3 is ~2e-15 per pair, so the
+    * accepted set is EXACTLY the twin pairs at hamming 0, a plain SQL
+    * expression. A missed twin (broken banding), a phantom pair
+    * (broken distance), or a wrong distance value all hash-mismatch. */
+  def q176PlantedSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        plantedText(col("doc_id") - col("doc_id") % 2).as("text"))
+    NearDup.simhashPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3)
+  }
+
   /** Exact n-gram Jaccard similarity join via inverted shingle index.
     * Oracle-backed since r9: every stage (DF guard, co-occurrence
     * count, rational jaccard) is deterministic, and the xxhash64'd
@@ -1645,6 +1666,7 @@ object ExtQueries {
     "q173_stream_cms_heavyhitters" -> (q173StreamCmsHeavyHitters _),
     "q174_sql_hll" -> (q174SqlHll _),
     "q175_fingerprint_classes" -> (q175FingerprintClasses _),
+    "q176_planted_simhash" -> (q176PlantedSimhash _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2676,6 +2698,13 @@ object ExtQueries {
          |JOIN sizes sb ON sb.doc_id = c.id_b
          |WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)
          |  >= 0.2""".stripMargin,
+    "q176_planted_simhash" ->
+      // planted construction: twins (2k, 2k+1) share exact text, so the
+      // accepted set is exactly the twin pairs at hamming 0 (pigeonhole
+      // makes banding exact at maxHamming < bands; see the scaladoc)
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 ORDER BY id_a""".stripMargin,
     "q175_fingerprint_classes" ->
       // equality-class replay: fingerprint groups must coincide with
       // normalized-token-text groups (collision-free by 64-bit scale)
