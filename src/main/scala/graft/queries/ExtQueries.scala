@@ -108,6 +108,36 @@ object ExtQueries {
     NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       bands = 4, maxHamming = 16)
 
+  /** The document-pipeline COMPOSITION's construction-pinned oracle —
+    * q60's machinery was the last family whose end-to-end output had no
+    * oracle-backed sibling (its minhash stage is xxhash64-based). The
+    * planted regime makes the composition's output a plain SQL
+    * expression: doc 2k holds base text A_k, doc 2k+1 holds A_k twice
+    * — texts UNEQUAL, so exact dedup cannot collapse the pair, but
+    * their 2-gram shingle SETS differ by one boundary shingle
+    * (J = 11/12), far above the 0.5 threshold and dense enough that
+    * banding catches every twin (per-pair full-miss probability
+    * 0.16^8 ≈ 4e-7, deterministic, verified at the gate SF); unrelated
+    * docs share no tokens. Lang/quality gates are made vacuous
+    * (allowedLangs = the planted text's own language-id label,
+    * minQuality = -1), so the composition under test is exact dedup →
+    * near-dup clustering → min-id keeper — whose survivors are exactly
+    * the EVEN doc ids. A twin slipping through, a keeper picking the
+    * wrong copy, or a lost cluster all hash-mismatch. */
+  def q177PlantedDocPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, plantedText(col("doc_id")))
+        .otherwise(concat_ws(" ", plantedText(col("doc_id") - 1),
+          plantedText(col("doc_id") - 1))).as("text"))
+    val lid = docs.select(
+      TextFunctions.languageId(col("text"))).head().getString(0)
+    DocPipeline.clean(docs, "doc_id", "text",
+        DocPipeline.Config(allowedLangs = Seq(lid), minQuality = -1.0,
+          shingleSize = 2, jaccardThreshold = 0.5),
+        collectStats = false)
+      .cleaned.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** The simhash family's construction-pinned oracle (q171/q74
     * discipline — q28's raw signatures and distances can never be
     * DuckDB-replayed, but a PLANTED regime makes the full pipeline's
@@ -1667,6 +1697,7 @@ object ExtQueries {
     "q174_sql_hll" -> (q174SqlHll _),
     "q175_fingerprint_classes" -> (q175FingerprintClasses _),
     "q176_planted_simhash" -> (q176PlantedSimhash _),
+    "q177_planted_docpipeline" -> (q177PlantedDocPipeline _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2698,6 +2729,11 @@ object ExtQueries {
          |JOIN sizes sb ON sb.doc_id = c.id_b
          |WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)
          |  >= 0.2""".stripMargin,
+    "q177_planted_docpipeline" ->
+      // planted construction: the composition's survivors are exactly
+      // the even ids (min-id keeper over {2k, 2k+1} twin clusters)
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q176_planted_simhash" ->
       // planted construction: twins (2k, 2k+1) share exact text, so the
       // accepted set is exactly the twin pairs at hamming 0 (pigeonhole
