@@ -105,5 +105,6 @@ object Cms {
     * the serving read (|batches|×|groups| KB blobs, never raw rows). */
   def serveState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, groupCols: Seq[String]): DataFrame =
-    rollup(spark.read.parquet(stateDir).drop("batch_id"), groupCols)
+    rollup(graft.streaming.BatchPartitionIngest.readState(spark, stateDir)
+      .drop("batch_id"), groupCols)
 }

@@ -106,19 +106,46 @@ object FileIndex {
       rangeCols: Seq[String], bloomCols: Seq[String] = Nil,
       expectedItemsPerFile: Long = 1000000L,
       bloomNumBits: Long = 8L * 1024 * 1024): DataFrame = {
-    val current = spark.read.parquet(tableDir).inputFiles.toSet
-    val known = stats.select(col("file")).collect()
-      .map(_.getString(0)).toSet
-    val currentDf = spark.createDataset(current.toSeq)(
+    // kept/added are decided on CANONICAL keys: `DataFrame.inputFiles`
+    // and the stats rows' `input_file_name()` strings can differ in URI
+    // %-encoding on some stores, and comparing them raw would silently
+    // classify every surviving file as both vanished and added — still
+    // correct (it equals a full rebuild) but O(table), losing the
+    // O(changed files) property this method exists for. The semi-join
+    // itself still keys on the stats side's ORIGINAL strings.
+    val currentRaw = spark.read.parquet(tableDir).inputFiles.toSeq
+    val knownRaw = stats.select(col("file")).collect()
+      .map(_.getString(0)).toSeq
+    val currentKeys = currentRaw.map(canonicalFileKey).toSet
+    val knownKeys = knownRaw.map(canonicalFileKey).toSet
+    val keptNames = knownRaw.filter(f => currentKeys(canonicalFileKey(f)))
+    val keptDf = spark.createDataset(keptNames)(
       org.apache.spark.sql.Encoders.STRING).toDF("file")
-    val kept = stats.join(currentDf, Seq("file"), "left_semi")
-    val added = (current -- known).toSeq
+    val kept = stats.join(keptDf, Seq("file"), "left_semi")
+    val added = currentRaw.filterNot(f => knownKeys(canonicalFileKey(f)))
     if (added.isEmpty) kept
     else kept.unionByName(
       if (bloomCols.isEmpty) statsForFiles(spark, added, rangeCols)
       else statsForFilesWithBloom(spark, added, rangeCols, bloomCols,
         expectedItemsPerFile, bloomNumBits))
   }
+
+  /** Canonical identity for a file path string: scheme + authority +
+    * DECODED path via `java.net.URI`, so `a b` and `a%20b` spellings of
+    * the same file compare equal across the two listing APIs. Unparsable
+    * strings fall back to themselves (comparison degrades to raw
+    * equality, never throws). */
+  private[operators] def canonicalFileKey(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getPath == null || u.getPath.isEmpty) s
+      else {
+        val sb = new StringBuilder
+        Option(u.getScheme).foreach(sc => sb.append(sc).append(':'))
+        Option(u.getAuthority).foreach(a => sb.append("//").append(a))
+        sb.append(u.getPath).toString
+      }
+    } catch { case _: java.net.URISyntaxException => s }
 
   private def bloomStatsOf(src: DataFrame, rangeCols: Seq[String],
       bloomCols: Seq[String], expectedItemsPerFile: Long,

@@ -50,7 +50,12 @@ object Ivf {
     val dim = m.centroids.headOption.map(_.length).getOrElse(0)
     require(m.centroids.forall(_.length == dim),
       "ragged centroid matrix")
-    GraftFunctions.nearestCell(vd, m.centroids.flatten.toArray, m.k, dim)
+    // null vector → cluster 0, not a NULL cluster: a null embedding must
+    // land in a real partition of the index (and the pre-NearestCellId
+    // unrolled argmin resolved nulls to 0 — behavior is pinned)
+    coalesce(
+      GraftFunctions.nearestCell(vd, m.centroids.flatten.toArray, m.k, dim),
+      lit(0))
   }
 
   /** Add the nearest-centroid cell as a `cluster` column — a pure

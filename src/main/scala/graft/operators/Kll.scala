@@ -94,7 +94,8 @@ object Kll {
   def profile(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       groupCols: Seq[String], percents: Seq[Int]): DataFrame = {
     val merged = rollup(
-      spark.read.parquet(stateDir).drop("batch_id"), groupCols)
+      graft.streaming.BatchPartitionIngest.readState(spark, stateDir)
+        .drop("batch_id"), groupCols)
       .withColumn("n_items", KllFunctions.kllN(col("kll")))
     quantiles(merged, groupCols :+ "n_items", percents)
   }

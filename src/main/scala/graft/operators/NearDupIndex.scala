@@ -94,6 +94,10 @@ object NearDupIndex {
     * themselves and be dropped as duplicates. */
   private def readIdxTable(spark: SparkSession, path: String,
       excludeBatchId: Long): DataFrame = {
+    // recovery preamble on the SERVING read too: a crash inside a
+    // compaction's swap window must not break probes until the next
+    // compaction runs (two existence checks when no repair is needed)
+    graft.util.Fs.recoverSwap(Paths.get(path))
     val df = spark.read.parquet(path)
     if (df.columns.contains("batch_id") && excludeBatchId >= 0)
       df.filter(col("batch_id") =!= excludeBatchId)
@@ -262,8 +266,10 @@ object NearDupIndex {
   }
 
   /** Ids accepted by [[streamIngest]] across all drained batches. */
-  def accepted(spark: SparkSession, root: String, idCol: String): DataFrame =
+  def accepted(spark: SparkSession, root: String, idCol: String): DataFrame = {
+    graft.util.Fs.recoverSwap(Paths.get(root, "accepted"))
     spark.read.parquet(s"$root/accepted").select(col(idCol))
+  }
 
   /** Fold a [[streamIngest]] index's batch partitions into ONE — the
     * [[graft.streaming.BatchPartitionIngest.CompactedBatchId]] sentinel

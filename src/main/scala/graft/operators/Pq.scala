@@ -124,8 +124,11 @@ object Pq {
   private def subCode(vd: Column, book: IndexedSeq[IndexedSeq[Double]],
       s: Int, subDim: Int): Column = {
     require(book.forall(_.length == subDim), "ragged codebook")
-    GraftFunctions.nearestCell(vd, book.flatten.toArray, book.size, subDim,
-      offset = s * subDim)
+    // null vector → code 0 (not a NULL packed code) — [[Ivf]] discipline
+    coalesce(
+      GraftFunctions.nearestCell(vd, book.flatten.toArray, book.size, subDim,
+        offset = s * subDim),
+      lit(0))
   }
 
   /** The packed BIGINT code column: subspace s occupies bit lane

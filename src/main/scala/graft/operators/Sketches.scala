@@ -81,5 +81,6 @@ object Sketches {
   def profile(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       groupCols: Seq[String]): DataFrame =
     estimate(rollup(
-      spark.read.parquet(stateDir).drop("batch_id"), groupCols), groupCols)
+      graft.streaming.BatchPartitionIngest.readState(spark, stateDir)
+        .drop("batch_id"), groupCols), groupCols)
 }

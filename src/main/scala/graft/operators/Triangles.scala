@@ -102,26 +102,24 @@ object Triangles {
         // session caps (default 64M bits / 4M items — built for AQE's
         // auto-injected filters, not an explicit build): near the 16M
         // edge gate the requested 160M bits would quietly become an
-        // 8 MB, ~4 bits/edge, ~10%-fpp filter. Raise the caps to the
-        // requested size for the duration of the build so 10 bits/edge
-        // (fpp <1%, 16M edges = 20 MB blob) is what actually runs.
-        val conf = edges.sparkSession.conf
-        val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-        val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-        val saved = Seq(kBits, kItems).map(k => k -> conf.getOption(k))
-        val blob =
-          try {
-            conf.set(kBits, (10L * nEdges.max(1L)).toString)
-            conf.set(kItems, nEdges.max(1L).toString)
-            oriented
-              .agg(org.apache.spark.sql.graft.BloomFunctions.bloomAgg(
-                xxhash64(col("u"), col("v")), nEdges.max(1L),
-                10L * nEdges.max(1L)))
-              .head().getAs[Array[Byte]](0)
-          } finally saved.foreach {
-            case (k, Some(v)) => conf.set(k, v)
-            case (k, None)    => conf.unset(k)
-          }
+        // 8 MB, ~4 bits/edge, ~10%-fpp filter. Raise the caps in an
+        // ISOLATED session (newSession shares the SparkContext and the
+        // checkpointed blocks but not the SQL conf — a concurrent query
+        // on the caller's session never plans under the inflated caps,
+        // and concurrent perNode calls cannot clobber each other's
+        // save/restore) so 10 bits/edge (fpp <1%, 16M edges = 20 MB
+        // blob) is what actually runs.
+        val iso = edges.sparkSession.newSession()
+        iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+          (10L * nEdges.max(1L)).toString)
+        iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+          nEdges.max(1L).toString)
+        val blob = org.apache.spark.sql.graft.BloomFunctions
+          .inSession(iso, oriented)
+          .agg(org.apache.spark.sql.graft.BloomFunctions.bloomAgg(
+            xxhash64(col("u"), col("v")), nEdges.max(1L),
+            10L * nEdges.max(1L)))
+          .head().getAs[Array[Byte]](0)
         wedges.filter(org.apache.spark.sql.graft.BloomFunctions
           .mightContain(blob, xxhash64(col("n2"), col("n3"))))
       }

@@ -1298,9 +1298,11 @@ object ExtQueries {
       .agg(countDistinct(col("user_id")).as("exact_users"))
     est.join(exact, "event_type")
       .select(col("event_type"), col("exact_users"),
+        // same band as q144/q174: the absolute floor of 2 keeps the band
+        // nonzero for tiny-cardinality groups at small SF
         when(abs(col("distinct_est") - col("exact_users")) <=
-            col("exact_users") * 0.05, lit(1L)).otherwise(lit(0L))
-          .as("users_est_ok"))
+            greatest(col("exact_users") * 0.05, lit(2.0)), lit(1L))
+          .otherwise(lit(0L)).as("users_est_ok"))
       .orderBy(col("event_type"))
   }
 

@@ -70,6 +70,17 @@ object BatchPartitionIngest {
     * double-counted: the alternative, overwriting the min partition in
     * place and then deleting siblings, WOULD double-count on a crash
     * between the two steps, which is why it is not used. */
+  /** Serving read of a state dir maintained by [[ingestOnce]] /
+    * [[compactState]], with the [[graft.util.Fs.recoverSwap]] preamble:
+    * a crash inside a compaction's two-rename window leaves the dir
+    * missing until someone repairs it, and waiting for the NEXT
+    * compaction would leave every serving read broken in between. The
+    * preamble is two existence checks when no repair is needed. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    graft.util.Fs.recoverSwap(java.nio.file.Paths.get(stateDir))
+    spark.read.parquet(stateDir)
+  }
+
   def compactState(spark: SparkSession, stateDir: String)(
       fold: DataFrame => DataFrame): Unit = {
     import java.nio.file.Paths

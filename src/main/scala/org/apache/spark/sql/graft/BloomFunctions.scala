@@ -60,6 +60,18 @@ object BloomFunctions {
     new XxHash64(Seq(Literal.create(coerce(value, dt), dt))).eval(null)
       .asInstanceOf[Long]
 
+  /** Rebind a DataFrame's logical plan to `session` (same shared
+    * SparkContext): lets an operator run one sub-query under an ISOLATED
+    * SQL conf (`SparkSession.newSession`) instead of mutating — and
+    * racing concurrent queries on — the caller's session conf. The plan
+    * must not depend on the origin session's catalog/temp-view state;
+    * localCheckpointed (LogicalRDD) plans qualify. */
+  def inSession(session: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Executor-side membership probe over a PER-ROW blob column against a
     * constant pre-hashed key — the shape `might_contain` cannot express
     * (its sketch must be constant). This is what lets a file-stats
