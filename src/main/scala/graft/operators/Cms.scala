@@ -88,10 +88,13 @@ object Cms {
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
       stateDir: String, checkpointDir: String, groupCols: Seq[String],
       valueCol: String, eps: Double = 0.001, confidence: Double = 0.99,
-      seed: Int = 42): Unit =
+      seed: Int = 42): Unit = {
+    graft.streaming.BatchPartitionIngest.writeStateMeta(stateDir,
+      graft.streaming.BatchPartitionIngest.StateMeta("cms", groupCols))
     graft.streaming.BatchPartitionIngest.ingestOnce(
       spark, srcDir, schema, stateDir, checkpointDir)(
       build(_, groupCols, valueCol, eps, confidence, seed))
+  }
 
   /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
     * (cell-wise CMS sum per group) — the [[Kll.compactState]]

@@ -73,10 +73,13 @@ object Kll {
   def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
       stateDir: String, checkpointDir: String, groupCols: Seq[String],
-      valueCol: String, k: Int = 200): Unit =
+      valueCol: String, k: Int = 200): Unit = {
+    graft.streaming.BatchPartitionIngest.writeStateMeta(stateDir,
+      graft.streaming.BatchPartitionIngest.StateMeta("kll", groupCols))
     graft.streaming.BatchPartitionIngest.ingestOnce(
       spark, srcDir, schema, stateDir, checkpointDir)(
       build(_, groupCols, valueCol, k))
+  }
 
   /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
     * (blob union per group) — serving rollups stay O(|groups|) after

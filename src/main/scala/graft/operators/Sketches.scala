@@ -62,10 +62,13 @@ object Sketches {
   def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
       stateDir: String, checkpointDir: String, groupCols: Seq[String],
-      valueCol: String, lgK: Int = 12): Unit =
+      valueCol: String, lgK: Int = 12): Unit = {
+    graft.streaming.BatchPartitionIngest.writeStateMeta(stateDir,
+      graft.streaming.BatchPartitionIngest.StateMeta("hll", groupCols))
     graft.streaming.BatchPartitionIngest.ingestOnce(
       spark, srcDir, schema, stateDir, checkpointDir)(
       build(_, groupCols, valueCol, lgK))
+  }
 
   /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
     * (HLL union per group) — the [[Kll.compactState]] discipline;

@@ -49,10 +49,13 @@ object Theta {
   def sketchIngestOnce(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
       stateDir: String, checkpointDir: String, groupCols: Seq[String],
-      valueCol: String, lgK: Int = 14): Unit =
+      valueCol: String, lgK: Int = 14): Unit = {
+    graft.streaming.BatchPartitionIngest.writeStateMeta(stateDir,
+      graft.streaming.BatchPartitionIngest.StateMeta("theta", groupCols))
     graft.streaming.BatchPartitionIngest.ingestOnce(
       spark, srcDir, schema, stateDir, checkpointDir)(
       build(_, groupCols, valueCol, lgK))
+  }
 
   /** Fold a [[sketchIngestOnce]] state dir's batch partitions into one
     * (theta union per group) — the [[Kll.compactState]] discipline for

@@ -397,6 +397,51 @@ object Maintenance {
         graft.operators.NearDupIndex.compactStream(_, root))
   }
 
+  /** Discover maintainable stream states by WALKING `rootDirs` instead
+    * of trusting the caller's registry: a state dir that exists on disk
+    * but was never passed to [[maintainAll]] silently went uncompacted
+    * (the exact trust-the-caller gap `Tables.registerAll` had for
+    * catalog tables). Recognition is by self-description, not layout
+    * guessing: sketch states carry the
+    * [[graft.streaming.BatchPartitionIngest.StateMetaFile]] their
+    * ingest wrote (kind + groupCols, preserved across compaction), and
+    * near-dup index roots carry their `_graft_meta.json`. Unknown kinds
+    * are skipped (forward compatibility). Walk cost is directory NAMES
+    * only — the driver-side budget every maintenance pass already has;
+    * `.old`/`.new` swap leftovers are skipped (the recovery preamble,
+    * not discovery, owns them). */
+  def discoverStreamStates(rootDirs: Seq[String]): Seq[StreamState] = {
+    import java.nio.file.{Files, Paths, Path}
+    val found = scala.collection.mutable.ArrayBuffer.empty[StreamState]
+    def walk(p: Path): Unit = {
+      val name = p.getFileName.toString
+      if (name.endsWith(".old") || name.endsWith(".new")) return
+      val dir = p.toString
+      if (Files.exists(p.resolve(
+          graft.streaming.BatchPartitionIngest.StateMetaFile))) {
+        graft.streaming.BatchPartitionIngest.readStateMeta(dir).foreach {
+          meta =>
+            meta.kind match {
+              case "kll"   => found += StreamState.kll(dir, meta.groupCols)
+              case "theta" => found += StreamState.theta(dir, meta.groupCols)
+              case "hll"   => found += StreamState.hll(dir, meta.groupCols)
+              case "cms"   => found += StreamState.cms(dir, meta.groupCols)
+              case _       => () // unknown kind: leave for its own tool
+            }
+        }
+      } else if (Files.exists(p.resolve("_graft_meta.json"))) {
+        found += StreamState.nearDupIndex(dir)
+      } else {
+        Option(p.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).sortBy(_.getName)
+          .foreach(f => walk(f.toPath))
+      }
+    }
+    rootDirs.foreach(r => if (Files.isDirectory(Paths.get(r)))
+      walk(Paths.get(r)))
+    found.toSeq
+  }
+
   /** Compact every registered streamed state behind the same
     * try/isolate discipline as [[runAll]]: one state's failure (a
     * half-written batch dir, a concurrent reader's transient rename
@@ -423,9 +468,15 @@ object Maintenance {
     * everywhere, reports concatenated. */
   def maintainAll(spark: SparkSession, tableDirs: Seq[String],
       streamStates: Seq[StreamState] = Nil,
-      targetFileBytes: Long = 256L * 1024 * 1024): Seq[Report] =
+      targetFileBytes: Long = 256L * 1024 * 1024,
+      discoverStateRoots: Seq[String] = Nil): Seq[Report] = {
+    // discovery augments (never replaces) the explicit registry; a state
+    // both passed and discovered compacts once — dedup on the dir
+    val all = (streamStates ++ discoverStreamStates(discoverStateRoots))
+      .groupBy(_.stateDir).toSeq.sortBy(_._1).map(_._2.head)
     runAll(spark, tableDirs, targetFileBytes) ++
-      compactStreamStates(spark, streamStates)
+      compactStreamStates(spark, all)
+  }
 
   private def countParquetFiles(f: File): Long =
     if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }

@@ -70,6 +70,56 @@ object BatchPartitionIngest {
     * double-counted: the alternative, overwriting the min partition in
     * place and then deleting siblings, WOULD double-count on a crash
     * between the two steps, which is why it is not used. */
+  /** Self-description of a sketch state dir: which family maintains it
+    * and the grouping its fold aggregation needs. Written at ingest,
+    * preserved across compaction, read by
+    * `Maintenance.discoverStreamStates` — so a state dir that exists on
+    * disk is maintainable WITHOUT the operator that created it being
+    * re-registered by the caller (the registerAll trust-the-caller gap,
+    * closed for stream state). */
+  final case class StateMeta(kind: String, groupCols: Seq[String])
+
+  val StateMetaFile = "_graft_state_meta.json"
+
+  /** Record (or re-assert) a state dir's meta. An existing meta with
+    * DIFFERENT contents refuses: two operators folding the same dir
+    * with different groupings silently corrupt each other's state, so
+    * the mismatch must fail at ingest, not at the next maintenance
+    * pass. The underscore prefix keeps the file invisible to parquet
+    * directory listings. */
+  def writeStateMeta(stateDir: String, meta: StateMeta): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(stateDir))
+    readStateMeta(stateDir).foreach { existing =>
+      require(existing == meta,
+        s"state dir $stateDir already declares $existing; refusing $meta")
+    }
+    val gc = meta.groupCols.map(c => "\"" + c + "\"")
+      .mkString("[", ",", "]")
+    Files.write(Paths.get(stateDir, StateMetaFile),
+      s"""{"kind":"${meta.kind}","groupCols":$gc}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readStateMeta(stateDir: String): Option[StateMeta] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(stateDir, StateMetaFile)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"corrupt state meta at $p: $s")).group(1)
+      val cols = """"groupCols":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"corrupt state meta at $p: $s")).group(1)
+      val groupCols =
+        if (cols.trim.isEmpty) Nil
+        else cols.split(",").toSeq.map(_.trim.stripPrefix("\"")
+          .stripSuffix("\""))
+      Some(StateMeta(kind, groupCols))
+    }
+  }
+
   /** Serving read of a state dir maintained by [[ingestOnce]] /
     * [[compactState]], with the [[graft.util.Fs.recoverSwap]] preamble:
     * a crash inside a compaction's two-rename window leaves the dir
@@ -91,6 +141,12 @@ object BatchPartitionIngest {
     fold(df.drop("batch_id"))
       .withColumn("batch_id", lit(CompactedBatchId))
       .write.mode("overwrite").partitionBy("batch_id").parquet(nw)
+    // the swap replaces the dir wholesale — carry the self-description
+    // into the new layout or discovery would lose the state after its
+    // first compaction
+    val metaSrc = Paths.get(stateDir, StateMetaFile)
+    if (java.nio.file.Files.exists(metaSrc))
+      java.nio.file.Files.copy(metaSrc, Paths.get(nw, StateMetaFile))
     graft.util.Fs.swapInNew(Paths.get(stateDir))
   }
 }

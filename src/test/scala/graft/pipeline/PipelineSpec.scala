@@ -452,14 +452,29 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     val filesBefore = spark.read.parquet(table).inputFiles.length
 
+    // the state is NOT passed: maintainAll must find it on disk via the
+    // meta its ingest wrote (an un-registered state silently going
+    // uncompacted is the gap discovery closes)
+    val discovered = Maintenance.discoverStreamStates(Seq(root))
+    assert(discovered.map(st => (st.kind, st.stateDir)) ==
+      Seq(("kll", s"$root/state")))
     val reports = Maintenance.maintainAll(spark,
       tableDirs = Seq(table),
-      streamStates = Seq(Maintenance.StreamState.kll(
-        s"$root/state", Seq("g"))),
-      targetFileBytes = 256L * 1024 * 1024)
+      streamStates = Nil,
+      targetFileBytes = 256L * 1024 * 1024,
+      discoverStateRoots = Seq(root))
     assert(reports.forall(_.ok), reports.filterNot(_.ok).mkString("; "))
     assert(reports.map(_.action).count(_ == "compact") == 1)
     assert(reports.exists(_.action.startsWith("compact_stream_state")))
+    // meta survives the compaction swap, so the NEXT nightly pass can
+    // still discover the state; explicit+discovered dedups to one entry
+    assert(Maintenance.discoverStreamStates(Seq(root))
+      .map(_.stateDir) == Seq(s"$root/state"))
+    val rereports = Maintenance.maintainAll(spark, tableDirs = Nil,
+      streamStates = Seq(Maintenance.StreamState.kll(
+        s"$root/state", Seq("g"))),
+      discoverStateRoots = Seq(root))
+    assert(rereports.count(_.action.startsWith("compact_stream_state")) == 1)
 
     // compaction really happened, data identical, profile identical
     assert(spark.read.parquet(table).inputFiles.length < filesBefore)

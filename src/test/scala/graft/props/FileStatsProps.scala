@@ -43,32 +43,43 @@ object FileStatsProps extends Properties("graft.fileStats") {
           .write.parquet(dir)
         var stats = build().localCheckpoint()
         var next = 2000
-        // 2-4 random maintenance events
-        (0 until 2 + rnd.nextInt(3)).foreach { _ =>
-          if (rnd.nextBoolean()) {
-            // APPEND: scan only the new files, union into standing
-            val before = spark.read.parquet(dir).inputFiles.toSet
-            batch(next, 200 + rnd.nextInt(300), 1 + rnd.nextInt(3))
-              .write.mode("append").parquet(dir)
-            next += 1000
-            val added = spark.read.parquet(dir).inputFiles.toSet -- before
-            stats = stats.unionByName(
-                FileIndex.statsForFilesWithBloom(spark, added.toSeq,
-                  rangeCols = Seq("k"), bloomCols = Seq("k"),
-                  expectedItemsPerFile = 5000L, bloomNumBits = 1L << 14))
-              .localCheckpoint()
-          } else {
-            // COMPACT: files replaced -> reconcile against the listing
-            assert(Maintenance.compact(spark, dir,
-              targetFileBytes = 256L * 1024 * 1024).ok)
-            stats = FileIndex.refreshStats(spark, dir, stats,
+        def append(): Unit = {
+          // APPEND: scan only the new files, union into standing
+          val before = spark.read.parquet(dir).inputFiles.toSet
+          batch(next, 200 + rnd.nextInt(300), 1 + rnd.nextInt(3))
+            .write.mode("append").parquet(dir)
+          next += 1000
+          val added = spark.read.parquet(dir).inputFiles.toSet -- before
+          stats = stats.unionByName(
+              FileIndex.statsForFilesWithBloom(spark, added.toSeq,
                 rangeCols = Seq("k"), bloomCols = Seq("k"),
-                expectedItemsPerFile = 5000L, bloomNumBits = 1L << 14)
-              .localCheckpoint()
-          }
+                expectedItemsPerFile = 5000L, bloomNumBits = 1L << 14))
+            .localCheckpoint()
         }
-        val ok = rows(stats) == rows(build())
-        if (!ok) println(s"[fsp] seed=$seed diverged")
+        def compact(): Unit = {
+          // COMPACT: files replaced -> reconcile against the listing
+          assert(Maintenance.compact(spark, dir,
+            targetFileBytes = 256L * 1024 * 1024).ok)
+          stats = FileIndex.refreshStats(spark, dir, stats,
+              rangeCols = Seq("k"), bloomCols = Seq("k"),
+              expectedItemsPerFile = 5000L, bloomNumBits = 1L << 14)
+            .localCheckpoint()
+        }
+        // forced append -> compact -> append prefix (the day-2 lifecycle
+        // a refresh that misses replaced files breaks), then 0-2 random
+        // extra events; equality vs a full rebuild is asserted at EVERY
+        // step, not just at the end — a transiently wrong table that a
+        // later full-rescan fallback repairs must still fail
+        val events: Seq[() => Unit] =
+          Seq(append _, compact _, append _) ++
+            (0 until rnd.nextInt(3)).map(_ =>
+              if (rnd.nextBoolean()) append _ else compact _)
+        val ok = events.zipWithIndex.forall { case (ev, i) =>
+          ev()
+          val same = rows(stats) == rows(build())
+          if (!same) println(s"[fsp] seed=$seed diverged at step $i")
+          same
+        }
         ok
       } finally graft.util.Fs.deleteRecursively(
         new java.io.File(new java.io.File(dir).getParent))

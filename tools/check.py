@@ -46,6 +46,38 @@ def main(outdir, sfdir):
             n_noracle += 1
             if res.num_rows == 0:
                 print(f"  WARN {name}: rows-only query returned 0 rows")
+            if name == "q161_compression_ratio":
+                # second-ENGINE replay for the deflate primitive: Python's
+                # zlib (raw deflate, level 6, wbits=-15) replays the JVM
+                # Deflater(6, nowrap) byte lengths — both wrap zlib with
+                # default memLevel/strategy, verified byte-identical here.
+                # This is the one rows-only entry whose cross-check was
+                # previously in-JVM only (DeflateSpec).
+                import zlib
+                docs = dict(con.execute(
+                    "SELECT doc_id, text FROM documents").fetchall())
+                mism = 0
+                for doc_id, ulen, dlen, ppm, keep in zip(
+                        *[res.column(c).to_pylist() for c in
+                          ["doc_id", "utf8_len", "deflate_len",
+                           "ratio_ppm", "keep"]]):
+                    b = docs[doc_id].encode("utf-8")
+                    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                    z = len(co.compress(b) + co.flush())
+                    ok = (len(b) == ulen and z == dlen
+                          and (None if len(b) == 0 else
+                               z * 1000000 // len(b)) == ppm
+                          and (ppm is not None
+                               and 120000 <= ppm <= 900000) == keep)
+                    if not ok:
+                        mism += 1
+                if mism:
+                    print(f"FAIL  {name}: zlib replay mismatches={mism}")
+                    n_fail += 1
+                    n_noracle -= 1
+                else:
+                    print(f"  OK  {name}: zlib replay matched all "
+                          f"{res.num_rows} rows byte-for-byte")
             continue
         try:
             ora = con.execute(oracle[name]).fetch_arrow_table()
