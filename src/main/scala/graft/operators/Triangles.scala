@@ -44,9 +44,19 @@ object Triangles {
     * closing pairs and <1% false positives reach the exchange; the
     * exact join then discharges the fps, so results cannot change
     * (advisory-filter discipline). Above the gate the plain join runs
-    * and O(|E|^1.5) wedge volume is the scale story. */
+    * and O(|E|^1.5) wedge volume is the scale story.
+    *
+    * The gate is a DRIVER-MEMORY budget, not a correctness bound: 10
+    * bits/edge means the default 64M-edge gate tops out at an 80 MB
+    * blob (held once on the driver, shipped once per stage with the
+    * task binary) — the round-10 30× scale run measured the cliff of
+    * gating too low: at 36M edges a 16M gate fell back to the plain
+    * join and the full 1.2B-row wedge stream hit the exchange (q159
+    * went 8.8× for 3× data); under the raised gate the bloom drops
+    * >95% of wedges scan-side and the ratio is linear again. Size the
+    * gate to the driver: blob bytes = bloomMaxEdges × 10 / 8. */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String,
-      bloomMaxEdges: Long = 16000000L): DataFrame = {
+      bloomMaxEdges: Long = 64000000L): DataFrame = {
     val und = edges
       .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
