@@ -115,9 +115,17 @@ object Bench {
     }
 
     /** Run `gate` (warmup once at sf0.001, then `reps` timed reps at
-      * sfDir); returns (min total | err, stages of the fastest rep). */
+      * sfDir); returns (min total | err, stages of the fastest rep).
+      * Respects SPARK_GRAFT_ONLY like the query loop does — a filtered
+      * gate is skipped entirely and omitted from the output (not
+      * reported as an error), so a scale probe of two queries doesn't
+      * pay for six end-to-end gates. The driver leaves ONLY unset, so
+      * official runs always carry every gate. */
+    def gateIncluded(label: String): Boolean =
+      only.forall(_.findFirstIn(label).isDefined)
     def runGate(label: String)(gate: (String, Stages) => Unit)
         : (Option[Double], Seq[(String, Double)]) = {
+      if (!gateIncluded(label)) return (None, Nil)
       if (new java.io.File(warmupDir).isDirectory) {
         try gate(warmupDir, new Stages) catch { case _: Throwable => () }
         freeBlocks(spark)
@@ -311,6 +319,7 @@ object Bench {
       ("image_e2e", imageT, imageStages),
       ("ann_e2e", annT, annStages),
       ("gold_e2e", goldT, goldStages))
+      .filter { case (n, _, _) => gateIncluded(n) }
 
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
@@ -321,11 +330,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val gateFields = gates
-      .map { case (n, t, _) => "\"" + n + "\":" + num(t) }.mkString(",")
+      .map { case (n, t, _) => "\"" + n + "\":" + num(t) + "," }.mkString
     val stageField = gates
       .map { case (n, _, s) => "\"" + n + "\":" + stagesJson(s) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,$gateFields,"stages":$stageField,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,$gateFields"stages":$stageField,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // survive log-tail truncation: the full line as a file artifact
     try {

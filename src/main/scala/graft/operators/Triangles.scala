@@ -54,7 +54,13 @@ object Triangles {
     * join and the full 1.2B-row wedge stream hit the exchange (q159
     * went 8.8× for 3× data); under the raised gate the bloom drops
     * >95% of wedges scan-side and the ratio is linear again. Size the
-    * gate to the driver: blob bytes = bloomMaxEdges × 10 / 8. */
+    * gate to the driver: blob bytes = bloomMaxEdges × 10 / 8. The same
+    * number also bounds the build's PARTIAL aggregation buffers —
+    * BloomFilterAggregate allocates a full-numBits sketch per build
+    * task — so the gate is simultaneously a per-task executor-memory
+    * budget during the one-pass build (80 MB/task at the default gate),
+    * which is why it should not be raised to "whatever the driver
+    * heap fits". */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String,
       bloomMaxEdges: Long = 64000000L): DataFrame = {
     val und = edges
