@@ -37,8 +37,11 @@ object ScaleGen {
   private val profileWords: Seq[String] =
     graft.functions.TextFunctions.langProfiles.flatMap(_._2)
 
-  /** Copy-k view of a table: key columns shifted by k·(max+1). */
-  private def shifted(df: DataFrame, k: Int, offsets: Map[String, Long],
+  /** Copy-k view of a table: key columns shifted by k·(max+1).
+    * `private[graft]` so ScaleGenProps can property-test the tagging
+    * unit (quality/langid preservation, cross-copy vocab disjointness)
+    * without writing parquet per ScalaCheck sample. */
+  private[graft] def shifted(df: DataFrame, k: Int, offsets: Map[String, Long],
       tagTextCols: Seq[String] = Nil): DataFrame = {
     val keyed = offsets.foldLeft(df) { case (d, (c, base)) =>
       d.withColumn(c, col(c) + lit(k * base))

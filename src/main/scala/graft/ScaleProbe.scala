@@ -51,9 +51,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private def emit(probe: String, stage: String, sec: Double, rows: Long,
-      sfDir: String): Unit =
-    println(f"""{"probe":"$probe","stage":"$stage","sec":$sec%.3f,""" +
+      sfDir: String): Unit = {
+    // Locale.ROOT: the f-interpolator honors the default JVM locale, and a
+    // comma-decimal locale (de_DE) would print "sec":6,390 — invalid JSON
+    val secStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
+    println(s"""{"probe":"$probe","stage":"$stage","sec":$secStr,""" +
       s""""rows":$rows,"sfDir":"$sfDir"}""")
+  }
 
   /** Time `body`; returns (result, seconds). */
   private def timed[T](body: => T): (T, Double) = {
@@ -189,13 +193,22 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.getOrCreate(s"local[$cpus]")
     spark.sparkContext.setLogLevel("WARN")
-    args(1).split(',').map(_.trim).filter(_.nonEmpty).foreach {
-      case "crawl" => crawl(spark, dir)
-      case "hll" => hll(spark, dir)
-      case "cms" => cms(spark, dir)
-      case "triangles" => triangles(spark, dir, 64000000L)
-      case "triangles_nobloom" => triangles(spark, dir, 0L)
-      case other => sys.error(s"unknown probe: $other")
+    args(1).split(',').map(_.trim).filter(_.nonEmpty).foreach { probe =>
+      probe match {
+        case "crawl" => crawl(spark, dir)
+        case "hll" => hll(spark, dir)
+        case "cms" => cms(spark, dir)
+        case "triangles" =>
+          triangles(spark, dir, graft.operators.Triangles.DeriveGate)
+        case "triangles_nobloom" => triangles(spark, dir, 0L)
+        case other => sys.error(s"unknown probe: $other")
+      }
+      // streamIngest/perNode localCheckpoint per stage; without a purge,
+      // dead blocks from an earlier probe inflate later probes' timings
+      // (the round-8 q60 contamination Bench.freeBlocks exists for) —
+      // combined invocations must measure each probe from a clean block
+      // manager, mirroring Bench's per-query hygiene
+      Bench.freeBlocks(spark)
     }
     spark.stop()
   }

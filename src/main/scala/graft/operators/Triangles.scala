@@ -27,6 +27,39 @@ import org.apache.spark.sql.functions._
   * single-derivation across its three consumers. */
 object Triangles {
 
+  /** Sentinel default for `bloomMaxEdges`: derive the gate from the
+    * deployment's memory via [[derivedGate]] at call time. */
+  val DeriveGate: Long = -1L
+
+  /** Two-sided memory budget for the bloom wedge filter, in EDGES
+    * (blob bytes = edges × 10 / 8):
+    *  - driver side: the blob is collected to, and rebroadcast from,
+    *    the driver — cap it at 1/32 of the driver heap (the JVM this
+    *    code runs in, so `Runtime.maxMemory` is the real number, not a
+    *    conf default);
+    *  - executor side: BloomFilterAggregate allocates a FULL-numBits
+    *    sketch per build task, so the bound is per-JVM concurrent
+    *    build tasks × blob ≤ 1/4 of executor heap. Concurrent tasks =
+    *    `spark.executor.cores` when set (cluster), else the local[n]
+    *    thread count (single-JVM deployments), else 4.
+    * The min of the two sides is the gate; a 1M-edge floor keeps a
+    * tiny test heap from silently disabling the filter (1.25 MB blob
+    * fits any JVM that can run Spark at all). */
+  def derivedGate(spark: org.apache.spark.sql.SparkSession): Long = {
+    val sc = spark.sparkContext
+    val driverHeap = Runtime.getRuntime.maxMemory
+    val execHeap = sc.getConf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(driverHeap)
+    val tasksPerJvm = sc.getConf.getOption("spark.executor.cores")
+      .map(_.toInt)
+      .getOrElse(if (sc.master.startsWith("local")) sc.defaultParallelism
+      else 4)
+    val blobBudgetBytes =
+      math.min(driverHeap / 32, execHeap / (4L * tasksPerJvm.max(1)))
+    (blobBudgetBytes * 8L / 10L).max(1000000L)
+  }
+
   /** (node, n_triangles) — exact per-node triangle memberships over the
     * undirected simple graph induced by `edges` (direction and
     * duplicates ignored, self-loops dropped). Nodes in no triangle are
@@ -46,23 +79,30 @@ object Triangles {
     * (advisory-filter discipline). Above the gate the plain join runs
     * and O(|E|^1.5) wedge volume is the scale story.
     *
-    * The gate is a DRIVER-MEMORY budget, not a correctness bound: 10
-    * bits/edge means the default 64M-edge gate tops out at an 80 MB
-    * blob (held once on the driver, shipped once per stage with the
-    * task binary) — the round-10 30× scale run measured the cliff of
-    * gating too low: at 36M edges a 16M gate fell back to the plain
-    * join and the full 1.2B-row wedge stream hit the exchange (q159
-    * went 8.8× for 3× data); under the raised gate the bloom drops
-    * >95% of wedges scan-side and the ratio is linear again. Size the
-    * gate to the driver: blob bytes = bloomMaxEdges × 10 / 8. The same
-    * number also bounds the build's PARTIAL aggregation buffers —
-    * BloomFilterAggregate allocates a full-numBits sketch per build
-    * task — so the gate is simultaneously a per-task executor-memory
-    * budget during the one-pass build (80 MB/task at the default gate),
-    * which is why it should not be raised to "whatever the driver
-    * heap fits". */
+    * The gate is a MEMORY budget, not a correctness bound: 10
+    * bits/edge means blob bytes = bloomMaxEdges × 10 / 8 (held once on
+    * the driver, shipped once per stage with the task binary) — the
+    * round-10 30× scale run measured the cliff of gating too low: at
+    * 36M edges a 16M gate fell back to the plain join and the full
+    * 1.2B-row wedge stream hit the exchange (q159 went 8.8× for 3×
+    * data); raising the gate dropped >95% of wedges scan-side and the
+    * ratio was linear again. The same number also bounds the build's
+    * PARTIAL aggregation buffers — BloomFilterAggregate allocates a
+    * full-numBits sketch per build task — so the gate is simultaneously
+    * a per-task executor-memory budget during the one-pass build, which
+    * is why it cannot just be "whatever the driver heap fits".
+    *
+    * Default ([[DeriveGate]]): computed from the deployment's memory at
+    * call time by [[derivedGate]] rather than a sandbox constant —
+    * min(driver-heap/32, executor-heap/(4 × concurrent tasks per
+    * executor)) bytes of blob, both sides of the budget above. On this
+    * sandbox (8 GB heap, local[32]) that lands at ~51M edges —
+    * the same regime as round 10's hand-set 64M (the 30× probe's 35.9M
+    * edges stay gated); a production 64 GB driver with 8-core/32 GB
+    * executors derives ~800M edges (1 GB blob) without a code change.
+    * Pass an explicit positive gate to pin it, or 0 to disable. */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String,
-      bloomMaxEdges: Long = 64000000L): DataFrame = {
+      bloomMaxEdges: Long = DeriveGate): DataFrame = {
     val und = edges
       .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
@@ -93,6 +133,9 @@ object Triangles {
     // count() is a cheap block-manager scan on the checkpointed table
     // and is the exact statistic the bloom decision needs
     val nEdges = oriented.count()
+    val gate =
+      if (bloomMaxEdges == DeriveGate) derivedGate(edges.sparkSession)
+      else bloomMaxEdges
     // wedges at u close against the oriented edge between the two tips;
     // tips ordered low-(d, n) → high-(d, n) match the closing edge's
     // orientation directly, so each triangle lands exactly once.
@@ -111,7 +154,7 @@ object Triangles {
         explode(expr("slice(nbrs, i + 2, size(nbrs) - i - 1)")).as("y"))
       .select(col("n1"), col("n2"), col("y.v").as("n3"))
     val candidates =
-      if (nEdges > bloomMaxEdges) wedges
+      if (nEdges > gate) wedges
       else {
         // one blob on the driver, bounded by the gate (10 bits/edge).
         // BloomFilterAggregate SILENTLY clamps to the runtime-filter

@@ -419,8 +419,17 @@ object Maintenance {
       val dir = p.toString
       if (Files.exists(p.resolve(
           graft.streaming.BatchPartitionIngest.StateMetaFile))) {
-        graft.streaming.BatchPartitionIngest.readStateMeta(dir).foreach {
-          meta =>
+        // a corrupt/unreadable meta must SKIP-AND-REPORT, not throw:
+        // readStateMeta sys.errors on a truncated file, and discovery
+        // runs inside maintainAll's argument computation — letting the
+        // error escape would abort the whole nightly pass for EVERY
+        // table and state until a human deletes the one bad file. The
+        // synthetic entry's compact re-raises under compactStreamStates'
+        // per-entry try/isolate, so the bad dir surfaces as an
+        // ok=false Report while everything else still maintains.
+        scala.util.Try(
+            graft.streaming.BatchPartitionIngest.readStateMeta(dir)) match {
+          case scala.util.Success(metaOpt) => metaOpt.foreach { meta =>
             meta.kind match {
               case "kll"   => found += StreamState.kll(dir, meta.groupCols)
               case "theta" => found += StreamState.theta(dir, meta.groupCols)
@@ -428,6 +437,11 @@ object Maintenance {
               case "cms"   => found += StreamState.cms(dir, meta.groupCols)
               case _       => () // unknown kind: leave for its own tool
             }
+          }
+          case scala.util.Failure(e) =>
+            found += StreamState("unreadable_meta", dir,
+              _ => sys.error(s"state meta unreadable, dir skipped: " +
+                String.valueOf(e.getMessage)))
         }
       } else if (Files.exists(p.resolve("_graft_meta.json"))) {
         found += StreamState.nearDupIndex(dir)

@@ -86,19 +86,33 @@ object BatchPartitionIngest {
     * with different groupings silently corrupt each other's state, so
     * the mismatch must fail at ingest, not at the next maintenance
     * pass. The underscore prefix keeps the file invisible to parquet
-    * directory listings. */
+    * directory listings.
+    *
+    * The write is temp-file + atomic rename, and it is re-executed on
+    * EVERY drain (each sketch family's `sketchIngestOnce` calls it) —
+    * a bare `Files.write` here would mean a crash mid-write, or a
+    * reader racing the rewrite, yields a truncated meta that poisons
+    * every later maintenance pass. A crash between temp-write and
+    * rename leaves the old meta intact (the next drain's write deletes
+    * the orphaned `.tmp`). An existing meta that is UNREADABLE is
+    * repaired, not refused: a corrupt file carries no declaration to
+    * conflict with, and the ingest in hand knows the truth. */
   def writeStateMeta(stateDir: String, meta: StateMeta): Unit = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(stateDir))
-    readStateMeta(stateDir).foreach { existing =>
-      require(existing == meta,
-        s"state dir $stateDir already declares $existing; refusing $meta")
+    scala.util.Try(readStateMeta(stateDir)).toOption.flatten.foreach {
+      existing =>
+        require(existing == meta,
+          s"state dir $stateDir already declares $existing; refusing $meta")
     }
     val gc = meta.groupCols.map(c => "\"" + c + "\"")
       .mkString("[", ",", "]")
-    Files.write(Paths.get(stateDir, StateMetaFile),
+    val tmp = Paths.get(stateDir, StateMetaFile + ".tmp")
+    Files.write(tmp,
       s"""{"kind":"${meta.kind}","groupCols":$gc}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(stateDir, StateMetaFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readStateMeta(stateDir: String): Option[StateMeta] = {

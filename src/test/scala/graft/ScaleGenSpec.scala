@@ -106,11 +106,14 @@ class ScaleGenSpec extends SparkSpec {
   test("no exact cross-copy text duplicates beyond stopword-only docs " +
       "(distinct text count scales N x minus the invariant texts)") {
     // a doc whose every token is a profile word is unchanged by tagging
-    // and IS an exact cross-copy duplicate — ScaleGen's documented residue
+    // and IS an exact cross-copy duplicate — ScaleGen's documented residue.
+    // Count distinct invariant TEXTS, not rows: two source rows sharing
+    // the same stopword-only text collapse to ONE distinct text, and the
+    // formula below subtracts per distinct text, not per row.
     val invariant = src("documents")
-      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(forall(col("toks"), t => t.isin(stopwords: _*) || t === ""))
-      .count()
+      .select("text").distinct().count()
     val sDistinct = src("documents").select("text").distinct().count()
     val oDistinct = out("documents").select("text").distinct().count()
     assert(oDistinct === sDistinct * copies - invariant * (copies - 1))

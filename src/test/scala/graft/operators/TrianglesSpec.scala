@@ -56,4 +56,29 @@ class TrianglesSpec extends SparkSpec {
       assert(run(e) == local(e), s"drift at seed=$seed")
     }
   }
+
+  test("derived bloom gate: two-sided memory budget, floor applied, " +
+      "results identical with the gate forced on and off") {
+    val gate = Triangles.derivedGate(spark)
+    // floor and ceiling sanity: at least the 1M floor, and the blob
+    // the gate allows (10 bits/edge) fits inside 1/32 of this heap
+    assert(gate >= 1000000L)
+    assert(gate * 10L / 8L <= Runtime.getRuntime.maxMemory / 32)
+    // executor side binds on this box: heap/(4*threads) < heap/32
+    // whenever local[n] has n > 8 — recompute the expected min here
+    val threads = spark.sparkContext.defaultParallelism
+    val expected = (math.min(Runtime.getRuntime.maxMemory / 32,
+      Runtime.getRuntime.maxMemory / (4L * threads)) * 8L / 10L)
+      .max(1000000L)
+    assert(gate == expected, s"gate=$gate expected=$expected")
+    // semantics never depend on the gate (advisory filter discipline)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val withBloom = Triangles
+      .perNode(e.toDF("src", "dst"), "src", "dst", bloomMaxEdges = 1000000L)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val noBloom = Triangles
+      .perNode(e.toDF("src", "dst"), "src", "dst", bloomMaxEdges = 0L)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withBloom == noBloom && withBloom == run(e))
+  }
 }

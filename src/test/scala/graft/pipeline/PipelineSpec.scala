@@ -493,4 +493,75 @@ class PipelineSpec extends SparkSpec {
     assert(graft.operators.FileIndex
       .prunedEqualityRead(spark, table, refreshed, "id", 1234).count() == 1L)
   }
+
+  test("fault injection: ONE truncated state meta cannot abort the " +
+      "nightly pass — every other table and state still maintains, the " +
+      "bad dir is reported, and the next pass heals after repair") {
+    import spark.implicits._
+    val root = tmpDir()
+    val table = s"$root/t"
+    (1 to 2000).map(i => (i.toLong, i % 7)).toDF("id", "k")
+      .repartition(8).write.parquet(table)
+    def drain(name: String): Unit = {
+      val df = (1 to 200).map(i => (s"g${i % 2}", (i % 97).toDouble))
+        .toDF("g", "v")
+      df.write.mode("append").parquet(s"$root/$name/src")
+      graft.operators.Kll.sketchIngestOnce(spark, s"$root/$name/src",
+        df.schema, s"$root/$name/state", s"$root/$name/ckpt",
+        Seq("g"), "v", k = 512)
+    }
+    drain("good"); drain("bad")
+    // crash mid-write: the meta is cut mid-byte (no closing brace)
+    val badMeta = Paths.get(s"$root/bad/state",
+      graft.streaming.BatchPartitionIngest.StateMetaFile)
+    val intact = Files.readAllBytes(badMeta)
+    Files.write(badMeta, intact.take(intact.length / 2))
+
+    // discovery itself must not throw, and must still see BOTH dirs
+    val discovered = Maintenance.discoverStreamStates(Seq(root))
+    assert(discovered.map(_.stateDir).sorted ==
+      Seq(s"$root/bad/state", s"$root/good/state"))
+    val reports = Maintenance.maintainAll(spark, tableDirs = Seq(table),
+      discoverStateRoots = Seq(root))
+    // the healthy table AND the healthy state both maintained
+    assert(reports.filter(_.table == table).forall(_.ok))
+    val goodRep = reports.filter(_.table == s"$root/good/state")
+    assert(goodRep.nonEmpty && goodRep.forall(_.ok))
+    assert(spark.read.parquet(s"$root/good/state")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq ==
+      Seq(graft.streaming.BatchPartitionIngest.CompactedBatchId))
+    // the poisoned dir surfaces as a failed report, not an exception
+    val badRep = reports.filter(_.table == s"$root/bad/state")
+    assert(badRep.nonEmpty && badRep.forall(!_.ok))
+    assert(badRep.exists(_.detail.contains("unreadable")))
+    // repair = re-asserting the meta at the next ingest (writeStateMeta
+    // treats an unreadable file as repairable); the pass then heals
+    graft.streaming.BatchPartitionIngest.writeStateMeta(s"$root/bad/state",
+      graft.streaming.BatchPartitionIngest.StateMeta("kll", Seq("g")))
+    val healed = Maintenance.maintainAll(spark, tableDirs = Nil,
+      discoverStateRoots = Seq(root))
+    assert(healed.nonEmpty && healed.forall(_.ok),
+      healed.filterNot(_.ok).mkString("; "))
+  }
+
+  test("state meta write is atomic: a crash between temp-write and " +
+      "rename leaves the OLD meta readable; the next write consumes " +
+      "the orphaned temp") {
+    import graft.streaming.BatchPartitionIngest._
+    val dir = tmpDir() + "/state"
+    writeStateMeta(dir, StateMeta("hll", Seq("a", "b")))
+    // simulate the crash: a half-written temp file next to a good meta
+    val tmp = Paths.get(dir, StateMetaFile + ".tmp")
+    Files.write(tmp, """{"kind":"hl""".getBytes)
+    assert(readStateMeta(dir).contains(StateMeta("hll", Seq("a", "b"))))
+    // re-asserting the same meta succeeds and consumes the orphan
+    writeStateMeta(dir, StateMeta("hll", Seq("a", "b")))
+    assert(!Files.exists(tmp))
+    assert(readStateMeta(dir).contains(StateMeta("hll", Seq("a", "b"))))
+    // the conflicting-declaration refusal is untouched by the new path
+    intercept[IllegalArgumentException] {
+      writeStateMeta(dir, StateMeta("cms", Seq("a")))
+    }
+  }
 }
