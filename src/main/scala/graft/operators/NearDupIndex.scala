@@ -42,8 +42,13 @@ object NearDupIndex {
 
   private def metaPath(root: String) = Paths.get(root, "_graft_meta.json")
 
+  // temp + atomic rename (Fs.writeFileAtomic): a crash mid-write must
+  // not leave a truncated meta that poisons every later probe/compact/
+  // discovery pass — the same crash-safety discipline as the sketch
+  // state metas (values here are ints, so the regex reader is safe;
+  // only the WRITE needed hardening)
   private def writeMeta(root: String, p: Params): Unit =
-    Files.write(metaPath(root),
+    graft.util.Fs.writeFileAtomic(metaPath(root),
       s"""{"shingleSize":${p.shingleSize},"bands":${p.bands},"rowsPerBand":${p.rowsPerBand}}"""
         .getBytes(StandardCharsets.UTF_8))
 

@@ -28,8 +28,16 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   /** Sentinel default for `bloomMaxEdges`: derive the gate from the
-    * deployment's memory via [[derivedGate]] at call time. */
+    * deployment's memory via [[derivedGate]] at call time, unless the
+    * session pins it with [[GateConfKey]]. */
   val DeriveGate: Long = -1L
+
+  /** Session-conf override for the bloom gate (edges; 0 disables the
+    * filter) — lets operations re-budget a deployment without a code
+    * change when the heap heuristic misjudges (e.g. the JVM is shared
+    * with a memory-hungry co-tenant). An explicit `bloomMaxEdges`
+    * argument still wins over the conf. */
+  val GateConfKey = "spark.graft.triangles.bloomMaxEdges"
 
   /** Two-sided memory budget for the bloom wedge filter, in EDGES
     * (blob bytes = edges × 10 / 8):
@@ -133,9 +141,12 @@ object Triangles {
     // count() is a cheap block-manager scan on the checkpointed table
     // and is the exact statistic the bloom decision needs
     val nEdges = oriented.count()
+    // resolution order: explicit argument > session conf (the ops knob —
+    // no code change to re-budget a deployment) > derived from memory
     val gate =
-      if (bloomMaxEdges == DeriveGate) derivedGate(edges.sparkSession)
-      else bloomMaxEdges
+      if (bloomMaxEdges != DeriveGate) bloomMaxEdges
+      else edges.sparkSession.conf.getOption(GateConfKey).map(_.toLong)
+        .getOrElse(derivedGate(edges.sparkSession))
     // wedges at u close against the oriented edge between the two tips;
     // tips ordered low-(d, n) → high-(d, n) match the closing edge's
     // orientation directly, so each triangle lands exactly once.

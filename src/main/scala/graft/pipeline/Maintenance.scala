@@ -410,26 +410,99 @@ object Maintenance {
     * only — the driver-side budget every maintenance pass already has;
     * `.old`/`.new` swap leftovers are skipped (the recovery preamble,
     * not discovery, owns them). */
-  def discoverStreamStates(rootDirs: Seq[String]): Seq[StreamState] = {
-    import java.nio.file.{Files, Paths, Path}
+  def discoverStreamStates(rootDirs: Seq[String]): Seq[StreamState] =
+    discoverOn(NioDiscoveryFs, rootDirs)
+
+  /** [[discoverStreamStates]] over Hadoop's `FileSystem` abstraction —
+    * the walk runs unchanged on HDFS, S3A, or any store with a Hadoop
+    * connector (paths carry their scheme: `hdfs://…`, `s3a://…`; plain
+    * paths resolve against `fs.defaultFS`). Scope note: DISCOVERY and
+    * its skip-and-report semantics are what this ports — the shipped
+    * compact actions still assume a rename-capable store (local, NFS,
+    * HDFS — where rename IS atomic); on an object store the fold
+    * becomes a catalog/table-format commit per the boundary note in
+    * SCALING.md, with this walk as the listing substrate. */
+  def discoverStreamStatesHadoop(spark: SparkSession,
+      rootDirs: Seq[String]): Seq[StreamState] =
+    discoverOn(
+      new HadoopDiscoveryFs(spark.sessionState.newHadoopConf()), rootDirs)
+
+  /** Minimal listing/read surface the discovery walk needs, so ONE
+    * recognition logic serves the local tree (java.nio) and Hadoop
+    * FileSystems. Only directory names and one small read per
+    * recognized state dir cross this boundary — the walk's driver-side
+    * cost budget is unchanged. */
+  private[pipeline] trait DiscoveryFs {
+    def isDir(dir: String): Boolean
+    /** absolute child directory paths, name-sorted (deterministic
+      * discovery order regardless of store listing order) */
+    def childDirs(dir: String): Seq[String]
+    def exists(dir: String, file: String): Boolean
+    /** contents of `dir/file`; throws if unreadable (caller isolates) */
+    def readFile(dir: String, file: String): String
+    def name(dir: String): String
+  }
+
+  private[pipeline] object NioDiscoveryFs extends DiscoveryFs {
+    import java.nio.file.{Files, Paths}
+    def isDir(dir: String): Boolean = Files.isDirectory(Paths.get(dir))
+    def childDirs(dir: String): Seq[String] =
+      Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+        .filter(_.isDirectory).sortBy(_.getName).map(_.getPath).toSeq
+    def exists(dir: String, file: String): Boolean =
+      Files.exists(Paths.get(dir, file))
+    def readFile(dir: String, file: String): String =
+      new String(Files.readAllBytes(Paths.get(dir, file)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    def name(dir: String): String =
+      Paths.get(dir).getFileName.toString
+  }
+
+  private[pipeline] final class HadoopDiscoveryFs(
+      conf: org.apache.hadoop.conf.Configuration) extends DiscoveryFs {
+    import org.apache.hadoop.fs.Path
+    private def fsOf(p: Path) = p.getFileSystem(conf)
+    def isDir(dir: String): Boolean = {
+      val p = new Path(dir); val fs = fsOf(p)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    }
+    def childDirs(dir: String): Seq[String] = {
+      val p = new Path(dir)
+      fsOf(p).listStatus(p).toSeq.filter(_.isDirectory)
+        .sortBy(_.getPath.getName).map(_.getPath.toString)
+    }
+    def exists(dir: String, file: String): Boolean = {
+      val p = new Path(dir, file); fsOf(p).exists(p)
+    }
+    def readFile(dir: String, file: String): String = {
+      val p = new Path(dir, file)
+      val in = fsOf(p).open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def name(dir: String): String = new Path(dir).getName
+  }
+
+  private def discoverOn(dfs: DiscoveryFs,
+      rootDirs: Seq[String]): Seq[StreamState] = {
     val found = scala.collection.mutable.ArrayBuffer.empty[StreamState]
-    def walk(p: Path): Unit = {
-      val name = p.getFileName.toString
+    def walk(dir: String): Unit = {
+      val name = dfs.name(dir)
       if (name.endsWith(".old") || name.endsWith(".new")) return
-      val dir = p.toString
-      if (Files.exists(p.resolve(
-          graft.streaming.BatchPartitionIngest.StateMetaFile))) {
+      val metaFile = graft.streaming.BatchPartitionIngest.StateMetaFile
+      if (dfs.exists(dir, metaFile)) {
         // a corrupt/unreadable meta must SKIP-AND-REPORT, not throw:
-        // readStateMeta sys.errors on a truncated file, and discovery
+        // parseStateMeta sys.errors on a truncated file, and discovery
         // runs inside maintainAll's argument computation — letting the
         // error escape would abort the whole nightly pass for EVERY
         // table and state until a human deletes the one bad file. The
         // synthetic entry's compact re-raises under compactStreamStates'
         // per-entry try/isolate, so the bad dir surfaces as an
         // ok=false Report while everything else still maintains.
-        scala.util.Try(
-            graft.streaming.BatchPartitionIngest.readStateMeta(dir)) match {
-          case scala.util.Success(metaOpt) => metaOpt.foreach { meta =>
+        scala.util.Try(graft.streaming.BatchPartitionIngest
+            .parseStateMeta(dfs.readFile(dir, metaFile), dir)) match {
+          case scala.util.Success(meta) =>
             meta.kind match {
               case "kll"   => found += StreamState.kll(dir, meta.groupCols)
               case "theta" => found += StreamState.theta(dir, meta.groupCols)
@@ -437,22 +510,18 @@ object Maintenance {
               case "cms"   => found += StreamState.cms(dir, meta.groupCols)
               case _       => () // unknown kind: leave for its own tool
             }
-          }
           case scala.util.Failure(e) =>
             found += StreamState("unreadable_meta", dir,
               _ => sys.error(s"state meta unreadable, dir skipped: " +
                 String.valueOf(e.getMessage)))
         }
-      } else if (Files.exists(p.resolve("_graft_meta.json"))) {
+      } else if (dfs.exists(dir, "_graft_meta.json")) {
         found += StreamState.nearDupIndex(dir)
       } else {
-        Option(p.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(_.isDirectory).sortBy(_.getName)
-          .foreach(f => walk(f.toPath))
+        dfs.childDirs(dir).foreach(walk)
       }
     }
-    rootDirs.foreach(r => if (Files.isDirectory(Paths.get(r)))
-      walk(Paths.get(r)))
+    rootDirs.foreach(r => if (dfs.isDir(r)) walk(r))
     found.toSeq
   }
 

@@ -98,40 +98,61 @@ object BatchPartitionIngest {
     * repaired, not refused: a corrupt file carries no declaration to
     * conflict with, and the ingest in hand knows the truth. */
   def writeStateMeta(stateDir: String, meta: StateMeta): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(stateDir))
     scala.util.Try(readStateMeta(stateDir)).toOption.flatten.foreach {
       existing =>
         require(existing == meta,
           s"state dir $stateDir already declares $existing; refusing $meta")
     }
-    val gc = meta.groupCols.map(c => "\"" + c + "\"")
-      .mkString("[", ",", "]")
-    val tmp = Paths.get(stateDir, StateMetaFile + ".tmp")
-    Files.write(tmp,
-      s"""{"kind":"${meta.kind}","groupCols":$gc}"""
+    graft.util.Fs.writeFileAtomic(Paths.get(stateDir, StateMetaFile),
+      renderStateMeta(meta)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(stateDir, StateMetaFile),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // jackson (a Spark-shipped dependency) renders AND parses the meta:
+  // group columns are USER-CHOSEN Spark column names, which may
+  // legally contain quotes, commas, brackets, or backslashes — the
+  // previous string-template writer + regex parser silently corrupted
+  // exactly those names on the round-trip. ObjectMapper is thread-safe
+  // after configuration.
+  private val metaMapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private[graft] def renderStateMeta(meta: StateMeta): String = {
+    val n = metaMapper.createObjectNode()
+    n.put("kind", meta.kind)
+    val arr = n.putArray("groupCols")
+    meta.groupCols.foreach(arr.add)
+    metaMapper.writeValueAsString(n)
+  }
+
+  /** Parse a meta file's CONTENT (throws on corruption) — shared
+    * between the local [[readStateMeta]] and the Hadoop-FileSystem
+    * discovery walk, which reads the bytes through its own store. */
+  def parseStateMeta(s: String, where: String): StateMeta = {
+    def corrupt(): Nothing = sys.error(s"corrupt state meta at $where: $s")
+    val n = try metaMapper.readTree(s)
+      catch { case _: java.io.IOException => corrupt() }
+    val kindNode = n.get("kind")
+    if (kindNode == null || !kindNode.isTextual) corrupt()
+    val colsNode = n.get("groupCols")
+    if (colsNode == null || !colsNode.isArray) corrupt()
+    val it = colsNode.elements()
+    val groupCols = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val c = it.next()
+      if (!c.isTextual) corrupt()
+      groupCols += c.asText()
+    }
+    StateMeta(kindNode.asText(), groupCols.result())
   }
 
   def readStateMeta(stateDir: String): Option[StateMeta] = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(stateDir, StateMetaFile)
     if (!Files.exists(p)) None
-    else {
-      val s = new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"corrupt state meta at $p: $s")).group(1)
-      val cols = """"groupCols":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"corrupt state meta at $p: $s")).group(1)
-      val groupCols =
-        if (cols.trim.isEmpty) Nil
-        else cols.split(",").toSeq.map(_.trim.stripPrefix("\"")
-          .stripSuffix("\""))
-      Some(StateMeta(kind, groupCols))
-    }
+    else Some(parseStateMeta(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8), p.toString))
   }
 
   /** Serving read of a state dir maintained by [[ingestOnce]] /

@@ -13,6 +13,22 @@ object Fs {
 
   import java.nio.file.{Files, Path}
 
+  /** Crash-safe small-file write: temp in the same directory + atomic
+    * rename, so a reader never observes a truncated file and a crash
+    * mid-write leaves any previous version intact (the next write
+    * consumes the orphaned `.tmp` via REPLACE_EXISTING on its own
+    * rename). The shared discipline for every driver-side metadata
+    * file (state metas, index metas) — a bare `Files.write` on a file
+    * that is ever re-read is the truncation bug class the r10 audit
+    * found. */
+  def writeFileAtomic(path: Path, bytes: Array[Byte]): Unit = {
+    import java.nio.file.StandardCopyOption
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Recovery preamble for [[swapInNew]]'s two-rename window: a crash
     * between `move(cur, old)` and `move(new, cur)` leaves `cur` missing
     * and `cur.old` intact — restore it. Call before READING a

@@ -71,6 +71,26 @@ class TrianglesSpec extends SparkSpec {
       Runtime.getRuntime.maxMemory / (4L * threads)) * 8L / 10L)
       .max(1000000L)
     assert(gate == expected, s"gate=$gate expected=$expected")
+    // the session-conf knob overrides derivation; an explicit argument
+    // overrides both (resolution order is part of the ops contract)
+    spark.conf.set(Triangles.GateConfKey, "0")
+    try {
+      // conf gate 0 ⇒ the DeriveGate default must take the no-bloom
+      // branch — identical results either way, so assert via plan-free
+      // equality against an explicit-arg run below
+      val confGated = Triangles
+        .perNode(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+          "src", "dst")
+        .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(confGated == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // and the conf is genuinely consulted: an unparseable value fails
+      // loudly on the DeriveGate path (bad config must not be ignored)
+      spark.conf.set(Triangles.GateConfKey, "not-a-number")
+      intercept[NumberFormatException] {
+        Triangles.perNode(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+          .rows
+      }
+    } finally spark.conf.unset(Triangles.GateConfKey)
     // semantics never depend on the gate (advisory filter discipline)
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
     val withBloom = Triangles

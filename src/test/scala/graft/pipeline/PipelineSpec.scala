@@ -545,6 +545,42 @@ class PipelineSpec extends SparkSpec {
       healed.filterNot(_.ok).mkString("; "))
   }
 
+  test("Hadoop-FileSystem discovery walk finds the same states as the " +
+      "nio walk (incl. corrupt-meta skip-and-report) and accepts " +
+      "scheme-qualified roots") {
+    import graft.streaming.BatchPartitionIngest._
+    val root = tmpDir()
+    // three sketch states + a near-dup index root + swap leftovers +
+    // one corrupt meta — the full recognition surface, no Spark jobs
+    writeStateMeta(s"$root/a/kll_state", StateMeta("kll", Seq("g")))
+    writeStateMeta(s"$root/b/nested/cms_state", StateMeta("cms", Seq("s")))
+    writeStateMeta(s"$root/b/theta_state", StateMeta("theta", Nil))
+    writeStateMeta(s"$root/corrupt_state", StateMeta("hll", Seq("u")))
+    Files.write(Paths.get(s"$root/corrupt_state", StateMetaFile),
+      """{"kind":"hl""".getBytes)
+    Files.createDirectories(Paths.get(s"$root/ndroot"))
+    Files.write(Paths.get(s"$root/ndroot", "_graft_meta.json"),
+      """{"idCol":"doc_id"}""".getBytes)
+    Files.createDirectories(Paths.get(s"$root/ignored.old/x"))
+    Files.createDirectories(Paths.get(s"$root/ignored.new"))
+
+    def summarize(states: Seq[Maintenance.StreamState]) =
+      states.map(st => (st.kind,
+        st.stateDir.stripPrefix("file:").stripPrefix(root))).sorted
+    val nio = Maintenance.discoverStreamStates(Seq(root))
+    val hadoop = Maintenance.discoverStreamStatesHadoop(spark, Seq(root))
+    assert(summarize(nio) ==
+      Seq(("cms", s"/b/nested/cms_state"), ("kll", s"/a/kll_state"),
+        ("neardup_index", s"/ndroot"), ("theta", s"/b/theta_state"),
+        ("unreadable_meta", s"/corrupt_state")).sorted)
+    assert(summarize(hadoop) == summarize(nio))
+    // a scheme-qualified root resolves through the same connector path
+    // an hdfs:// or s3a:// root would take
+    val qualified = Maintenance.discoverStreamStatesHadoop(spark,
+      Seq(s"file:$root"))
+    assert(summarize(qualified) == summarize(nio))
+  }
+
   test("state meta write is atomic: a crash between temp-write and " +
       "rename leaves the OLD meta readable; the next write consumes " +
       "the orphaned temp") {
