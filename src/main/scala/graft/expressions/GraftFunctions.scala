@@ -91,6 +91,34 @@ object GraftFunctions {
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     TextExpressionFunctions.tokenStats(text, stopwords)
 
+  /** Duplicate-segment fractions in ppm (struct of dup_ppm,
+    * dup_char_ppm) — Gopher's duplicate-line (`sep = "\n"`) and
+    * duplicate-paragraph (`sep = "\n\n"`) repetition signals. */
+  def dupSegmentStatsPpm(text: Column, sep: String): Column =
+    TextExpressionFunctions.dupSegmentStatsPpm(text, sep)
+
+  /** Character share of the most frequent word n-gram, in ppm. */
+  def topNgramCharPpm(text: Column, n: Int): Column =
+    TextExpressionFunctions.topNgramCharPpm(text, n)
+
+  /** Character share of word n-grams occurring at least twice, in
+    * ppm (each position counted once). */
+  def dupNgramCharPpm(text: Column, n: Int): Column =
+    TextExpressionFunctions.dupNgramCharPpm(text, n)
+
+  /** All thirteen Gopher repetition signals in one single-pass struct
+    * (field-for-field equal to the standalone expressions, one
+    * tokenization instead of thirteen). */
+  def gopherRepetitionStats(text: Column): Column =
+    TextExpressionFunctions.gopherRepetitionStats(text)
+
+  /** All seven non-repetition Gopher quality signals in one
+    * single-pass struct (word count, mean word length ppm, symbol
+    * ratio ppm, alpha-word ppm, bullet/ellipsis line ppm, required
+    * word hits). */
+  def gopherQualityStats(text: Column): Column =
+    TextExpressionFunctions.gopherQualityStats(text)
+
   /** Register `graft_cosine` / `graft_dot` with the session's SQL function
     * registry. */
   def register(spark: SparkSession): Unit = {

@@ -188,4 +188,81 @@ object TextFunctions {
     * rather than DuckDB-oracled. Empty text yields NULL (0/0). */
   def compressionRatio(text: Column): Column =
     graft.expressions.GraftFunctions.compressionRatioPpm(text)
+
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1), ppm-integer
+    * exports — see [[org.apache.spark.sql.graft.RepetitionOps]] for
+    * the exact tokenization/segmentation contract. */
+  def dupSegmentStats(text: Column, sep: String): Column =
+    graft.expressions.GraftFunctions.dupSegmentStatsPpm(text, sep)
+
+  def topNgramCharPpm(text: Column, n: Int): Column =
+    graft.expressions.GraftFunctions.topNgramCharPpm(text, n)
+
+  def dupNgramCharPpm(text: Column, n: Int): Column =
+    graft.expressions.GraftFunctions.dupNgramCharPpm(text, n)
+
+  /** All thirteen Gopher repetition signals as one single-pass struct
+    * — one tokenization per row instead of thirteen. */
+  def gopherRepetitionStats(text: Column): Column =
+    graft.expressions.GraftFunctions.gopherRepetitionStats(text)
+
+  /** Gopher's full repetition gate (Rae et al. 2021, Table A1): TRUE
+    * for documents under every published threshold — duplicate
+    * line/paragraph fraction ≤ 0.30, duplicate line/paragraph CHAR
+    * fraction ≤ 0.20, top-{2,3,4}-gram char share ≤ {0.20, 0.18,
+    * 0.16}, duplicated-{5..10}-gram char coverage ≤ {0.15 down to
+    * 0.10}. Signals that are NULL (no segments / no tokens) pass —
+    * an empty doc has nothing repetitious; the length/quality gates
+    * own that case. One fused single-pass expression over the text —
+    * a scan-side map-only projection, nothing shuffles, the string
+    * tokenized once per row. */
+  /** The seven non-repetition Gopher quality signals as one
+    * single-pass struct — see
+    * [[org.apache.spark.sql.graft.GopherQualityStats]] for the exact
+    * field contract. */
+  def gopherQualityStats(text: Column): Column =
+    graft.expressions.GraftFunctions.gopherQualityStats(text)
+
+  /** Gopher's quality gate (Rae et al. 2021 appendix A1.1): TRUE for
+    * documents inside every published bound — 50 ≤ words ≤ 100,000,
+    * mean word length in [3, 10], symbol-to-word ratio ≤ 0.1, ≤ 90%
+    * bullet lines, ≤ 30% ellipsis lines, ≥ 80% words with an
+    * alphabetic character, and ≥ 2 of the required English words.
+    * NULL line fractions pass (a one-line doc with no `\n` still has
+    * one line; NULL means NO lines, i.e. nothing to gate on); the
+    * word-derived signals are NULL only when `n_words = 0`, which the
+    * word-count bound already fails. One fused scan-side expression —
+    * map-only, nothing shuffles. */
+  def gopherQualityOk(text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L): Column = {
+    val q = gopherQualityStats(text)
+    val checks: Seq[Column] = Seq(
+      q.getField("n_words") >= minWords,
+      q.getField("n_words") <= maxWords,
+      q.getField("word_len_ppm") >= 3000000L,
+      q.getField("word_len_ppm") <= 10000000L,
+      q.getField("symbol_ppm") <= 100000L,
+      coalesce(q.getField("bullet_line_ppm") <= 900000L, lit(true)),
+      coalesce(q.getField("ellipsis_line_ppm") <= 300000L, lit(true)),
+      q.getField("alpha_word_ppm") >= 800000L,
+      q.getField("required_hits") >= 2L)
+    checks.reduce(_ && _)
+  }
+
+  def gopherRepetitionOk(text: Column): Column = {
+    val r = gopherRepetitionStats(text)
+    val checks: Seq[Column] = Seq(
+      r.getField("dup_line_ppm") <= 300000L,
+      r.getField("dup_line_char_ppm") <= 200000L,
+      r.getField("dup_para_ppm") <= 300000L,
+      r.getField("dup_para_char_ppm") <= 200000L,
+      r.getField("top2_ppm") <= 200000L,
+      r.getField("top3_ppm") <= 180000L,
+      r.getField("top4_ppm") <= 160000L) ++
+      Seq(5 -> 150000L, 6 -> 140000L, 7 -> 130000L, 8 -> 120000L,
+        9 -> 110000L, 10 -> 100000L).map { case (n, t) =>
+        r.getField(s"dup${n}_ppm") <= t
+      }
+    checks.map(c => coalesce(c, lit(true))).reduce(_ && _)
+  }
 }

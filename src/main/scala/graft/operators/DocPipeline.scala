@@ -31,7 +31,11 @@ object DocPipeline {
       // keeper policy for near-dup clusters: false = lowest id (cheapest),
       // true = highest quality score (C4/RefinedWeb policy — min-id throws
       // away the good copy half the time when duplicates differ)
-      keepBestQuality: Boolean = false)
+      keepBestQuality: Boolean = false,
+      // Gopher repetition gate (Rae et al. 2021 Table A1) between the
+      // language and quality stages — off by default: the published
+      // thresholds target web crawl; enable for crawl-shaped corpora
+      repetitionFilter: Boolean = false)
 
   final case class Report(stages: Seq[(String, Long)], cleaned: DataFrame)
 
@@ -50,7 +54,12 @@ object DocPipeline {
       TextFunctions.languageId(col(textCol)).isInCollection(cfg.allowedLangs))
     stat("lang_filter", langOk)
 
-    val qualityOk = langOk.filter(
+    val repOk =
+      if (!cfg.repetitionFilter) langOk
+      else langOk.filter(TextFunctions.gopherRepetitionOk(col(textCol)))
+    if (cfg.repetitionFilter) stat("repetition_filter", repOk)
+
+    val qualityOk = repOk.filter(
       TextFunctions.qualityScore(col(textCol), cfg.stopwords) >= cfg.minQuality)
     stat("quality_filter", qualityOk)
 

@@ -172,6 +172,195 @@ object ExtQueries {
       bands = 4, maxHamming = 3)
   }
 
+  /** Gopher repetition signals over planted segment structure
+    * (Rae et al. 2021 §A1.1): the corpus text carries no newlines, so
+    * line structure is planted by a literal replace — every space
+    * becomes a line break (lines = tokens, duplicate-rich) and every
+    * ` value ` a paragraph break (multi-char separator path). Literal
+    * non-regex replace has identical left-to-right semantics in both
+    * engines, so the oracle replays the construction exactly. All
+    * ratios are ppm integers — hash-exact across engines. */
+  def q178RepetitionSegments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.dupSegmentStats(
+          replaceLit(col("text"), " ", "\n"), "\n").as("__l"),
+        TextFunctions.dupSegmentStats(
+          replaceLit(col("text"), " value ", "\n\n"), "\n\n").as("__p"))
+      .select(col("doc_id"),
+        col("__l.dup_ppm").as("dup_line_ppm"),
+        col("__l.dup_char_ppm").as("dup_line_char_ppm"),
+        col("__p.dup_ppm").as("dup_para_ppm"),
+        col("__p.dup_char_ppm").as("dup_para_char_ppm"))
+
+  /** Most-frequent word n-gram character share for n = 2, 3, 4 — one
+    * single-pass expression per n, all three in one scan-side
+    * projection (nothing shuffles; at corpus scale this is a map-only
+    * stage like q20/q21). */
+  def q179TopNgrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.topNgramCharPpm(col("text"), 2).as("top2_ppm"),
+      TextFunctions.topNgramCharPpm(col("text"), 3).as("top3_ppm"),
+      TextFunctions.topNgramCharPpm(col("text"), 4).as("top4_ppm"))
+
+  /** Duplicated n-gram character coverage (n = 5 and 8) over a planted
+    * construction: the raw corpus has NO repeated 5-grams (checked at
+    * sf0.01), so a prefix echo `text ⧺ ' ' ⧺ substr(text, 1, 97)`
+    * plants coverage whose exact extent the oracle replays. */
+  def q180DupNgrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          substring(col("text"), 1, 97)).as("__t"))
+      .select(col("doc_id"),
+        TextFunctions.dupNgramCharPpm(col("__t"), 5).as("dup5_ppm"),
+        TextFunctions.dupNgramCharPpm(col("__t"), 8).as("dup8_ppm"))
+
+  /** The FUSED thirteen-signal Gopher repetition struct
+    * ([[org.apache.spark.sql.graft.GopherRepetitionStats]] — one
+    * tokenization per row instead of thirteen, the shape
+    * `gopherRepetitionOk` actually runs) over a planted construction
+    * that makes every field non-degenerate at once: ` value ` becomes
+    * a paragraph break, ` table ` a line break (so line- and
+    * paragraph-segment stats both see real structure in the SAME
+    * text), and a 151-char prefix echo plants duplicated 5..10-grams.
+    * The oracle replays the construction and all thirteen signals —
+    * the fused expression is pinned directly, not transitively via
+    * the standalone siblings. */
+  def q181GopherFused(s: SparkSession, dir: String): DataFrame = {
+    val t0 = replaceLit(replaceLit(col("text"), " value ", "\n\n"),
+      " table ", "\n")
+    val planted = concat(t0, lit("\n"), substring(t0, 1, 151))
+    val fields =
+      Seq("dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
+        "dup_para_char_ppm", "top2_ppm", "top3_ppm", "top4_ppm") ++
+        (5 to 10).map(n => s"dup${n}_ppm")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.gopherRepetitionStats(planted).as("__r"))
+      .select(col("doc_id") +: fields.map(f => col(s"__r.$f").as(f)): _*)
+  }
+
+  /** The seven NON-repetition Gopher quality signals
+    * ([[org.apache.spark.sql.graft.GopherQualityStats]] — word count,
+    * mean word length, symbol ratio, alpha-word fraction,
+    * bullet/ellipsis line fractions, required-word hits) over a
+    * planted construction that makes every field non-degenerate: the
+    * corpus carries no newlines or symbols, so ` agg ` becomes
+    * ` and ` (required-word variation beyond the natural `the`),
+    * ` key ` becomes ` # ` (symbol + non-alpha word), ` data `
+    * becomes `...⏎` (ellipsis line ends + symbol), ` value ` becomes
+    * `⏎• ` (bullet line starts), and ` table ` a plain line break.
+    * Literal left-to-right replace replays exactly in DuckDB; every
+    * export is an exact ppm long. */
+  def q182GopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val planted =
+      replaceLit(replaceLit(replaceLit(replaceLit(replaceLit(col("text"),
+        " agg ", " and "),
+        " key ", " # "),
+        " data ", "...\n"),
+        " value ", "\n• "),
+        " table ", "\n")
+    val fields = Seq("n_words", "word_len_ppm", "symbol_ppm",
+      "alpha_word_ppm", "bullet_line_ppm", "ellipsis_line_ppm",
+      "required_hits")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.gopherQualityStats(planted).as("__q"))
+      .select(col("doc_id") +: fields.map(f => col(s"__q.$f").as(f)): _*)
+  }
+
+  /** q181's oracle: the thirteen-signal replay assembled from the same
+    * verified SQL shapes as q178 (segment stats), q179 (top n-gram
+    * argmax), q180 (duplicated n-gram coverage), parameterized over n
+    * instead of copied per n. */
+  private def q181OracleSql: String = {
+    def top(n: Int): String = {
+      val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(
+         |  generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+         |  i -> $gram)) AS g FROM tt),
+         |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g),
+         |b$n AS (SELECT doc_id, c * (length(g) - ${n - 1}) AS num FROM c$n
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, length(g) DESC) = 1)""".stripMargin
+    }
+    def dup(n: Int): String =
+      s"""i$n AS (SELECT doc_id,
+         |    unnest(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS i
+         |  FROM tt),
+         |gg$n AS (SELECT i$n.doc_id, i$n.i,
+         |    array_to_string(tt.toks[i$n.i : i$n.i + ${n - 1}], ' ') AS g
+         |  FROM i$n JOIN tt ON tt.doc_id = i$n.doc_id),
+         |c$n AS (SELECT doc_id, g, count(*) AS c FROM gg$n GROUP BY doc_id, g),
+         |cov$n AS (SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT gg$n.doc_id,
+         |      unnest(generate_series(gg$n.i, gg$n.i + ${n - 1})) AS pos
+         |    FROM gg$n JOIN c$n ON c$n.doc_id = gg$n.doc_id AND c$n.g = gg$n.g
+         |    WHERE c$n.c >= 2)),
+         |d$n AS (SELECT cov$n.doc_id, sum(length(tt.toks[cov$n.pos])) AS dch
+         |  FROM cov$n JOIN tt ON tt.doc_id = cov$n.doc_id
+         |  GROUP BY cov$n.doc_id)""".stripMargin
+    def seg(alias: String, sepSql: String): String =
+      s"""${alias}seg AS (
+         |  SELECT doc_id, seg FROM (
+         |    SELECT doc_id, unnest(string_split(t, $sepSql)) AS seg FROM pl)
+         |  WHERE length(seg) > 0),
+         |${alias}c AS (SELECT doc_id, seg, count(*) AS c FROM ${alias}seg
+         |  GROUP BY doc_id, seg),
+         |${alias}a AS (SELECT doc_id, sum(c - 1) AS dn, sum(c) AS tn,
+         |    sum((c - 1) * length(seg)) AS dch, sum(c * length(seg)) AS tch
+         |  FROM ${alias}c GROUP BY doc_id)""".stripMargin
+    def ratio(numSql: String): String => String = col =>
+      s"""CASE WHEN tt.tch IS NULL OR tt.tch = 0 THEN NULL
+         |  ELSE CAST($numSql * 1000000 // tt.tch AS BIGINT) END AS $col"""
+        .stripMargin
+    val topCols = (2 to 4).map(n =>
+      ratio(s"coalesce(b$n.num, 0)")(s"top${n}_ppm"))
+    val dupCols = (5 to 10).map(n =>
+      ratio(s"coalesce(d$n.dch, 0)")(s"dup${n}_ppm"))
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    replace(replace(text, ' value ', chr(10)||chr(10)),
+       |      ' table ', chr(10)) AS t0
+       |  FROM documents),
+       |pl AS (SELECT doc_id, t0 || chr(10) || substr(t0, 1, 151) AS t
+       |  FROM base),
+       |${seg("l", "chr(10)")},
+       |${seg("p", "chr(10)||chr(10)")},
+       |tt AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(t, '\\s+'),
+       |      x -> length(x) > 0) AS toks,
+       |    list_sum(list_transform(
+       |      list_filter(regexp_split_to_array(t, '\\s+'),
+       |        x -> length(x) > 0), x -> length(x))) AS tch
+       |  FROM pl),
+       |${(2 to 4).map(top).mkString(",\n")},
+       |${(5 to 10).map(dup).mkString(",\n")}
+       |SELECT tt.doc_id,
+       |  CAST(la.dn * 1000000 // la.tn AS BIGINT) AS dup_line_ppm,
+       |  CAST(la.dch * 1000000 // la.tch AS BIGINT) AS dup_line_char_ppm,
+       |  CAST(pa.dn * 1000000 // pa.tn AS BIGINT) AS dup_para_ppm,
+       |  CAST(pa.dch * 1000000 // pa.tch AS BIGINT) AS dup_para_char_ppm,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")}
+       |FROM tt
+       |LEFT JOIN la ON la.doc_id = tt.doc_id
+       |LEFT JOIN pa ON pa.doc_id = tt.doc_id
+       |${(2 to 4).map(n => s"LEFT JOIN b$n ON b$n.doc_id = tt.doc_id")
+          .mkString("\n")}
+       |${(5 to 10).map(n => s"LEFT JOIN d$n ON d$n.doc_id = tt.doc_id")
+          .mkString("\n")}
+       |ORDER BY tt.doc_id""".stripMargin
+  }
+
+  /** literal (non-regex) replace usable from the column API across
+    * Spark versions: `replace(text, search, rep)` via expr to avoid
+    * depending on the 3.5+ `functions.replace`. */
+  private def replaceLit(c: Column, search: String, rep: String): Column =
+    call_function("replace", c, lit(search), lit(rep))
+
   /** Exact n-gram Jaccard similarity join via inverted shingle index.
     * Oracle-backed since r9: every stage (DF guard, co-occurrence
     * count, rational jaccard) is deterministic, and the xxhash64'd
@@ -1714,6 +1903,11 @@ object ExtQueries {
     "q175_fingerprint_classes" -> (q175FingerprintClasses _),
     "q176_planted_simhash" -> (q176PlantedSimhash _),
     "q177_planted_docpipeline" -> (q177PlantedDocPipeline _),
+    "q178_repetition_segments" -> (q178RepetitionSegments _),
+    "q179_top_ngrams" -> (q179TopNgrams _),
+    "q180_dup_ngrams" -> (q180DupNgrams _),
+    "q181_gopher_fused" -> (q181GopherFused _),
+    "q182_gopher_quality" -> (q182GopherQuality _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
@@ -2752,6 +2946,213 @@ object ExtQueries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0
         |  AND doc_id < 1000
         |ORDER BY doc_id""".stripMargin,
+    "q178_repetition_segments" ->
+      // full replay of the planted-segment construction: literal
+      // replace has identical left-to-right semantics in both engines,
+      // ppm floor-division on non-negatives matches Java long division
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(text, ' ', chr(10)) AS lt,
+        |    replace(text, ' value ', chr(10)||chr(10)) AS pt
+        |  FROM documents),
+        |lseg AS (
+        |  SELECT doc_id, seg FROM (
+        |    SELECT doc_id, unnest(string_split(lt, chr(10))) AS seg
+        |    FROM base)
+        |  WHERE length(seg) > 0),
+        |lc AS (SELECT doc_id, seg, count(*) AS c FROM lseg
+        |       GROUP BY doc_id, seg),
+        |la AS (SELECT doc_id, sum(c - 1) AS dn, sum(c) AS tn,
+        |         sum((c - 1) * length(seg)) AS dch,
+        |         sum(c * length(seg)) AS tch
+        |       FROM lc GROUP BY doc_id),
+        |pseg AS (
+        |  SELECT doc_id, seg FROM (
+        |    SELECT doc_id, unnest(string_split(pt, chr(10)||chr(10))) AS seg
+        |    FROM base)
+        |  WHERE length(seg) > 0),
+        |pc AS (SELECT doc_id, seg, count(*) AS c FROM pseg
+        |       GROUP BY doc_id, seg),
+        |pa AS (SELECT doc_id, sum(c - 1) AS dn, sum(c) AS tn,
+        |         sum((c - 1) * length(seg)) AS dch,
+        |         sum(c * length(seg)) AS tch
+        |       FROM pc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(la.dn * 1000000 // la.tn AS BIGINT) AS dup_line_ppm,
+        |  CAST(la.dch * 1000000 // la.tch AS BIGINT) AS dup_line_char_ppm,
+        |  CAST(pa.dn * 1000000 // pa.tn AS BIGINT) AS dup_para_ppm,
+        |  CAST(pa.dch * 1000000 // pa.tch AS BIGINT) AS dup_para_char_ppm
+        |FROM documents d
+        |LEFT JOIN la ON la.doc_id = d.doc_id
+        |LEFT JOIN pa ON pa.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q179_top_ngrams" ->
+      // per-n argmax on (count, token-chars): grams tied on BOTH keys
+      // give the same ppm whichever wins, so the QUALIFY pick is
+      // output-deterministic; token chars of a gram = length - (n-1)
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0) AS toks,
+        |    list_sum(list_transform(
+        |      list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> length(x) > 0), x -> length(x))) AS tch
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, greatest(len(toks) - 1, 0)),
+        |         i -> toks[i] || ' ' || toks[i+1])) AS g FROM tt),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |b2 AS (SELECT doc_id, c * (length(g) - 1) AS num FROM c2
+        |       QUALIFY row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, length(g) DESC) = 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, greatest(len(toks) - 2, 0)),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |       FROM tt),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |b3 AS (SELECT doc_id, c * (length(g) - 2) AS num FROM c3
+        |       QUALIFY row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, length(g) DESC) = 1),
+        |g4 AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, greatest(len(toks) - 3, 0)),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |           || ' ' || toks[i+3])) AS g FROM tt),
+        |c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY doc_id, g),
+        |b4 AS (SELECT doc_id, c * (length(g) - 3) AS num FROM c4
+        |       QUALIFY row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, length(g) DESC) = 1)
+        |SELECT tt.doc_id,
+        |  CASE WHEN tt.tch IS NULL OR tt.tch = 0 THEN NULL
+        |    ELSE CAST(coalesce(b2.num, 0) * 1000000 // tt.tch AS BIGINT)
+        |    END AS top2_ppm,
+        |  CASE WHEN tt.tch IS NULL OR tt.tch = 0 THEN NULL
+        |    ELSE CAST(coalesce(b3.num, 0) * 1000000 // tt.tch AS BIGINT)
+        |    END AS top3_ppm,
+        |  CASE WHEN tt.tch IS NULL OR tt.tch = 0 THEN NULL
+        |    ELSE CAST(coalesce(b4.num, 0) * 1000000 // tt.tch AS BIGINT)
+        |    END AS top4_ppm
+        |FROM tt
+        |LEFT JOIN b2 USING (doc_id)
+        |LEFT JOIN b3 USING (doc_id)
+        |LEFT JOIN b4 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q180_dup_ngrams" ->
+      // coverage replay: positions under any gram with count >= 2,
+      // deduplicated, char-weighted; the prefix echo plants nonzero
+      // coverage (the raw corpus has no repeated 5-grams)
+      """WITH base AS (
+        |  SELECT doc_id, text || ' ' || substr(text, 1, 97) AS t2
+        |  FROM documents),
+        |tt AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(t2, '\s+'),
+        |      x -> length(x) > 0) AS toks,
+        |    list_sum(list_transform(
+        |      list_filter(regexp_split_to_array(t2, '\s+'),
+        |        x -> length(x) > 0), x -> length(x))) AS tch
+        |  FROM base),
+        |i5 AS (SELECT doc_id,
+        |         unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+        |       FROM tt),
+        |gg5 AS (SELECT i5.doc_id, i5.i,
+        |          array_to_string(tt.toks[i5.i : i5.i + 4], ' ') AS g
+        |        FROM i5 JOIN tt ON tt.doc_id = i5.doc_id),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM gg5 GROUP BY doc_id, g),
+        |cov5 AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT gg5.doc_id, unnest(generate_series(gg5.i, gg5.i + 4)) AS pos
+        |    FROM gg5 JOIN c5 ON c5.doc_id = gg5.doc_id AND c5.g = gg5.g
+        |    WHERE c5.c >= 2)),
+        |d5 AS (SELECT cov5.doc_id, sum(length(tt.toks[cov5.pos])) AS dch
+        |       FROM cov5 JOIN tt ON tt.doc_id = cov5.doc_id
+        |       GROUP BY cov5.doc_id),
+        |i8 AS (SELECT doc_id,
+        |         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+        |       FROM tt),
+        |gg8 AS (SELECT i8.doc_id, i8.i,
+        |          array_to_string(tt.toks[i8.i : i8.i + 7], ' ') AS g
+        |        FROM i8 JOIN tt ON tt.doc_id = i8.doc_id),
+        |c8 AS (SELECT doc_id, g, count(*) AS c FROM gg8 GROUP BY doc_id, g),
+        |cov8 AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT gg8.doc_id, unnest(generate_series(gg8.i, gg8.i + 7)) AS pos
+        |    FROM gg8 JOIN c8 ON c8.doc_id = gg8.doc_id AND c8.g = gg8.g
+        |    WHERE c8.c >= 2)),
+        |d8 AS (SELECT cov8.doc_id, sum(length(tt.toks[cov8.pos])) AS dch
+        |       FROM cov8 JOIN tt ON tt.doc_id = cov8.doc_id
+        |       GROUP BY cov8.doc_id)
+        |SELECT tt.doc_id,
+        |  CASE WHEN tt.tch IS NULL OR tt.tch = 0 THEN NULL
+        |    ELSE CAST(coalesce(d5.dch, 0) * 1000000 // tt.tch AS BIGINT)
+        |    END AS dup5_ppm,
+        |  CASE WHEN tt.tch IS NULL OR tt.tch = 0 THEN NULL
+        |    ELSE CAST(coalesce(d8.dch, 0) * 1000000 // tt.tch AS BIGINT)
+        |    END AS dup8_ppm
+        |FROM tt
+        |LEFT JOIN d5 USING (doc_id)
+        |LEFT JOIN d8 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q181_gopher_fused" -> q181OracleSql,
+    "q182_gopher_quality" ->
+      // full replay of the planted construction + all seven signals:
+      // literal replace, code-point length, non-overlapping '...'
+      // counting via replace-arithmetic, ASCII-alpha regex, literal
+      // prefix/suffix tests — each primitive engine-portable
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(text,
+        |      ' agg ', ' and '),
+        |      ' key ', ' # '),
+        |      ' data ', '...'||chr(10)),
+        |      ' value ', chr(10)||'• '),
+        |      ' table ', chr(10)) AS t
+        |  FROM documents),
+        |tt AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(t, '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM pl),
+        |w AS (
+        |  SELECT doc_id,
+        |    len(toks) AS nw,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS tch,
+        |    len(list_filter(toks,
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+        |    len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      rw -> list_contains(
+        |        list_transform(toks, x -> lower(x)), rw))) AS req,
+        |    (length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, '...', ''))) // 3
+        |      + (length(t) - length(replace(t, chr(8230), ''))) AS sym
+        |  FROM tt),
+        |lf AS (
+        |  SELECT doc_id,
+        |    len(lines) AS nl,
+        |    len(list_filter(lines, x ->
+        |      starts_with(x, chr(8226)) OR starts_with(x, chr(8227))
+        |      OR starts_with(x, chr(9642)) OR starts_with(x, '-')
+        |      OR starts_with(x, '*'))) AS bul,
+        |    len(list_filter(lines, x ->
+        |      ends_with(x, '...') OR ends_with(x, chr(8230)))) AS ell
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(t, chr(10)),
+        |        x -> length(x) > 0) AS lines
+        |    FROM pl))
+        |SELECT w.doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  CASE WHEN nw = 0 THEN NULL
+        |    ELSE CAST(tch * 1000000 // nw AS BIGINT) END AS word_len_ppm,
+        |  CASE WHEN nw = 0 THEN NULL
+        |    ELSE CAST(sym * 1000000 // nw AS BIGINT) END AS symbol_ppm,
+        |  CASE WHEN nw = 0 THEN NULL
+        |    ELSE CAST(alpha * 1000000 // nw AS BIGINT) END AS alpha_word_ppm,
+        |  CASE WHEN nl = 0 THEN NULL
+        |    ELSE CAST(bul * 1000000 // nl AS BIGINT) END AS bullet_line_ppm,
+        |  CASE WHEN nl = 0 THEN NULL
+        |    ELSE CAST(ell * 1000000 // nl AS BIGINT) END AS ellipsis_line_ppm,
+        |  CAST(req AS BIGINT) AS required_hits
+        |FROM w JOIN lf USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     "q176_planted_simhash" ->
       // planted construction: twins (2k, 2k+1) share exact text, so the
       // accepted set is exactly the twin pairs at hamming 0 (pigeonhole

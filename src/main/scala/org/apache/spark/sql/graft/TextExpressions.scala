@@ -437,7 +437,501 @@ case class CompressionRatioPpm(child: Expression)
     copy(newChild)
 }
 
+/** Shared single-pass machinery for the repetition quality signals
+  * (public algorithm: Gopher's repetition filters — Rae et al. 2021,
+  * "Scaling Language Models: Methods, Analysis & Insights from
+  * Training Gopher", appendix A1.1: duplicate line/paragraph
+  * fractions, top n-gram character fraction, duplicated n-gram
+  * character fraction). All ratios are exported as ppm LONGS
+  * (`numerator * 10^6 / denominator`, Java floor division of
+  * non-negatives) so cross-engine comparison is bit-exact — the same
+  * integer-export discipline as [[CompressionRatioPpm]].
+  *
+  * Character counts are Unicode CODE POINTS (matching both Spark's and
+  * DuckDB's `length`), tokens are maximal runs of non-`\s` chars with
+  * empties dropped (matching `regexp_split_to_array(text,'\s+')` +
+  * non-empty filter; `\s` is the ASCII class in both RE2 and Java),
+  * and segment splits are literal, left-to-right, non-overlapping
+  * (matching DuckDB `string_split`). */
+private[graft] object RepetitionOps {
+
+  def codePoints(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  private def isSep(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** whitespace tokens, empties dropped */
+  def tokenize(s: String): Array[String] = {
+    val out = new java.util.ArrayList[String]()
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isSep(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isSep(s.charAt(i))) i += 1
+      if (i > start) out.add(s.substring(start, i))
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+
+  /** literal non-overlapping left-to-right split, empties dropped */
+  def segments(s: String, sep: String): Array[String] = {
+    val out = new java.util.ArrayList[String]()
+    var from = 0
+    var done = false
+    while (!done) {
+      val at = s.indexOf(sep, from)
+      val end = if (at < 0) s.length else at
+      if (end > from) out.add(s.substring(from, end))
+      if (at < 0) done = true else from = at + sep.length
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+
+  /** (dupSegments, totalSegments, dupChars, totalChars): occurrences
+    * BEYOND the first of each distinct segment count as duplicates,
+    * char-weighted by code points. */
+  def dupSegmentCounts(s: String, sep: String): Array[Long] = {
+    val segs = segments(s, sep)
+    val seen = new java.util.HashMap[String, Integer]()
+    var dupN = 0L; var dupCh = 0L; var totCh = 0L
+    var i = 0
+    while (i < segs.length) {
+      val seg = segs(i)
+      val ch = codePoints(seg)
+      totCh += ch
+      val prev = seen.merge(seg, 1, (a, b) => Int.box(a + b))
+      if (prev > 1) { dupN += 1L; dupCh += ch }
+      i += 1
+    }
+    Array(dupN, segs.length.toLong, dupCh, totCh)
+  }
+
+  /** per-position n-gram strings (single-space joined), length
+    * max(0, tokens - n + 1) */
+  def grams(tokens: Array[String], n: Int): Array[String] = {
+    val count = math.max(0, tokens.length - n + 1)
+    val out = new Array[String](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  def totalTokenChars(tokens: Array[String]): Long = {
+    var t = 0L; var i = 0
+    while (i < tokens.length) { t += codePoints(tokens(i)); i += 1 }
+    t
+  }
+
+  def countMap(gs: Array[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < gs.length) { m.merge(gs(i), 1, (a, b) => Int.box(a + b)); i += 1 }
+    m
+  }
+
+  /** Top-n-gram char share in ppm over a pre-tokenized doc — the ONE
+    * implementation both [[TopNgramCharPpm]] and the fused
+    * [[GopherRepetitionStats]] evaluate, so fused == individual holds
+    * by construction, not by parallel maintenance. null = no tokens;
+    * 0 = tokens but fewer than n. */
+  def topNgramPpm(tokens: Array[String], totCh: Long, n: Int): java.lang.Long = {
+    if (tokens.isEmpty) return null
+    val gs = grams(tokens, n)
+    if (gs.isEmpty) return Long.box(0L)
+    val m = countMap(gs)
+    var bestC = 0L; var bestCh = 0L
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.toLong
+      // gram chars minus the n-1 joining spaces = token chars
+      val ch = codePoints(e.getKey) - (n - 1).toLong
+      if (c > bestC || (c == bestC && ch > bestCh)) { bestC = c; bestCh = ch }
+    }
+    // covered <= n * totCh and totCh <= Int.MaxValue, so the product
+    // stays far below Long overflow
+    Long.box(bestC * bestCh * 1000000L / totCh)
+  }
+
+  /** Duplicated-n-gram char coverage in ppm over a pre-tokenized doc
+    * (each position counted once) — shared by [[DupNgramCharPpm]] and
+    * [[GopherRepetitionStats]]. null = no tokens; 0 = fewer than n. */
+  def dupNgramPpm(tokens: Array[String], totCh: Long, n: Int): java.lang.Long = {
+    if (tokens.isEmpty) return null
+    val gs = grams(tokens, n)
+    if (gs.isEmpty) return Long.box(0L)
+    val m = countMap(gs)
+    val covered = new Array[Boolean](tokens.length)
+    var i = 0
+    while (i < gs.length) {
+      if (m.get(gs(i)) >= 2) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var covCh = 0L
+    i = 0
+    while (i < tokens.length) {
+      if (covered(i)) covCh += codePoints(tokens(i))
+      i += 1
+    }
+    Long.box(covCh * 1000000L / totCh)
+  }
+}
+
+/** Duplicate-segment fractions in ppm as ONE codegen'd struct —
+  * instantiate with `sep = "\n"` for Gopher's duplicate-line signal
+  * and `sep = "\n\n"` for the paragraph variant. `dup_ppm` counts
+  * occurrences beyond the first of each distinct segment over total
+  * segments; `dup_char_ppm` weights the same by code points. NULL
+  * fields when the text has no segments. Scan-side projection —
+  * embarrassingly parallel, nothing shuffles. */
+case class DupSegmentStatsPpm(child: Expression, sep: String)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  require(sep.nonEmpty, "separator must be non-empty")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_ppm", LongType, nullable = true),
+    StructField("dup_char_ppm", LongType, nullable = true)))
+  override def prettyName: String = "graft_dup_segment_stats_ppm"
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val c = RepetitionOps.dupSegmentCounts(input.toString, sep)
+    // totChars > 0 whenever totSegments > 0 (empty segments are dropped)
+    val out: Array[Any] =
+      if (c(1) == 0L) Array(null, null)
+      else Array(Long.box(c(0) * 1000000L / c(1)),
+        Long.box(c(2) * 1000000L / c(3)))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupSegExpr", this,
+      classOf[DupSegmentStatsPpm].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.doEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupSegmentStatsPpm =
+    copy(child = newChild)
+}
+
+/** Fraction of token characters covered by the MOST FREQUENT word
+  * n-gram, in ppm: `count(best) * tokenChars(best) * 10^6 /
+  * totalTokenChars`, where ties on count break toward the larger
+  * char sum — a rule whose OUTPUT is engine-independent (grams tied
+  * on both count and char sum yield the same ppm whichever is
+  * picked), unlike lexicographic tie-breaks, which diverge between
+  * Java UTF-16 and UTF-8 byte collation. NULL when the text has no
+  * tokens; 0 when it has tokens but fewer than n. */
+case class TopNgramCharPpm(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  require(n >= 2, "n >= 2 (n = 1 is the duplicate-token fraction)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_ngram_char_ppm"
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val tokens = RepetitionOps.tokenize(input.toString)
+    RepetitionOps.topNgramPpm(
+      tokens, RepetitionOps.totalTokenChars(tokens), n)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topNgramExpr", this,
+      classOf[TopNgramCharPpm].getName)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, s => s"""
+       |Object $r = $ref.doEval($s);
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ((Long) $r).longValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCharPpm =
+    copy(child = newChild)
+}
+
+/** Fraction of token characters lying inside ANY word n-gram that
+  * occurs at least twice, in ppm. Each token position is counted at
+  * most once however many duplicated grams cover it (Gopher's
+  * "fraction of characters in duplicated n-grams"). NULL when the
+  * text has no tokens; 0 when it has tokens but fewer than n. */
+case class DupNgramCharPpm(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  require(n >= 2, "n >= 2 (n = 1 is the duplicate-token char fraction)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dup_ngram_char_ppm"
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val tokens = RepetitionOps.tokenize(input.toString)
+    RepetitionOps.dupNgramPpm(
+      tokens, RepetitionOps.totalTokenChars(tokens), n)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupNgramExpr", this,
+      classOf[DupNgramCharPpm].getName)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, s => s"""
+       |Object $r = $ref.doEval($s);
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ((Long) $r).longValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramCharPpm =
+    copy(child = newChild)
+}
+
+/** ALL thirteen Gopher repetition signals (Rae et al. 2021, Table A1)
+  * in ONE pass: duplicate line/paragraph count+char fractions,
+  * top-{2,3,4}-gram char share, duplicated-{5..10}-gram char
+  * coverage — as one struct of ppm longs. Field-for-field equal to
+  * the standalone [[DupSegmentStatsPpm]]/[[TopNgramCharPpm]]/
+  * [[DupNgramCharPpm]] expressions by construction (same
+  * [[RepetitionOps]] entry points), but tokenizes and scans the text
+  * ONCE instead of thirteen times — the shape the full repetition
+  * gate wants on a 100 TB crawl, where the gate is a scan-side
+  * map-only projection and the string work dominates. NULL fields
+  * follow the standalone rules (no segments / no tokens). */
+case class GopherRepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("dup_line_ppm", LongType, nullable = true),
+      StructField("dup_line_char_ppm", LongType, nullable = true),
+      StructField("dup_para_ppm", LongType, nullable = true),
+      StructField("dup_para_char_ppm", LongType, nullable = true),
+      StructField("top2_ppm", LongType, nullable = true),
+      StructField("top3_ppm", LongType, nullable = true),
+      StructField("top4_ppm", LongType, nullable = true)) ++
+      (5 to 10).map(n => StructField(s"dup${n}_ppm", LongType, nullable = true)))
+  override def prettyName: String = "graft_gopher_repetition_stats"
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val out = new Array[Any](13)
+    var f = 0
+    Seq("\n", "\n\n").foreach { sep =>
+      val c = RepetitionOps.dupSegmentCounts(s, sep)
+      if (c(1) == 0L) { out(f) = null; out(f + 1) = null }
+      else {
+        out(f) = Long.box(c(0) * 1000000L / c(1))
+        out(f + 1) = Long.box(c(2) * 1000000L / c(3))
+      }
+      f += 2
+    }
+    val tokens = RepetitionOps.tokenize(s)
+    val totCh = RepetitionOps.totalTokenChars(tokens)
+    (2 to 4).foreach { n =>
+      out(f) = RepetitionOps.topNgramPpm(tokens, totCh, n); f += 1
+    }
+    (5 to 10).foreach { n =>
+      out(f) = RepetitionOps.dupNgramPpm(tokens, totCh, n); f += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherRepExpr", this,
+      classOf[GopherRepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.doEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetitionStats =
+    copy(child = newChild)
+}
+
+/** Shared machinery for the NON-repetition Gopher quality signals
+  * (Rae et al. 2021 appendix A1.1, first paragraph: word-count and
+  * mean-word-length bounds, symbol-to-word ratio, bullet / ellipsis
+  * line fractions, alphabetic-word fraction, required-word rule).
+  * Same portability contract as [[RepetitionOps]]: tokens are
+  * whitespace runs with empties dropped, chars are code points,
+  * ratios export as ppm longs, and every primitive (literal
+  * substring counting, prefix/suffix tests, ASCII-letter containment)
+  * has an exact DuckDB replay. */
+private[graft] object QualityOps {
+
+  /** Gopher's required English words ("at least two of ..."). */
+  val Required: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Bullet prefixes for the bullet-line fraction. One-char prefixes
+    * chosen so `starts_with` in DuckDB and `startsWith` in Java agree
+    * code point for code point. */
+  val Bullets: Array[String] = Array("•", "‣", "▪", "-", "*")
+
+  def countChar(s: String, c: Char): Long = {
+    var n = 0L; var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+    n
+  }
+
+  /** left-to-right non-overlapping occurrences — the same count
+    * DuckDB's `(length(t) - length(replace(t, sub, ''))) / len(sub)`
+    * computes. */
+  def countSubstr(s: String, sub: String): Long = {
+    var n = 0L; var from = 0
+    var at = s.indexOf(sub, from)
+    while (at >= 0) { n += 1; from = at + sub.length; at = s.indexOf(sub, from) }
+    n
+  }
+
+  def hasAsciiAlpha(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** ALL seven non-repetition Gopher quality signals (Rae et al. 2021
+  * appendix A1.1) in ONE single-pass struct of exact integers:
+  *
+  *  - `n_words`            whitespace token count
+  *  - `word_len_ppm`       mean word length × 10^6 (token code points
+  *                         over token count)
+  *  - `symbol_ppm`         symbol-to-word ratio × 10^6; symbols are
+  *                         `#`, literal `...` (non-overlapping), and
+  *                         `…`, counted over the RAW text
+  *  - `alpha_word_ppm`     fraction of words containing an ASCII
+  *                         letter × 10^6
+  *  - `bullet_line_ppm`    fraction of lines starting with a bullet
+  *                         (`•`, `‣`, `▪`, `-`, `*`) × 10^6
+  *  - `ellipsis_line_ppm`  fraction of lines ending with `...`/`…` × 10^6
+  *  - `required_hits`      DISTINCT members of {the be to of and that
+  *                         have with} present (case-insensitive)
+  *
+  * Lines follow [[RepetitionOps.segments]] (literal `\n` split,
+  * empties dropped). `word_len_ppm`/`symbol_ppm`/`alpha_word_ppm`
+  * are NULL when the text has no tokens; the line fractions are NULL
+  * when it has no lines. Scan-side map-only projection — nothing
+  * shuffles, the gate over a 100 TB crawl is embarrassingly
+  * parallel. */
+case class GopherQualityStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("word_len_ppm", LongType, nullable = true),
+    StructField("symbol_ppm", LongType, nullable = true),
+    StructField("alpha_word_ppm", LongType, nullable = true),
+    StructField("bullet_line_ppm", LongType, nullable = true),
+    StructField("ellipsis_line_ppm", LongType, nullable = true),
+    StructField("required_hits", LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_quality_stats"
+
+  def doEval(input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val tokens = RepetitionOps.tokenize(s)
+    val nw = tokens.length.toLong
+    var tch = 0L
+    var alpha = 0L
+    val hits = new java.util.HashSet[String]()
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      tch += RepetitionOps.codePoints(t)
+      if (QualityOps.hasAsciiAlpha(t)) alpha += 1
+      val lw = t.toLowerCase(java.util.Locale.ROOT)
+      var r = 0
+      while (r < QualityOps.Required.length) {
+        if (lw == QualityOps.Required(r)) hits.add(lw)
+        r += 1
+      }
+      i += 1
+    }
+    val sym = QualityOps.countChar(s, '#') +
+      QualityOps.countSubstr(s, "...") + QualityOps.countChar(s, '…')
+    val lines = RepetitionOps.segments(s, "\n")
+    val nl = lines.length.toLong
+    var bul = 0L
+    var ell = 0L
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      var b = 0
+      var isBul = false
+      while (b < QualityOps.Bullets.length && !isBul) {
+        if (l.startsWith(QualityOps.Bullets(b))) isBul = true
+        b += 1
+      }
+      if (isBul) bul += 1
+      if (l.endsWith("...") || l.endsWith("…")) ell += 1
+      i += 1
+    }
+    def ppm(num: Long, den: Long): Any =
+      if (den == 0L) null else Long.box(num * 1000000L / den)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, ppm(tch, nw), ppm(sym, nw), ppm(alpha, nw),
+        ppm(bul, nl), ppm(ell, nl), hits.size().toLong))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherQualExpr", this,
+      classOf[GopherQualityStats].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.doEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherQualityStats =
+    copy(child = newChild)
+}
+
 object TextExpressionFunctions {
+  def gopherQualityStats(text: Column): Column =
+    ExpressionUtils.column(GopherQualityStats(
+      ExpressionUtils.expression(text)))
+
+  def dupSegmentStatsPpm(text: Column, sep: String): Column =
+    ExpressionUtils.column(DupSegmentStatsPpm(
+      ExpressionUtils.expression(text), sep))
+
+  def gopherRepetitionStats(text: Column): Column =
+    ExpressionUtils.column(GopherRepetitionStats(
+      ExpressionUtils.expression(text)))
+
+  def topNgramCharPpm(text: Column, n: Int): Column =
+    ExpressionUtils.column(TopNgramCharPpm(
+      ExpressionUtils.expression(text), n))
+
+  def dupNgramCharPpm(text: Column, n: Int): Column =
+    ExpressionUtils.column(DupNgramCharPpm(
+      ExpressionUtils.expression(text), n))
+
   def deflateLength(text: Column): Column =
     ExpressionUtils.column(DeflateLength(ExpressionUtils.expression(text)))
 
