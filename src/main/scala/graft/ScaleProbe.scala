@@ -178,11 +178,10 @@ object ScaleProbe {
   def triangles(s: SparkSession, dir: String, bloomMaxEdges: Long): Unit = {
     val label = if (bloomMaxEdges == 0L) "triangles_nobloom" else "triangles"
     // record the gate the run ACTUALLY used (derived gates depend on the
-    // probe JVM's memory) — a scale row without it is uninterpretable
-    val resolved =
-      if (bloomMaxEdges == graft.operators.Triangles.DeriveGate)
-        graft.operators.Triangles.derivedGate(s)
-      else bloomMaxEdges
+    // probe JVM's memory) — a scale row without it is uninterpretable.
+    // Same resolver as perNode, so a session-conf override is reflected
+    // here too instead of silently logging the derived value.
+    val resolved = graft.operators.Triangles.resolveGate(s, bloomMaxEdges)
     emit(label, "gate_edges", 0.0, resolved, dir)
     val (n, t) = timed {
       graft.operators.Triangles

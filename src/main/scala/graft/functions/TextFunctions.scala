@@ -206,16 +206,6 @@ object TextFunctions {
   def gopherRepetitionStats(text: Column): Column =
     graft.expressions.GraftFunctions.gopherRepetitionStats(text)
 
-  /** Gopher's full repetition gate (Rae et al. 2021, Table A1): TRUE
-    * for documents under every published threshold — duplicate
-    * line/paragraph fraction ≤ 0.30, duplicate line/paragraph CHAR
-    * fraction ≤ 0.20, top-{2,3,4}-gram char share ≤ {0.20, 0.18,
-    * 0.16}, duplicated-{5..10}-gram char coverage ≤ {0.15 down to
-    * 0.10}. Signals that are NULL (no segments / no tokens) pass —
-    * an empty doc has nothing repetitious; the length/quality gates
-    * own that case. One fused single-pass expression over the text —
-    * a scan-side map-only projection, nothing shuffles, the string
-    * tokenized once per row. */
   /** The seven non-repetition Gopher quality signals as one
     * single-pass struct — see
     * [[org.apache.spark.sql.graft.GopherQualityStats]] for the exact
@@ -249,6 +239,16 @@ object TextFunctions {
     checks.reduce(_ && _)
   }
 
+  /** Gopher's full repetition gate (Rae et al. 2021, Table A1): TRUE
+    * for documents under every published threshold — duplicate
+    * line/paragraph fraction ≤ 0.30, duplicate line/paragraph CHAR
+    * fraction ≤ 0.20, top-{2,3,4}-gram char share ≤ {0.20, 0.18,
+    * 0.16}, duplicated-{5..10}-gram char coverage ≤ {0.15 down to
+    * 0.10}. Signals that are NULL (no segments / no tokens) pass —
+    * an empty doc has nothing repetitious; the length/quality gates
+    * own that case. One fused single-pass expression over the text —
+    * a scan-side map-only projection, nothing shuffles, the string
+    * tokenized once per row. */
   def gopherRepetitionOk(text: Column): Column = {
     val r = gopherRepetitionStats(text)
     val checks: Seq[Column] = Seq(

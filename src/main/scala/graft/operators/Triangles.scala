@@ -68,6 +68,18 @@ object Triangles {
     (blobBudgetBytes * 8L / 10L).max(1000000L)
   }
 
+  /** THE gate resolution — explicit argument > session conf (the ops
+    * knob: re-budget a deployment with no code change) > derived from
+    * memory. Shared by [[perNode]] and every probe/report that records
+    * which gate a run used ([[graft.ScaleProbe]]): a second copy of
+    * this order is how a probe ends up logging a different gate than
+    * the run actually resolved. */
+  def resolveGate(spark: org.apache.spark.sql.SparkSession,
+      bloomMaxEdges: Long): Long =
+    if (bloomMaxEdges != DeriveGate) bloomMaxEdges
+    else spark.conf.getOption(GateConfKey).map(_.toLong)
+      .getOrElse(derivedGate(spark))
+
   /** (node, n_triangles) — exact per-node triangle memberships over the
     * undirected simple graph induced by `edges` (direction and
     * duplicates ignored, self-loops dropped). Nodes in no triangle are
@@ -141,12 +153,7 @@ object Triangles {
     // count() is a cheap block-manager scan on the checkpointed table
     // and is the exact statistic the bloom decision needs
     val nEdges = oriented.count()
-    // resolution order: explicit argument > session conf (the ops knob —
-    // no code change to re-budget a deployment) > derived from memory
-    val gate =
-      if (bloomMaxEdges != DeriveGate) bloomMaxEdges
-      else edges.sparkSession.conf.getOption(GateConfKey).map(_.toLong)
-        .getOrElse(derivedGate(edges.sparkSession))
+    val gate = resolveGate(edges.sparkSession, bloomMaxEdges)
     // wedges at u close against the oriented edge between the two tips;
     // tips ordered low-(d, n) → high-(d, n) match the closing edge's
     // orientation directly, so each triangle lands exactly once.

@@ -1,20 +1,74 @@
 package graft.pipeline
 
 import java.io.File
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Table maintenance over parquet tables — the M1–M4 surface of the
   * reference (reference: glue-jobs/iceberg_maintenance.py:41-84) re-expressed
   * for the parquet degradation path. On an Iceberg deployment these map 1:1
   * to `CALL system.rewrite_data_files/expire_snapshots/remove_orphan_files`.
+  *
+  * Every rewrite action runs over Hadoop's `FileSystem` abstraction
+  * (resolved per table root from the path's scheme + the session Hadoop
+  * conf), so the same code maintains `file:`, `hdfs:`, NFS-mounted
+  * local paths, or any store with a Hadoop connector — the reference
+  * runs its maintenance against S3-backed Iceberg
+  * (iceberg_maintenance.py:59-80); here the swap protocol's correctness
+  * rests on RENAME ATOMICITY, which is explicit per scheme:
+  *
+  *   - `file:` (POSIX) and `hdfs:` — rename is an atomic metadata
+  *     operation; the two-rename leaf swap and its [[removeOrphans]]
+  *     crash recovery are sound.
+  *   - object stores (`s3a:`, `gs:`, `abfs:`, …) — "rename" is
+  *     copy+delete: non-atomic AND O(data). The swap's crash-safety
+  *     argument does not hold, so rewrite actions REFUSE these schemes
+  *     ([[NonAtomicRenameSchemes]]) with a report pointing at the
+  *     correct tool — a manifest/table-format commit
+  *     ([[VersionedTable]] locally, Iceberg in production), which is
+  *     how the reference itself compacts on S3.
   */
 object Maintenance {
 
   final case class Report(table: String, action: String, ok: Boolean,
       detail: String)
+
+  /** Schemes whose Hadoop connector implements rename as copy+delete.
+    * The two-rename swap protocol is unsound there (a crash mid-"rename"
+    * leaves a partial copy AND the source; [[removeOrphans]]'s
+    * leaf-present/absent dichotomy stops being exhaustive), so rewrite
+    * actions refuse rather than corrupt. Deliberately a blocklist, not
+    * an allowlist: an unknown scheme is assumed rename-capable the way
+    * `hdfs`/`file`/NFS mounts are, and a deployment adding a new
+    * object-store connector extends this set. */
+  private[pipeline] val NonAtomicRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "cos", "swift")
+
+  private def schemeOf(fs: FileSystem): String =
+    Option(fs.getUri.getScheme).getOrElse("file")
+
+  private def renameGuard(fs: FileSystem, table: String,
+      action: String): Option[Report] = {
+    val s = schemeOf(fs)
+    if (NonAtomicRenameSchemes(s))
+      Some(Report(table, action, ok = false,
+        s"scheme '$s': rename is copy+delete (non-atomic, O(data)) — " +
+          "the leaf-swap protocol is unsound here; compact through a " +
+          "manifest commit (VersionedTable / Iceberg rewrite_data_files)"))
+    else None
+  }
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  private def fsFor(conf: Configuration, dir: String): (FileSystem, Path) = {
+    val raw = new Path(dir)
+    val fs = raw.getFileSystem(conf)
+    (fs, fs.makeQualified(raw))
+  }
 
   /** Hive partition columns of a table directory (outermost first), read
     * from the `col=value` layout itself. Compaction MUST preserve them:
@@ -22,16 +76,24 @@ object Maintenance {
     * folds it back into the DataFrame) but silently destroys the layout —
     * and with it every downstream scan's partition pruning. */
   private[pipeline] def partitionColsOf(tableDir: String): Seq[String] = {
+    val (fs, root) = fsFor(new Configuration(), tableDir)
+    partitionColsOf(fs, root)
+  }
+
+  private def childDirs(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath).sortBy(_.getName)
+
+  private[pipeline] def partitionColsOf(fs: FileSystem,
+      tableDir: Path): Seq[String] = {
     @scala.annotation.tailrec
-    def walk(dir: File, acc: Vector[String]): Vector[String] = {
-      val sub = Option(dir.listFiles()).getOrElse(Array.empty[File])
-        .find(f => f.isDirectory && f.getName.contains("="))
-      sub match {
+    def walk(dir: Path, acc: Vector[String]): Vector[String] = {
+      childDirs(fs, dir).find(_.getName.contains("=")) match {
         case Some(d) => walk(d, acc :+ d.getName.takeWhile(_ != '='))
         case None => acc
       }
     }
-    walk(new File(tableDir), Vector.empty)
+    if (fs.exists(tableDir)) walk(tableDir, Vector.empty) else Vector.empty
   }
 
   /** Leaf partition directories (the table root itself when
@@ -39,10 +101,9 @@ object Maintenance {
     * LEAF, so a skewed layout (all the small files in one partition of
     * fifty) is seen for what it is, and only fragmented partitions pay
     * a rewrite. */
-  private def leafPartitionDirs(dir: File): Seq[File] = {
-    val subs = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.contains("="))
-    if (subs.isEmpty) Seq(dir) else subs.toSeq.flatMap(leafPartitionDirs)
+  private def leafPartitionDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    val subs = childDirs(fs, dir).filter(_.getName.contains("="))
+    if (subs.isEmpty) Seq(dir) else subs.flatMap(leafPartitionDirs(fs, _))
   }
 
   private def targetFileCount(bytes: Long, targetFileBytes: Long): Int =
@@ -57,30 +118,43 @@ object Maintenance {
     * names ENCODE the leaf's relative path, so [[removeOrphans]] can
     * tell a stale temp (leaf present → delete) from the survivor of a
     * crash between the two renames (leaf absent → restore the old dir;
-    * the data would otherwise exist nowhere else). */
+    * the data would otherwise exist nowhere else). Renames go through
+    * the table's Hadoop FileSystem — atomic on `file:`/`hdfs:` (the
+    * schemes [[renameGuard]] admits). */
   private def encodeLeaf(rel: String): String =
     java.net.URLEncoder.encode(rel, "UTF-8")
   private def decodeLeaf(enc: String): String =
     java.net.URLDecoder.decode(enc, "UTF-8")
 
-  private def relPathOf(tableDir: String, leaf: File): String = {
-    val root = new File(tableDir).getCanonicalFile.toPath
-    root.relativize(leaf.getCanonicalFile.toPath).toString match {
-      case "" => "."
-      case p => p
+  private def relPathOf(root: Path, leaf: Path): String = {
+    val r = root.toUri.getPath.stripSuffix("/")
+    val l = leaf.toUri.getPath.stripSuffix("/")
+    if (l == r) "."
+    else {
+      require(l.startsWith(r + "/"), s"leaf $leaf not under table root $root")
+      l.drop(r.length + 1)
     }
   }
 
-  private def rewriteLeaf(spark: SparkSession, tableDir: String, leaf: File,
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      sys.error(s"rename failed: $src -> $dst (dst exists or src missing)")
+
+  private def tempPathsOf(root: Path, rel: String): (Path, Path) = {
+    val enc = encodeLeaf(rel)
+    (new Path(root.getParent, root.getName + s".compact_tmp.$enc"),
+      new Path(root.getParent, root.getName + s".compact_old.$enc"))
+  }
+
+  private def rewriteLeaf(spark: SparkSession, fs: FileSystem, root: Path,
+      leaf: Path,
       xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
-    val enc = encodeLeaf(relPathOf(tableDir, leaf))
-    val tmp = Paths.get(tableDir + s".compact_tmp.$enc")
-    val old = Paths.get(tableDir + s".compact_old.$enc")
+    val (tmp, old) = tempPathsOf(root, relPathOf(root, leaf))
     xform(spark.read.parquet(leaf.toString))
       .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(leaf.toPath, old)
-    Files.move(tmp, leaf.toPath)
-    deleteRecursively(old.toFile)
+    renameOrThrow(fs, leaf, old)
+    renameOrThrow(fs, tmp, leaf)
+    fs.delete(old, true)
   }
 
   /** M2 analog: binpack small-file compaction — rewrite fragmented leaf
@@ -96,10 +170,18 @@ object Maintenance {
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
+      val (fs, root) = fsFor(hadoopConf(spark), tableDir)
+      renameGuard(fs, tableDir, "compact") match {
+        // a real `return`, not one inside a lambda — a lambda return
+        // throws NonLocalReturnControl, which the catch-all below
+        // would swallow into a bogus Report
+        case Some(r) => return r
+        case None => ()
+      }
       // A VersionedTable root holds immutable manifested snapshots (its
       // v=N dirs LOOK like Hive partitions) — rewriting them would break
       // the commit protocol; its own expire() is the right maintenance.
-      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+      if (isDir(fs, new Path(root, "_versions"))) {
         return Report(tableDir, "compact", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable.expire")
       }
@@ -108,14 +190,16 @@ object Maintenance {
       // drain fails on missing batch files) and batch readers would list
       // through the stale log. Stream via foreachBatch into a Medallion
       // table for compactable output.
-      if (Files.isDirectory(Paths.get(tableDir, "_spark_metadata"))) {
+      if (isDir(fs, new Path(root, "_spark_metadata"))) {
         return Report(tableDir, "compact", ok = false,
           "streaming sink: _spark_metadata governs this dir; " +
             "stream via foreachBatch into a table for compactable output")
       }
-      val leaves = leafPartitionDirs(new File(tableDir))
-      val fragmented = leaves.filter { d =>
-        countParquetFiles(d) > targetFileCount(dirSize(d), targetFileBytes)
+      val leaves = leafPartitionDirs(fs, root)
+      // one listing walk per leaf: (parquet files, bytes) together
+      val fragmented = leaves.map(d => d -> leafStats(fs, d)).filter {
+        case (_, (files, bytes)) =>
+          files > targetFileCount(bytes, targetFileBytes)
       }
       // Binpack is a no-op when every leaf is already at (or below) its
       // own target — rewriting an already-compacted table every
@@ -127,9 +211,9 @@ object Maintenance {
         return Report(tableDir, "compact", ok = true,
           s"noop: all ${leaves.size} leaf partitions at/below target")
       }
-      fragmented.foreach { leaf =>
-        val nf = targetFileCount(dirSize(leaf), targetFileBytes)
-        rewriteLeaf(spark, tableDir, leaf, _.repartition(nf))
+      fragmented.foreach { case (leaf, (_, bytes)) =>
+        val nf = targetFileCount(bytes, targetFileBytes)
+        rewriteLeaf(spark, fs, root, leaf, _.repartition(nf))
       }
       Report(tableDir, "compact", ok = true,
         s"rewrote ${fragmented.size}/${leaves.size} leaf partitions")
@@ -148,7 +232,15 @@ object Maintenance {
       sortCols: Seq[String],
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
-      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+      val (fs, root) = fsFor(hadoopConf(spark), tableDir)
+      renameGuard(fs, tableDir, "compact_sorted") match {
+        // a real `return`, not one inside a lambda — a lambda return
+        // throws NonLocalReturnControl, which the catch-all below
+        // would swallow into a bogus Report
+        case Some(r) => return r
+        case None => ()
+      }
+      if (isDir(fs, new Path(root, "_versions"))) {
         return Report(tableDir, "compact_sorted", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable.expire")
       }
@@ -158,17 +250,17 @@ object Maintenance {
       // every leaf (and absent from the leaf files themselves — they live
       // in the dir names), so clustering within a leaf only ever uses the
       // remaining ones; if none remain this degrades to plain binpack.
-      val parts = partitionColsOf(tableDir)
+      val parts = partitionColsOf(fs, root)
       val effective = sortCols.filterNot(parts.contains)
       // Per leaf partition: range-partition on the sort key into
       // ~ceil(bytes/target) files (targetFileBytes now applies on the
       // partitioned path too), each sorted — so within every partition
       // directory the files cover non-overlapping sort ranges and
       // filtered scans skip whole row groups.
-      val leaves = leafPartitionDirs(new File(tableDir))
+      val leaves = leafPartitionDirs(fs, root)
       leaves.foreach { leaf =>
-        val nf = targetFileCount(dirSize(leaf), targetFileBytes)
-        rewriteLeaf(spark, tableDir, leaf,
+        val nf = targetFileCount(dirSize(fs, leaf), targetFileBytes)
+        rewriteLeaf(spark, fs, root, leaf,
           df =>
             if (effective.isEmpty) df.repartition(nf)
             else df.repartitionByRange(nf, effective.map(col): _*)
@@ -198,23 +290,31 @@ object Maintenance {
       zCols: Seq[String], bits: Int = 12,
       targetFileBytes: Long = 256L * 1024 * 1024): Report = {
     try {
-      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+      val (fs, root) = fsFor(hadoopConf(spark), tableDir)
+      renameGuard(fs, tableDir, "compact_zorder") match {
+        // a real `return`, not one inside a lambda — a lambda return
+        // throws NonLocalReturnControl, which the catch-all below
+        // would swallow into a bogus Report
+        case Some(r) => return r
+        case None => ()
+      }
+      if (isDir(fs, new Path(root, "_versions"))) {
         return Report(tableDir, "compact_zorder", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable.expire")
       }
-      if (Files.isDirectory(Paths.get(tableDir, "_spark_metadata"))) {
+      if (isDir(fs, new Path(root, "_spark_metadata"))) {
         return Report(tableDir, "compact_zorder", ok = false,
           "streaming sink: _spark_metadata governs this dir; " +
             "stream via foreachBatch into a table for compactable output")
       }
       require(zCols.nonEmpty, "compactZorder needs at least one column")
       import org.apache.spark.sql.functions.{col, max, min}
-      val parts = partitionColsOf(tableDir)
+      val parts = partitionColsOf(fs, root)
       val effective = zCols.filterNot(parts.contains)
-      val leaves = leafPartitionDirs(new File(tableDir))
+      val leaves = leafPartitionDirs(fs, root)
       leaves.foreach { leaf =>
-        val nf = targetFileCount(dirSize(leaf), targetFileBytes)
-        rewriteLeaf(spark, tableDir, leaf, df =>
+        val nf = targetFileCount(dirSize(fs, leaf), targetFileBytes)
+        rewriteLeaf(spark, fs, root, leaf, df =>
           if (effective.isEmpty) df.repartition(nf)
           else {
             // one-row bounds pass per leaf: min0, max0, min1, max1, ...
@@ -274,11 +374,19 @@ object Maintenance {
   def repartitionTable(spark: SparkSession, tableDir: String,
       newPartitionCols: Seq[String]): Report = {
     try {
-      if (Files.isDirectory(Paths.get(tableDir, "_versions"))) {
+      val (fs, root) = fsFor(hadoopConf(spark), tableDir)
+      renameGuard(fs, tableDir, "repartition") match {
+        // a real `return`, not one inside a lambda — a lambda return
+        // throws NonLocalReturnControl, which the catch-all below
+        // would swallow into a bogus Report
+        case Some(r) => return r
+        case None => ()
+      }
+      if (isDir(fs, new Path(root, "_versions"))) {
         return Report(tableDir, "repartition", ok = false,
           "versioned table: snapshots are immutable, use VersionedTable")
       }
-      if (Files.isDirectory(Paths.get(tableDir, "_spark_metadata"))) {
+      if (isDir(fs, new Path(root, "_spark_metadata"))) {
         return Report(tableDir, "repartition", ok = false,
           "streaming sink: _spark_metadata governs this dir")
       }
@@ -288,15 +396,13 @@ object Maintenance {
         return Report(tableDir, "repartition", ok = false,
           s"columns not in table: ${missing.mkString(", ")}")
       }
-      val enc = encodeLeaf(".")
-      val tmp = Paths.get(tableDir + s".compact_tmp.$enc")
-      val old = Paths.get(tableDir + s".compact_old.$enc")
+      val (tmp, old) = tempPathsOf(root, ".")
       val w = df.write.mode("overwrite")
       (if (newPartitionCols.nonEmpty) w.partitionBy(newPartitionCols: _*)
        else w).parquet(tmp.toString)
-      Files.move(Paths.get(tableDir), old)
-      Files.move(tmp, Paths.get(tableDir))
-      deleteRecursively(old.toFile)
+      renameOrThrow(fs, root, old)
+      renameOrThrow(fs, tmp, root)
+      fs.delete(old, true)
       Report(tableDir, "repartition", ok = true,
         if (newPartitionCols.isEmpty) "rewrote as unpartitioned"
         else s"rewrote partitioned by ${newPartitionCols.mkString("/")}")
@@ -306,42 +412,61 @@ object Maintenance {
     }
   }
 
-  def removeOrphans(tableDir: String): Report = {
+  /** Conf-less overload for callers without a session in hand: resolves
+    * the FileSystem from the default Hadoop configuration (classpath
+    * `core-site.xml`; plain paths → local `file:`). A session's custom
+    * fs.* settings only flow through the SparkSession overload. */
+  def removeOrphans(tableDir: String): Report =
+    removeOrphansOn(new Configuration(), tableDir)
+
+  def removeOrphans(spark: SparkSession, tableDir: String): Report =
+    removeOrphansOn(hadoopConf(spark), tableDir)
+
+  private def removeOrphansOn(conf: Configuration, tableDir: String): Report = {
     try {
+      val (fs, root) = fsFor(conf, tableDir)
       var removed = 0
       var restored = 0
-      val root = new File(tableDir)
-      def walk(f: File): Unit = {
-        if (f.isDirectory) {
-          if (f.getName == "_temporary") { deleteRecursively(f); removed += 1 }
-          else f.listFiles().foreach(walk)
-        } else if (f.getName.endsWith(".crc") && f.getName.startsWith(".")) {
-          f.delete(); removed += 1
+      // NOTE on `.crc` siblings: Hadoop's checksummed local FileSystem
+      // HIDES its own checksum files from listStatus (and manages their
+      // lifecycle on rename/delete), so this name check only ever fires
+      // on raw stores where a committer genuinely stranded one — the
+      // hidden-and-managed case needs no cleaning by construction.
+      def walk(st: FileStatus): Unit = {
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name == "_temporary") { fs.delete(st.getPath, true); removed += 1 }
+          else fs.listStatus(st.getPath).foreach(walk)
+        } else if (name.endsWith(".crc") && name.startsWith(".")) {
+          fs.delete(st.getPath, false); removed += 1
         }
       }
-      if (root.exists()) walk(root)
-      val siblings = Option(root.getCanonicalFile.getParentFile)
-        .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty[File])
-      def temps(kind: String): Seq[(File, File)] = {
+      if (fs.exists(root)) walk(fs.getFileStatus(root))
+      val parent = root.getParent
+      val siblings =
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent).toSeq.map(_.getPath)
+        else Nil
+      def temps(kind: String): Seq[(Path, Path)] = {
         val prefix = root.getName + s".compact_$kind."
-        siblings.filter(_.getName.startsWith(prefix)).toSeq.map { f =>
+        siblings.filter(_.getName.startsWith(prefix)).sortBy(_.getName).map { f =>
           val rel = decodeLeaf(f.getName.drop(prefix.length))
-          f -> (if (rel == ".") root else new File(root, rel))
+          f -> (if (rel == ".") root else new Path(root, rel))
         }
       }
-      def restore(f: File, leaf: File): Unit = {
-        Option(leaf.getParentFile)
-          .foreach(p => Files.createDirectories(p.toPath))
-        Files.move(f.toPath, leaf.toPath)
+      def restore(f: Path, leaf: Path): Unit = {
+        val lp = leaf.getParent
+        if (lp != null && !fs.exists(lp)) fs.mkdirs(lp)
+        renameOrThrow(fs, f, leaf)
         restored += 1
       }
       // olds first: restore a half-swapped leaf before touching tmps
       temps("old").foreach { case (f, leaf) =>
-        if (leaf.exists()) { deleteRecursively(f); removed += 1 }
+        if (fs.exists(leaf)) { fs.delete(f, true); removed += 1 }
         else restore(f, leaf)
       }
       temps("tmp").foreach { case (f, leaf) =>
-        if (leaf.exists()) { deleteRecursively(f); removed += 1 }
+        if (fs.exists(leaf)) { fs.delete(f, true); removed += 1 }
         else restore(f, leaf)
       }
       Report(tableDir, "remove_orphans", ok = true,
@@ -368,7 +493,7 @@ object Maintenance {
       Seq(
         expireSnapshots(dir),
         compact(spark, dir, targetFileBytes),
-        removeOrphans(dir))
+        removeOrphans(spark, dir))
     }
 
   /** A registered streamed-state dir and its fold action — what the
@@ -493,7 +618,10 @@ object Maintenance {
       val metaFile = graft.streaming.BatchPartitionIngest.StateMetaFile
       if (dfs.exists(dir, metaFile)) {
         // a corrupt/unreadable meta must SKIP-AND-REPORT, not throw:
-        // parseStateMeta sys.errors on a truncated file, and discovery
+        // parseStateMeta throws CorruptStateMetaException on a
+        // truncated file (and readFile can throw real IOExceptions;
+        // both are caught here — unlike writeStateMeta, discovery has
+        // no declaration of its own to protect), and discovery
         // runs inside maintainAll's argument computation — letting the
         // error escape would abort the whole nightly pass for EVERY
         // table and state until a human deletes the one bad file. The
@@ -561,14 +689,35 @@ object Maintenance {
       compactStreamStates(spark, all)
   }
 
-  private def countParquetFiles(f: File): Long =
-    if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
-    else Option(f.listFiles()).map(_.map(countParquetFiles).sum).getOrElse(0L)
+  private def isDir(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
 
-  private def dirSize(f: File): Long =
-    if (f.isFile) f.length()
-    else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+  /** One recursive walk per leaf computing BOTH the parquet-file count
+    * and total bytes — running counters, never materialized name lists
+    * (a 10⁶-file leaf costs the driver two longs, not 10⁶ held
+    * strings), and one listing pass instead of two. Deliberately
+    * `listStatus` recursion, not `listFiles(recursive)`: the latter
+    * constructs LocatedFileStatus, which eagerly loads permissions and
+    * breaks on RawLocalFileSystem subclasses serving non-`file:`
+    * schemes; plain FileStatus carries the name+length these counters
+    * need on every connector. */
+  private def leafStats(fs: FileSystem, dir: Path): (Long, Long) = {
+    var files = 0L
+    var bytes = 0L
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else {
+        bytes += st.getLen
+        if (st.getPath.getName.endsWith(".parquet")) files += 1
+      }
+    }
+    walk(dir)
+    (files, bytes)
+  }
 
-  private def deleteRecursively(f: File): Unit =
-    graft.util.Fs.deleteRecursively(f)
+  private def countParquetFiles(fs: FileSystem, dir: Path): Long =
+    leafStats(fs, dir)._1
+
+  private def dirSize(fs: FileSystem, dir: Path): Long =
+    leafStats(fs, dir)._2
 }

@@ -93,17 +93,23 @@ object BatchPartitionIngest {
     * a bare `Files.write` here would mean a crash mid-write, or a
     * reader racing the rewrite, yields a truncated meta that poisons
     * every later maintenance pass. A crash between temp-write and
-    * rename leaves the old meta intact (the next drain's write deletes
-    * the orphaned `.tmp`). An existing meta that is UNREADABLE is
-    * repaired, not refused: a corrupt file carries no declaration to
-    * conflict with, and the ingest in hand knows the truth. */
+    * rename leaves the old meta intact. An existing meta that is
+    * CORRUPT is repaired, not refused: a corrupt file carries no
+    * declaration to conflict with, and the ingest in hand knows the
+    * truth. Only [[CorruptStateMetaException]] is repairable — an
+    * IOException from the read (NFS hiccup, permissions) propagates,
+    * because the file on disk may be a VALID meta declaring a
+    * different kind/groupCols, and swallowing the failure would bypass
+    * the conflict guard and overwrite it. */
   def writeStateMeta(stateDir: String, meta: StateMeta): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(stateDir))
-    scala.util.Try(readStateMeta(stateDir)).toOption.flatten.foreach {
-      existing =>
-        require(existing == meta,
-          s"state dir $stateDir already declares $existing; refusing $meta")
+    val existingMeta =
+      try readStateMeta(stateDir)
+      catch { case _: CorruptStateMetaException => None }
+    existingMeta.foreach { existing =>
+      require(existing == meta,
+        s"state dir $stateDir already declares $existing; refusing $meta")
     }
     graft.util.Fs.writeFileAtomic(Paths.get(stateDir, StateMetaFile),
       renderStateMeta(meta)
@@ -126,11 +132,20 @@ object BatchPartitionIngest {
     metaMapper.writeValueAsString(n)
   }
 
-  /** Parse a meta file's CONTENT (throws on corruption) — shared
-    * between the local [[readStateMeta]] and the Hadoop-FileSystem
-    * discovery walk, which reads the bytes through its own store. */
+  /** Thrown ONLY for a meta whose bytes were read but do not parse as
+    * a valid declaration — the one failure [[writeStateMeta]] may
+    * repair by overwriting. I/O failures are deliberately a different
+    * type so they are never mistaken for corruption. */
+  final class CorruptStateMetaException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Parse a meta file's CONTENT (throws [[CorruptStateMetaException]]
+    * on corruption) — shared between the local [[readStateMeta]] and
+    * the Hadoop-FileSystem discovery walk, which reads the bytes
+    * through its own store. */
   def parseStateMeta(s: String, where: String): StateMeta = {
-    def corrupt(): Nothing = sys.error(s"corrupt state meta at $where: $s")
+    def corrupt(): Nothing =
+      throw new CorruptStateMetaException(s"corrupt state meta at $where: $s")
     val n = try metaMapper.readTree(s)
       catch { case _: java.io.IOException => corrupt() }
     val kindNode = n.get("kind")

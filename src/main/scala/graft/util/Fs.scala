@@ -15,18 +15,38 @@ object Fs {
 
   /** Crash-safe small-file write: temp in the same directory + atomic
     * rename, so a reader never observes a truncated file and a crash
-    * mid-write leaves any previous version intact (the next write
-    * consumes the orphaned `.tmp` via REPLACE_EXISTING on its own
-    * rename). The shared discipline for every driver-side metadata
-    * file (state metas, index metas) — a bare `Files.write` on a file
-    * that is ever re-read is the truncation bug class the r10 audit
-    * found. */
+    * mid-write leaves any previous version intact. The shared
+    * discipline for every driver-side metadata file (state metas,
+    * index metas) — a bare `Files.write` on a file that is ever
+    * re-read is the truncation bug class the r10 audit found.
+    *
+    * Two durability details the r11 advice audit demanded:
+    *   - the temp name carries pid + thread id, so two concurrent
+    *     writers to the same meta (overlapping drains) never race on a
+    *     shared `.tmp` — each renames its OWN temp, last rename wins,
+    *     neither throws. A crash may orphan a uniquely-named temp;
+    *     those are dot-prefixed, bytes-sized, and never re-read.
+    *   - the temp's channel is force(true)'d before the rename, and the
+    *     parent directory is fsynced after it where the platform allows
+    *     (Linux does; filesystems that refuse directory opens degrade
+    *     to rename-ordering semantics, which is the best they offer). */
   def writeFileAtomic(path: Path, bytes: Array[Byte]): Unit = {
-    import java.nio.file.StandardCopyOption
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, path,
+    import java.nio.file.{StandardCopyOption, StandardOpenOption}
+    val tmp = path.resolveSibling(
+      s".${path.getFileName}.${ProcessHandle.current.pid}-${Thread.currentThread.getId}.tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
+    try Files.move(tmp, path,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
+    try {
+      val dir = java.nio.channels.FileChannel.open(path.getParent,
+        StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Recovery preamble for [[swapInNew]]'s two-rename window: a crash

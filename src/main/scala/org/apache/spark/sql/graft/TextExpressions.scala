@@ -449,10 +449,16 @@ case class CompressionRatioPpm(child: Expression)
   *
   * Character counts are Unicode CODE POINTS (matching both Spark's and
   * DuckDB's `length`), tokens are maximal runs of non-`\s` chars with
-  * empties dropped (matching `regexp_split_to_array(text,'\s+')` +
-  * non-empty filter; `\s` is the ASCII class in both RE2 and Java),
-  * and segment splits are literal, left-to-right, non-overlapping
-  * (matching DuckDB `string_split`). */
+  * empties dropped, where `\s` is JAVA's un-flagged class
+  * `[ \t\n\x0B\f\r]` — matching Spark's `split(text, '\\s+')`, and
+  * matching RE2/DuckDB `regexp_split_to_array(text,'\s+')` on every
+  * character EXCEPT U+000B (vertical tab), which RE2's `\s` omits. A
+  * corpus containing U+000B tokenizes differently under a DuckDB
+  * oracle; pre-normalize it or spell the oracle's class explicitly
+  * (`[ \t\n\x0B\f\r]+`, the discipline
+  * [[graft.functions.TextFunctions]]' `ws` constant uses). Segment
+  * splits are literal, left-to-right, non-overlapping (matching DuckDB
+  * `string_split`). */
 private[graft] object RepetitionOps {
 
   def codePoints(s: String): Long = s.codePointCount(0, s.length).toLong

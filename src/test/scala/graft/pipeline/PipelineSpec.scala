@@ -7,6 +7,38 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** A genuinely non-`file:` Hadoop scheme backed by the local tree —
+  * instantiated REFLECTIVELY by Hadoop's FileSystem registry (needs the
+  * public no-arg ctor), so maintenance code paths exercise the same
+  * scheme-resolution machinery an `hdfs://` root would. */
+class StubLocalFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+  override def getScheme: String = "stub"
+  override def getUri: java.net.URI = java.net.URI.create("stub:///")
+  // RawLocal's lazy DeprecatedRawLocalFileStatus loads permissions via
+  // `new java.io.File(uri)`, which rejects non-file schemes — a local-FS
+  // quirk a real remote FS (hdfs, s3a) doesn't have. Materialize plain
+  // statuses so the stub behaves like the remote stores it stands in for.
+  private def plain(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault,
+      "graft", "graft", st.getPath)
+  override def getFileStatus(p: HPath): FileStatus =
+    plain(super.getFileStatus(p))
+  override def listStatus(p: HPath): Array[FileStatus] =
+    super.listStatus(p).map(plain)
+}
+
+/** Fake object-store scheme: the rename-atomicity guard must refuse it
+  * BEFORE any filesystem operation matters. */
+class FakeObjectStoreFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+
 class PipelineSpec extends SparkSpec {
 
   private def tmpDir(): String =
@@ -581,23 +613,93 @@ class PipelineSpec extends SparkSpec {
     assert(summarize(qualified) == summarize(nio))
   }
 
+  test("maintenance rewrites run through a non-file Hadoop scheme " +
+      "(stub://) and refuse object-store schemes before touching data") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.stub.impl", classOf[StubLocalFileSystem].getName)
+    hc.set("fs.s3a.impl", classOf[FakeObjectStoreFileSystem].getName)
+    import spark.implicits._
+    val local = tmpDir() + "/stubtable"
+    val dir = "stub:" + local
+    (1 to 1000).map(i => (i.toLong, i % 4, s"v$i")).toDF("id", "k", "v")
+      .repartition(8).write.partitionBy("k").parquet(dir)
+    // the scheme really resolved through the stub onto the local tree
+    assert(Files.isDirectory(Paths.get(local)))
+    def leafFiles(k: Int) =
+      Option(new java.io.File(s"$local/k=$k").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert((0 to 3).map(leafFiles).sum > 4, "fixture should be fragmented")
+    val rep = Maintenance.compact(spark, dir,
+      targetFileBytes = 256L * 1024 * 1024)
+    assert(rep.ok && rep.detail.contains("rewrote"), rep.detail)
+    assert((0 to 3).forall(k => leafFiles(k) == 1))
+    assert(spark.read.parquet(dir).count() == 1000)
+    assert(Maintenance.compactSorted(spark, dir, Seq("id")).ok)
+    assert(Maintenance.removeOrphans(spark, dir).ok)
+    assert(spark.read.parquet(dir).count() == 1000)
+    // object-store scheme: refused with the boundary named, data untouched
+    val s3 = Maintenance.compact(spark, "s3a:" + local)
+    assert(!s3.ok && s3.detail.contains("non-atomic"), s3.detail)
+    assert(!Maintenance.compactSorted(spark, "s3a:" + local, Seq("id")).ok)
+    assert(!Maintenance.compactZorder(spark, "s3a:" + local, Seq("id")).ok)
+    assert(!Maintenance.repartitionTable(spark, "s3a:" + local, Nil).ok)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("state meta write is atomic: a crash between temp-write and " +
-      "rename leaves the OLD meta readable; the next write consumes " +
-      "the orphaned temp") {
+      "rename leaves the OLD meta readable and the orphaned temp inert") {
     import graft.streaming.BatchPartitionIngest._
     val dir = tmpDir() + "/state"
     writeStateMeta(dir, StateMeta("hll", Seq("a", "b")))
-    // simulate the crash: a half-written temp file next to a good meta
-    val tmp = Paths.get(dir, StateMetaFile + ".tmp")
+    // simulate the crash: a half-written, uniquely-named temp next to a
+    // good meta (the shape writeFileAtomic's pid-thread temps leave)
+    val tmp = Paths.get(dir, "." + StateMetaFile + ".999-1.tmp")
     Files.write(tmp, """{"kind":"hl""".getBytes)
     assert(readStateMeta(dir).contains(StateMeta("hll", Seq("a", "b"))))
-    // re-asserting the same meta succeeds and consumes the orphan
+    // re-asserting the same meta succeeds; the orphan never shadows the
+    // real meta (dot-prefixed unique name, never re-read)
     writeStateMeta(dir, StateMeta("hll", Seq("a", "b")))
-    assert(!Files.exists(tmp))
     assert(readStateMeta(dir).contains(StateMeta("hll", Seq("a", "b"))))
     // the conflicting-declaration refusal is untouched by the new path
     intercept[IllegalArgumentException] {
       writeStateMeta(dir, StateMeta("cms", Seq("a")))
     }
+  }
+
+  test("concurrent writers to the same meta never race: each renames " +
+      "its own pid-thread temp, every write lands or throws nothing") {
+    import graft.streaming.BatchPartitionIngest._
+    val dir = tmpDir() + "/state"
+    Files.createDirectories(Paths.get(dir))
+    val meta = StateMeta("hll", Seq("g"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try (1 to 50).foreach(_ => writeStateMeta(dir, meta))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent writeStateMeta threw: ${errs}")
+    assert(readStateMeta(dir).contains(meta))
+  }
+
+  test("an IOException-shaped unreadable meta refuses the write " +
+      "instead of silently overwriting a possibly-valid declaration") {
+    import graft.streaming.BatchPartitionIngest._
+    val dir = tmpDir() + "/state"
+    writeStateMeta(dir, StateMeta("hll", Seq("a")))
+    val metaPath = Paths.get(dir, StateMetaFile)
+    // a directory where the meta file should be makes readAllBytes
+    // throw a real IOException (not parse corruption)
+    Files.delete(metaPath)
+    Files.createDirectories(metaPath)
+    intercept[java.io.IOException] {
+      writeStateMeta(dir, StateMeta("cms", Seq("b")))
+    }
+    Files.delete(metaPath)
+    // true parse corruption stays repairable
+    Files.write(metaPath, "not json".getBytes)
+    writeStateMeta(dir, StateMeta("cms", Seq("b")))
+    assert(readStateMeta(dir).contains(StateMeta("cms", Seq("b"))))
   }
 }
