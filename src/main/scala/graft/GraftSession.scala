@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // CALL graft.system.rewrite_data_files/expire_snapshots/
+      // remove_orphan_files — the SQL maintenance surface
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftProcedureCatalog].getName)
       .config("spark.ui.enabled", "false")
       // a long-lived session running many distinct queries (the test
       // battery, a notebook, the bench catalog) thrashes the default

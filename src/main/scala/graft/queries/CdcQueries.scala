@@ -103,8 +103,8 @@ object CdcQueries {
     * processes don't accumulate graft-rollback-* dirs in the temp dir. */
   private lazy val rollbackCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      rollbackTables.values.foreach(t => graft.util.Fs.deleteRecursively(
-        new java.io.File(t).getParentFile))
+      (rollbackTables.values ++ maintTables.values).foreach(t =>
+        graft.util.Fs.deleteRecursively(new java.io.File(t).getParentFile))
     }, "graft-rollback-cleanup"))
   }
 
@@ -137,12 +137,55 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  private val maintTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** M1–M3 driven from PURE SQL TEXT (Spark 4 CALL procedures,
+    * [[graft.sql.GraftProcedureCatalog]]) with an ORACLE on the result:
+    * a fragmented partitioned copy of lineitem is compacted via
+    * `CALL graft.system.rewrite_data_files` + `remove_orphan_files`
+    * (reference: glue-jobs/iceberg_maintenance.py:48-80), and the query
+    * aggregates the COMPACTED table — the oracle aggregates raw
+    * lineitem, so any row lost, duplicated, or mutated by the
+    * SQL-driven rewrite hash-mismatches. The CALL reports are
+    * require()d ok in setup: a refused or failed rewrite errors the
+    * query rather than silently passing on unchanged data. */
+  def q183SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val table = maintTables.getOrElseUpdate(dir, {
+      rollbackCleanupHook
+      val t0 = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString + "/li"
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))
+        .repartition(8)
+        .write.partitionBy("l_returnflag").parquet(t0)
+      graft.sql.GraftProcedureCatalog.register(s)
+      val rw = s.sql(
+        s"CALL graft.system.rewrite_data_files(table => '$t0')").collect()
+      require(rw.head.getBoolean(2) && rw.head.getString(3).contains("rewrote"),
+        s"SQL compaction did not rewrite: ${rw.head.getString(3)}")
+      val orp = s.sql(
+        s"CALL graft.system.remove_orphan_files(table => '$t0')").collect()
+      require(orp.head.getBoolean(2), orp.head.getString(3))
+      t0
+    })
+    s.read.parquet(table)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
     "q89_snapshot_diff" -> (q89SnapshotDiff _),
     "q93_sql_merge" -> (q93SqlMerge _),
-    "q169_rollback" -> (q169Rollback _))
+    "q169_rollback" -> (q169Rollback _),
+    "q183_sql_maintenance" -> (q183SqlMaintenance _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -154,6 +197,14 @@ object CdcQueries {
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
+    // aggregates of raw lineitem: the CALL-compacted copy must match
+    "q183_sql_maintenance" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the operator form must produce exactly what the SQL text declares
     "q87_merge_upsert" -> mergeSql,
     "q88_scd2" ->

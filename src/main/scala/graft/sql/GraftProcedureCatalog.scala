@@ -1,0 +1,195 @@
+package graft.sql
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.{Maintenance, VersionedTable}
+
+/** The M1–M3 maintenance surface as SQL text — Spark 4's DSv2 stored
+  * procedures (ProcedureCatalog + CALL statement), mirroring the
+  * reference's Athena/Spark procedure calls
+  * (reference: glue-jobs/iceberg_maintenance.py:48-80):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     classOf[graft.sql.GraftProcedureCatalog].getName)
+  *   spark.sql("CALL graft.system.rewrite_data_files(" +
+  *     "table => '/wh/silver/events', strategy => 'sort', " +
+  *     "sort_order => 'event_date,user_id')")
+  *   spark.sql("CALL graft.system.expire_snapshots(" +
+  *     "table => '/wh/versioned/orders', retain_last => 7)")
+  *   spark.sql("CALL graft.system.remove_orphan_files(" +
+  *     "table => '/wh/silver/events')")
+  * }}}
+  *
+  * Each CALL returns the [[Maintenance.Report]] row(s) as a result set
+  * (table, action, ok, detail) — the same rows the Scala API returns, so
+  * a SQL-only operator sees exactly what a Scala caller sees, including
+  * the rename-atomicity refusals. `table` is the table DIRECTORY (this
+  * library's tables are paths, as in [[graft.pipeline.Medallion]]);
+  * procedures resolve it through the session Hadoop conf like every
+  * other maintenance action. Parameters follow Iceberg's procedure
+  * names (`rewrite_data_files(strategy, sort_order)`,
+  * `expire_snapshots(retain_last)`, `remove_orphan_files`) so a user
+  * coming from the reference keeps their runbook vocabulary. */
+class GraftProcedureCatalog extends ProcedureCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+
+  override def name(): String = catalogName
+
+  import GraftProcedureCatalog._
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"unknown namespace ${ident.namespace().mkString(".")}: " +
+          "graft procedures live under `system`")
+    procedures.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name()}; available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
+}
+
+object GraftProcedureCatalog {
+
+  /** Conventional registration name; any `spark.sql.catalog.<name>`
+    * alias works — procedures read the name Spark hands initialize. */
+  val DefaultName = "graft"
+
+  def register(spark: SparkSession, name: String = DefaultName): Unit =
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftProcedureCatalog].getName)
+
+  private val ReportSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("action", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  private final class ReportScan(reports: Seq[Maintenance.Report])
+      extends LocalScan {
+    override def readSchema(): StructType = ReportSchema
+    override def rows(): Array[InternalRow] = reports.toArray.map { r =>
+      InternalRow(UTF8String.fromString(r.table),
+        UTF8String.fromString(r.action), r.ok,
+        UTF8String.fromString(r.detail))
+    }
+    override def description(): String = "graft maintenance report"
+  }
+
+  /** One class per procedure keeps bind() trivial: parameters are
+    * declared with SQL-literal defaults, Spark applies named/positional
+    * binding and default-filling, and call() reads the fully-populated
+    * row positionally. Procedures MUTATE table layout, so they are
+    * declared non-deterministic and run exactly once per CALL. */
+  private abstract class MaintProc(procName: String, doc: String,
+      params: Array[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      Collections.singletonList[Scan](
+        new ReportScan(run(SparkSession.active, input))).iterator()
+    protected def str(input: InternalRow, i: Int): String =
+      input.getUTF8String(i).toString
+  }
+
+  private def p(name: String, dt: DataType,
+      default: String = null): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    if (default != null) b.defaultValue(default)
+    b.build()
+  }
+
+  private object RewriteDataFiles extends MaintProc("rewrite_data_files",
+    "binpack/sort/zorder compaction of a parquet table directory " +
+      "(M2; parquet analogue of Iceberg rewrite_data_files)",
+    Array(
+      p("table", StringType),
+      p("strategy", StringType, "'binpack'"),
+      p("sort_order", StringType, "''"),
+      p("target_file_size_bytes", LongType, (256L * 1024 * 1024).toString),
+      p("zorder_bits", IntegerType, "12"))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] = {
+      val table = str(input, 0)
+      val cols = str(input, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val target = input.getLong(3)
+      str(input, 1).toLowerCase(java.util.Locale.ROOT) match {
+        case "binpack" =>
+          Seq(Maintenance.compact(spark, table, target))
+        case "sort" =>
+          Seq(Maintenance.compactSorted(spark, table, cols, target))
+        case "zorder" =>
+          Seq(Maintenance.compactZorder(spark, table, cols,
+            input.getInt(4), target))
+        case other =>
+          Seq(Maintenance.Report(table, "rewrite_data_files", ok = false,
+            s"unknown strategy '$other' (binpack|sort|zorder)"))
+      }
+    }
+  }
+
+  private object ExpireSnapshots extends MaintProc("expire_snapshots",
+    "expire old VersionedTable snapshots keeping the newest retain_last " +
+      "(M1); a no-op report on plain parquet tables, which have none",
+    Array(
+      p("table", StringType),
+      p("retain_last", IntegerType, "7"))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] = {
+      val table = str(input, 0)
+      val keep = input.getInt(1)
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(table, "_versions"))) {
+        try {
+          val dropped = VersionedTable.expire(table, keep)
+          Seq(Maintenance.Report(table, "expire_snapshots", ok = true,
+            if (dropped.isEmpty) s"noop: <= $keep snapshots"
+            else s"expired versions ${dropped.mkString(",")}"))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(Maintenance.Report(table, "expire_snapshots", ok = false,
+              e.toString))
+        }
+      } else Seq(Maintenance.expireSnapshots(table, keep))
+    }
+  }
+
+  private object RemoveOrphanFiles extends MaintProc("remove_orphan_files",
+    "delete committer leftovers and resolve crashed compaction temps " +
+      "(restore-or-delete per crash window) next to a table root (M3)",
+    Array(p("table", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.removeOrphans(spark, str(input, 0)))
+  }
+
+  private val procedures: Map[String, UnboundProcedure] = Map(
+    "rewrite_data_files" -> RewriteDataFiles,
+    "expire_snapshots" -> ExpireSnapshots,
+    "remove_orphan_files" -> RemoveOrphanFiles)
+}
