@@ -172,6 +172,60 @@ object ExtQueries {
       bands = 4, maxHamming = 3)
   }
 
+  /** The planted twin corpus the band-layer oracles run over: docs 2k
+    * and 2k+1 carry IDENTICAL text, distinct bases share no tokens. */
+  private def plantedTwins(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < PlantedCap)
+      .select(col("doc_id"),
+        plantedText(col("doc_id") - col("doc_id") % 2).as("text"))
+
+  /** q26's BAND LAYER pinned by construction (the q175 equality-class
+    * discipline): raw band hashes are xxhash64-derived and can never be
+    * DuckDB-replayed, but their BUCKET STRUCTURE can. Over the planted
+    * twin corpus, minhash is a deterministic function of the shingle
+    * SET, so twins agree on every signature slot and land together in
+    * all 8 band buckets; distinct bases have disjoint shingle sets, so
+    * slot agreement needs an exact 64-bit hash collision and the
+    * 64-bit band key needs two — structurally absent at any SF.
+    * Exported: per (doc, band) bucket size, which the oracle states as
+    * the planted base's twin count. Nondeterministic signatures (a
+    * per-partition seed), a dropped band, bucket-key instability, or a
+    * spurious cross-doc collision all hash-mismatch. */
+  def q184MinhashBandClasses(s: SparkSession, dir: String): DataFrame = {
+    val bandsDf = NearDup.minhashBands(plantedTwins(s, dir), "doc_id",
+      "text", shingleSize = 3, bands = 8, rowsPerBand = 2)
+    val sizes = bandsDf.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+    bandsDf.join(sizes, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("band"), col("bucket_size"))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** q28's SIGNATURE LAYER pinned by construction: simhash is a
+    * deterministic per-bit majority vote over the token multiset, so
+    * twins produce bit-identical 64-bit signatures; unrelated planted
+    * texts agree on any given bit with p ≈ 0.525 (12-token votes with
+    * a tie-to-zero bias), so a full-signature collision is ~0.525^64 ≈
+    * 1e-18 per pair — absent at any SF. Signature-equality classes are
+    * therefore exactly the twin classes, which the oracle computes
+    * from doc ids alone. NOTE the deliberate layer split: the BANDED
+    * 16-bit slices of q28 DO collide across unrelated docs (~1/65536
+    * per pair per band — real collisions at sf0.01 already), which is
+    * precisely why the band layer is pinned via q176's
+    * pigeonhole-exact PAIRS (hamming verify removes slice collisions)
+    * and the signature layer is pinned here via whole-sig classes —
+    * together they cover q28's machinery without a flaky oracle. */
+  def q185SimhashSigClasses(s: SparkSession, dir: String): DataFrame = {
+    val sigs = NearDup.simhashSignatures(plantedTwins(s, dir),
+      "doc_id", "text")
+    val sizes = sigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("dup_group_size"))
+    sigs.join(sizes, "sig")
+      .select(col("doc_id"), col("dup_group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher repetition signals over planted segment structure
     * (Rae et al. 2021 §A1.1): the corpus text carries no newlines, so
     * line structure is planted by a literal replace — every space
@@ -1902,6 +1956,8 @@ object ExtQueries {
     "q174_sql_hll" -> (q174SqlHll _),
     "q175_fingerprint_classes" -> (q175FingerprintClasses _),
     "q176_planted_simhash" -> (q176PlantedSimhash _),
+    "q184_minhash_band_classes" -> (q184MinhashBandClasses _),
+    "q185_simhash_sig_classes" -> (q185SimhashSigClasses _),
     "q177_planted_docpipeline" -> (q177PlantedDocPipeline _),
     "q178_repetition_segments" -> (q178RepetitionSegments _),
     "q179_top_ngrams" -> (q179TopNgrams _),
@@ -3162,6 +3218,28 @@ object ExtQueries {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0 AND b.doc_id < 1000
         |ORDER BY id_a""".stripMargin,
+    "q184_minhash_band_classes" ->
+      // every doc shares each of its 8 band buckets with exactly its
+      // planted base's members (twins), per the construction scaladoc
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents
+        |  WHERE doc_id < 1000),
+        |sizes AS (SELECT base, COUNT(*) AS bucket_size FROM docs
+        |          GROUP BY base)
+        |SELECT d.doc_id, CAST(b.band AS INTEGER) AS band, s.bucket_size
+        |FROM docs d JOIN sizes s USING (base)
+        |CROSS JOIN (SELECT UNNEST(range(8)) AS band) b
+        |ORDER BY d.doc_id, band""".stripMargin,
+    "q185_simhash_sig_classes" ->
+      // signature-equality classes == planted twin classes
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents
+        |  WHERE doc_id < 1000),
+        |sizes AS (SELECT base, COUNT(*) AS dup_group_size FROM docs
+        |          GROUP BY base)
+        |SELECT d.doc_id, s.dup_group_size
+        |FROM docs d JOIN sizes s USING (base)
+        |ORDER BY d.doc_id""".stripMargin,
     "q175_fingerprint_classes" ->
       // equality-class replay: fingerprint groups must coincide with
       // normalized-token-text groups (collision-free by 64-bit scale)
