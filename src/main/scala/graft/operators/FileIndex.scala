@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
   * is the truth (gated by an oracle that computes from the raw table). */
 object FileIndex {
 
+  /** Session-conf override for the driver-side file-NAME budget — the
+    * ops knob, no code change to re-budget a deployment. */
+  val NameGateConfKey = "spark.graft.fileindex.maxNames"
+
+  /** THE driver-side name-list bound, derived from driver memory at
+    * call time (the [[Triangles.derivedGate]] discipline — a named,
+    * derived budget instead of an unstated assumption): every probe and
+    * refresh here collects file NAMES only (never blobs, never rows),
+    * at ~512 bytes of driver heap per name (URI string + char array +
+    * collection slot). Budget = driver heap / 16 → names = heap / 16 /
+    * 512. The 8 GB sandbox derives ~1M names; a 64 GB production
+    * driver ~8M — both clear of the ~400k files a 100 TB table holds
+    * at the 256 MB compaction target, while a mis-pointed probe
+    * against a 10⁸-file listing fails fast with sizing guidance
+    * instead of OOMing the driver. Floor of 100k keeps a tiny test
+    * heap from rejecting legitimate tables. */
+  def derivedNameGate(): Long =
+    (Runtime.getRuntime.maxMemory / 16L / 512L).max(100000L)
+
+  /** Resolution order: session conf > derived-from-memory. */
+  def resolveNameGate(spark: SparkSession): Long =
+    spark.conf.getOption(NameGateConfKey).map(_.toLong)
+      .getOrElse(derivedNameGate())
+
+  /** The ONE gated collect every name-list path goes through: pulls at
+    * most gate+1 rows (single pass, bounded memory even when failing)
+    * and refuses past the gate, naming the knob. */
+  private def collectNames(names: DataFrame, what: String): Seq[String] = {
+    val gate = resolveNameGate(names.sparkSession)
+    val lim = math.min(gate + 1L, Int.MaxValue.toLong).toInt
+    val got = names.limit(lim).collect().map(_.getString(0)).toSeq
+    require(got.length <= gate,
+      s"$what exceeds the driver name-list gate ($gate names, " +
+        s"~${gate * 512 / (1024 * 1024)} MB of heap): raise " +
+        s"$NameGateConfKey or run with a larger driver heap, or narrow " +
+        "the probe (per-partition stats tables)")
+    got
+  }
+
   private def rangeStatsOf(src: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "buildStats needs at least one column")
     val aggs = cols.flatMap(c =>
@@ -113,9 +152,12 @@ object FileIndex {
     // correct (it equals a full rebuild) but O(table), losing the
     // O(changed files) property this method exists for. The semi-join
     // itself still keys on the stats side's ORIGINAL strings.
+    // inputFiles is Spark's OWN planner listing (the driver holds it for
+    // any scan of the table regardless of this index); the stats-side
+    // collect is ours and rides the derived name gate.
     val currentRaw = spark.read.parquet(tableDir).inputFiles.toSeq
-    val knownRaw = stats.select(col("file")).collect()
-      .map(_.getString(0)).toSeq
+    val knownRaw = collectNames(stats.select(col("file")),
+      "refreshStats standing-stats listing")
     val currentKeys = currentRaw.map(canonicalFileKey).toSet
     val knownKeys = knownRaw.map(canonicalFileKey).toSet
     val keptNames = knownRaw.filter(f => currentKeys(canonicalFileKey(f)))
@@ -187,8 +229,8 @@ object FileIndex {
     * probe against a Long-built bloom cannot silently false-negative. */
   def candidateFilesEquals(stats: DataFrame, c: String,
       value: Any): Seq[String] =
-    candidateFilesEqualsPlan(stats, c, value)
-      .collect().map(_.getString(0)).toSeq
+    collectNames(candidateFilesEqualsPlan(stats, c, value),
+      s"bloom probe on $c")
 
   /** The probe as an un-collected single-column plan (file names only) —
     * exposed so specs can assert the collected schema carries no blob. */
@@ -223,8 +265,10 @@ object FileIndex {
   /** Files whose [min, max] envelope admits `lo <= c <= hi`. */
   def candidateFiles(stats: DataFrame, c: String, lo: Column,
       hi: Column): Seq[String] =
-    stats.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    collectNames(
+      stats.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+        .select(col("file")),
+      s"range probe on $c")
 
   /** Range read through the index: list candidate files from the stats
     * table (a driver-side file list — bounded by file count, the same

@@ -211,4 +211,30 @@ class FileIndexSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v"))
     assert(out.count() == 0L)
   }
+
+  test("name-list collects are gated: a 1e5-file stats table probes " +
+      "within the derived budget; past the gate the probe refuses " +
+      "with the knob named instead of OOMing the driver") {
+    // the gate is about the LIST, not real files — a synthetic stats
+    // table with 100k per-file rows exercises the exact collect path
+    val stats = spark.range(100000).select(
+      concat(lit("file:/wh/t/part-"), col("id")).as("file"),
+      lit(10L).as("n_rows"),
+      (col("id") * 10).as("k_min"),
+      (col("id") * 10 + 9).as("k_max"))
+    assert(FileIndex.derivedNameGate() >= 100000L)
+    val names = FileIndex.candidateFiles(stats, "k", lit(0), lit(10000000))
+    assert(names.length == 100000)
+    // conf override drops the gate below the listing: refusal, not OOM
+    spark.conf.set(FileIndex.NameGateConfKey, "1000")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        FileIndex.candidateFiles(stats, "k", lit(0), lit(10000000))
+      }
+      assert(e.getMessage.contains(FileIndex.NameGateConfKey))
+      // a narrow probe under the same gate still works
+      assert(FileIndex.candidateFiles(stats, "k", lit(0), lit(50))
+        .length == 6)
+    } finally spark.conf.unset(FileIndex.NameGateConfKey)
+  }
 }
