@@ -175,6 +175,66 @@ object ScaleProbe {
         explode(expr("slice(pks, i + 2, size(pks) - i - 1)")).as("dst"))
   }
 
+  /** Image + audio hash and near-dup at the scale directory's document
+    * count — the multimodal analogue of `crawl`'s honest throughput
+    * load (r11 verdict item 8). Content is constructed EXECUTOR-SIDE
+    * from ids (same generators as q122/q130's corpora), sized n =
+    * |documents| so a ScaleGen 10× dir drives a 10× corpus, with twins
+    * planted at (i, i + n/2): every stage's expected output is known
+    * (pairs = n/2 exactly — a sub-linear pair count would flag a
+    * broken banded join before the timing even matters). Hash stages
+    * include generation+encode+decode (constant per row); near-dup
+    * stages run over localCheckpointed hashes so they time the banded
+    * join alone. */
+  def multimodal(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val n = graft.Tables.load(s, dir, "documents").count()
+    val half = n / 2
+    val imgs = s.range(n).as[Long]
+      .map(i => (i, graft.multimodal.Images.cellPatternPng(i % half, 36, 32)))
+      .toDF("image_id", "content")
+    val (imgHashes, tIh) = timed {
+      graft.multimodal.Images.hashImages(imgs, "image_id", "content")
+        .localCheckpoint()
+    }
+    emit("multimodal", "image_hash", tIh, n, dir)
+    val (ip, tIn) = timed {
+      graft.multimodal.Images.nearDupPairs(imgHashes).count()
+    }
+    emit("multimodal", "image_neardup", tIn, ip, dir)
+    require(ip == half, s"image near-dup expected $half twin pairs, got $ip")
+    Bench.freeBlocks(s)
+    val clips = s.range(n).as[Long]
+      .map(i => (i, graft.multimodal.Audio.patternPcm(i % half, 1300)))
+      .toDF("audio_id", "content")
+    val (audHashes, tAh) = timed {
+      graft.multimodal.Audio.hashAudio(clips, "audio_id", "content")
+        .localCheckpoint()
+    }
+    emit("multimodal", "audio_hash", tAh, n, dir)
+    val (ap, tAn) = timed {
+      graft.multimodal.Audio.nearDupPairs(audHashes).count()
+    }
+    emit("multimodal", "audio_neardup", tAn, ap, dir)
+    require(ap == half, s"audio near-dup expected $half twin pairs, got $ap")
+    Bench.freeBlocks(s)
+    // video: n/5 videos × 5 frames (same total frame count as the image
+    // corpus); twins at (v, v + nv/2) render identical frame patterns →
+    // frame-hash-set jaccard 1.0, disjoint otherwise — pairs = nv/2.
+    val nv = n / 5
+    val frames = s.range(nv).as[Long]
+      .flatMap(v => (0L until 5L).map(f =>
+        (v, f, graft.multimodal.Images
+          .cellPatternPng((v % (nv / 2)) * 5 + f, 36, 32))))
+      .toDF("video_id", "frame_idx", "content")
+    val (vp, tV) = timed {
+      graft.multimodal.Images.videoNearDupPairs(frames, "video_id",
+        "frame_idx", "content", threshold = 0.7).count()
+    }
+    emit("multimodal", "video_neardup", tV, vp, dir)
+    require(vp == nv / 2, s"video near-dup expected ${nv / 2} pairs, got $vp")
+  }
+
   def triangles(s: SparkSession, dir: String, bloomMaxEdges: Long): Unit = {
     val label = if (bloomMaxEdges == 0L) "triangles_nobloom" else "triangles"
     // record the gate the run ACTUALLY used (derived gates depend on the
@@ -194,7 +254,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: ScaleProbe <sfDir> <probe>[,<probe>...]  " +
-        "(crawl|hll|cms|triangles|triangles_nobloom)")
+        "(crawl|hll|cms|triangles|triangles_nobloom|multimodal)")
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.getOrCreate(s"local[$cpus]")
@@ -207,6 +267,7 @@ object ScaleProbe {
         case "triangles" =>
           triangles(spark, dir, graft.operators.Triangles.DeriveGate)
         case "triangles_nobloom" => triangles(spark, dir, 0L)
+        case "multimodal" => multimodal(spark, dir)
         case other => sys.error(s"unknown probe: $other")
       }
       // streamIngest/perNode localCheckpoint per stage; without a purge,
