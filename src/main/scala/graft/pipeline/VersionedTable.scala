@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -15,29 +14,84 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *
   * Commit protocol: data lands in `v=N` first, then a one-line manifest
   * `_versions/N` is created — readers only see manifested versions, so a
-  * torn write is invisible (no manifest → no version). */
+  * torn write is invisible (no manifest → no version). The manifest
+  * itself lands via temp-write + rename, so a reader can never observe
+  * a HALF-WRITTEN manifest either (matters for rollback redirects,
+  * where truncated content would silently mean "data=self").
+  *
+  * Substrate (r12): all I/O runs over Hadoop's `FileSystem`, resolved
+  * per table path — the same code commits on `file:`, `hdfs:`, or NFS
+  * mounts. The protocol's atomicity rests on rename being an atomic
+  * metadata operation, so MUTATING calls refuse object-store schemes
+  * ([[Maintenance.NonAtomicRenameSchemes]]) the way the compaction swap
+  * does: on that deployment this layer IS the table format (Iceberg's
+  * catalog CAS), per SCALING.md's boundary note. Reads work anywhere.
+  * Concurrency: one writer per table (the reference's Glue-job model);
+  * concurrent committers need the catalog CAS this layer stands in for. */
 object VersionedTable {
 
-  private def manifestDir(table: String): Path = Paths.get(table, "_versions")
+  private def confOf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(table: String): (FileSystem, Path) = {
+    val raw = new Path(table)
+    val fs = raw.getFileSystem(confOf())
+    (fs, fs.makeQualified(raw))
+  }
+
+  private def manifestDir(root: Path): Path = new Path(root, "_versions")
+
+  private def requireRenameCapable(fs: FileSystem, table: String,
+      action: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(!Maintenance.NonAtomicRenameSchemes(scheme),
+      s"VersionedTable.$action on '$table': scheme '$scheme' has no " +
+        "atomic rename, so the manifest commit protocol is unsound — " +
+        "use a catalog-backed table format (Iceberg) on object stores")
+  }
+
+  private def versionsOn(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted
+  }
 
   def versions(table: String): Seq[Long] = {
-    val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .toSeq.sorted
+    val (fs, root) = fsFor(table)
+    versionsOn(fs, root)
   }
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
+  /** Manifest commit: temp in `_versions` (dot-prefixed, skipped by the
+    * numeric-name filter in [[versionsOn]]) + atomic rename. */
+  private def commitManifest(fs: FileSystem, root: Path, v: Long,
+      content: String): Unit = {
+    val dir = manifestDir(root)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, v.toString))) {
+      fs.delete(tmp, false)
+      sys.error(s"manifest commit failed for version $v in $root")
+    }
+  }
+
   /** Append a new immutable version; returns its number. */
   def write(df: DataFrame, table: String): Long = {
-    val next = latestVersion(table).getOrElse(0L) + 1L
-    df.write.parquet(s"$table/v=$next")
-    Files.createDirectories(manifestDir(table))
-    Files.writeString(manifestDir(table).resolve(next.toString),
-      s"${System.currentTimeMillis()}\n")
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "write")
+    val next = versionsOn(fs, root).lastOption.getOrElse(0L) + 1L
+    df.write.parquet(new Path(root, s"v=$next").toString)
+    commitManifest(fs, root, next, s"${System.currentTimeMillis()}\n")
     next
   }
 
@@ -46,9 +100,14 @@ object VersionedTable {
     * [[rollback]] commit — content-free, pointing at the restored
     * snapshot's data). Redirects are written pre-resolved, so one hop
     * always lands on a real data version. */
-  private def dataVersion(table: String, v: Long): Long = {
-    val m = manifestDir(table).resolve(v.toString)
-    Files.readAllLines(m).asScala
+  private def dataVersionOn(fs: FileSystem, root: Path, v: Long): Long = {
+    val m = new Path(manifestDir(root), v.toString)
+    val in = fs.open(m)
+    val content =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    content.linesIterator
       .collectFirst { case l if l.startsWith("data=") =>
         l.stripPrefix("data=").trim.toLong }
       .getOrElse(v)
@@ -57,10 +116,13 @@ object VersionedTable {
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(latestVersion(table)).getOrElse(
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    val v = version.orElse(vs.lastOption).getOrElse(
       throw new IllegalStateException(s"no versions in $table"))
-    require(versions(table).contains(v), s"version $v not retained in $table")
-    spark.read.parquet(s"$table/v=${dataVersion(table, v)}")
+    require(vs.contains(v), s"version $v not retained in $table")
+    spark.read.parquet(
+      new Path(root, s"v=${dataVersionOn(fs, root, v)}").toString)
   }
 
   /** Iceberg's `rollback_to_snapshot` for this layer: make `toVersion`'s
@@ -70,11 +132,14 @@ object VersionedTable {
     * stays time-travelable; the bad intermediate versions remain
     * readable until [[expire]]d. Returns the new current version. */
   def rollback(table: String, toVersion: Long): Long = {
-    require(versions(table).contains(toVersion),
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "rollback")
+    val vs = versionsOn(fs, root)
+    require(vs.contains(toVersion),
       s"version $toVersion not retained in $table")
-    val next = latestVersion(table).get + 1L
-    Files.writeString(manifestDir(table).resolve(next.toString),
-      s"${System.currentTimeMillis()}\ndata=${dataVersion(table, toVersion)}\n")
+    val next = vs.last + 1L
+    commitManifest(fs, root, next,
+      s"${System.currentTimeMillis()}\ndata=${dataVersionOn(fs, root, toVersion)}\n")
     next
   }
 
@@ -98,20 +163,17 @@ object VersionedTable {
     * (a [[rollback]] target) survives even when its own manifest expires —
     * deleting it would corrupt the current snapshot. */
   def expire(table: String, keepLast: Int): Seq[Long] = {
-    val vs = versions(table)
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "expire")
+    val vs = versionsOn(fs, root)
     val drop = vs.dropRight(keepLast)
     // resolve BEFORE dropping manifests: kept versions' data dirs are live
     val live = vs.drop(math.max(0, vs.size - keepLast))
-      .map(dataVersion(table, _)).toSet
+      .map(dataVersionOn(fs, root, _)).toSet
     drop.foreach { v =>
-      Files.deleteIfExists(manifestDir(table).resolve(v.toString))
+      fs.delete(new Path(manifestDir(root), v.toString), false)
       if (!live.contains(v)) {
-        val dir = new java.io.File(s"$table/v=$v")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(dir)
+        fs.delete(new Path(root, s"v=$v"), true)
       }
     }
     drop

@@ -7,19 +7,17 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** A genuinely non-`file:` Hadoop scheme backed by the local tree —
-  * instantiated REFLECTIVELY by Hadoop's FileSystem registry (needs the
-  * public no-arg ctor), so maintenance code paths exercise the same
-  * scheme-resolution machinery an `hdfs://` root would. */
-class StubLocalFileSystem
+/** Base for non-`file:` test schemes backed by the local tree.
+  * RawLocal's lazy DeprecatedRawLocalFileStatus loads permissions via
+  * `new java.io.File(uri)`, which rejects non-file schemes — a local-FS
+  * quirk a real remote FS (hdfs, s3a) doesn't have. Materialize plain
+  * statuses so these stand-ins behave like the remote stores they play.
+  * Subclasses are instantiated REFLECTIVELY by Hadoop's FileSystem
+  * registry (public no-arg ctors), so code under test exercises the
+  * same scheme-resolution machinery a real remote root would. */
+abstract class PlainStatusLocalFileSystem
     extends org.apache.hadoop.fs.RawLocalFileSystem {
   import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-  override def getScheme: String = "stub"
-  override def getUri: java.net.URI = java.net.URI.create("stub:///")
-  // RawLocal's lazy DeprecatedRawLocalFileStatus loads permissions via
-  // `new java.io.File(uri)`, which rejects non-file schemes — a local-FS
-  // quirk a real remote FS (hdfs, s3a) doesn't have. Materialize plain
-  // statuses so the stub behaves like the remote stores it stands in for.
   private def plain(st: FileStatus): FileStatus =
     new FileStatus(st.getLen, st.isDirectory, st.getReplication,
       st.getBlockSize, st.getModificationTime, st.getAccessTime,
@@ -31,10 +29,15 @@ class StubLocalFileSystem
     super.listStatus(p).map(plain)
 }
 
-/** Fake object-store scheme: the rename-atomicity guard must refuse it
-  * BEFORE any filesystem operation matters. */
-class FakeObjectStoreFileSystem
-    extends org.apache.hadoop.fs.RawLocalFileSystem {
+/** A genuinely non-`file:` rename-capable Hadoop scheme. */
+class StubLocalFileSystem extends PlainStatusLocalFileSystem {
+  override def getScheme: String = "stub"
+  override def getUri: java.net.URI = java.net.URI.create("stub:///")
+}
+
+/** Fake object-store scheme: the rename-atomicity guards must refuse
+  * mutations through it, while read paths still work. */
+class FakeObjectStoreFileSystem extends PlainStatusLocalFileSystem {
   override def getScheme: String = "s3a"
   override def getUri: java.net.URI = java.net.URI.create("s3a:///")
 }

@@ -79,4 +79,38 @@ class VersionedTableSpec extends SparkSpec {
       "unreferenced expired data dir must be deleted")
     intercept[Exception] { VersionedTable.read(spark, table, Some(1L)) }
   }
+
+  test("full lifecycle through a non-file Hadoop scheme (stub://); " +
+      "object-store schemes refuse mutations, reads untouched") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.stub.impl", classOf[StubLocalFileSystem].getName)
+    hc.set("fs.s3a.impl", classOf[FakeObjectStoreFileSystem].getName)
+    val local = Files.createTempDirectory("graft_vt4_").toString + "/t"
+    val table = "stub:" + local
+    VersionedTable.write(Seq(1, 2).toDF("x"), table)
+    VersionedTable.write(Seq(9, 9, 9).toDF("x"), table)
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    assert(VersionedTable.read(spark, table).count() == 3)
+    assert(VersionedTable.read(spark, table, Some(1L)).count() == 2)
+    val v3 = VersionedTable.rollback(table, 1L)
+    assert(VersionedTable.read(spark, table, Some(v3)).count() == 2)
+    assert(VersionedTable.expire(table, keepLast = 2) == Seq(1L))
+    assert(VersionedTable.read(spark, table).count() == 2)
+    // the commit protocol really ran on the stub scheme's local tree
+    assert(new java.io.File(s"$local/_versions/3").isFile)
+    // object-store scheme: every mutation refuses with the boundary named
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq(1).toDF("x"), "s3a:" + local)
+    }
+    assert(e.getMessage.contains("atomic rename"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      VersionedTable.rollback("s3a:" + local, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.expire("s3a:" + local, 1)
+    }
+    // reads and version listing stay available on any scheme
+    assert(VersionedTable.versions("s3a:" + local) == Seq(2L, 3L))
+    assert(VersionedTable.read(spark, "s3a:" + local).count() == 2)
+  }
 }
