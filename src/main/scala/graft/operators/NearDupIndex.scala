@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,25 +39,41 @@ object NearDupIndex {
 
   final case class Params(shingleSize: Int, bands: Int, rowsPerBand: Int)
 
-  private def metaPath(root: String) = Paths.get(root, "_graft_meta.json")
+  private def metaPathFs(root: String) = {
+    val (fs, r) = graft.util.Fs.fsFor(root)
+    (fs, new org.apache.hadoop.fs.Path(r, "_graft_meta.json"))
+  }
 
-  // temp + atomic rename (Fs.writeFileAtomic): a crash mid-write must
+  // temp + atomic rename (Fs.writeFileAtomicFs): a crash mid-write must
   // not leave a truncated meta that poisons every later probe/compact/
   // discovery pass — the same crash-safety discipline as the sketch
   // state metas (values here are ints, so the regex reader is safe;
-  // only the WRITE needed hardening)
-  private def writeMeta(root: String, p: Params): Unit =
-    graft.util.Fs.writeFileAtomic(metaPath(root),
+  // only the WRITE needed hardening). All index I/O resolves through
+  // the root's Hadoop FileSystem (r12): hdfs:/NFS run unchanged.
+  private def writeMeta(root: String, p: Params): Unit = {
+    val (fs, mp) = metaPathFs(root)
+    graft.util.Fs.writeFileAtomicFs(fs, mp,
       s"""{"shingleSize":${p.shingleSize},"bands":${p.bands},"rowsPerBand":${p.rowsPerBand}}"""
         .getBytes(StandardCharsets.UTF_8))
+  }
 
   private def readMeta(root: String): Params = {
-    val s = new String(Files.readAllBytes(metaPath(root)),
-      StandardCharsets.UTF_8)
+    val (fs, mp) = metaPathFs(root)
+    val s = graft.util.Fs.readSmallFileFs(fs, mp)
     def f(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(s)
         .getOrElse(sys.error(s"corrupt index meta: $s")).group(1).toInt
     Params(f("shingleSize"), f("bands"), f("rowsPerBand"))
+  }
+
+  private def swapIn(root: String, table: String): Unit = {
+    val (fs, r) = graft.util.Fs.fsFor(root)
+    graft.util.Fs.swapInNewFs(fs, new org.apache.hadoop.fs.Path(r, table))
+  }
+
+  private def recoverAt(path: String): Unit = {
+    val (fs, r) = graft.util.Fs.fsFor(path)
+    graft.util.Fs.recoverSwapFs(fs, r)
   }
 
   /** Build the index: ONE pass over the corpus text for signatures/bands,
@@ -102,7 +117,7 @@ object NearDupIndex {
     // recovery preamble on the SERVING read too: a crash inside a
     // compaction's swap window must not break probes until the next
     // compaction runs (two existence checks when no repair is needed)
-    graft.util.Fs.recoverSwap(Paths.get(path))
+    recoverAt(path)
     val df = spark.read.parquet(path)
     if (df.columns.contains("batch_id") && excludeBatchId >= 0)
       df.filter(col("batch_id") =!= excludeBatchId)
@@ -184,8 +199,8 @@ object NearDupIndex {
       .write.mode("overwrite").parquet(s"$root/cells.new")
     // swap via rename so a concurrent probe sees old or new, not half
     // (crash inside the two-rename window → recoverSwap repairs it)
-    graft.util.Fs.swapInNew(Paths.get(root, "docs"))
-    graft.util.Fs.swapInNew(Paths.get(root, "cells"))
+    swapIn(root, "docs")
+    swapIn(root, "cells")
   }
 
   /** EXACTLY-ONCE streamed crawl dedup — the continuous-ingest
@@ -212,8 +227,9 @@ object NearDupIndex {
       checkpointDir: String, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): Unit = {
-    if (!Files.exists(metaPath(root))) {
-      Files.createDirectories(Paths.get(root))
+    val (mfs, mp) = metaPathFs(root)
+    if (!mfs.exists(mp)) {
+      mfs.mkdirs(mp.getParent)
       writeMeta(root, Params(shingleSize, bands, rowsPerBand))
     } else {
       val p = readMeta(root)
@@ -236,7 +252,8 @@ object NearDupIndex {
         // after a partial crash sees no docs/ and correctly probes
         // nothing
         val novel =
-          if (!Files.exists(Paths.get(root, "docs"))) batchClean
+          if (!mfs.exists(new org.apache.hadoop.fs.Path(mp.getParent, "docs")))
+            batchClean
           else {
             val hits = probe(spark, root, batchClean, idCol, textCol,
                 threshold, maxBucketSize, excludeBatchId = batchId)
@@ -272,7 +289,7 @@ object NearDupIndex {
 
   /** Ids accepted by [[streamIngest]] across all drained batches. */
   def accepted(spark: SparkSession, root: String, idCol: String): DataFrame = {
-    graft.util.Fs.recoverSwap(Paths.get(root, "accepted"))
+    recoverAt(s"$root/accepted")
     spark.read.parquet(s"$root/accepted").select(col(idCol))
   }
 
@@ -303,31 +320,34 @@ object NearDupIndex {
     * batch's partial rows into the sentinel would put them outside the
     * retry's own-batch exclusion. */
   def compactStream(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = graft.util.Fs.fsFor(root)
+    graft.util.Fs.requireRenameCapable(fs, s"compactStream($root)")
     val sentinel = graft.streaming.BatchPartitionIngest.CompactedBatchId
+    def hp(name: String) = new org.apache.hadoop.fs.Path(rootP, name)
     def fold(table: String, partCols: Seq[String] = Nil): Unit = {
-      val cur = Paths.get(root, table)
-      graft.util.Fs.recoverSwap(cur)
-      val nw = Paths.get(root, s"$table.new")
-      graft.util.Fs.deleteRecursively(nw.toFile)
+      val cur = hp(table)
+      graft.util.Fs.recoverSwapFs(fs, cur)
+      val nw = hp(s"$table.new")
+      fs.delete(nw, true)
       spark.read.parquet(cur.toString)
         .withColumn("batch_id", lit(sentinel))
         .write.mode("overwrite")
         .partitionBy("batch_id" +: partCols: _*)
         .parquet(nw.toString)
-      graft.util.Fs.swapInNew(cur)
+      graft.util.Fs.swapInNewFs(fs, cur)
     }
     fold("bands", Seq("band"))
     // per-batch cell stats merge into true global stats (sum/min)
-    graft.util.Fs.recoverSwap(Paths.get(root, "cells"))
+    graft.util.Fs.recoverSwapFs(fs, hp("cells"))
     val cells = spark.read.parquet(s"$root/cells")
       .groupBy(col("band"), col("band_hash"))
       .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))
       .localCheckpoint() // sever from the dir being swapped
-    graft.util.Fs.deleteRecursively(Paths.get(root, "cells.new").toFile)
+    fs.delete(hp("cells.new"), true)
     cells.withColumn("batch_id", lit(sentinel))
       .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(s"$root/cells.new")
-    graft.util.Fs.swapInNew(Paths.get(root, "cells"))
+      .parquet(hp("cells.new").toString)
+    graft.util.Fs.swapInNewFs(fs, hp("cells"))
     fold("shingles")
     fold("docs")
     fold("accepted")

@@ -42,10 +42,12 @@ object Maintenance {
     * actions refuse rather than corrupt. Deliberately a blocklist, not
     * an allowlist: an unknown scheme is assumed rename-capable the way
     * `hdfs`/`file`/NFS mounts are, and a deployment adding a new
-    * object-store connector extends this set. */
+    * object-store connector extends the shared set — ONE set
+    * ([[graft.util.Fs.NonAtomicRenameSchemes]]) governs every
+    * rename-based commit in the engine (maintenance rewrites,
+    * VersionedTable manifests, stream-state swaps). */
   private[pipeline] val NonAtomicRenameSchemes: Set[String] =
-    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
-      "oss", "cos", "swift")
+    graft.util.Fs.NonAtomicRenameSchemes
 
   private def schemeOf(fs: FileSystem): String =
     Option(fs.getUri.getScheme).getOrElse("file")

@@ -102,8 +102,9 @@ object BatchPartitionIngest {
     * different kind/groupCols, and swallowing the failure would bypass
     * the conflict guard and overwrite it. */
   def writeStateMeta(stateDir: String, meta: StateMeta): Unit = {
-    import java.nio.file.{Files, Paths}
-    Files.createDirectories(Paths.get(stateDir))
+    val (fs, root) = graft.util.Fs.fsFor(stateDir)
+    graft.util.Fs.requireRenameCapable(fs, s"writeStateMeta($stateDir)")
+    fs.mkdirs(root)
     val existingMeta =
       try readStateMeta(stateDir)
       catch { case _: CorruptStateMetaException => None }
@@ -111,7 +112,8 @@ object BatchPartitionIngest {
       require(existing == meta,
         s"state dir $stateDir already declares $existing; refusing $meta")
     }
-    graft.util.Fs.writeFileAtomic(Paths.get(stateDir, StateMetaFile),
+    graft.util.Fs.writeFileAtomicFs(fs,
+      new org.apache.hadoop.fs.Path(root, StateMetaFile),
       renderStateMeta(meta)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -163,11 +165,11 @@ object BatchPartitionIngest {
   }
 
   def readStateMeta(stateDir: String): Option[StateMeta] = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(stateDir, StateMetaFile)
-    if (!Files.exists(p)) None
-    else Some(parseStateMeta(new String(Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8), p.toString))
+    val (fs, root) = graft.util.Fs.fsFor(stateDir)
+    val p = new org.apache.hadoop.fs.Path(root, StateMetaFile)
+    if (!fs.exists(p)) None
+    else Some(parseStateMeta(
+      graft.util.Fs.readSmallFileFs(fs, p), p.toString))
   }
 
   /** Serving read of a state dir maintained by [[ingestOnce]] /
@@ -177,26 +179,32 @@ object BatchPartitionIngest {
     * compaction would leave every serving read broken in between. The
     * preamble is two existence checks when no repair is needed. */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    graft.util.Fs.recoverSwap(java.nio.file.Paths.get(stateDir))
+    val (fs, root) = graft.util.Fs.fsFor(stateDir)
+    graft.util.Fs.recoverSwapFs(fs, root)
     spark.read.parquet(stateDir)
   }
 
   def compactState(spark: SparkSession, stateDir: String)(
       fold: DataFrame => DataFrame): Unit = {
-    import java.nio.file.Paths
-    graft.util.Fs.recoverSwap(Paths.get(stateDir))
+    val (fs, root) = graft.util.Fs.fsFor(stateDir)
+    graft.util.Fs.requireRenameCapable(fs, s"compactState($stateDir)")
+    graft.util.Fs.recoverSwapFs(fs, root)
     val df = spark.read.parquet(stateDir)
-    val nw = stateDir + ".new"
-    graft.util.Fs.deleteRecursively(new java.io.File(nw))
+    val nw = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + ".new")
+    fs.delete(nw, true)
     fold(df.drop("batch_id"))
       .withColumn("batch_id", lit(CompactedBatchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(nw)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(nw.toString)
     // the swap replaces the dir wholesale — carry the self-description
     // into the new layout or discovery would lose the state after its
     // first compaction
-    val metaSrc = Paths.get(stateDir, StateMetaFile)
-    if (java.nio.file.Files.exists(metaSrc))
-      java.nio.file.Files.copy(metaSrc, Paths.get(nw, StateMetaFile))
-    graft.util.Fs.swapInNew(Paths.get(stateDir))
+    val metaSrc = new org.apache.hadoop.fs.Path(root, StateMetaFile)
+    if (fs.exists(metaSrc))
+      graft.util.Fs.writeFileAtomicFs(fs,
+        new org.apache.hadoop.fs.Path(nw, StateMetaFile),
+        graft.util.Fs.readSmallFileFs(fs, metaSrc)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.util.Fs.swapInNewFs(fs, root)
   }
 }

@@ -11,7 +11,7 @@ object Fs {
     f.delete()
   }
 
-  import java.nio.file.{Files, Path}
+  import java.nio.file.{Files, Path, Paths}
 
   /** Crash-safe small-file write: temp in the same directory + atomic
     * rename, so a reader never observes a truncated file and a crash
@@ -73,5 +73,112 @@ object Fs {
     if (Files.exists(cur)) Files.move(cur, old)
     Files.move(nw, cur)
     deleteRecursively(old.toFile)
+  }
+
+  // ---- Hadoop-FileSystem variants of the commit discipline ----------
+  //
+  // The same three primitives over `org.apache.hadoop.fs.FileSystem`, so
+  // stream-state and index commits run on hdfs:/NFS/any rename-capable
+  // connector exactly like the maintenance rewrites do (r12). `file:`
+  // paths DELEGATE to the java.nio implementations above — those carry
+  // the fsync guarantees the Hadoop API cannot express for local disks.
+  // Object-store schemes must be refused by callers BEFORE mutating
+  // ([[requireRenameCapable]]): rename there is copy+delete and the
+  // crash-safety arguments do not hold (the catalog/table-format commit
+  // is the correct substrate on that deployment — SCALING.md boundary).
+
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  /** Schemes whose Hadoop connector implements rename as copy+delete —
+    * every rename-based commit in the engine shares this one set. */
+  val NonAtomicRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "cos", "swift")
+
+  def schemeOf(fs: FileSystem): String =
+    Option(fs.getUri.getScheme).getOrElse("file")
+
+  def requireRenameCapable(fs: FileSystem, what: String): Unit =
+    require(!NonAtomicRenameSchemes(schemeOf(fs)),
+      s"$what: scheme '${schemeOf(fs)}' has no atomic rename — the " +
+        "swap/commit protocol is unsound; use a catalog-backed table " +
+        "format on object stores")
+
+  /** Resolve a path string to its (FileSystem, qualified path) through
+    * the active session's Hadoop conf when one exists (so `fs.*.impl`
+    * settings flow), else the classpath default. THE resolution every
+    * conf-less state/index entry point shares. */
+  def fsFor(path: String): (FileSystem, HPath) = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val raw = new HPath(path)
+    val fs = raw.getFileSystem(conf)
+    (fs, fs.makeQualified(raw))
+  }
+
+  private def isLocal(fs: FileSystem): Boolean = schemeOf(fs) == "file"
+
+  private def localPath(p: HPath): Path = Paths.get(p.toUri.getPath)
+
+  private def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst))
+      sys.error(s"rename failed: $src -> $dst (dst exists or src missing)")
+
+  /** [[recoverSwap]] over a Hadoop FileSystem. */
+  def recoverSwapFs(fs: FileSystem, cur: HPath): Unit =
+    if (isLocal(fs)) recoverSwap(localPath(cur))
+    else {
+      val old = new HPath(cur.getParent, cur.getName + ".old")
+      if (!fs.exists(cur) && fs.exists(old)) renameOrThrow(fs, old, cur)
+    }
+
+  /** [[swapInNew]] over a Hadoop FileSystem. */
+  def swapInNewFs(fs: FileSystem, cur: HPath): Unit =
+    if (isLocal(fs)) swapInNew(localPath(cur))
+    else {
+      recoverSwapFs(fs, cur)
+      val nw = new HPath(cur.getParent, cur.getName + ".new")
+      val old = new HPath(cur.getParent, cur.getName + ".old")
+      fs.delete(old, true)
+      if (fs.exists(cur)) renameOrThrow(fs, cur, old)
+      renameOrThrow(fs, nw, cur)
+      fs.delete(old, true)
+    }
+
+  /** [[writeFileAtomic]] over a Hadoop FileSystem: unique temp +
+    * rename; on stores with a sync barrier the stream is hsync'd
+    * before the rename (best-effort — local `file:` delegates to the
+    * nio path, which force()s the channel and the directory). */
+  def writeFileAtomicFs(fs: FileSystem, path: HPath,
+      bytes: Array[Byte]): Unit =
+    if (isLocal(fs)) writeFileAtomic(localPath(path), bytes)
+    else {
+      val tmp = new HPath(path.getParent,
+        s".${path.getName}.${ProcessHandle.current.pid}-${Thread.currentThread.getId}.tmp")
+      val out = fs.create(tmp, true)
+      try {
+        out.write(bytes)
+        try out.hsync() catch { case _: UnsupportedOperationException => () }
+      } finally out.close()
+      // REPLACE_EXISTING: try the direct rename first (atomic when dst
+      // is absent); only when a store refuses rename-onto-existing does
+      // the old file get deleted first — a window where the file is
+      // briefly missing (a reader treats that as absent and a crash
+      // there loses only the PREVIOUS version, never yields a torn
+      // file; POSIX `file:` paths delegate above and have no window).
+      if (!fs.rename(tmp, path)) {
+        fs.delete(path, false)
+        try renameOrThrow(fs, tmp, path)
+        catch { case e: Throwable => fs.delete(tmp, false); throw e }
+      }
+    }
+
+  /** Small-file read through a Hadoop FileSystem (UTF-8). */
+  def readSmallFileFs(fs: FileSystem, path: HPath): String = {
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 }

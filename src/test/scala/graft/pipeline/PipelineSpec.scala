@@ -686,6 +686,41 @@ class PipelineSpec extends SparkSpec {
     assert(readStateMeta(dir).contains(meta))
   }
 
+  test("stream-state meta + compaction swap + serving read run through " +
+      "a non-file Hadoop scheme; object-store schemes refuse mutation") {
+    import graft.streaming.BatchPartitionIngest._
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.stub.impl", classOf[StubLocalFileSystem].getName)
+    hc.set("fs.s3a.impl", classOf[FakeObjectStoreFileSystem].getName)
+    val local = tmpDir() + "/state"
+    val dir = "stub:" + local
+    // seed two batch partitions the way ingestOnce's layout lands them
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "n").withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(dir)
+    Seq(("a", 10L)).toDF("k", "n").withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(dir)
+    writeStateMeta(dir, StateMeta("hll", Seq("k")))
+    assert(readStateMeta(dir).contains(StateMeta("hll", Seq("k"))))
+    compactState(spark, dir)(df =>
+      df.groupBy(col("k")).agg(sum(col("n")).as("n")))
+    val folded = readState(spark, dir)
+      .select(col("k"), col("n"), col("batch_id").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded == Set(("a", 11L, CompactedBatchId),
+      ("b", 2L, CompactedBatchId)))
+    // the meta survived the swap, on the foreign scheme
+    assert(readStateMeta(dir).contains(StateMeta("hll", Seq("k"))))
+    assert(Files.isRegularFile(Paths.get(local, StateMetaFile)))
+    // object-store scheme: meta writes and compaction refuse
+    intercept[IllegalArgumentException] {
+      writeStateMeta("s3a:" + local, StateMeta("hll", Seq("k")))
+    }
+    intercept[IllegalArgumentException] {
+      compactState(spark, "s3a:" + local)(identity)
+    }
+  }
+
   test("an IOException-shaped unreadable meta refuses the write " +
       "instead of silently overwriting a possibly-valid declaration") {
     import graft.streaming.BatchPartitionIngest._
