@@ -140,10 +140,10 @@ object Cdc {
     val remaining = merged.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     (touchedVals -- remaining).foreach { v =>
-      val dir = java.nio.file.Paths
-        .get(wh.table(zone, name), s"$partitionCol=$v")
-      if (java.nio.file.Files.isDirectory(dir)) {
-        graft.util.Fs.deleteRecursively(dir.toFile)
+      val (fs, dir) =
+        graft.util.Fs.fsFor(s"${wh.table(zone, name)}/$partitionCol=$v")
+      if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory) {
+        fs.delete(dir, true)
       }
     }
   }

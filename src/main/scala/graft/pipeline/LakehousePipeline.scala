@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -35,14 +34,18 @@ object LakehousePipeline {
   def run(spark: SparkSession, srcEventsParquet: String, wh: Warehouse,
       factAppend: Boolean = false): RunReport = {
 
-    // Stage 1 — ingest (idempotent file landing; S8 analog)
-    val srcFiles =
-      if (Files.isDirectory(Paths.get(srcEventsParquet)))
-        Files.list(Paths.get(srcEventsParquet)).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet")).toSeq
-      else Seq(Paths.get(srcEventsParquet))
+    // Stage 1 — ingest (idempotent file landing; S8 analog). Source
+    // files list through their own Hadoop FileSystem, so the landing
+    // zone can pull from any scheme the destination can't rename on.
+    val srcFiles = {
+      val (fs, src) = graft.util.Fs.fsFor(srcEventsParquet)
+      if (fs.exists(src) && fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src).toSeq.map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).sorted
+      else Seq(src.toString)
+    }
     val (copied, skipped) = Retry.withRetry(attempts = 2, baseDelayMs = 100) {
-      Medallion.ingest(srcFiles, wh, "events")
+      Medallion.ingestPaths(srcFiles, wh, "events")
     }
 
     // Stage 2 — bronze → silver: cleanse + dedup + partition columns

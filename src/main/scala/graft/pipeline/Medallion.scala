@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.Path
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -31,16 +30,28 @@ object Medallion {
     * skipping any that already exist (the reference's head-object
     * exists-check, reference: lambda/nyc_tlc_ingest.py:45-53). Returns
     * (copied, skipped). */
-  def ingest(srcFiles: Seq[Path], wh: Warehouse, table: String): (Int, Int) = {
-    val destDir = Paths.get(wh.table(Bronze, table))
-    Files.createDirectories(destDir)
+  def ingest(srcFiles: Seq[Path], wh: Warehouse, table: String): (Int, Int) =
+    ingestPaths(srcFiles.map(_.toString), wh, table)
+
+  /** The Hadoop-FS form: source and destination resolve independently
+    * (each by its own scheme), so local-to-hdfs uploads — the
+    * reference's actual ingest shape, local files into the warehouse
+    * store — are the same call as local-to-local. Skip-if-exists is an
+    * existence probe on the DESTINATION store, exactly the reference's
+    * head-object check. */
+  def ingestPaths(srcFiles: Seq[String], wh: Warehouse,
+      table: String): (Int, Int) = {
+    val (dstFs, destDir) = graft.util.Fs.fsFor(wh.table(Bronze, table))
+    dstFs.mkdirs(destDir)
     var copied = 0
     var skipped = 0
-    srcFiles.foreach { src =>
-      val dest = destDir.resolve(src.getFileName)
-      if (Files.exists(dest)) skipped += 1
+    srcFiles.foreach { s =>
+      val (srcFs, src) = graft.util.Fs.fsFor(s)
+      val dest = new org.apache.hadoop.fs.Path(destDir, src.getName)
+      if (dstFs.exists(dest)) skipped += 1
       else {
-        Files.copy(src, dest, StandardCopyOption.COPY_ATTRIBUTES)
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dest,
+          false, dstFs.getConf)
         copied += 1
       }
     }
@@ -72,8 +83,8 @@ object Medallion {
     * their commit protocol; column order is not significant). */
   private def assertSchemaCompatible(df: DataFrame, wh: Warehouse,
       zone: String, name: String): Unit = {
-    val dir = Paths.get(wh.table(zone, name))
-    if (Files.isDirectory(dir)) {
+    val (fs, dir) = graft.util.Fs.fsFor(wh.table(zone, name))
+    if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory) {
       def shape(s: org.apache.spark.sql.types.StructType) =
         s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
       val existing = df.sparkSession.read.parquet(dir.toString).schema
@@ -156,10 +167,10 @@ object Medallion {
     }
 
   private def tableDirs(wh: Warehouse, zone: String): Seq[String] = {
-    val dir = Paths.get(wh.zone(zone))
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq
+    val (fs, dir) = graft.util.Fs.fsFor(wh.zone(zone))
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
   }
 }
 

@@ -686,6 +686,32 @@ class PipelineSpec extends SparkSpec {
     assert(readStateMeta(dir).contains(meta))
   }
 
+  test("medallion ingest copies ACROSS filesystems (local source -> " +
+      "stub warehouse), idempotently; zone tables list on the scheme") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.stub.impl", classOf[StubLocalFileSystem].getName)
+    val srcDir = tmpDir() + "/src"
+    (1 to 100).toDF("x").coalesce(1).write.parquet(srcDir)
+    val srcFiles = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty).map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    val wh = Warehouse("stub:" + tmpDir() + "/wh")
+    val (copied, skipped) = Medallion.ingestPaths(srcFiles, wh, "events")
+    assert(copied == 1 && skipped == 0)
+    // skip-if-exists probes the DESTINATION store
+    val (copied2, skipped2) = Medallion.ingestPaths(srcFiles, wh, "events")
+    assert(copied2 == 0 && skipped2 == 1)
+    assert(spark.read.parquet(wh.table(Medallion.Bronze, "events"))
+      .count() == 100)
+    // a partitioned silver write + read-back through the scheme
+    Medallion.writeTable(
+      (1 to 50).map(i => (i, i % 2)).toDF("v", "p"), wh, Medallion.Silver,
+      "t", partitionBy = Seq("p"))
+    assert(Medallion.readTable(spark, wh, Medallion.Silver, "t")
+      .count() == 50)
+  }
+
   test("stream-state meta + compaction swap + serving read run through " +
       "a non-file Hadoop scheme; object-store schemes refuse mutation") {
     import graft.streaming.BatchPartitionIngest._
