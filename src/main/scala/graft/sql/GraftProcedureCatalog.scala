@@ -163,8 +163,12 @@ object GraftProcedureCatalog {
         input: InternalRow): Seq[Maintenance.Report] = {
       val table = str(input, 0)
       val keep = input.getInt(1)
-      if (java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(table, "_versions"))) {
+      val (tfs, troot) = graft.util.Fs.fsFor(table)
+      val versioned = {
+        val p = new org.apache.hadoop.fs.Path(troot, "_versions")
+        tfs.exists(p) && tfs.getFileStatus(p).isDirectory
+      }
+      if (versioned) {
         try {
           val dropped = VersionedTable.expire(table, keep)
           Seq(Maintenance.Report(table, "expire_snapshots", ok = true,
