@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
         "graft_version"),
       pipeline.VersionedTable.tvfBuilder))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_history"),
+      pipeline.VersionedTable.historyTvfBuilder))
   }
 }

@@ -157,6 +157,50 @@ object VersionedTable {
     read(SparkSession.active, table, version).queryExecution.analyzed
   }
 
+  /** Commit wall-clock of a manifested version (the first manifest
+    * line, epoch millis — written by [[write]]/[[rollback]]). */
+  private def commitTimeOn(fs: FileSystem, root: Path, v: Long): Long = {
+    val in = fs.open(new Path(manifestDir(root), v.toString))
+    val content =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    content.linesIterator.nextOption()
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+  }
+
+  /** Snapshot history — the `table$snapshots` metadata surface
+    * (Iceberg's snapshot listing, the reference's audit view of
+    * `expire_snapshots` targets): one row per RETAINED version with its
+    * commit time, the data version it resolves to (≠ version for
+    * rollback redirect commits), and whether it is current. Driver cost
+    * is |versions| manifest reads — the same budget every expiry pass
+    * already has. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    import spark.implicits._
+    vs.map { v =>
+      (v, new java.sql.Timestamp(commitTimeOn(fs, root, v)),
+        dataVersionOn(fs, root, v), v == vs.last)
+    }.toDF("version", "committed_at", "data_version", "is_current")
+  }
+
+  private def expireDrop(fs: FileSystem, root: Path, vs: Seq[Long],
+      drop: Seq[Long]): Seq[Long] = {
+    val dropSet = drop.toSet
+    // resolve BEFORE dropping manifests: kept versions' data dirs are live
+    val live = vs.filterNot(dropSet)
+      .map(dataVersionOn(fs, root, _)).toSet
+    drop.foreach { v =>
+      fs.delete(new Path(manifestDir(root), v.toString), false)
+      if (!live.contains(v)) {
+        fs.delete(new Path(root, s"v=$v"), true)
+      }
+    }
+    drop
+  }
+
   /** M1: expire old snapshots, keeping the newest `keepLast`. The manifest
     * is removed first so readers can never resolve a half-deleted version.
     * A data directory referenced by a RETAINED manifest's `data=` redirect
@@ -166,16 +210,31 @@ object VersionedTable {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "expire")
     val vs = versionsOn(fs, root)
-    val drop = vs.dropRight(keepLast)
-    // resolve BEFORE dropping manifests: kept versions' data dirs are live
-    val live = vs.drop(math.max(0, vs.size - keepLast))
-      .map(dataVersionOn(fs, root, _)).toSet
-    drop.foreach { v =>
-      fs.delete(new Path(manifestDir(root), v.toString), false)
-      if (!live.contains(v)) {
-        fs.delete(new Path(root, s"v=$v"), true)
-      }
-    }
-    drop
+    expireDrop(fs, root, vs, vs.dropRight(keepLast))
+  }
+
+  /** Iceberg's `expire_snapshots(older_than => ts, retain_last => n)`
+    * semantics: drop versions committed BEFORE `olderThanMillis`, but
+    * always retain at least the newest `retainLast` regardless of age
+    * (so an idle table can never expire itself empty). Same
+    * redirect-target data protection as [[expire]]. */
+  def expireOlderThan(table: String, olderThanMillis: Long,
+      retainLast: Int = 1): Seq[Long] = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "expireOlderThan")
+    val vs = versionsOn(fs, root)
+    val guarded = vs.takeRight(math.max(1, retainLast)).toSet
+    val drop = vs.filter(v =>
+      !guarded(v) && commitTimeOn(fs, root, v) < olderThanMillis)
+    expireDrop(fs, root, vs, drop)
+  }
+
+  /** `graft_history('table')` — [[history]] as a SQL table-valued
+    * function, the `SELECT * FROM table$snapshots` shape. */
+  def historyTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 1 && exprs.head.foldable,
+      "graft_history expects one literal argument: (table_path)")
+    history(SparkSession.active, exprs.head.eval().toString)
+      .queryExecution.analyzed
   }
 }

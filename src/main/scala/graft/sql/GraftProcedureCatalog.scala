@@ -154,11 +154,14 @@ object GraftProcedureCatalog {
   }
 
   private object ExpireSnapshots extends MaintProc("expire_snapshots",
-    "expire old VersionedTable snapshots keeping the newest retain_last " +
-      "(M1); a no-op report on plain parquet tables, which have none",
+    "expire old VersionedTable snapshots — keep the newest retain_last; " +
+      "older_than additionally drops only versions committed before the " +
+      "timestamp (Iceberg parameter names). No-op report on plain " +
+      "parquet tables, which have no snapshots",
     Array(
       p("table", StringType),
-      p("retain_last", IntegerType, "7"))) {
+      p("retain_last", IntegerType, "7"),
+      p("older_than", TimestampType, "NULL"))) {
     override protected def run(spark: SparkSession,
         input: InternalRow): Seq[Maintenance.Report] = {
       val table = str(input, 0)
@@ -170,9 +173,13 @@ object GraftProcedureCatalog {
       }
       if (versioned) {
         try {
-          val dropped = VersionedTable.expire(table, keep)
+          val dropped =
+            if (input.isNullAt(2)) VersionedTable.expire(table, keep)
+            else VersionedTable.expireOlderThan(table,
+              // TimestampType arrives as epoch MICROS
+              input.getLong(2) / 1000L, keep)
           Seq(Maintenance.Report(table, "expire_snapshots", ok = true,
-            if (dropped.isEmpty) s"noop: <= $keep snapshots"
+            if (dropped.isEmpty) "noop: nothing to expire"
             else s"expired versions ${dropped.mkString(",")}"))
         } catch {
           case scala.util.control.NonFatal(e) =>

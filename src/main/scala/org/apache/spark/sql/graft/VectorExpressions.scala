@@ -672,5 +672,8 @@ object VectorFunctions {
       }, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_version", graft.pipeline.VersionedTable.tvfBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_history", graft.pipeline.VersionedTable.historyTvfBuilder,
+      "built-in")
   }
 }

@@ -80,6 +80,40 @@ class VersionedTableSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.read(spark, table, Some(1L)) }
   }
 
+  test("history lists retained snapshots with commit times and redirect " +
+      "resolution; expireOlderThan drops by age but retains the floor") {
+    graft.expressions.GraftFunctions.register(spark)
+    val table = Files.createTempDirectory("graft_vt5_").toString + "/t"
+    val t0 = System.currentTimeMillis()
+    VersionedTable.write(Seq(1, 2).toDF("x"), table)
+    VersionedTable.write(Seq(3).toDF("x"), table)
+    VersionedTable.rollback(table, 1L)
+    val h = VersionedTable.history(spark, table).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the rollback commit resolves to v1's data; only v3 is current
+    assert(h.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    assert(h.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      Seq((1L, false), (2L, false), (3L, true)))
+    assert(h.forall(_.getTimestamp(1).getTime >= t0))
+    // the SQL surface sees the same rows
+    val sqlH = spark.sql(
+      s"SELECT version, data_version, is_current FROM graft_history('$table')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(sqlH.toSeq ==
+      Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true)))
+    // age-based expiry: everything is older than (now + 1h), but the
+    // retain_last floor keeps the newest two
+    val dropped = VersionedTable.expireOlderThan(table,
+      System.currentTimeMillis() + 3600000L, retainLast = 2)
+    assert(dropped == Seq(1L))
+    assert(VersionedTable.versions(table) == Seq(2L, 3L))
+    // a cutoff BEFORE every commit expires nothing
+    assert(VersionedTable.expireOlderThan(table, t0 - 1000L).isEmpty)
+    // v3 (current) still reads v1's data — the redirect target survived
+    assert(VersionedTable.read(spark, table).count() == 2)
+  }
+
   test("full lifecycle through a non-file Hadoop scheme (stub://); " +
       "object-store schemes refuse mutations, reads untouched") {
     val hc = spark.sparkContext.hadoopConfiguration

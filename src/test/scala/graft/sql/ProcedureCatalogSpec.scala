@@ -78,6 +78,14 @@ class ProcedureCatalogSpec extends SparkSpec {
     assert(rep.head.getBoolean(2) && rep.head.getString(3).contains("1"),
       rep.head.getString(3))
     assert(VersionedTable.versions(vt) == Seq(2L, 3L))
+    // older_than (Iceberg parameter): everything is older than the
+    // future cutoff, but retain_last floors what survives
+    VersionedTable.write(Seq(7).toDF("x"), vt)
+    val repOt = call("CALL graft.system.expire_snapshots(" +
+      s"table => '$vt', retain_last => 2, " +
+      "older_than => TIMESTAMP '2200-01-01 00:00:00')")
+    assert(repOt.head.getBoolean(2), repOt.head.getString(3))
+    assert(VersionedTable.versions(vt).size == 2)
     // plain parquet: explicit no-op report (M1 has nothing to expire)
     val plain = tmpDir() + "/p"
     Seq(1).toDF("x").write.parquet(plain)
