@@ -199,8 +199,22 @@ object GraftProcedureCatalog {
       Seq(Maintenance.removeOrphans(spark, str(input, 0)))
   }
 
+  private object RepartitionTable extends MaintProc("repartition_table",
+    "partition-layout evolution: rewrite the table into a new Hive " +
+      "layout (empty partition_cols un-partitions); old keys survive " +
+      "as data columns — Iceberg partition evolution, the parquet way",
+    Array(
+      p("table", StringType),
+      p("partition_cols", StringType, "''"))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.repartitionTable(spark, str(input, 0),
+        str(input, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "rewrite_data_files" -> RewriteDataFiles,
     "expire_snapshots" -> ExpireSnapshots,
-    "remove_orphan_files" -> RemoveOrphanFiles)
+    "remove_orphan_files" -> RemoveOrphanFiles,
+    "repartition_table" -> RepartitionTable)
 }

@@ -97,6 +97,25 @@ class ProcedureCatalogSpec extends SparkSpec {
     assert(rep3.head.getBoolean(2) && !Files.exists(Paths.get(plain, "_temporary")))
   }
 
+  test("CALL repartition_table evolves the Hive layout from SQL; old " +
+      "keys survive as data columns; empty cols un-partitions") {
+    import spark.implicits._
+    val dir = tmpDir() + "/r"
+    (1 to 300).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "k", "v")
+      .write.parquet(dir)
+    val rep = call("CALL graft.system.repartition_table(" +
+      s"table => '$dir', partition_cols => 'k')")
+    assert(rep.head.getBoolean(2), rep.head.getString(3))
+    assert(new java.io.File(s"$dir/k=1").isDirectory)
+    assert(spark.read.parquet(dir).count() == 300)
+    val flat = call(s"CALL graft.system.repartition_table(table => '$dir')")
+    assert(flat.head.getBoolean(2) &&
+      flat.head.getString(3).contains("unpartitioned"))
+    assert(!new java.io.File(s"$dir/k=1").isDirectory)
+    // k came back as a data column — no data lost un-partitioning
+    assert(spark.read.parquet(dir).where(col("k") === 1).count() == 100)
+  }
+
   test("unknown procedure and wrong namespace fail with the available " +
       "list; listProcedures enumerates the surface") {
     registered
@@ -111,7 +130,8 @@ class ProcedureCatalogSpec extends SparkSpec {
       messages.contains("rewrite_data_files"), messages)
     val cat = new GraftProcedureCatalog
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("expire_snapshots", "remove_orphan_files", "rewrite_data_files"))
+      Seq("expire_snapshots", "remove_orphan_files", "repartition_table",
+        "rewrite_data_files"))
     assert(cat.listProcedures(Array("other")).isEmpty)
   }
 }
