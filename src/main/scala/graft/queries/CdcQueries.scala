@@ -179,13 +179,28 @@ object CdcQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Snapshot HISTORY pinned in the oracle gate: `committed_at` is
+    * wall-clock (never oracle-stable), but version numbers, redirect
+    * resolution, and currency are fully determined by the commit
+    * sequence — so q169's table (good → bad → rollback, built once per
+    * dir) exports exactly three known rows. A rollback that loses its
+    * redirect, a history that lists expired/phantom versions, or a
+    * mis-ordered listing all hash-mismatch against the literal oracle. */
+  def q186SnapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    q169Rollback(s, dir).count() // ensure the versioned fixture exists
+    VersionedTable.history(s, rollbackTables(dir))
+      .select(col("version"), col("data_version"), col("is_current"))
+      .orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
     "q89_snapshot_diff" -> (q89SnapshotDiff _),
     "q93_sql_merge" -> (q93SqlMerge _),
     "q169_rollback" -> (q169Rollback _),
-    "q183_sql_maintenance" -> (q183SqlMaintenance _))
+    "q183_sql_maintenance" -> (q183SqlMaintenance _),
+    "q186_snapshot_history" -> (q186SnapshotHistory _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -197,6 +212,15 @@ object CdcQueries {
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
+    // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
+    // redirect at v1's data and current — three literal rows
+    "q186_snapshot_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), false),
+        |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), true))
+        |AS t(version, data_version, is_current)
+        |ORDER BY version""".stripMargin,
     // aggregates of raw lineitem: the CALL-compacted copy must match
     "q183_sql_maintenance" ->
       """SELECT l_returnflag,

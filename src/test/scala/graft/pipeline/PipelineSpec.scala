@@ -747,6 +747,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("non-local swap branch recovers a crash window: state dir " +
+      "missing with .old present is repaired by the serving read") {
+    import graft.streaming.BatchPartitionIngest._
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.stub.impl", classOf[StubLocalFileSystem].getName)
+    val local = tmpDir() + "/state"
+    val dir = "stub:" + local
+    Seq(("a", 1L)).toDF("k", "n").withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(dir)
+    // simulate the crash between the two swap renames: cur -> cur.old
+    // done, cur.new -> cur not yet
+    Files.move(Paths.get(local), Paths.get(local + ".old"))
+    assert(!Files.exists(Paths.get(local)))
+    // the serving read's recovery preamble repairs it — via the stub
+    // scheme's (non-delegating) Hadoop branch
+    assert(readState(spark, dir).count() == 1)
+    assert(Files.isDirectory(Paths.get(local)))
+    assert(!Files.exists(Paths.get(local + ".old")))
+  }
+
   test("an IOException-shaped unreadable meta refuses the write " +
       "instead of silently overwriting a possibly-valid declaration") {
     import graft.streaming.BatchPartitionIngest._
