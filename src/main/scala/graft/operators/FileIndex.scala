@@ -177,7 +177,7 @@ object FileIndex {
     * the same file compare equal across the two listing APIs. Unparsable
     * strings fall back to themselves (comparison degrades to raw
     * equality, never throws). */
-  private[operators] def canonicalFileKey(s: String): String =
+  def canonicalFileKey(s: String): String =
     try {
       val u = new java.net.URI(s)
       if (u.getPath == null || u.getPath.isEmpty) s
@@ -261,6 +261,14 @@ object FileIndex {
     else
       spark.read.parquet(files: _*).filter(col(c) === lit(value))
   }
+
+  /** Every file the stats table describes — the universe a pruning
+    * decision may exclude from. Files NOT in this set are unknown to
+    * the index and must always be read (the conservative contract
+    * [[org.apache.spark.sql.graft.StatsPruning]] builds on: a stale
+    * index can waste IO on files it doesn't know, never lose them). */
+  def describedFiles(stats: DataFrame): Seq[String] =
+    collectNames(stats.select(col("file")), "stats-table file listing")
 
   /** Files whose [min, max] envelope admits `lo <= c <= hi`. */
   def candidateFiles(stats: DataFrame, c: String, lo: Column,

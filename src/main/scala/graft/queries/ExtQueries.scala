@@ -469,6 +469,7 @@ object ExtQueries {
         ivfIndexes.values ++ qivfIndexes.values ++ ndIndexes.values ++
         ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
         resIndexes.values ++ crawlDedupDirs.values ++
+        autoPruneTables.values.map(t => new java.io.File(t._1).getParent) ++
         (kllStreamDirs.values ++ thetaStreamDirs.values ++
           hllStreamDirs.values ++
           cmsStreamDirs.values).map(new java.io.File(_).getParent))
@@ -1162,6 +1163,52 @@ object ExtQueries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
           .as("sum_qty"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** AUTOMATIC file skipping under the oracle gate: a fragmented copy
+    * of orders is stats-indexed (bloom on o_custkey) and REGISTERED
+    * with [[org.apache.spark.sql.graft.StatsPruning]], then the query
+    * is a PLAIN `spark.read.parquet(...).where(o_custkey = k)` — no
+    * FileIndex API in sight; the Catalyst rule prunes the listing at
+    * plan time (require()d to have fired: fewer files scanned than the
+    * table holds). The oracle filters raw orders at the same key, so a
+    * pruning bug that loses a file hash-mismatches, and the
+    * conservative unknown-files-kept contract is what keeps the stats
+    * advisory. k = min(o_custkey), deterministic at every SF in both
+    * engines. */
+  private val autoPruneTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  def q187AutoPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val (table, key) = autoPruneTables.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-autoprune-").toString
+      val tbl = s"$d/orders"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      o.repartition(8).write.parquet(tbl)
+      val statsDir = s"$d/stats"
+      graft.operators.FileIndex.buildStatsWithBloom(s, tbl,
+          rangeCols = Seq("o_custkey"), bloomCols = Seq("o_custkey"),
+          expectedItemsPerFile = 300000L, bloomNumBits = 1L * 1024 * 1024)
+        .write.parquet(statsDir)
+      org.apache.spark.sql.graft.StatsPruning.register(s, tbl, statsDir)
+      (tbl, o.agg(min(col("o_custkey"))).head().getLong(0))
+    })
+    val q = s.read.parquet(table).where(col("o_custkey") === lit(key))
+      .orderBy(col("o_orderkey"))
+    q.collect() // force optimization so the plan below is the real one
+    val scanned = q.queryExecution.optimizedPlan.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+      case _ => 0
+    }.sum
+    require(scanned < 8,
+      s"auto-pruning did not fire: scanned $scanned of 8 files")
+    q
   }
 
   /** CSV raw-zone round-trip (the landing format object-store ingest
@@ -1965,6 +2012,7 @@ object ExtQueries {
     "q181_gopher_fused" -> (q181GopherFused _),
     "q182_gopher_quality" -> (q182GopherQuality _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
+    "q187_auto_pruned_scan" -> (q187AutoPrunedScan _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2931,6 +2979,14 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_partkey = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q187_auto_pruned_scan" ->
+      // raw orders at the same deterministic key: the transparent
+      // Catalyst pruning may only shrink the listing — a lost file
+      // (over-pruning) or dropped predicate changes these rows
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q167_theta_overlap" -> thetaOverlapOracle,
     // the streamed build must land on the identical exact answer
     "q170_stream_theta_overlap" -> thetaOverlapOracle,
