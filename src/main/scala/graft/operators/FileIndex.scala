@@ -278,6 +278,14 @@ object FileIndex {
         .select(col("file")),
       s"range probe on $c")
 
+  /** Files admitted by an arbitrary predicate over the stats columns —
+    * the composition point [[org.apache.spark.sql.graft.StatsPruning]]
+    * uses for one-sided ranges (`c > lit` → `c_max > lit`). Same gated
+    * name collect as every other probe. */
+  def candidateFilesWhere(stats: DataFrame, cond: Column,
+      what: String): Seq[String] =
+    collectNames(stats.filter(cond).select(col("file")), what)
+
   /** Range read through the index: list candidate files from the stats
     * table (a driver-side file list — bounded by file count, the same
     * cardinality every planner materializes), read ONLY those, re-apply

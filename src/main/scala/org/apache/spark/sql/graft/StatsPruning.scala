@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -22,8 +22,10 @@ import graft.operators.{FileIndex => GraftFileIndex}
   * need a custom `Rule[LogicalPlan]` rather than a built-in).
   *
   * CONSERVATIVE BY CONSTRUCTION — the safety argument, in order:
-  *  1. only equality conjuncts on columns the stats table indexes
-  *     participate; everything else leaves the plan untouched.
+  *  1. only equality and one-sided range conjuncts on columns the
+  *     stats table indexes participate (equality via bloom when
+  *     present, envelope otherwise; ranges via the min/max envelope);
+  *     everything else leaves the plan untouched.
   *  2. a file is dropped ONLY when the index describes it AND every
   *     participating predicate's candidate set excludes it. Files the
   *     index has never seen (appended after the last stats refresh)
@@ -105,43 +107,82 @@ case class PruneScanByFileStats(spark: SparkSession)
     try {
       val stats = spark.read.parquet(statsDir)
       val statsCols = stats.columns.toSet
-      val eqs = splitConjunctivePredicates(cond).collect {
-        case EqualTo(a: AttributeReference, l: Literal) => (a.name, l)
-        case EqualTo(l: Literal, a: AttributeReference) => (a.name, l)
-      }
-      // per participating predicate: the files whose stats ADMIT it
-      val admittedSets = eqs.flatMap { case (c, l) =>
+      def hasRange(c: String) =
+        statsCols(s"${c}_min") && statsCols(s"${c}_max")
+      def colMin(c: String) =
+        org.apache.spark.sql.functions.col(s"${c}_min")
+      def colMax(c: String) =
+        org.apache.spark.sql.functions.col(s"${c}_max")
+      def litCol(l: Literal) = ExpressionUtils.column(l)
+
+      /** Equality conjunct -> admitted files: bloom when indexed
+        * (selective on unclustered layout), min/max envelope otherwise. */
+      def eqSet(c: String, l: Literal): Option[Seq[String]] = {
         val external =
           CatalystTypeConverters.convertToScala(l.value, l.dataType)
-        if (external == null) None // null-lit equality matches nothing; let the filter own it
+        if (external == null) None
         else if (statsCols(s"${c}_bloom"))
           Some(GraftFileIndex.candidateFilesEquals(stats, c, external))
-        else if (statsCols(s"${c}_min") && statsCols(s"${c}_max")) {
-          val lit = ExpressionUtils.column(l)
-          Some(GraftFileIndex.candidateFiles(stats, c, lit, lit))
-        } else None
+        else if (hasRange(c))
+          Some(GraftFileIndex.candidateFiles(stats, c, litCol(l), litCol(l)))
+        else None
       }
-      if (admittedSets.isEmpty) return None
-      val admitted = admittedSets
-        .map(_.map(GraftFileIndex.canonicalFileKey).toSet)
-        .reduce(_ intersect _)
-      val described = GraftFileIndex.describedFiles(stats)
-        .map(GraftFileIndex.canonicalFileKey).toSet
-      val current = hfsr.location.inputFiles.toSeq
-      val kept = current.filter { file =>
-        val k = GraftFileIndex.canonicalFileKey(file)
-        !described(k) || admitted(k)
+      def rangeSet(c: String, l: Literal,
+          admit: org.apache.spark.sql.Column): Option[Seq[String]] =
+        if (hasRange(c) && l.value != null)
+          Some(GraftFileIndex.candidateFilesWhere(stats, admit,
+            s"range probe on $c"))
+        else None
+
+      // per participating conjunct: the files whose stats ADMIT it.
+      // Null literals match nothing under every comparison — leave them
+      // to the exact filter rather than reasoning about them here.
+      // One-sided ranges read directly off the envelope: `c > v` can
+      // only match files whose max exceeds v, etc.
+      val admittedSets = splitConjunctivePredicates(cond).flatMap {
+        case EqualTo(a: AttributeReference, l: Literal) => eqSet(a.name, l)
+        case EqualTo(l: Literal, a: AttributeReference) => eqSet(a.name, l)
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          rangeSet(a.name, l, colMax(a.name) > litCol(l))
+        case LessThan(l: Literal, a: AttributeReference) =>
+          rangeSet(a.name, l, colMax(a.name) > litCol(l))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          rangeSet(a.name, l, colMax(a.name) >= litCol(l))
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          rangeSet(a.name, l, colMax(a.name) >= litCol(l))
+        case LessThan(a: AttributeReference, l: Literal) =>
+          rangeSet(a.name, l, colMin(a.name) < litCol(l))
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          rangeSet(a.name, l, colMin(a.name) < litCol(l))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          rangeSet(a.name, l, colMin(a.name) <= litCol(l))
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          rangeSet(a.name, l, colMin(a.name) <= litCol(l))
+        case _ => None
       }
-      if (kept.size >= current.size) None
+      if (admittedSets.isEmpty) None
       else {
-        logInfo(s"graft stats pruning: ${current.size} -> ${kept.size} " +
-          s"files for ${hfsr.location.rootPaths.head}")
-        val prunedIndex = new InMemoryFileIndex(spark,
-          kept.map(new org.apache.hadoop.fs.Path(_)),
-          hfsr.options, Some(hfsr.dataSchema))
-        // same output attributes: the Filter's references still bind
-        Some(f.copy(child =
-          rel.copy(relation = hfsr.copy(location = prunedIndex)(spark))))
+        val admitted = admittedSets
+          .map(_.map(GraftFileIndex.canonicalFileKey).toSet)
+          .reduce(_ intersect _)
+        val described = GraftFileIndex.describedFiles(stats)
+          .map(GraftFileIndex.canonicalFileKey).toSet
+        val current = hfsr.location.inputFiles.toSeq
+        val kept = current.filter { file =>
+          val k = GraftFileIndex.canonicalFileKey(file)
+          !described(k) || admitted(k)
+        }
+        if (kept.size >= current.size) None
+        else {
+          logInfo(s"graft stats pruning: ${current.size} -> ${kept.size} " +
+            s"files for ${hfsr.location.rootPaths.head}")
+          val prunedIndex = new InMemoryFileIndex(spark,
+            kept.map(new org.apache.hadoop.fs.Path(_)),
+            hfsr.options, Some(hfsr.dataSchema))
+          // same output attributes: the Filter's references still bind
+          Some(f.copy(child =
+            rel.copy(relation = hfsr.copy(location = prunedIndex)(spark))))
+        }
       }
     } catch {
       // a missing/unreadable stats table must degrade to a full scan,

@@ -105,8 +105,8 @@ class StatsPruningSpec extends SparkSpec {
     } finally StatsPruning.unregister(dir)
   }
 
-  test("unregistered tables, non-equality predicates, and the kill " +
-      "switch leave plans untouched") {
+  test("unregistered tables, unindexed predicates, range pruning, and " +
+      "the kill switch") {
     val dir = tmpDir() + "/t"
     buildTable(dir, 3)
     // unregistered: all files scanned
@@ -116,10 +116,20 @@ class StatsPruningSpec extends SparkSpec {
     FileIndex.buildStats(spark, dir, Seq("k")).write.parquet(statsDir)
     StatsPruning.register(spark, dir, statsDir)
     try {
-      // a range predicate (not equality) is out of scope in v1: full scan
-      val qr = spark.read.parquet(dir).where(col("k") > 100L)
-      assert(scannedFiles(qr).size == 3)
-      assert(qr.count() == 2899)
+      // one-sided ranges prune off the min/max envelope: k < 500 can
+      // only live in file 0
+      val qr = spark.read.parquet(dir).where(col("k") < 500L)
+      assert(scannedFiles(qr).size == 1)
+      assert(qr.count() == 500)
+      // and a two-sided conjunction intersects both envelopes
+      val q2 = spark.read.parquet(dir)
+        .where(col("k") >= 1200L && col("k") <= 1300L)
+      assert(scannedFiles(q2).size == 1)
+      assert(q2.count() == 101)
+      // an unindexed-column predicate alone stays a full scan
+      val qv = spark.read.parquet(dir).where(col("v") === "v0-1")
+      assert(scannedFiles(qv).size == 3)
+      assert(qv.count() == 1)
       // kill switch
       spark.conf.set(StatsPruning.EnabledKey, "false")
       val qk = spark.read.parquet(dir).where(col("k") === 10L)
