@@ -46,5 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
         "graft_history"),
       pipeline.VersionedTable.historyTvfBuilder))
+    // automatic stats-table file skipping (no-op until a table is
+    // registered via StatsPruning.register; idempotent if the session
+    // also appended it to experimental.extraOptimizations)
+    e.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.PruneScanByFileStats(session))
   }
 }
