@@ -96,7 +96,7 @@ case class PruneScanByFileStats(spark: SparkSession)
     else plan.transformDown {
       case f @ Filter(cond,
           rel @ LogicalRelation(hfsr: HadoopFsRelation, _, _, _, _))
-          if hfsr.partitionSchema.isEmpty =>
+          if hfsr.partitionSchema.isEmpty && !rel.isStreaming =>
         StatsPruning.statsDirFor(hfsr.location.rootPaths)
           .flatMap(prune(f, cond, rel, hfsr, _)).getOrElse(f)
     }
