@@ -235,6 +235,41 @@ object ScaleProbe {
     require(vp == nv / 2, s"video near-dup expected ${nv / 2} pairs, got $vp")
   }
 
+  /** The automatic stats-pruning rule's payoff at corpus scale: copy
+    * lineitem into a fragmented table, index l_partkey (bloom), and
+    * time a point query with the rule ON vs OFF (kill switch) — same
+    * query text, same session; the delta is pure planner-time file
+    * skipping. Result counts are asserted equal. */
+  def statsPrune(s: SparkSession, dir: String): Unit = {
+    val root = tmp("graft-probe-prune-")
+    val table = s"$root/li"
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(32).write.parquet(table)
+    val statsDir = s"$root/stats"
+    val (_, tBuild) = timed {
+      graft.operators.FileIndex.buildStatsWithBloom(s, table,
+          rangeCols = Seq("l_partkey"), bloomCols = Seq("l_partkey"),
+          expectedItemsPerFile = 1000000L, bloomNumBits = 4L * 1024 * 1024)
+        .write.mode("overwrite").parquet(statsDir)
+    }
+    emit("statsprune", "index_build", tBuild, 32, dir)
+    org.apache.spark.sql.graft.StatsPruning.register(s, table, statsDir)
+    def point() =
+      s.read.parquet(table).filter(col("l_partkey") === 1L).count()
+    point() // warm codegen/JIT on the query shape
+    val (nOn, tOn) = timed { point() }
+    emit("statsprune", "point_query_pruned", tOn, nOn, dir)
+    s.conf.set(org.apache.spark.sql.graft.StatsPruning.EnabledKey, "false")
+    val (nOff, tOff) =
+      try timed { point() }
+      finally s.conf.unset(
+        org.apache.spark.sql.graft.StatsPruning.EnabledKey)
+    emit("statsprune", "point_query_fullscan", tOff, nOff, dir)
+    require(nOn == nOff, s"pruned $nOn != full $nOff")
+    org.apache.spark.sql.graft.StatsPruning.unregister(table)
+  }
+
   def triangles(s: SparkSession, dir: String, bloomMaxEdges: Long): Unit = {
     val label = if (bloomMaxEdges == 0L) "triangles_nobloom" else "triangles"
     // record the gate the run ACTUALLY used (derived gates depend on the
@@ -268,6 +303,7 @@ object ScaleProbe {
           triangles(spark, dir, graft.operators.Triangles.DeriveGate)
         case "triangles_nobloom" => triangles(spark, dir, 0L)
         case "multimodal" => multimodal(spark, dir)
+        case "statsprune" => statsPrune(spark, dir)
         case other => sys.error(s"unknown probe: $other")
       }
       // streamIngest/perNode localCheckpoint per stage; without a purge,

@@ -235,7 +235,14 @@ object FileIndex {
   /** The probe as an un-collected single-column plan (file names only) —
     * exposed so specs can assert the collected schema carries no blob. */
   def candidateFilesEqualsPlan(stats: DataFrame, c: String,
-      value: Any): DataFrame = {
+      value: Any): DataFrame =
+    stats.filter(bloomAdmits(stats, c, value)).select(col("file"))
+
+  /** The bloom admission test for `c = value` as a boolean COLUMN, so
+    * several predicates can share one stats pass (the one-job probe
+    * [[org.apache.spark.sql.graft.StatsPruning]] runs). A NULL blob
+    * (all-null file) is conservatively admitted. */
+  def bloomAdmits(stats: DataFrame, c: String, value: Any): Column = {
     val bloomCol = s"${c}_bloom"
     val meta = stats.schema(bloomCol).metadata
     val dt =
@@ -244,10 +251,9 @@ object FileIndex {
           meta.getString(BloomTypeKey))
       else org.apache.spark.sql.catalyst.expressions.Literal(value).dataType
     val h = org.apache.spark.sql.graft.BloomFunctions.hashValue(value, dt)
-    stats.filter(col(bloomCol).isNull ||
-        org.apache.spark.sql.graft.BloomFunctions
-          .mightContainHashed(col(bloomCol), h))
-      .select(col("file"))
+    col(bloomCol).isNull ||
+      org.apache.spark.sql.graft.BloomFunctions
+        .mightContainHashed(col(bloomCol), h)
   }
 
   /** Equality read through the bloom index: read only files that might
