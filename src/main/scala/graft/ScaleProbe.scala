@@ -188,7 +188,13 @@ object ScaleProbe {
     * join alone. */
   def multimodal(s: SparkSession, dir: String): Unit = {
     import s.implicits._
-    val n = graft.Tables.load(s, dir, "documents").count()
+    // Truncate to an even corpus (and an even video count below): with
+    // odd n, `i % half` would map THREE ids onto base 0, the planted
+    // pair count would exceed n/2, and the probe's own require() would
+    // abort on a corpus-sizing artifact rather than a real defect.
+    val nDocs = graft.Tables.load(s, dir, "documents").count()
+    val n = nDocs - (nDocs % 2)
+    require(n >= 10, s"multimodal probe needs >= 10 documents, got $nDocs")
     val half = n / 2
     val imgs = s.range(n).as[Long]
       .map(i => (i, graft.multimodal.Images.cellPatternPng(i % half, 36, 32)))
@@ -218,10 +224,12 @@ object ScaleProbe {
     emit("multimodal", "audio_neardup", tAn, ap, dir)
     require(ap == half, s"audio near-dup expected $half twin pairs, got $ap")
     Bench.freeBlocks(s)
-    // video: n/5 videos × 5 frames (same total frame count as the image
+    // video: ~n/5 videos × 5 frames (same total frame count as the image
     // corpus); twins at (v, v + nv/2) render identical frame patterns →
     // frame-hash-set jaccard 1.0, disjoint otherwise — pairs = nv/2.
-    val nv = n / 5
+    // Same even-truncation as the corpus (n >= 10 ⇒ nv >= 2, so the
+    // nv/2 modulus below can never be zero).
+    val nv = n / 5 - (n / 5) % 2
     val frames = s.range(nv).as[Long]
       .flatMap(v => (0L until 5L).map(f =>
         (v, f, graft.multimodal.Images
@@ -270,6 +278,74 @@ object ScaleProbe {
     org.apache.spark.sql.graft.StatsPruning.unregister(table)
   }
 
+  /** The automatic rule's PLAN-TIME constant at 10⁵ DESCRIBED files —
+    * the file-count stress the 1×/10×/30× probe (data-size axis) does
+    * not cover: the rule's per-query driver cost is one stats scan plus
+    * two name SETS, both O(|stats rows|), so the honest stress is a
+    * stats table describing 10⁵ files. Construction: a real 8-file
+    * table's stats are widened with 10⁵−8 synthetic per-file rows
+    * (absent files, never-admitting envelopes) — synthetic rows
+    * exercise exactly the scan/collect/set axis being measured, while
+    * the keep decision still runs against the real listing (absent
+    * described files cost set entries, nothing else; creating 10⁵ real
+    * parquet files would measure the write path, not the rule). The
+    * inputFiles listing is Spark's own and exists for any scan of such
+    * a table, rule or no rule. Stages emitted:
+    *   - admission MISS (first query: full stats pass at 10⁵ rows),
+    *   - admission HIT (same predicate: memoized, r13),
+    *   - new predicate (distinct literal: another full pass),
+    *   - gate refusal (name gate set below 10⁵: the rule must DEGRADE
+    *     to a full scan — same rows, no OOM, knob named in the log).
+    * Result counts are asserted equal across every mode. */
+  def statsPrune100k(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.graft.StatsPruning
+    val root = tmp("graft-probe-prune100k-")
+    val table = s"$root/li"
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(8).write.parquet(table)
+    val statsDir = s"$root/stats"
+    val synthFiles = 100000L - 8L
+    val synth = s.range(synthFiles).select(
+      concat(lit("file:/synthetic/part-"), col("id")).as("file"),
+      lit(1000L).as("n_rows"),
+      (col("id") * 1000L + 1000000000L).as("l_partkey_min"),
+      (col("id") * 1000L + 1000000999L).as("l_partkey_max"))
+    val (_, tBuild) = timed {
+      graft.operators.FileIndex.buildStats(s, table, Seq("l_partkey"))
+        .unionByName(synth)
+        .write.mode("overwrite").parquet(statsDir)
+    }
+    emit("statsprune100k", "index_build", tBuild, 100000L, dir)
+    StatsPruning.register(s, table, statsDir)
+    try {
+      def point(key: Long) =
+        s.read.parquet(table).filter(col("l_partkey") === key).count()
+      s.read.parquet(table).count() // warm footers/JIT; no Filter -> no rule
+      val (n1, t1) = timed { point(1L) }
+      emit("statsprune100k", "point_admission_miss", t1, n1, dir)
+      val (n1b, t2) = timed { point(1L) }
+      emit("statsprune100k", "point_admission_hit", t2, n1b, dir)
+      require(n1 == n1b, s"memoized admission changed the answer: $n1 != $n1b")
+      val (n2, t3) = timed { point(2L) }
+      emit("statsprune100k", "point_new_predicate", t3, n2, dir)
+      // gate refusal: budget below the listing -> the rule must degrade
+      // to a full scan (advisory discipline), never fail the query
+      s.conf.set(graft.operators.FileIndex.NameGateConfKey, "50000")
+      val (n3gate, t4) =
+        try timed { point(3L) }
+        finally s.conf.unset(graft.operators.FileIndex.NameGateConfKey)
+      emit("statsprune100k", "point_gate_refused_fullscan", t4, n3gate, dir)
+      s.conf.set(StatsPruning.EnabledKey, "false")
+      val (n3off, t5) =
+        try timed { point(3L) }
+        finally s.conf.unset(StatsPruning.EnabledKey)
+      emit("statsprune100k", "point_rule_off", t5, n3off, dir)
+      require(n3gate == n3off,
+        s"gate-refused path diverged from the plain scan: $n3gate != $n3off")
+    } finally StatsPruning.unregister(table)
+  }
+
   def triangles(s: SparkSession, dir: String, bloomMaxEdges: Long): Unit = {
     val label = if (bloomMaxEdges == 0L) "triangles_nobloom" else "triangles"
     // record the gate the run ACTUALLY used (derived gates depend on the
@@ -304,6 +380,7 @@ object ScaleProbe {
         case "triangles_nobloom" => triangles(spark, dir, 0L)
         case "multimodal" => multimodal(spark, dir)
         case "statsprune" => statsPrune(spark, dir)
+        case "statsprune100k" => statsPrune100k(spark, dir)
         case other => sys.error(s"unknown probe: $other")
       }
       // streamIngest/perNode localCheckpoint per stage; without a purge,

@@ -141,6 +141,40 @@ object FileIndex {
     * Stats rows are per-file facts, so the result equals a full rebuild
     * bit-for-bit, blob bytes included (FileIndexSpec pins it against
     * an actual compaction). `bloomCols` empty ⇒ min/max-only table. */
+  /** [[refreshStats]] with the column set and bloom sizing read back
+    * from the standing stats table ITSELF: `<c>_min`/`<c>_max` pairs
+    * name the range columns, `<c>_bloom` columns name the bloom
+    * columns, and the sizing ([[BloomItemsKey]]/[[BloomBitsKey]]
+    * column metadata, written by [[buildStatsWithBloom]] since r13)
+    * rides along — so maintenance can refresh any registered index
+    * without being told how it was built
+    * ([[org.apache.spark.sql.graft.StatsPruning.refreshRegistered]]).
+    * Stats tables from before r13 carry no sizing metadata and fall
+    * back to the build defaults: still correct (probe hashes match any
+    * sizing), only the fpp claim drifts — the documented
+    * statsForFilesWithBloom caveat. */
+  def refreshStatsAuto(spark: SparkSession, tableDir: String,
+      stats: DataFrame): DataFrame = {
+    val cols = stats.columns.toSet
+    val rangeCols = stats.columns.toSeq
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+      .filter(c => cols(s"${c}_max"))
+    val bloomCols = stats.columns.toSeq
+      .filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom"))
+    require(rangeCols.nonEmpty || bloomCols.nonEmpty,
+      s"not a stats table: no <c>_min/<c>_max or <c>_bloom columns in " +
+        s"[${stats.columns.mkString(", ")}]")
+    val sizing = bloomCols.headOption.map { c =>
+      val meta = stats.schema(s"${c}_bloom").metadata
+      (if (meta.contains(BloomItemsKey)) meta.getLong(BloomItemsKey)
+       else 1000000L,
+        if (meta.contains(BloomBitsKey)) meta.getLong(BloomBitsKey)
+        else 8L * 1024 * 1024)
+    }.getOrElse((1000000L, 8L * 1024 * 1024))
+    refreshStats(spark, tableDir, stats, rangeCols, bloomCols,
+      sizing._1, sizing._2)
+  }
+
   def refreshStats(spark: SparkSession, tableDir: String, stats: DataFrame,
       rangeCols: Seq[String], bloomCols: Seq[String] = Nil,
       expectedItemsPerFile: Long = 1000000L,
@@ -166,10 +200,20 @@ object FileIndex {
     val kept = stats.join(keptDf, Seq("file"), "left_semi")
     val added = currentRaw.filterNot(f => knownKeys(canonicalFileKey(f)))
     if (added.isEmpty) kept
-    else kept.unionByName(
-      if (bloomCols.isEmpty) statsForFiles(spark, added, rangeCols)
-      else statsForFilesWithBloom(spark, added, rangeCols, bloomCols,
-        expectedItemsPerFile, bloomNumBits))
+    else {
+      // basePath keeps Hive partition COLUMNS alive when scanning leaf
+      // files directly: without it, a partitioned table whose stats
+      // index a partition column would lose that column on the
+      // added-files read and the refresh would throw (or worse,
+      // silently produce a narrower stats row). Harmless on
+      // unpartitioned layouts (no partition inference either way).
+      val addedDf = spark.read.option("basePath", tableDir)
+        .parquet(added: _*)
+      kept.unionByName(
+        if (bloomCols.isEmpty) rangeStatsOf(addedDf, rangeCols)
+        else bloomStatsOf(addedDf, rangeCols, bloomCols,
+          expectedItemsPerFile, bloomNumBits))
+    }
   }
 
   /** Canonical identity for a file path string: scheme + authority +
@@ -202,7 +246,12 @@ object FileIndex {
     // false-negative — the metadata makes the probe self-describing.
     val bloomAggs = bloomCols.map { c =>
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
-        .putString(BloomTypeKey, src.schema(c).dataType.json).build()
+        .putString(BloomTypeKey, src.schema(c).dataType.json)
+        // sizing rides the column metadata (survives the parquet
+        // round-trip of the stats table) so a later refresh can build
+        // byte-identical blooms without being told the parameters
+        .putLong(BloomItemsKey, expectedItemsPerFile)
+        .putLong(BloomBitsKey, bloomNumBits).build()
       org.apache.spark.sql.graft.BloomFunctions
         .bloomAgg(col(c), expectedItemsPerFile, bloomNumBits)
         .as(s"${c}_bloom", meta)
@@ -214,6 +263,12 @@ object FileIndex {
   /** Metadata key carrying the indexed column's DataType JSON on a
     * `<c>_bloom` stats column. */
   val BloomTypeKey = "graft_bloom_type"
+
+  /** Metadata keys carrying the bloom build sizing on a `<c>_bloom`
+    * stats column — what [[refreshStatsAuto]] reads back so refreshed
+    * blooms are built with the standing table's own parameters. */
+  val BloomItemsKey = "graft_bloom_items"
+  val BloomBitsKey = "graft_bloom_bits"
 
   /** Files whose bloom admits `c = value` (false positives possible —
     * the pruned read's exact predicate discharges them; false negatives

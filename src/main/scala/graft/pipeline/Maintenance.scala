@@ -111,6 +111,21 @@ object Maintenance {
   private def targetFileCount(bytes: Long, targetFileBytes: Long): Int =
     math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
 
+  /** The compaction↔stats-index loop closure (r13): every layout
+    * rewrite ends by refreshing the table's REGISTERED stats index
+    * ([[org.apache.spark.sql.graft.StatsPruning.refreshRegistered]])
+    * so automatic file skipping keeps firing immediately after
+    * maintenance — without this, the rewritten files are unknown to
+    * the index and every query silently degrades to a full scan until
+    * a manual refreshStats. No registration → empty suffix; a refresh
+    * FAILURE is reported in the detail but never fails the rewrite
+    * (the pruning contract is advisory-conservative under staleness). */
+  private def refreshStatsIndex(spark: SparkSession,
+      tableDir: String): String =
+    org.apache.spark.sql.graft.StatsPruning
+      .refreshRegistered(spark, tableDir)
+      .map("; " + _).getOrElse("")
+
   /** Atomically rewrite ONE leaf directory through `xform`: write to a
     * sibling temp of the table root, then swap the leaf. Partition dir
     * names (and with them every downstream scan's pruning) are untouched
@@ -218,7 +233,8 @@ object Maintenance {
         rewriteLeaf(spark, fs, root, leaf, _.repartition(nf))
       }
       Report(tableDir, "compact", ok = true,
-        s"rewrote ${fragmented.size}/${leaves.size} leaf partitions")
+        s"rewrote ${fragmented.size}/${leaves.size} leaf partitions" +
+          refreshStatsIndex(spark, tableDir))
     } catch {
       case e: Throwable => Report(tableDir, "compact", ok = false, e.toString)
     }
@@ -271,7 +287,8 @@ object Maintenance {
       Report(tableDir, "compact_sorted", ok = true,
         s"rewrote ${leaves.size} leaf partitions sorted by " +
           (if (effective.isEmpty) s"(partition layout ${parts.mkString("/")})"
-           else effective.mkString(",")))
+           else effective.mkString(",")) +
+          refreshStatsIndex(spark, tableDir))
     } catch {
       case e: Throwable => Report(tableDir, "compact_sorted", ok = false, e.toString)
     }
@@ -339,7 +356,8 @@ object Maintenance {
       Report(tableDir, "compact_zorder", ok = true,
         s"rewrote ${leaves.size} leaf partitions z-ordered by " +
           (if (effective.isEmpty) s"(partition layout ${parts.mkString("/")})"
-           else effective.mkString(",")))
+           else effective.mkString(",")) +
+          refreshStatsIndex(spark, tableDir))
     } catch {
       case e: Throwable =>
         Report(tableDir, "compact_zorder", ok = false, e.toString)
@@ -406,8 +424,9 @@ object Maintenance {
       renameOrThrow(fs, tmp, root)
       fs.delete(old, true)
       Report(tableDir, "repartition", ok = true,
-        if (newPartitionCols.isEmpty) "rewrote as unpartitioned"
-        else s"rewrote partitioned by ${newPartitionCols.mkString("/")}")
+        (if (newPartitionCols.isEmpty) "rewrote as unpartitioned"
+         else s"rewrote partitioned by ${newPartitionCols.mkString("/")}") +
+          refreshStatsIndex(spark, tableDir))
     } catch {
       case e: Throwable =>
         Report(tableDir, "repartition", ok = false, e.toString)

@@ -115,14 +115,42 @@ object VersionedTable {
 
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    spark.read.parquet(dataDir(table, version))
+
+  /** Resolved DATA directory of a manifested version (or the latest) —
+    * the path a DSv2 TableCatalog binds `VERSION AS OF` to
+    * ([[graft.sql.GraftProcedureCatalog]]): redirects are followed one
+    * hop exactly as [[read]] does, so a catalog-served snapshot and a
+    * TVF-served one read the same bytes by construction. */
+  def dataDir(table: String, version: Option[Long] = None): String = {
     val (fs, root) = fsFor(table)
     val vs = versionsOn(fs, root)
     val v = version.orElse(vs.lastOption).getOrElse(
       throw new IllegalStateException(s"no versions in $table"))
     require(vs.contains(v), s"version $v not retained in $table")
-    spark.read.parquet(
-      new Path(root, s"v=${dataVersionOn(fs, root, v)}").toString)
+    new Path(root, s"v=${dataVersionOn(fs, root, v)}").toString
+  }
+
+  /** The snapshot current AT `timestampMillis` — the newest retained
+    * version whose commit time is <= the timestamp (Iceberg's
+    * `TIMESTAMP AS OF` resolution). Refuses a timestamp before the
+    * first retained commit: there was no table then. */
+  def versionAt(table: String, timestampMillis: Long): Long = {
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    require(vs.nonEmpty, s"no versions in $table")
+    vs.filter(commitTimeOn(fs, root, _) <= timestampMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestamp $timestampMillis predates every retained " +
+          s"snapshot of $table"))
+  }
+
+  /** True iff `table` is a versioned-table root (manifest dir present). */
+  def isVersioned(table: String): Boolean = {
+    val (fs, root) = fsFor(table)
+    val d = manifestDir(root)
+    fs.exists(d) && fs.getFileStatus(d).isDirectory
   }
 
   /** Iceberg's `rollback_to_snapshot` for this layer: make `toVersion`'s

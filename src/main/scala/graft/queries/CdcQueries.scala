@@ -193,6 +193,44 @@ object CdcQueries {
       .orderBy(col("version"))
   }
 
+  /** Native SQL time travel through a DSv2 TableCatalog
+    * ([[graft.sql.GraftProcedureCatalog]] as a TableCatalog, r13 — the
+    * Iceberg `SELECT … VERSION AS OF n` muscle-memory shape the
+    * reference's time-travel claim implies, reference: README.md:87-88):
+    * over q169's fixture (v1 good, v2 zeroed, v3 = rollback redirect at
+    * v1's data), the query reads snapshot 2 AND the current snapshot
+    * through plain multipart-identifier SQL. In-engine, the catalog
+    * surface is require()d to agree with the `graft_version` TVF on
+    * every retained snapshot (same resolution, two SQL front doors);
+    * the oracle replays both exported snapshots from raw orders — a
+    * catalog that resolves the wrong version, drops the rollback
+    * redirect, or loses rows hash-mismatches. */
+  def q190VersionAsOf(s: SparkSession, dir: String): DataFrame = {
+    q169Rollback(s, dir).count() // ensure the versioned fixture exists
+    val table = rollbackTables(dir)
+    val w = new java.io.File(table).getParent
+    s.conf.set("spark.sql.catalog.graft_tt",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tt.warehouse", w)
+    graft.expressions.GraftFunctions.register(s)
+    // the catalog and the TVF must serve identical bytes per snapshot
+    // (incl. v3, whose manifest is a data redirect at v1)
+    Seq(1L, 2L, 3L).foreach { v =>
+      val cat = s.sql(
+        s"SELECT * FROM graft_tt.gold VERSION AS OF $v").collect().toSet
+      val tvf = s.sql(
+        s"SELECT * FROM graft_version('$table', $v)").collect().toSet
+      require(cat == tvf,
+        s"catalog VERSION AS OF $v diverges from the graft_version TVF")
+    }
+    val cols = Seq(col("o_orderstatus"), col("n_orders"), col("total_price"))
+    s.sql("SELECT * FROM graft_tt.gold VERSION AS OF 2")
+      .select(lit("v2").as("snap") +: cols: _*)
+      .unionByName(s.sql("SELECT * FROM graft_tt.gold")
+        .select(lit("current").as("snap") +: cols: _*))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -200,7 +238,8 @@ object CdcQueries {
     "q93_sql_merge" -> (q93SqlMerge _),
     "q169_rollback" -> (q169Rollback _),
     "q183_sql_maintenance" -> (q183SqlMaintenance _),
-    "q186_snapshot_history" -> (q186SnapshotHistory _))
+    "q186_snapshot_history" -> (q186SnapshotHistory _),
+    "q190_version_as_of" -> (q190VersionAsOf _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -212,6 +251,20 @@ object CdcQueries {
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
+    // both catalog-served snapshots replayed from raw orders: v2 is the
+    // zeroed recompute (three known rows), current is the rolled-back
+    // good aggregate — resolving the wrong snapshot breaks either half
+    "q190_version_as_of" ->
+      """SELECT 'current' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v2' AS snap, o_orderstatus,
+        |  CAST(0 AS BIGINT) AS n_orders, CAST(0.0 AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY snap, o_orderstatus""".stripMargin,
     // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
     // redirect at v1's data and current — three literal rows
     "q186_snapshot_history" ->

@@ -470,6 +470,8 @@ object ExtQueries {
         ivfpqIndexes.values ++ orcDirs.values ++ csvDirs.values ++
         resIndexes.values ++ crawlDedupDirs.values ++
         autoPruneTables.values.map(t => new java.io.File(t._1).getParent) ++
+        partPruneTables.values.map(t => new java.io.File(t._1).getParent) ++
+        zorderPruneTables.values.map(t => new java.io.File(t._1).getParent) ++
         (kllStreamDirs.values ++ thetaStreamDirs.values ++
           hllStreamDirs.values ++
           cmsStreamDirs.values).map(new java.io.File(_).getParent))
@@ -1209,6 +1211,146 @@ object ExtQueries {
     require(scanned < 8,
       s"auto-pruning did not fire: scanned $scanned of 8 files")
     q
+  }
+
+  /** AUTOMATIC file skipping on a HIVE-PARTITIONED layout (the r12
+    * verdict's top gap: real lakehouse tables are date-partitioned, and
+    * the rule used to bail on any partitioned relation): events is
+    * written `day=…/` partitioned with 4 range-clustered files per day
+    * (user_id sorted within each day), the user_id min/max index is
+    * registered, and the query is a plain
+    * `read.parquet(t).where(day = d AND user_id = u)` — partition
+    * pruning (directory level, Spark's own) COMPOSES with file-level
+    * envelope pruning (this engine's rule) inside the surviving
+    * partition: both are require()d to have fired via the executed
+    * scan's own metrics (numPartitions = 1, numFiles below the
+    * partition's file count). Day and user are data-derived minima,
+    * deterministic at every SF in both engines; the oracle filters RAW
+    * events at the same keys, so over-pruning (a lost file OR a lost
+    * partition) hash-mismatches. */
+  private val partPruneTables = scala.collection.concurrent.TrieMap
+    .empty[String, (String, java.sql.Date, Long)]
+
+  def q188PartitionedAutoPrune(s: SparkSession, dir: String): DataFrame = {
+    val (table, day, user) = partPruneTables.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-partprune-").toString
+      val tbl = s"$d/events"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      val nDays = ev.select(col("day")).distinct().count().toInt
+      // range-cluster on (day, user_id): each day lands in ~4
+      // consecutive output tasks, so its partition dir holds ~4 files
+      // with near-disjoint user_id envelopes — the layout
+      // compactSorted produces, built inline here
+      ev.repartitionByRange(nDays * 4, col("day"), col("user_id"))
+        .sortWithinPartitions(col("day"), col("user_id"))
+        .write.partitionBy("day").parquet(tbl)
+      val statsDir = s"$d/stats"
+      graft.operators.FileIndex.buildStats(s, tbl, Seq("user_id"))
+        .write.parquet(statsDir)
+      org.apache.spark.sql.graft.StatsPruning.register(s, tbl, statsDir)
+      val minDay = ev.agg(min(col("day"))).head().getDate(0)
+      val minUser = ev.filter(col("day") === lit(minDay))
+        .agg(min(col("user_id"))).head().getLong(0)
+      (tbl, minDay, minUser)
+    })
+    // metric probe WITHOUT the order-by (no exchange -> no AQE wrapper;
+    // and Dataset actions reset SQL metrics, so the probe reads them on
+    // its own first execution)
+    val probe = s.read.parquet(table)
+      .where(col("day") === lit(day) && col("user_id") === lit(user))
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+    val scannedFiles = scans.map(_.metrics("numFiles").value).sum
+    val scannedParts = scans.map(_.metrics("numPartitions").value).sum
+    val dayDir = new java.io.File(s"$table/day=$day")
+    val dayFiles = Option(dayDir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    require(dayFiles >= 2,
+      s"construction broke: day=$day holds $dayFiles files")
+    require(scannedParts == 1,
+      s"partition pruning did not fire: scanned $scannedParts partitions")
+    require(scannedFiles < dayFiles,
+      s"file pruning did not compose: scanned $scannedFiles of the " +
+        s"surviving partition's $dayFiles files")
+    s.read.parquet(table)
+      .where(col("day") === lit(day) && col("user_id") === lit(user))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Z-ORDER × automatic pruning composition (+ the maintenance↔stats
+    * refresh loop, exercised on the oracle-gated surface): a fragmented
+    * lineitem copy is min/max-indexed and REGISTERED FIRST, then
+    * `Maintenance.compactZorder` rewrites it clustered on
+    * (l_partkey, l_suppkey) — the rewrite itself must refresh the
+    * registered index (require()d via the report detail), and plain
+    * scans filtered on EITHER clustered column must then prune through
+    * the automatic rule (require()d per dimension): the multi-column
+    * payoff a single-column sort cannot give, composed end to end with
+    * no manual refresh step. Keys are data-derived minima; the oracle
+    * replays both slices from raw lineitem, so over-pruning on either
+    * dimension hash-mismatches. */
+  private val zorderPruneTables = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Long, Long)]
+
+  def q189ZorderAutoPrune(s: SparkSession, dir: String): DataFrame = {
+    val (table, pk, sk) = zorderPruneTables.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-zorderprune-").toString
+      val tbl = s"$d/li"
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      li.repartition(16).write.parquet(tbl)
+      val statsDir = s"$d/stats"
+      graft.operators.FileIndex
+        .buildStats(s, tbl, Seq("l_partkey", "l_suppkey"))
+        .write.parquet(statsDir)
+      org.apache.spark.sql.graft.StatsPruning.register(s, tbl, statsDir)
+      val bytes = Option(new java.io.File(tbl).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val rep = graft.pipeline.Maintenance.compactZorder(s, tbl,
+        Seq("l_partkey", "l_suppkey"), bits = 12,
+        targetFileBytes = math.max(1L, bytes / 16))
+      require(rep.ok, s"compactZorder failed: ${rep.detail}")
+      require(rep.detail.contains("stats index refreshed"),
+        s"maintenance did not refresh the registered index: ${rep.detail}")
+      val r = li.agg(min(col("l_partkey")), min(col("l_suppkey"))).head()
+      (tbl, r.getLong(0), r.getLong(1))
+    })
+    def requirePruned(c: String, v: Long): Unit = {
+      val q = s.read.parquet(table).where(col(c) === lit(v))
+      q.collect()
+      val total = s.read.parquet(table).inputFiles.length
+      val kept = q.queryExecution.optimizedPlan.collectLeaves().map {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+        case _ => 0
+      }.sum
+      require(kept < total,
+        s"z-order pruning on $c did not fire: scanned $kept of $total")
+    }
+    requirePruned("l_partkey", pk)
+    requirePruned("l_suppkey", sk)
+    def slice(dim: String, c: String, v: Long) =
+      s.read.parquet(table).where(col(c) === lit(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .select(lit(dim).as("dim"), col("n_rows"), col("sum_qty"))
+    slice("part", "l_partkey", pk)
+      .unionByName(slice("supp", "l_suppkey", sk))
+      .orderBy(col("dim"))
   }
 
   /** CSV raw-zone round-trip (the landing format object-store ingest
@@ -2013,6 +2155,8 @@ object ExtQueries {
     "q182_gopher_quality" -> (q182GopherQuality _),
     "q168_bloom_pruned" -> (q168BloomPruned _),
     "q187_auto_pruned_scan" -> (q187AutoPrunedScan _),
+    "q188_partitioned_auto_prune" -> (q188PartitionedAutoPrune _),
+    "q189_zorder_auto_prune" -> (q189ZorderAutoPrune _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -2987,6 +3131,29 @@ object ExtQueries {
         |FROM orders
         |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q188_partitioned_auto_prune" ->
+      // raw events at the same data-derived (day, user) keys: the
+      // composed partition+file pruning may only shrink the listing —
+      // a lost partition directory or a lost file changes these rows
+      """WITH md AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+        |mu AS (SELECT min(user_id) AS u FROM events, md
+        |       WHERE CAST(ts AS DATE) = md.d)
+        |SELECT event_id, user_id, value FROM events, md, mu
+        |WHERE CAST(ts AS DATE) = md.d AND user_id = mu.u
+        |ORDER BY event_id""".stripMargin,
+    "q189_zorder_auto_prune" ->
+      // both z-clustered point slices replayed from RAW lineitem: a
+      // lost file on either pruned dimension changes a count or sum
+      """SELECT 'part' AS dim, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
+        |UNION ALL
+        |SELECT 'supp' AS dim, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey = (SELECT min(l_suppkey) FROM lineitem)
+        |ORDER BY dim""".stripMargin,
     "q167_theta_overlap" -> thetaOverlapOracle,
     // the streamed build must land on the identical exact answer
     "q170_stream_theta_overlap" -> thetaOverlapOracle,

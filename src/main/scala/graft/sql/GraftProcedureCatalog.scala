@@ -4,7 +4,8 @@ import java.util.Collections
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
@@ -40,12 +41,16 @@ import graft.pipeline.{Maintenance, VersionedTable}
   * names (`rewrite_data_files(strategy, sort_order)`,
   * `expire_snapshots(retain_last)`, `remove_orphan_files`) so a user
   * coming from the reference keeps their runbook vocabulary. */
-class GraftProcedureCatalog extends ProcedureCatalog {
+class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
 
   private var catalogName: String = "graft"
+  private var warehouse: Option[String] = None
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
 
   override def name(): String = catalogName
 
@@ -66,6 +71,102 @@ class GraftProcedureCatalog extends ProcedureCatalog {
     if (namespace.sameElements(Array("system")))
       procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
     else Array.empty
+
+  // ---- TableCatalog: path-addressed parquet/VersionedTable tables ----
+  //
+  // `SELECT * FROM <cat>.<ns…>.<t> [VERSION AS OF n | TIMESTAMP AS OF ts]`
+  // — the Iceberg SQL shape the reference's time-travel claim implies
+  // (reference: README.md:87-88). Identifiers resolve to directories
+  // under the `warehouse` catalog option (`spark.sql.catalog.<cat>
+  // .warehouse=/path`), the HadoopCatalog convention: namespace levels
+  // are subdirectories. A directory with a `_versions` manifest dir is
+  // a [[VersionedTable]] (reads bind to its CURRENT snapshot, and the
+  // time-travel clauses to retained snapshots — the same resolution as
+  // the graft_version TVF, so the two SQL surfaces agree by
+  // construction); any other directory serves as a plain parquet table
+  // (Hive-partitioned or flat). Reads only: this engine's write surface
+  // is path-based (Medallion/VersionedTable), so mutations through the
+  // catalog refuse rather than half-support a second write protocol.
+
+  private def warehouseOrThrow: String = warehouse.getOrElse(
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName has no warehouse: set " +
+        s"spark.sql.catalog.$catalogName.warehouse=/path to serve tables"))
+
+  private def tableDir(ident: Identifier): String =
+    (warehouseOrThrow +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def parquetTable(ident: Identifier, dataDir: String): Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      ident.toString, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      Seq(dataDir), None,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  private def loadVia(ident: Identifier)(
+      resolve: String => String): Table = {
+    val dir = tableDir(ident)
+    val (fs, p) = graft.util.Fs.fsFor(dir)
+    if (!fs.exists(p))
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    parquetTable(ident, resolve(dir))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadVia(ident) { dir =>
+      if (VersionedTable.isVersioned(dir)) VersionedTable.dataDir(dir)
+      else dir
+    }
+
+  /** `VERSION AS OF v` — only meaningful on a versioned root. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVia(ident) { dir =>
+      require(VersionedTable.isVersioned(dir),
+        s"$dir is not a versioned table: VERSION AS OF needs a " +
+          "VersionedTable root (plain parquet dirs have no snapshots)")
+      val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': graft snapshot ids are integers"))
+      VersionedTable.dataDir(dir, Some(v))
+    }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadVia(ident) { dir =>
+      require(VersionedTable.isVersioned(dir),
+        s"$dir is not a versioned table: TIMESTAMP AS OF needs a " +
+          "VersionedTable root (plain parquet dirs have no snapshots)")
+      VersionedTable.dataDir(dir,
+        Some(VersionedTable.versionAt(dir, timestampMicros / 1000L)))
+    }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = (warehouseOrThrow +: namespace).mkString("/")
+    val (fs, p) = graft.util.Fs.fsFor(nsDir)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val (fs, p) = graft.util.Fs.fsFor(tableDir(ident))
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read catalog: $op is not supported — write " +
+        "through the path-based surface (Medallion.writeTable / " +
+        "VersionedTable.write) and read the same dirs here")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }
 
 object GraftProcedureCatalog {

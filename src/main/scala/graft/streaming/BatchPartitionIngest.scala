@@ -112,10 +112,19 @@ object BatchPartitionIngest {
       require(existing == meta,
         s"state dir $stateDir already declares $existing; refusing $meta")
     }
-    graft.util.Fs.writeFileAtomicFs(fs,
-      new org.apache.hadoop.fs.Path(root, StateMetaFile),
-      renderStateMeta(meta)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // identical declaration already on disk: SKIP the rewrite. On stores
+    // that refuse rename-onto-existing (hdfs), overwriting goes through
+    // delete+rename — a crash window that would lose the dir's only meta
+    // and silently hide the state from discovery. Re-asserting an
+    // unchanged meta is a no-op by definition, so the window only ever
+    // opens for genuine content changes (corrupt-meta repair, the one
+    // overwrite path left).
+    if (!existingMeta.contains(meta)) {
+      graft.util.Fs.writeFileAtomicFs(fs,
+        new org.apache.hadoop.fs.Path(root, StateMetaFile),
+        renderStateMeta(meta)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   // jackson (a Spark-shipped dependency) renders AND parses the meta:

@@ -202,6 +202,56 @@ class FileIndexSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("refreshStatsAuto reads columns AND bloom sizing back from the " +
+      "standing table: refreshed == rebuilt with the ORIGINAL custom " +
+      "sizing, blob bytes included") {
+    val dir = tmpDir() + "/auto"
+    (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(8).write.parquet(dir)
+    // NON-default sizing, then a parquet round-trip — the metadata must
+    // survive it, because that is how maintenance sees the table
+    val statsDir = tmpDir() + "/auto_stats"
+    FileIndex.buildStatsWithBloom(spark, dir,
+        rangeCols = Seq("k"), bloomCols = Seq("k"),
+        expectedItemsPerFile = 2000L, bloomNumBits = 1L << 14)
+      .write.parquet(statsDir)
+    assert(Maintenance.compact(spark, dir,
+      targetFileBytes = 256L * 1024 * 1024).ok)
+    val standing = spark.read.parquet(statsDir)
+    val refreshed = FileIndex.refreshStatsAuto(spark, dir, standing)
+    val rebuilt = FileIndex.buildStatsWithBloom(spark, dir,
+      rangeCols = Seq("k"), bloomCols = Seq("k"),
+      expectedItemsPerFile = 2000L, bloomNumBits = 1L << 14)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("file", "n_rows", "k_min", "k_max", "k_bloom").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getAs[Array[Byte]](4).toSeq)).toSet
+    assert(rows(refreshed) == rows(rebuilt))
+  }
+
+  test("refreshStatsAuto on a Hive-partitioned table keeps partition " +
+      "COLUMNS in the added-files scan (basePath), so partition-column " +
+      "stats refresh instead of throwing") {
+    val dir = tmpDir() + "/autopart"
+    (1 to 2).foreach { d =>
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/day=$d")
+    }
+    val standing = FileIndex.buildStats(spark, dir, Seq("day", "k"))
+      .localCheckpoint()
+    // rewrite partition day=2 (new file names) — its rows must rescan,
+    // and the rescan must still SEE the day column
+    assert(Maintenance.compactSorted(spark, dir, Seq("k")).ok)
+    val refreshed = FileIndex.refreshStatsAuto(spark, dir, standing)
+    val rebuilt = FileIndex.buildStats(spark, dir, Seq("day", "k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("file", "n_rows", "day_min", "day_max", "k_min", "k_max")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows(refreshed) == rows(rebuilt))
+    assert(refreshed.count() == 2)
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val dir = tmpDir() + "/e"
     Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)

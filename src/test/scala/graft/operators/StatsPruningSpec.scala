@@ -105,6 +105,122 @@ class StatsPruningSpec extends SparkSpec {
     } finally StatsPruning.unregister(dir)
   }
 
+  /** Files the EXECUTED scan actually read — unlike [[scannedFiles]]
+    * (the logical listing), this includes partition-directory pruning,
+    * so it proves the two prunings COMPOSE. Call on a FRESH DataFrame:
+    * every Dataset action resets SQL metrics, and the driver-side
+    * numFiles metric is only posted on the plan's first execution
+    * (selectedPartitions is lazy), so a re-collected plan reads 0. */
+  private def executedScanFiles(df: DataFrame): Long = {
+    df.collect()
+    // AQE wraps the physical plan; collect() does not descend into the
+    // adaptive wrapper's current plan on its own
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+  }
+
+  test("Hive-partitioned layout: partition pruning composes with " +
+      "file-level min/max pruning inside the surviving partition") {
+    val dir = tmpDir() + "/t"
+    // 3 day partitions × 4 files with disjoint k-envelopes per file
+    (1 to 3).foreach { d =>
+      (0 until 4).foreach { i =>
+        (0 until 250).map(j => (i * 1000L + j, s"d$d-$i-$j")).toDF("k", "v")
+          .coalesce(1).write.mode("append").parquet(s"$dir/day=2024-01-0$d")
+      }
+    }
+    val statsDir = tmpDir() + "/stats"
+    FileIndex.buildStats(spark, dir, Seq("k")).write.parquet(statsDir)
+    StatsPruning.register(spark, dir, statsDir)
+    try {
+      def q = spark.read.parquet(dir)
+        .where(col("day") === "2024-01-02" && col("k") === 2100L)
+      // file-level: k=2100 admits only file i=2 of each day (3 of 12)
+      assert(scannedFiles(q).size == 3,
+        "envelope pruning should keep one file per partition")
+      // composed with partition pruning: exactly ONE file is read
+      assert(executedScanFiles(q) == 1L)
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("d2-2-100"))
+      // partition-only predicate: no participating file stats on day
+      // (day has no stats columns) -> plain partition pruning, 4 files
+      val qp = spark.read.parquet(dir).where(col("day") === "2024-01-03")
+      assert(executedScanFiles(qp) == 4L)
+      assert(qp.count() == 1000)
+    } finally StatsPruning.unregister(dir)
+  }
+
+  test("multi-root scan: each registered root prunes from its own " +
+      "stats table; unregistered roots are always read") {
+    val dirA = tmpDir() + "/a"
+    val dirB = tmpDir() + "/b"
+    buildTable(dirA, 3)
+    (0 until 3).foreach { i =>
+      (0 until 1000).map(j => (100000L + i * 1000L + j, s"b$i-$j"))
+        .toDF("k", "v").coalesce(1).write.mode("append").parquet(dirB)
+    }
+    val statsA = tmpDir() + "/sa"
+    val statsB = tmpDir() + "/sb"
+    FileIndex.buildStats(spark, dirA, Seq("k")).write.parquet(statsA)
+    FileIndex.buildStats(spark, dirB, Seq("k")).write.parquet(statsB)
+    StatsPruning.register(spark, dirA, statsA)
+    try {
+      // only A registered: B's 3 files are unknown -> always read
+      val q1 = spark.read.parquet(dirA, dirB).where(col("k") === 1500L)
+      assert(scannedFiles(q1).size == 4,
+        "1 admitted file of A + all 3 unregistered files of B")
+      assert(q1.count() == 1)
+      // both registered: one admitted file across the 6
+      StatsPruning.register(spark, dirB, statsB)
+      val q2 = spark.read.parquet(dirA, dirB).where(col("k") === 101500L)
+      assert(scannedFiles(q2).size == 1)
+      assert(q2.collect().map(_.getString(1)).toSeq == Seq("b1-500"))
+    } finally {
+      StatsPruning.unregister(dirA); StatsPruning.unregister(dirB)
+    }
+  }
+
+  test("compaction refreshes the registered stats index: pruning fires " +
+      "immediately after the rewrite with no manual step") {
+    val dir = tmpDir() + "/t"
+    buildTable(dir, 8)
+    val statsDir = tmpDir() + "/stats"
+    FileIndex.buildStats(spark, dir, Seq("k")).write.parquet(statsDir)
+    StatsPruning.register(spark, dir, statsDir)
+    try {
+      assert(scannedFiles(
+        spark.read.parquet(dir).where(col("k") === 4321L)).size == 1)
+      // sorted compaction REPLACES every file (new names); the action
+      // must refresh the registered index as part of the swap
+      val bytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val rep = graft.pipeline.Maintenance.compactSorted(spark, dir,
+        Seq("k"), targetFileBytes = math.max(1L, bytes / 4))
+      assert(rep.ok, rep.detail)
+      assert(rep.detail.contains("stats index refreshed"), rep.detail)
+      val current = spark.read.parquet(dir).inputFiles
+        .map(FileIndex.canonicalFileKey).toSet
+      assert(current.size > 1, "compaction should leave several files")
+      // the refreshed index describes exactly the current listing
+      val described = FileIndex
+        .describedFiles(spark.read.parquet(statsDir))
+        .map(FileIndex.canonicalFileKey).toSet
+      assert(described == current)
+      // and pruning fires on the NEW layout without re-registering
+      val q = spark.read.parquet(dir).where(col("k") === 4321L)
+      assert(scannedFiles(q).size == 1,
+        s"expected 1 scanned of ${current.size} after refresh")
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("v4-321"))
+    } finally StatsPruning.unregister(dir)
+  }
+
   test("unregistered tables, unindexed predicates, range pruning, and " +
       "the kill switch") {
     val dir = tmpDir() + "/t"
