@@ -125,7 +125,13 @@ object StatsPruning {
     *   None            = matched but unprunable (no participating
     *                     conjunct) — cached so the unprunable case pays
     *                     the stats read once, not once per fixed-point
-    *                     iteration (the r12 advice finding);
+    *                     iteration (the r12 advice finding). REFUSALS
+    *                     (name-gate exceeded, unreadable stats) cache as
+    *                     None too: same inputs → same refusal, and an
+    *                     uncached refusal would re-pay the gated stats
+    *                     collect on every fixed-point pass of every
+    *                     query (measured 3× per query at 10⁵ described
+    *                     files before r13 cached it);
     *   Some((described, admitted)) = the two canonical-key sets one
     *                     gated stats pass produced.
     * The mtime key self-invalidates on any stats rewrite (refresh,
@@ -276,7 +282,19 @@ case class PruneScanByFileStats(spark: SparkSession)
     val mtime = StatsPruning.statsMtime(statsDir)
     val key = (statsDir, mtime, conjKey(conjuncts))
     StatsPruning.admissionCache.get(key).getOrElse {
-      val computed = computeAdmission(statsDir, mtime, conjuncts)
+      val computed =
+        try computeAdmission(statsDir, mtime, conjuncts)
+        catch {
+          // refusal (name gate, unreadable stats rows): degrade to "no
+          // pruning from this table" and CACHE it — the mtime key
+          // re-admits the table as soon as its stats change; warning
+          // once per (table version, predicate), not once per
+          // fixed-point pass
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"graft stats pruning skipped for $statsDir " +
+              s"(cached until the stats table changes): $e")
+            None
+        }
       if (StatsPruning.admissionCache.size > 1024)
         StatsPruning.admissionCache.clear()
       StatsPruning.admissionCache.putIfAbsent(key, computed)
