@@ -85,22 +85,93 @@ object VersionedTable {
     }
   }
 
-  /** Append a new immutable version; returns its number. */
+  /** Commit a new FULL snapshot (the whole table's content is `df`);
+    * returns its version. O(|df|) — the INSERT OVERWRITE shape. For
+    * O(new rows) commits that keep prior data by reference, use
+    * [[append]]. */
   def write(df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "write")
     val next = versionsOn(fs, root).lastOption.getOrElse(0L) + 1L
-    df.write.parquet(new Path(root, s"v=$next").toString)
+    writeData(df, root, next, table)
     commitManifest(fs, root, next, s"${System.currentTimeMillis()}\n")
     next
   }
 
-  /** The data directory a manifested version resolves to: its own
-    * `v=N` unless the manifest carries a `data=K` redirect line (a
-    * [[rollback]] commit — content-free, pointing at the restored
-    * snapshot's data). Redirects are written pre-resolved, so one hop
-    * always lands on a real data version. */
-  private def dataVersionOn(fs: FileSystem, root: Path, v: Long): Long = {
+  /** Commit an INCREMENTAL snapshot: only `df`'s rows are written; the
+    * new version's content is the previous snapshot's data PLUS `df`
+    * (Iceberg's append — the reason appends are O(new data), not
+    * O(table), at 100 TB). The manifest carries the PRE-RESOLVED data
+    * dir list (`dirs=…` — previous version's resolved dirs + this
+    * version's own), so reads never chase commit chains and [[expire]]
+    * can compute liveness from retained manifests alone. Manifest size
+    * grows one entry per append — compact the line count away with a
+    * full [[write]] (any rewrite that materializes the union), exactly
+    * Iceberg's rewrite_manifests discipline. */
+  def append(df: DataFrame, table: String): Long = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "append")
+    val vs = versionsOn(fs, root)
+    val next = vs.lastOption.getOrElse(0L) + 1L
+    writeData(df, root, next, table)
+    val dirs = vs.lastOption
+      .map(prev => dataVersionsOn(fs, root, prev) :+ next)
+      .getOrElse(Seq(next))
+    commitManifest(fs, root, next, manifestContent(dirs, next))
+    next
+  }
+
+  /** Commit a snapshot that keeps `keepDataVersions`' directories BY
+    * REFERENCE and adds `df` as the only new data — the copy-on-write
+    * primitive a row-level DELETE/UPDATE rewrite needs: untouched data
+    * dirs carry over for free, only dirs containing affected rows are
+    * rewritten into the new version's own directory. `keepDataVersions`
+    * must be data versions of the CURRENT snapshot (refusing arbitrary
+    * dirs keeps a concurrent expiry from being able to reference-count
+    * wrong). */
+  def replace(df: DataFrame, table: String,
+      keepDataVersions: Seq[Long]): Long = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "replace")
+    val vs = versionsOn(fs, root)
+    require(vs.nonEmpty, s"replace on $table: no current snapshot")
+    val current = dataVersionsOn(fs, root, vs.last).toSet
+    val unknown = keepDataVersions.filterNot(current)
+    require(unknown.isEmpty,
+      s"replace on $table: kept data versions $unknown are not part of " +
+        s"the current snapshot $current")
+    val next = vs.last + 1L
+    writeData(df, root, next, table)
+    commitManifest(fs, root, next,
+      manifestContent(keepDataVersions :+ next, next))
+    next
+  }
+
+  /** Data lands in the version's own `v=N` dir; partition columns
+    * declared at [[create]] time apply to every commit so the layout
+    * stays uniform across the snapshot's dir list. */
+  private def writeData(df: DataFrame, root: Path, v: Long,
+      table: String): Unit = {
+    val target = new Path(root, s"v=$v").toString
+    partitionColsOf(table) match {
+      case cols if cols.nonEmpty => df.write.partitionBy(cols: _*).parquet(target)
+      case _ => df.write.parquet(target)
+    }
+  }
+
+  private def manifestContent(dirs: Seq[Long], self: Long): String =
+    if (dirs == Seq(self)) s"${System.currentTimeMillis()}\n"
+    else s"${System.currentTimeMillis()}\ndirs=${dirs.mkString(",")}\n"
+
+  /** The DATA VERSION LIST a manifested version resolves to, in commit
+    * order. Three manifest shapes, all pre-resolved (reads never chase
+    * chains, expiry reference-counts from retained manifests alone):
+    *   - plain (no directive): the version owns its data → [v];
+    *   - `data=K` (a pre-r13 [[rollback]] redirect): → [K];
+    *   - `dirs=a,b,c` (r13 [[append]]/[[replace]]/multi-dir rollback):
+    *     the explicit list, last entry = the newest dir. */
+  private def dataVersionsOn(fs: FileSystem, root: Path,
+      v: Long): Seq[Long] = {
     val m = new Path(manifestDir(root), v.toString)
     val in = fs.open(m)
     val content =
@@ -108,28 +179,70 @@ object VersionedTable {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     content.linesIterator
-      .collectFirst { case l if l.startsWith("data=") =>
-        l.stripPrefix("data=").trim.toLong }
-      .getOrElse(v)
+      .collectFirst {
+        case l if l.startsWith("data=") =>
+          Seq(l.stripPrefix("data=").trim.toLong)
+        case l if l.startsWith("dirs=") =>
+          l.stripPrefix("dirs=").trim.split(",").toSeq.map(_.trim.toLong)
+      }
+      .getOrElse(Seq(v))
   }
+
+  /** The newest data version of a snapshot — the single-dir view
+    * [[history]]'s `data_version` column reports (for a full write:
+    * itself; for a redirect: the restore target; for an append: itself,
+    * its own delta dir being the newest). */
+  private def dataVersionOn(fs: FileSystem, root: Path, v: Long): Long =
+    dataVersionsOn(fs, root, v).last
 
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame =
-    spark.read.parquet(dataDir(table, version))
+      version: Option[Long] = None): DataFrame = {
+    val dirs = dataDirs(table, version)
+    storedSchema(table) match {
+      // a created-then-never-written table has a declared schema and no
+      // committed version: serve the empty relation CREATE promised
+      case Some(schema) if dirs.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // declared schema ⇒ inference-free reads: empty snapshots (a
+      // truncate, an INSERT of zero rows) stay readable and append
+      // snapshots skip multi-dir footer sampling
+      case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+  }
 
-  /** Resolved DATA directory of a manifested version (or the latest) —
-    * the path a DSv2 TableCatalog binds `VERSION AS OF` to
-    * ([[graft.sql.GraftProcedureCatalog]]): redirects are followed one
-    * hop exactly as [[read]] does, so a catalog-served snapshot and a
-    * TVF-served one read the same bytes by construction. */
-  def dataDir(table: String, version: Option[Long] = None): String = {
+  /** Resolved DATA directories of a manifested version (or the latest)
+    * — the paths a DSv2 TableCatalog binds `VERSION AS OF` to
+    * ([[graft.sql.GraftProcedureCatalog]]): redirects and append lists
+    * are pre-resolved exactly as [[read]] resolves them, so a
+    * catalog-served snapshot and a TVF-served one read the same bytes
+    * by construction. Empty ONLY for a [[create]]d table with no
+    * committed version yet (the declared-schema empty relation). */
+  def dataDirs(table: String, version: Option[Long] = None): Seq[String] = {
     val (fs, root) = fsFor(table)
     val vs = versionsOn(fs, root)
-    val v = version.orElse(vs.lastOption).getOrElse(
-      throw new IllegalStateException(s"no versions in $table"))
-    require(vs.contains(v), s"version $v not retained in $table")
-    new Path(root, s"v=${dataVersionOn(fs, root, v)}").toString
+    def dirsOf(v: Long): Seq[String] = {
+      require(vs.contains(v), s"version $v not retained in $table")
+      dataVersionsOn(fs, root, v).map(k => new Path(root, s"v=$k").toString)
+    }
+    version match {
+      case Some(v) => dirsOf(v)
+      case None => vs.lastOption.map(dirsOf).getOrElse {
+        if (storedSchema(table).isDefined) Seq.empty
+        else throw new IllegalStateException(s"no versions in $table")
+      }
+    }
+  }
+
+  /** Single-dir convenience over [[dataDirs]]; refuses multi-dir
+    * (append/replace) snapshots rather than silently dropping dirs. */
+  def dataDir(table: String, version: Option[Long] = None): String = {
+    val dirs = dataDirs(table, version)
+    require(dirs.size == 1,
+      s"snapshot of $table resolves to ${dirs.size} data dirs; use dataDirs")
+    dirs.head
   }
 
   /** The snapshot current AT `timestampMillis` — the newest retained
@@ -166,8 +279,15 @@ object VersionedTable {
     require(vs.contains(toVersion),
       s"version $toVersion not retained in $table")
     val next = vs.last + 1L
+    val target = dataVersionsOn(fs, root, toVersion)
+    // single-dir targets keep the pre-r13 `data=K` form (same bytes a
+    // pre-append reader of this layout understands); multi-dir targets
+    // (restoring an append-built snapshot) need the explicit list
+    val directive =
+      if (target.size == 1) s"data=${target.head}"
+      else s"dirs=${target.mkString(",")}"
     commitManifest(fs, root, next,
-      s"${System.currentTimeMillis()}\ndata=${dataVersionOn(fs, root, toVersion)}\n")
+      s"${System.currentTimeMillis()}\n$directive\n")
     next
   }
 
@@ -217,9 +337,10 @@ object VersionedTable {
   private def expireDrop(fs: FileSystem, root: Path, vs: Seq[Long],
       drop: Seq[Long]): Seq[Long] = {
     val dropSet = drop.toSet
-    // resolve BEFORE dropping manifests: kept versions' data dirs are live
+    // resolve BEFORE dropping manifests: every data dir ANY kept
+    // version references (redirect targets, append bases) is live
     val live = vs.filterNot(dropSet)
-      .map(dataVersionOn(fs, root, _)).toSet
+      .flatMap(dataVersionsOn(fs, root, _)).toSet
     drop.foreach { v =>
       fs.delete(new Path(manifestDir(root), v.toString), false)
       if (!live.contains(v)) {
@@ -264,5 +385,79 @@ object VersionedTable {
       "graft_history expects one literal argument: (table_path)")
     history(SparkSession.active, exprs.head.eval().toString)
       .queryExecution.analyzed
+  }
+
+  // ---- declared tables (CREATE TABLE / catalog DDL, r13) --------------
+  //
+  // A versioned table can exist BEFORE its first commit: `create`
+  // declares schema + partition columns in `_versions/.table` (dot
+  // prefix: invisible to the numeric manifest filter and to expiry).
+  // Declared schema also makes reads inference-free — `read` passes it
+  // to the parquet source, so empty snapshots (a truncate, an
+  // INSERT of zero rows) stay readable and the multi-dir footer
+  // sampling of append snapshots is skipped entirely.
+
+  private def tableMetaPath(root: Path): Path =
+    new Path(manifestDir(root), ".table")
+
+  /** Declare a table: schema + optional identity partition columns.
+    * Refuses to redeclare (schema evolution is a deliberate non-goal of
+    * this layer — the reference's ALTER path is Iceberg's, out of
+    * scope) but tolerates declaring over an UNDECLARED versioned table
+    * (adopting an existing path-written table into catalog DDL). */
+  def create(table: String, schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "create")
+    require(storedMeta(table).isEmpty,
+      s"table $table is already declared; this layer does not evolve " +
+        "schemas (drop and recreate, or write a new table)")
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition columns $missing are not in the declared schema")
+    fs.mkdirs(manifestDir(root))
+    val content = s"partition=${partitionCols.mkString(",")}\n${schema.json}\n"
+    graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def storedMeta(table: String)
+      : Option[(Seq[String], org.apache.spark.sql.types.StructType)] = {
+    val (fs, root) = fsFor(table)
+    val p = tableMetaPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val lines = graft.util.Fs.readSmallFileFs(fs, p).linesIterator.toSeq
+      val cols = lines.head.stripPrefix("partition=").split(",")
+        .toSeq.map(_.trim).filter(_.nonEmpty)
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(lines.drop(1).mkString("\n"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Some((cols, schema))
+    }
+  }
+
+  /** Declared schema, when [[create]] declared one. */
+  def storedSchema(table: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    storedMeta(table).map(_._2)
+
+  /** Declared identity partition columns ([[create]]); empty otherwise. */
+  def partitionColsOf(table: String): Seq[String] =
+    storedMeta(table).map(_._1).getOrElse(Nil)
+
+  /** Commit an EMPTY snapshot (SQL TRUNCATE TABLE): history and prior
+    * versions stay time-travelable, exactly Iceberg's truncate. */
+  def truncate(spark: SparkSession, table: String): Long = {
+    val schema = storedSchema(table).getOrElse {
+      // adopt an undeclared table: pin its current schema first, so the
+      // empty snapshot (no files to infer from) stays readable
+      val s = read(spark, table).schema
+      create(table, s)
+      s
+    }
+    write(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row], schema),
+      table)
   }
 }

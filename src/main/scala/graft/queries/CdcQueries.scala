@@ -205,28 +205,44 @@ object CdcQueries {
     * the oracle replays both exported snapshots from raw orders — a
     * catalog that resolves the wrong version, drops the rollback
     * redirect, or loses rows hash-mismatches. */
+  /** One catalog NAME per warehouse dir: Spark's CatalogManager caches
+    * the initialized catalog instance per name and never re-reads its
+    * conf, so re-pointing one name at a second warehouse (the bench's
+    * sf0.001 warmup followed by sf0.1 reps) would silently keep serving
+    * the FIRST warehouse. Distinct names sidestep the cache by design. */
+  private val catalogNames =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  private[queries] def catalogFor(s: SparkSession, warehouse: String): String = {
+    val name = catalogNames.getOrElseUpdate(warehouse,
+      s"graft_tt${catalogSeq.incrementAndGet()}")
+    s.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    name
+  }
+
   def q190VersionAsOf(s: SparkSession, dir: String): DataFrame = {
     q169Rollback(s, dir).count() // ensure the versioned fixture exists
     val table = rollbackTables(dir)
     val w = new java.io.File(table).getParent
-    s.conf.set("spark.sql.catalog.graft_tt",
-      classOf[graft.sql.GraftProcedureCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_tt.warehouse", w)
+    val cat = catalogFor(s, w)
     graft.expressions.GraftFunctions.register(s)
     // the catalog and the TVF must serve identical bytes per snapshot
     // (incl. v3, whose manifest is a data redirect at v1)
     Seq(1L, 2L, 3L).foreach { v =>
-      val cat = s.sql(
-        s"SELECT * FROM graft_tt.gold VERSION AS OF $v").collect().toSet
+      val viaCat = s.sql(
+        s"SELECT * FROM $cat.gold VERSION AS OF $v").collect().toSet
       val tvf = s.sql(
         s"SELECT * FROM graft_version('$table', $v)").collect().toSet
-      require(cat == tvf,
+      require(viaCat == tvf,
         s"catalog VERSION AS OF $v diverges from the graft_version TVF")
     }
     val cols = Seq(col("o_orderstatus"), col("n_orders"), col("total_price"))
-    s.sql("SELECT * FROM graft_tt.gold VERSION AS OF 2")
+    s.sql(s"SELECT * FROM $cat.gold VERSION AS OF 2")
       .select(lit("v2").as("snap") +: cols: _*)
-      .unionByName(s.sql("SELECT * FROM graft_tt.gold")
+      .unionByName(s.sql(s"SELECT * FROM $cat.gold")
         .select(lit("current").as("snap") +: cols: _*))
       .orderBy(col("snap"), col("o_orderstatus"))
   }

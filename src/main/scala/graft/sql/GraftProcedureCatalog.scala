@@ -84,9 +84,17 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
   // time-travel clauses to retained snapshots — the same resolution as
   // the graft_version TVF, so the two SQL surfaces agree by
   // construction); any other directory serves as a plain parquet table
-  // (Hive-partitioned or flat). Reads only: this engine's write surface
-  // is path-based (Medallion/VersionedTable), so mutations through the
-  // catalog refuse rather than half-support a second write protocol.
+  // (Hive-partitioned or flat).
+  //
+  // Versioned roots are READ-WRITE as of r13 ([[GraftVersionedTable]]):
+  // CREATE TABLE / CTAS declare a root, INSERT INTO commits an
+  // incremental append snapshot, INSERT OVERWRITE / TRUNCATE a full or
+  // empty one, DELETE FROM rewrites copy-on-write — every mutation a
+  // manifest commit, so history stays time-travelable and writes to a
+  // pinned `VERSION AS OF` relation refuse. Plain parquet dirs stay
+  // read-only here (their write surface is the path-based pipeline);
+  // ALTER/RENAME refuse (schema evolution is the table-format seam this
+  // layer deliberately leaves to Iceberg/Delta — SCALING.md).
 
   private def warehouseOrThrow: String = warehouse.getOrElse(
     throw new UnsupportedOperationException(
@@ -103,18 +111,26 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
   private def loadVia(ident: Identifier)(
-      resolve: String => String): Table = {
+      resolve: String => Table): Table = {
     val dir = tableDir(ident)
     val (fs, p) = graft.util.Fs.fsFor(dir)
     if (!fs.exists(p))
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
-    parquetTable(ident, resolve(dir))
+    resolve(dir)
+  }
+
+  private def versionedTable(ident: Identifier, dir: String,
+      pinned: Option[Long]): Table = {
+    // validate a pinned snapshot at LOAD (analysis) time — "version not
+    // retained" is an analysis error, not a mid-scan one
+    pinned.foreach(v => VersionedTable.dataDirs(dir, Some(v)))
+    new GraftVersionedTable(ident.toString, dir, pinned, SparkSession.active)
   }
 
   override def loadTable(ident: Identifier): Table =
     loadVia(ident) { dir =>
-      if (VersionedTable.isVersioned(dir)) VersionedTable.dataDir(dir)
-      else dir
+      if (VersionedTable.isVersioned(dir)) versionedTable(ident, dir, None)
+      else parquetTable(ident, dir)
     }
 
   /** `VERSION AS OF v` — only meaningful on a versioned root. */
@@ -125,7 +141,7 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
           "VersionedTable root (plain parquet dirs have no snapshots)")
       val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"VERSION AS OF '$version': graft snapshot ids are integers"))
-      VersionedTable.dataDir(dir, Some(v))
+      versionedTable(ident, dir, Some(v))
     }
 
   /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
@@ -134,7 +150,7 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
       require(VersionedTable.isVersioned(dir),
         s"$dir is not a versioned table: TIMESTAMP AS OF needs a " +
           "VersionedTable root (plain parquet dirs have no snapshots)")
-      VersionedTable.dataDir(dir,
+      versionedTable(ident, dir,
         Some(VersionedTable.versionAt(dir, timestampMicros / 1000L)))
     }
 
@@ -153,18 +169,53 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catalogName is a read catalog: $op is not supported — write " +
-        "through the path-based surface (Medallion.writeTable / " +
-        "VersionedTable.write) and read the same dirs here")
+      s"$catalogName does not support $op — this layer does not evolve " +
+        "schemas or move roots (the Iceberg/Delta seam, SCALING.md); " +
+        "drop and recreate, or write a new table")
 
+  /** `CREATE TABLE` / the create half of CTAS: declares a
+    * [[VersionedTable]] root (schema + identity partition columns
+    * pinned in the table meta). Only identity transforms are accepted —
+    * bucket/days/truncate transforms would promise a physical layout
+    * the parquet substrate doesn't maintain. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: java.util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace() :+ ident.name())
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"CREATE TABLE $ident: unsupported partition transform '$t' — " +
+          "only identity (column) partitioning is supported")
+    }
+    VersionedTable.create(dir, schema, partCols)
+    versionedTable(ident, dir, None)
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+
+  /** `DROP TABLE`: removes the table directory (data + manifests).
+    * Refuses plain parquet dirs — only roots this catalog's DDL could
+    * have created (versioned) drop here; ad-hoc parquet dirs belong to
+    * the path-based pipeline that wrote them. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val (fs, p) = graft.util.Fs.fsFor(dir)
+    if (!fs.exists(p)) false
+    else {
+      require(VersionedTable.isVersioned(dir),
+        s"DROP TABLE $ident: $dir is a plain parquet dir, not a " +
+          "catalog-managed versioned table; remove it through the " +
+          "pipeline that wrote it")
+      fs.delete(p, true)
+    }
+  }
+
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

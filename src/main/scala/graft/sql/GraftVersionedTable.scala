@@ -1,0 +1,186 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pipeline.VersionedTable
+
+/** The DSv2 face of a [[VersionedTable]] root — the Iceberg table shape
+  * from plain SQL (reference: README.md:87-90 — the time-travel +
+  * SQL-managed table claims):
+  *
+  *   - reads delegate to Spark's own parquet scan over the snapshot's
+  *     RESOLVED data-dir list (append snapshots are multi-dir), so
+  *     pushdown/pruning/vectorization are stock Spark;
+  *   - `INSERT INTO` commits an INCREMENTAL append snapshot — O(new
+  *     rows), prior data carried by reference (manifest `dirs=` list);
+  *   - `INSERT OVERWRITE` / CTAS commit a full snapshot;
+  *   - `DELETE FROM … WHERE` is copy-on-write at data-dir granularity:
+  *     one metadata-column scan finds the dirs containing affected rows,
+  *     untouched dirs carry into the new snapshot by reference, only
+  *     affected dirs rewrite (Iceberg's CoW with file-level pruning,
+  *     at this layer's dir granularity);
+  *   - `TRUNCATE TABLE` commits an empty snapshot;
+  *   - every mutation is a manifest commit: history stays
+  *     time-travelable, and a write to a TIME-TRAVEL-pinned relation
+  *     refuses (a snapshot is immutable by definition).
+  *
+  * The write path is a [[V1Write]]: the committed DataFrame is written
+  * by the engine's own distributed parquet write — V1 here means "hand
+  * the planned query back as a DataFrame", not a driver-side
+  * materialization; at 100 TB the write is the same
+  * `df.write.parquet` every pipeline stage uses. */
+final class GraftVersionedTable(
+    identName: String,
+    root: String,
+    pinnedVersion: Option[Long],
+    spark: SparkSession)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def dataDirs: Seq[String] =
+    VersionedTable.dataDirs(root, pinnedVersion)
+
+  /** Fresh per call: a snapshot commit between two loads must be
+    * visible to the next scan (the catalog caches nothing). */
+  private def delegate: ParquetTable =
+    ParquetTable(identName, spark, CaseInsensitiveStringMap.empty(),
+      dataDirs, VersionedTable.storedSchema(root),
+      classOf[ParquetFileFormat])
+
+  override def name(): String = identName
+
+  override def schema(): StructType = delegate.schema
+
+  override def partitioning(): Array[Transform] =
+    VersionedTable.partitionColsOf(root)
+      .map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root,
+      "format" -> "parquet",
+      "provider" -> "graft").asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  // ---- writes ---------------------------------------------------------
+
+  private def refusePinned(op: String): Unit =
+    require(pinnedVersion.isEmpty,
+      s"$op on $identName VERSION AS OF ${pinnedVersion.get}: snapshots " +
+        "are immutable — write to the table, not to a point in its history")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refusePinned("write")
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          new sources.InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (overwriteAll) VersionedTable.write(data, root)
+              else VersionedTable.append(data, root)
+          }
+      }
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    refusePinned("TRUNCATE")
+    VersionedTable.truncate(spark, root)
+    true
+  }
+
+  // ---- DELETE FROM: copy-on-write at data-dir granularity -------------
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(translate(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    refusePinned("DELETE")
+    val pred = filters.flatMap(translate).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val dirs = dataDirs
+    if (dirs.isEmpty) return // declared-but-empty table: nothing to delete
+    val current = VersionedTable.read(spark, root)
+    // ONE scan answers which data dirs contain affected rows — the
+    // file-metadata column costs no data-column IO beyond the
+    // predicate's own columns, and stock pushdown prunes the scan
+    val touchedFiles = current
+      .filter(pred)
+      .select(col("_metadata.file_path"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    val touched = touchedFiles.flatMap(dirVersionOf).toSet
+    if (touched.isEmpty) return // no row matches: current snapshot stands
+    val dirOf = (v: Long) => s"$root/v=$v"
+    val allVersions = dirs.flatMap(d => dirVersionOf(d + "/"))
+    val kept = allVersions.filterNot(touched)
+    // rewrite ONLY the touched dirs' survivors; DELETE drops rows where
+    // the predicate is TRUE, so survivors are false-or-null rows
+    val readSchema = VersionedTable.storedSchema(root)
+      .map(s => spark.read.schema(s)).getOrElse(spark.read)
+    val survivors = readSchema
+      .parquet(touched.toSeq.sorted.map(dirOf): _*)
+      .filter(not(coalesce(pred, lit(false))))
+    VersionedTable.replace(survivors, root, kept)
+  }
+
+  /** The owning `v=K` data version of a file path under this root, if
+    * any (paths may be URI-qualified while `root` is not — match on
+    * the `/v=K/` segment past the root's tail). */
+  private def dirVersionOf(path: String): Option[Long] = {
+    val marker = "/v="
+    val i = path.indexOf(marker, math.max(0, path.indexOf(rootTail)))
+    if (i < 0) None
+    else path.substring(i + marker.length).takeWhile(_.isDigit).toLongOption
+  }
+  private val rootTail = root.substring(root.lastIndexOf('/') + 1)
+
+  /** v1 source filter -> Column, the standard translatable subset; None
+    * refuses the DELETE at analysis (canDeleteWhere) rather than
+    * half-applying it. */
+  private def translate(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sources.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
