@@ -199,18 +199,36 @@ object VersionedTable {
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val dirs = dataDirs(table, version)
-    storedSchema(table) match {
+    if (dirs.isEmpty)
       // a created-then-never-written table has a declared schema and no
       // committed version: serve the empty relation CREATE promised
-      case Some(schema) if dirs.isEmpty =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      // declared schema ⇒ inference-free reads: empty snapshots (a
-      // truncate, an INSERT of zero rows) stay readable and append
-      // snapshots skip multi-dir footer sampling
-      case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
-      case None => spark.read.parquet(dirs: _*)
-    }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        storedSchema(table).get)
+    else readDirs(spark, table, dirs)
+  }
+
+  /** The one place snapshot data dirs turn into a DataFrame — shared by
+    * [[read]] and the catalog DELETE's survivor rewrite so both resolve
+    * partition layouts identically. Declared schema ⇒ inference-free
+    * reads (empty snapshots — a truncate, an INSERT of zero rows —
+    * stay readable; append snapshots skip multi-dir footer sampling).
+    * Declared PARTITIONED tables read with `basePath` at the table
+    * root: Spark's partition discovery refuses multiple roots that
+    * each contain partition subdirs, but with the root as base the
+    * snapshot level (`v=N`) simply becomes one more partition column,
+    * pruned away by the projection back to the declared schema —
+    * partition pruning on the real columns composes per snapshot dir
+    * inside ONE relation (no per-dir union, plan size independent of
+    * the append count). */
+  private[graft] def readDirs(spark: SparkSession, table: String,
+      dirs: Seq[String]): DataFrame = storedMeta(table) match {
+    case Some((pcols, schema)) if pcols.nonEmpty =>
+      spark.read.schema(schema).option("basePath", table).parquet(dirs: _*)
+        .select(schema.fieldNames.toSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+    case Some((_, schema)) => spark.read.schema(schema).parquet(dirs: _*)
+    case None => spark.read.parquet(dirs: _*)
   }
 
   /** Resolved DATA directories of a manifested version (or the latest)

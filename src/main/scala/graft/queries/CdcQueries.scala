@@ -103,8 +103,9 @@ object CdcQueries {
     * processes don't accumulate graft-rollback-* dirs in the temp dir. */
   private lazy val rollbackCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      (rollbackTables.values ++ maintTables.values).foreach(t =>
-        graft.util.Fs.deleteRecursively(new java.io.File(t).getParentFile))
+      (rollbackTables.values ++ maintTables.values ++ writeTables.values)
+        .foreach(t =>
+          graft.util.Fs.deleteRecursively(new java.io.File(t).getParentFile))
     }, "graft-rollback-cleanup"))
   }
 
@@ -247,6 +248,124 @@ object CdcQueries {
       .orderBy(col("snap"), col("o_orderstatus"))
   }
 
+  /** table paths (values' PARENT dir is the warehouse the cleanup hook
+    * removes — keep only table paths here, never warehouse roots) */
+  private val writeTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The SQL WRITE path end-to-end ([[graft.sql.GraftVersionedTable]],
+    * r13 — the Iceberg DML shape the reference manages through Glue/
+    * Iceberg, reference: README.md:85-88): a table is built from PURE
+    * SQL TEXT — CTAS seeds it with the ≡0 mod 3 third of orders, two
+    * INSERT INTOs append the other thirds — and every INSERT commits an
+    * INCREMENTAL snapshot (only new rows written; prior data carried by
+    * reference in the manifest's dir list). In-engine, the commit shape
+    * itself is require()d: three snapshots, the current one resolving
+    * to three data dirs of which the first is v=1's — a rewrite-style
+    * "append" (full copy) or a lost snapshot fails the query before the
+    * oracle sees it. The result exports per-status aggregates of v1,
+    * v2, and current; the oracle replays each slice from raw orders by
+    * the same modulus — wrong rows in ANY snapshot hash-mismatch. */
+  def q191SqlInsertSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir, {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""CREATE TABLE $cat.ord AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      Seq(1, 2).foreach { m =>
+        s.sql(
+          s"""INSERT INTO $cat.ord
+             |SELECT o_orderkey, o_orderstatus,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 3 = $m""".stripMargin)
+      }
+      val t0 = s"$w/ord"
+      // the commit SHAPE: 3 snapshots; current = 3 dirs by reference,
+      // v=1's dir still among them (appends did NOT rewrite history)
+      require(VersionedTable.versions(t0) == Seq(1L, 2L, 3L),
+        s"expected 3 snapshots, got ${VersionedTable.versions(t0)}")
+      val dirs = VersionedTable.dataDirs(t0)
+      require(dirs.size == 3 && dirs.head.endsWith("v=1"),
+        s"append snapshots must carry prior dirs by reference: $dirs")
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    def slice(snap: String, sql: String): DataFrame =
+      s.sql(sql).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("total_price"))
+        .select(lit(snap).as("snap"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    slice("v1", s"SELECT * FROM $cat.ord VERSION AS OF 1")
+      .unionByName(slice("v2", s"SELECT * FROM $cat.ord VERSION AS OF 2"))
+      .unionByName(slice("current", s"SELECT * FROM $cat.ord"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
+  /** SQL `DELETE FROM … WHERE` as dir-granular COPY-ON-WRITE
+    * ([[graft.sql.GraftVersionedTable]].deleteWhere): the fixture
+    * commits the low-key half of orders (v1) then the high-key half
+    * (v2, an incremental append), and DELETEs the high-key 'F' rows.
+    * The engine must rewrite ONLY the dirs containing affected rows —
+    * require()d structurally: the delete snapshot's dir list is
+    * exactly [v=1 (carried by reference, untouched), v=3 (the rewrite
+    * of v=2's survivors)]. Result: per-status aggregates of the
+    * current (post-delete) table AND the pre-delete snapshot — the
+    * time-travel proof that CoW deletes lose nothing. The oracle
+    * replays both from raw orders with the same split literal. */
+  def q192SqlDeleteCow(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#del", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      // split at half the max key: deterministic at every SF, and the
+      // same expression the oracle uses
+      s.sql(
+        s"""CREATE TABLE $cat.ordd AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders
+           |WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) / 2
+           |""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.ordd
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders
+           |WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM orders) / 2
+           |""".stripMargin)
+      val t0 = s"$w/ordd"
+      val mid = t(s, dir, "orders").agg(max(col("o_orderkey")))
+        .head().getLong(0) / 2
+      s.sql(s"DELETE FROM $cat.ordd " +
+        s"WHERE o_orderkey > $mid AND o_orderstatus = 'F'")
+      // structural CoW proof: v1 carried by reference, only v2 rewrote
+      val dirs = VersionedTable.dataDirs(t0)
+      require(dirs.map(_.split("/v=").last) == Seq("1", "3"),
+        s"dir-granular CoW must keep v=1 by reference and rewrite v=2 " +
+          s"into v=3; got $dirs")
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    def agg(snap: String, sql: String): DataFrame =
+      s.sql(sql).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("total_price"))
+        .select(lit(snap).as("snap"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    agg("current", s"SELECT * FROM $cat.ordd")
+      .unionByName(agg("pre_delete", s"SELECT * FROM $cat.ordd VERSION AS OF 2"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -255,7 +374,9 @@ object CdcQueries {
     "q169_rollback" -> (q169Rollback _),
     "q183_sql_maintenance" -> (q183SqlMaintenance _),
     "q186_snapshot_history" -> (q186SnapshotHistory _),
-    "q190_version_as_of" -> (q190VersionAsOf _))
+    "q190_version_as_of" -> (q190VersionAsOf _),
+    "q191_sql_insert_snapshots" -> (q191SqlInsertSnapshots _),
+    "q192_sql_delete_cow" -> (q192SqlDeleteCow _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -280,6 +401,46 @@ object CdcQueries {
         |SELECT 'v2' AS snap, o_orderstatus,
         |  CAST(0 AS BIGINT) AS n_orders, CAST(0.0 AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1, 2
+        |ORDER BY snap, o_orderstatus""".stripMargin,
+    // each snapshot replayed from raw orders by the CTAS/INSERT moduli:
+    // v1 = the CTAS third, v2 = CTAS + first INSERT, current = all —
+    // wrong rows in any committed snapshot hash-mismatch
+    "q191_sql_insert_snapshots" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT 'current' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v1' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t WHERE o_orderkey % 3 = 0 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v2' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1, 2
+        |ORDER BY snap, o_orderstatus""".stripMargin,
+    // post-delete current + pre-delete snapshot, both replayed from raw
+    // orders with the same max/2 split the DELETE used — a CoW that
+    // loses survivor rows, deletes too much, or breaks time travel
+    // mismatches one half
+    "q192_sql_delete_cow" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |m AS (SELECT MAX(o_orderkey) / 2 AS mid FROM t)
+        |SELECT 'current' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t, m
+        |WHERE NOT (o_orderkey > mid AND o_orderstatus = 'F')
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'pre_delete' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t GROUP BY 1, 2
         |ORDER BY snap, o_orderstatus""".stripMargin,
     // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
     // redirect at v1's data and current — three literal rows

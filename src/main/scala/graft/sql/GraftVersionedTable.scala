@@ -54,15 +54,29 @@ final class GraftVersionedTable(
     VersionedTable.dataDirs(root, pinnedVersion)
 
   /** Fresh per call: a snapshot commit between two loads must be
-    * visible to the next scan (the catalog caches nothing). */
-  private def delegate: ParquetTable =
-    ParquetTable(identName, spark, CaseInsensitiveStringMap.empty(),
-      dataDirs, VersionedTable.storedSchema(root),
-      classOf[ParquetFileFormat])
+    * visible to the next scan (the catalog caches nothing). Partitioned
+    * tables scan with `basePath` at the root — see
+    * [[VersionedTable.readDirs]]: the snapshot level becomes a
+    * partition column the projection never requests, and partition
+    * pruning on the declared columns works across all snapshot dirs in
+    * one relation. */
+  private def delegate: ParquetTable = {
+    val opts =
+      if (VersionedTable.partitionColsOf(root).nonEmpty)
+        new CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("basePath", root))
+      else CaseInsensitiveStringMap.empty()
+    ParquetTable(identName, spark, opts, dataDirs,
+      VersionedTable.storedSchema(root), classOf[ParquetFileFormat])
+  }
 
   override def name(): String = identName
 
-  override def schema(): StructType = delegate.schema
+  /** The DECLARED schema when one exists — the delegate's would append
+    * the internal snapshot-level partition column on partitioned
+    * layouts (basePath discovery); analysis must never see it. */
+  override def schema(): StructType =
+    VersionedTable.storedSchema(root).getOrElse(delegate.schema)
 
   override def partitioning(): Array[Transform] =
     VersionedTable.partitionColsOf(root)
@@ -134,15 +148,12 @@ final class GraftVersionedTable(
       .map(_.getString(0))
     val touched = touchedFiles.flatMap(dirVersionOf).toSet
     if (touched.isEmpty) return // no row matches: current snapshot stands
-    val dirOf = (v: Long) => s"$root/v=$v"
     val allVersions = dirs.flatMap(d => dirVersionOf(d + "/"))
     val kept = allVersions.filterNot(touched)
     // rewrite ONLY the touched dirs' survivors; DELETE drops rows where
     // the predicate is TRUE, so survivors are false-or-null rows
-    val readSchema = VersionedTable.storedSchema(root)
-      .map(s => spark.read.schema(s)).getOrElse(spark.read)
-    val survivors = readSchema
-      .parquet(touched.toSeq.sorted.map(dirOf): _*)
+    val survivors = VersionedTable
+      .readDirs(spark, root, touched.toSeq.sorted.map(v => s"$root/v=$v"))
       .filter(not(coalesce(pred, lit(false))))
     VersionedTable.replace(survivors, root, kept)
   }

@@ -147,4 +147,94 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions("s3a:" + local) == Seq(2L, 3L))
     assert(VersionedTable.read(spark, "s3a:" + local).count() == 2)
   }
+
+  // ---- incremental snapshots (r13): append / replace / dirs= ----------
+
+  test("append commits O(new rows): prior dirs by reference, every " +
+      "snapshot time-travelable, rollback restores multi-dir content") {
+    val table = Files.createTempDirectory("graft_vt6_").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table)
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table)
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "2", "3"))
+    assert(VersionedTable.read(spark, table).count() == 3)
+    assert(VersionedTable.read(spark, table, Some(2L)).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a full write on top resolves to ONE dir again (manifest compaction)
+    VersionedTable.write(Seq((9L, "z")).toDF("k", "v"), table)
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last) == Seq("4"))
+    // rollback to the append-built v3 restores its full dir LIST
+    VersionedTable.rollback(table, 3L)
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "2", "3"))
+    assert(VersionedTable.read(spark, table).count() == 3)
+  }
+
+  test("expire keeps any data dir a retained append/redirect references; " +
+      "unreferenced dirs delete") {
+    val table = Files.createTempDirectory("graft_vt7_").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)   // v1
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table)  // v2 = [1,2]
+    VersionedTable.write(Seq((9L, "z")).toDF("k", "v"), table)   // v3 = [3]
+    VersionedTable.append(Seq((8L, "y")).toDF("k", "v"), table)  // v4 = [3,4]
+    // keep only v4: v1/v2 dirs are unreferenced and must go; v3's dir
+    // survives through v4's reference even though v3's manifest drops
+    VersionedTable.expire(table, keepLast = 1)
+    assert(VersionedTable.versions(table) == Seq(4L))
+    val root = new java.io.File(table)
+    assert(!new java.io.File(root, "v=1").exists())
+    assert(!new java.io.File(root, "v=2").exists())
+    assert(new java.io.File(root, "v=3").exists())
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L))
+  }
+
+  test("replace keeps listed dirs by reference and refuses dirs outside " +
+      "the current snapshot") {
+    val table = Files.createTempDirectory("graft_vt8_").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)   // v1
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table)  // v2 = [1,2]
+    VersionedTable.replace(Seq((5L, "r")).toDF("k", "v"), table,
+      keepDataVersions = Seq(1L))                                // v3 = [1,3]
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "3"))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    // v=2 is no longer part of current but v2 the VERSION still resolves
+    assert(VersionedTable.read(spark, table, Some(2L)).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.replace(Seq((6L, "x")).toDF("k", "v"), table,
+        keepDataVersions = Seq(2L)) // v2's dir is not in v3's list
+    }
+    assert(e.getMessage.contains("not part of the current snapshot"))
+  }
+
+  test("declared tables: create pins schema+partitioning, truncate " +
+      "commits a readable empty snapshot, redeclare refuses") {
+    val table = Files.createTempDirectory("graft_vt9_").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, day STRING")
+    VersionedTable.create(table, schema, Seq("day"))
+    assert(VersionedTable.storedSchema(table).contains(schema))
+    assert(VersionedTable.partitionColsOf(table) == Seq("day"))
+    // declared-but-empty serves schema and zero rows
+    val empty = VersionedTable.read(spark, table)
+    assert(empty.schema == schema && empty.count() == 0)
+    VersionedTable.append(Seq((1L, "d1"), (2L, "d2")).toDF("k", "day"), table)
+    assert(new java.io.File(s"$table/v=1/day=d1").exists())
+    assert(VersionedTable.read(spark, table).count() == 2)
+    VersionedTable.truncate(spark, table)
+    assert(VersionedTable.read(spark, table).count() == 0)
+    assert(VersionedTable.read(spark, table, Some(1L)).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.create(table, schema)
+    }
+    assert(e.getMessage.contains("already declared"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.create(
+        Files.createTempDirectory("graft_vt9b_").toString + "/t",
+        schema, Seq("nope"))
+    }
+  }
 }

@@ -83,13 +83,153 @@ class GraftTableCatalogSpec extends SparkSpec {
     val cat = freshCatalog(w)
     assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
       .map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+    // plain parquet dirs are not catalog-managed: DROP refuses (they
+    // belong to the path-based pipeline that wrote them)
     val e = intercept[Exception] {
       spark.sql(s"DROP TABLE $cat.ns.a")
     }
-    assert(e.getMessage.contains("read catalog"))
+    assert(e.getMessage.contains("plain parquet dir"))
+    // ALTER/RENAME refuse everywhere (no schema evolution at this layer)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.a ADD COLUMN z INT")
+    }
+    assert(e2.getMessage.contains("does not support"))
     // procedures keep working with a warehouse configured
     val rep = spark.sql(
       s"CALL $cat.system.remove_orphan_files(table => '$w/ns/a')").collect()
     assert(rep.head.getBoolean(2))
+  }
+
+  // ---- the write surface (r13): DDL + DML through pure SQL ------------
+
+  test("CREATE TABLE + INSERT INTO commits INCREMENTAL snapshots: prior " +
+      "data carried by reference, history time-travelable") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.wh.t (k BIGINT, v STRING)")
+    // a declared-but-empty table serves its schema and zero rows
+    val empty = spark.sql(s"SELECT * FROM $cat.wh.t")
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0)
+    spark.sql(s"INSERT INTO $cat.wh.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.wh.t VALUES (3, 'c')")
+    val table = s"$w/wh/t"
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    // the append's manifest lists v=1 BY REFERENCE plus its own delta
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "2"))
+    assert(spark.sql(s"SELECT k FROM $cat.wh.t").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT k FROM $cat.wh.t VERSION AS OF 1").count() == 2)
+    // v=1's data files were not touched by the append
+    val v1Files = new java.io.File(s"$table/v=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length))
+    assert(v1Files.nonEmpty)
+  }
+
+  test("INSERT OVERWRITE commits a FULL snapshot; TRUNCATE an empty " +
+      "one; both leave prior versions readable") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 'b')")
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (9, 'z')")
+    val table = s"$w/t"
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last) == Seq("3"))
+    assert(spark.sql(s"SELECT k FROM $cat.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.sql(s"SELECT k FROM $cat.t VERSION AS OF 2").count() == 2)
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 0)
+    assert(spark.sql(s"SELECT k FROM $cat.t VERSION AS OF 3").count() == 1)
+  }
+
+  test("CTAS seeds a table from a query; DROP TABLE removes a versioned " +
+      "root") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").createOrReplaceTempView("src_ctas")
+    spark.sql(s"CREATE TABLE $cat.c AS SELECT * FROM src_ctas WHERE k = 1")
+    assert(spark.sql(s"SELECT v FROM $cat.c").collect()
+      .map(_.getString(0)).toSeq == Seq("x"))
+    assert(VersionedTable.isVersioned(s"$w/c"))
+    spark.sql(s"DROP TABLE $cat.c")
+    assert(!new java.io.File(s"$w/c").exists())
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.c").collect()
+    }
+  }
+
+  test("DELETE FROM rewrites copy-on-write at dir granularity: " +
+      "untouched dirs carry by reference, time travel keeps the rows") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.d (k BIGINT, grp STRING)")
+    spark.sql(s"INSERT INTO $cat.d SELECT id, 'low' FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.d SELECT id, 'high' FROM range(100, 150)")
+    spark.sql(s"DELETE FROM $cat.d WHERE k >= 120")
+    val table = s"$w/d"
+    // v=1 (no affected rows) carried by reference; v=2 rewritten as v=3
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "3"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) == 70L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d WHERE k >= 120")
+      .head().getLong(0) == 0L)
+    // the pre-delete snapshot still has all 100 rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d VERSION AS OF 2")
+      .head().getLong(0) == 100L)
+    // a DELETE matching nothing commits nothing
+    val before = VersionedTable.versions(table)
+    spark.sql(s"DELETE FROM $cat.d WHERE k < 0")
+    assert(VersionedTable.versions(table) == before)
+  }
+
+  test("partitioned CREATE TABLE: identity partitioning lays out " +
+      "Hive dirs inside each snapshot and prunes on read") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(
+      s"CREATE TABLE $cat.p (k BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.p VALUES (1, 'd1'), (2, 'd2')")
+    spark.sql(s"INSERT INTO $cat.p VALUES (3, 'd1')")
+    val table = s"$w/p"
+    assert(new java.io.File(s"$table/v=1/day=d1").exists())
+    assert(new java.io.File(s"$table/v=2/day=d1").exists())
+    assert(spark.sql(s"SELECT k FROM $cat.p WHERE day = 'd1'").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // partition filter prunes at the source, across BOTH snapshot dirs
+    val scan = spark.sql(s"SELECT k FROM $cat.p WHERE day = 'd2'")
+    assert(scan.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // non-identity transforms refuse at CREATE
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.pb (k BIGINT) PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e.getMessage.contains("identity"))
+  }
+
+  test("writes to a time-travel-pinned relation refuse; expire keeps " +
+      "append-referenced data dirs alive") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.e (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.e VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.e VALUES (2)")
+    val table = s"$w/e"
+    // expire v1: its manifest drops, but its DATA dir is referenced by
+    // v2's append list and must survive
+    VersionedTable.expire(table, keepLast = 1)
+    assert(VersionedTable.versions(table) == Seq(2L))
+    assert(new java.io.File(s"$table/v=1").exists())
+    assert(spark.sql(s"SELECT k FROM $cat.e").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val e = intercept[Exception] {
+      spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array.empty, "e"), "2")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null)
+    }
+    assert(e.getMessage.contains("immutable"))
   }
 }
