@@ -147,6 +147,22 @@ object VersionedTable {
     next
   }
 
+  /** Publish a FULL snapshot whose data a caller already landed in
+    * `v=v` (the row-level-operation BatchWrite: executors write the
+    * files, this is the driver-side manifest flip that makes them
+    * visible). Refuses when `v` is not the next version — a stale
+    * pre-computed number means a concurrent commit won the race and
+    * this rewrite must not clobber it. */
+  private[graft] def publishFull(table: String, v: Long): Unit = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "publishFull")
+    val expected = versionsOn(fs, root).lastOption.getOrElse(0L) + 1L
+    require(v == expected,
+      s"publishFull($table, $v): next version is $expected — a " +
+        "concurrent commit landed after this rewrite started")
+    commitManifest(fs, root, v, s"${System.currentTimeMillis()}\n")
+  }
+
   /** Data lands in the version's own `v=N` dir; partition columns
     * declared at [[create]] time apply to every commit so the layout
     * stays uniform across the snapshot's dir list. */

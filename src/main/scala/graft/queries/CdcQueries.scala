@@ -366,6 +366,57 @@ object CdcQueries {
       .orderBy(col("snap"), col("o_orderstatus"))
   }
 
+  /** SQL `MERGE INTO` through the DSv2 row-level-operation path
+    * ([[graft.sql.GraftVersionedTable]].newRowLevelOperationBuilder,
+    * r13 — Spark's own RewriteMergeIntoTable planning the group-based
+    * copy-on-write, the statement the reference runs on Iceberg): the
+    * fixture CTASes customer into a versioned catalog table and MERGEs
+    * the exact q87 change set (update+delete+insert arms). The oracle
+    * is the SAME portable mergeSql text q93 runs on DuckDB — so three
+    * independent derivations of one statement (operator plan q87, pure
+    * SQL q93, DSv2 MERGE INTO here) must hash-identically. In-engine,
+    * the commit shape is require()d: exactly one new snapshot, with the
+    * pre-merge snapshot still serving the original row count. */
+  def q193SqlMergeInto(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#mrg", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""CREATE TABLE $cat.cust AS
+           |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           |FROM customer""".stripMargin)
+      customerChanges(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"), col("is_delete"))
+        .createOrReplaceTempView("q193_changes")
+      s.sql(
+        s"""MERGE INTO $cat.cust t USING q193_changes s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.is_delete THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  c_name = s.c_name, c_nationkey = s.c_nationkey,
+           |  c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+           |WHEN NOT MATCHED THEN INSERT
+           |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+           |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal,
+           |          s.c_mktsegment)
+           |""".stripMargin)
+      val t0 = s"$w/cust"
+      require(VersionedTable.versions(t0) == Seq(1L, 2L),
+        s"MERGE must commit exactly one snapshot: ${VersionedTable.versions(t0)}")
+      require(VersionedTable.read(s, t0, Some(1L)).count() ==
+        t(s, dir, "customer").count(),
+        "the pre-merge snapshot must still serve the original rows")
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    s.sql(s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+      s"c_mktsegment FROM $cat.cust")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -376,7 +427,8 @@ object CdcQueries {
     "q186_snapshot_history" -> (q186SnapshotHistory _),
     "q190_version_as_of" -> (q190VersionAsOf _),
     "q191_sql_insert_snapshots" -> (q191SqlInsertSnapshots _),
-    "q192_sql_delete_cow" -> (q192SqlDeleteCow _))
+    "q192_sql_delete_cow" -> (q192SqlDeleteCow _),
+    "q193_sql_merge_into" -> (q193SqlMergeInto _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -388,6 +440,10 @@ object CdcQueries {
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
+    // the THIRD derivation of the same merge: DSv2 MERGE INTO through
+    // the row-level-operation write path must reproduce the portable
+    // SQL text bit-for-bit
+    "q193_sql_merge_into" -> mergeSql,
     // both catalog-served snapshots replayed from raw orders: v2 is the
     // zeroed recompute (three known rows), current is the rolled-back
     // good aggregate — resolving the wrong snapshot breaks either half

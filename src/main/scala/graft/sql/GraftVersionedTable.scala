@@ -5,10 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
@@ -48,7 +48,8 @@ final class GraftVersionedTable(
     root: String,
     pinnedVersion: Option[Long],
     spark: SparkSession)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   private def dataDirs: Seq[String] =
     VersionedTable.dataDirs(root, pinnedVersion)
@@ -125,6 +126,63 @@ final class GraftVersionedTable(
     true
   }
 
+  // ---- UPDATE / MERGE INTO: group-based copy-on-write -----------------
+  //
+  // SQL `UPDATE` and `MERGE INTO` ride Spark's own group-based
+  // row-level rewrite (RewriteUpdateTable / RewriteMergeIntoTable): the
+  // operation's scan reads the current snapshot, the runtime plans the
+  // full post-statement state, and the write below commits it as a new
+  // snapshot — Iceberg's copy-on-write shape. Translatable `DELETE
+  // FROM` still downgrades to the dir-granular metadata path above
+  // (OptimizeMetadataOnlyDeleteFromTable consults canDeleteWhere);
+  // untranslatable DELETEs now run the rewrite instead of erroring.
+  // Scale note: without runtime group filtering the rewrite is
+  // O(table) — the cost Iceberg CoW pays on its worst case; at 100 TB
+  // the merge-on-read/delta path is the table-format seam documented
+  // in SCALING.md.
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    refusePinned(info.command.toString)
+    () => new RowLevelOperation {
+      override def command: RowLevelOperation.Command = info.command
+      /** The rewrite's scan must read the WHOLE table: ReplaceData's
+        * contract is "the write replaces exactly the groups the scan
+        * read", and this table's write commits a full snapshot — one
+        * group. A pushdown-capable scan here would let the planner
+        * prune row groups by the command's condition and the rewrite
+        * would silently DROP every unmatched row it pruned (observed:
+        * an UPDATE whose condition pruned a parquet row group lost that
+        * row group's rows). Exposing only build() refuses every
+        * pushdown interface, so the scan is always the full table and
+        * the full-snapshot commit is exact. File-granular CoW needs the
+        * scan↔write group coordination a table format carries —
+        * the Iceberg seam, SCALING.md. */
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder = {
+        val inner = delegate.newScanBuilder(options)
+        // column pruning stays (it also projects away the internal
+        // snapshot-level partition column on partitioned layouts);
+        // filter/aggregate/limit pushdown is deliberately absent
+        new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+          override def pruneColumns(requiredSchema: StructType): Unit =
+            inner match {
+              case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                c.pruneColumns(requiredSchema)
+              case _ => ()
+            }
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            inner.build()
+        }
+      }
+      override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new GraftReplaceWrite(root, spark,
+            wi, VersionedTable.partitionColsOf(root))
+        }
+    }
+  }
+
   // ---- DELETE FROM: copy-on-write at data-dir granularity -------------
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
@@ -193,5 +251,116 @@ final class GraftVersionedTable(
       for (lc <- translate(l); rc <- translate(r)) yield lc || rc
     case sources.Not(c) => translate(c).map(!_)
     case _ => None
+  }
+}
+
+/** The write half of a group-based row-level operation (ReplaceData):
+  * the rewritten table state lands as a NEW snapshot via the engine's
+  * own distributed parquet `BatchWrite` — executors write through
+  * Spark's FileBatchWrite into the snapshot's directory, and the
+  * driver-side commit() publishes the manifest, so a failed or aborted
+  * rewrite is invisible (no manifest → no version, the VersionedTable
+  * torn-write argument verbatim).
+  *
+  * Partitioned layouts: Spark's v2 file BatchWrite does not lay out
+  * Hive partitions, so the rewrite stages flat (partition columns live
+  * in the files) and commit() re-lays the staging dir into the
+  * snapshot's declared `col=value` structure with one distributed
+  * partitionBy pass, then removes the staging dir. That second pass is
+  * bounded by the rewritten data, not the table. */
+private final class GraftReplaceWrite(
+    root: String,
+    spark: SparkSession,
+    info: LogicalWriteInfo,
+    partitionCols: Seq[String]) extends Write {
+
+  override def toBatch: BatchWrite = {
+    val next = VersionedTable.latestVersion(root).getOrElse(0L) + 1L
+    val target = s"$root/v=$next"
+    val stagingDir =
+      if (partitionCols.isEmpty) target
+      else s"$root/.replace-staging-$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staged = ParquetTable("graft-replace-staging", spark,
+      CaseInsensitiveStringMap.empty(), Seq(stagingDir),
+      Some(info.schema()), classOf[ParquetFileFormat])
+    val inner = staged.newWriteBuilder(info).build().toBatch
+
+    new BatchWrite {
+      override def createBatchWriterFactory(
+          pi: PhysicalWriteInfo): DataWriterFactory =
+        new GraftReplaceWriterFactory(
+          inner.createBatchWriterFactory(pi), info.schema())
+
+      // the file commit protocol coordinates its own task commits —
+      // letting the V2 task ALSO ask the OutputCommitCoordinator
+      // double-registers each partition and the second ask is denied
+      override def useCommitCoordinator: Boolean =
+        inner.useCommitCoordinator
+
+      override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+        inner.onDataWriterCommit(message)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        inner.commit(messages)
+        if (partitionCols.nonEmpty) {
+          spark.read.schema(info.schema()).parquet(stagingDir)
+            .write.partitionBy(partitionCols: _*).parquet(target)
+          deleteDir(stagingDir)
+        }
+        // publish: the snapshot becomes visible only here
+        VersionedTable.publishFull(root, next)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        inner.abort(messages)
+        deleteDir(stagingDir)
+        if (stagingDir != target) deleteDir(target)
+      }
+
+      private def deleteDir(d: String): Unit = {
+        val (fs, p) = graft.util.Fs.fsFor(d)
+        fs.delete(p, true)
+      }
+    }
+  }
+}
+
+/** Adapts the row stream a group-based ReplaceData produces to the
+  * parquet data writer. When the operation declares no metadata
+  * attributes, ReplaceDataExec falls back to the plain writing task
+  * (`ReplaceDataExec.writingTask` requires BOTH projections) and hands
+  * the writer the RAW rewrite rows — `__row_operation` int first, data
+  * columns after (RowDeltaUtils.OPERATION_COLUMN; the projection-less
+  * path is unexercised upstream because Iceberg always declares
+  * metadata attrs). The adapter recognizes both shapes per row:
+  * op-less rows (width == data schema) pass through; op-prefixed rows
+  * are projected down to the data columns, with DELETE-op rows (1)
+  * skipped defensively — group-based rewrites express deletes by
+  * omission, so one should never appear; every other op code
+  * (UPDATE/INSERT/REINSERT/WRITE/WRITE_WITH_METADATA = 2..6) writes.
+  * The projection is built ON THE EXECUTOR (UnsafeProjection is not
+  * serializable); the factory ships only the schema. */
+private final class GraftReplaceWriterFactory(
+    inner: DataWriterFactory,
+    dataSchema: StructType) extends DataWriterFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  import org.apache.spark.sql.connector.write.DataWriter
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    val stripOp = UnsafeProjection.create(
+      dataSchema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+        BoundReference(i + 1, f.dataType, f.nullable) })
+    new DataWriter[InternalRow] {
+      override def write(r: InternalRow): Unit =
+        if (r.numFields == dataSchema.length) w.write(r)
+        else if (r.getInt(0) != 1) w.write(stripOp(r)) // 1 = DELETE op
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
   }
 }

@@ -207,6 +207,68 @@ class GraftTableCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("identity"))
   }
 
+  test("SQL UPDATE rewrites copy-on-write: new snapshot, history intact") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.u (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.u VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"UPDATE $cat.u SET v = 'upd' WHERE k >= 2")
+    assert(spark.sql(s"SELECT v FROM $cat.u ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "upd", "upd"))
+    val table = s"$w/u"
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    // the pre-update snapshot still serves the original values
+    assert(spark.sql(s"SELECT v FROM $cat.u VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("SQL MERGE INTO: update + delete + insert in one statement " +
+      "commits one snapshot") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.m (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.m VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq((2L, "B", false), (3L, "C", true), (4L, "D", false))
+      .toDF("k", "v", "del").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.m t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT k, v FROM $cat.m ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "B"), (4L, "D")))
+    val table = s"$w/m"
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+  }
+
+  test("MERGE/UPDATE preserve a partitioned table's Hive layout; an " +
+      "untranslatable DELETE takes the rewrite path") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(
+      s"CREATE TABLE $cat.pm (k BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.pm VALUES (1, 'd1'), (2, 'd2'), (4, 'd2')")
+    spark.sql(s"UPDATE $cat.pm SET day = 'd3' WHERE k = 2")
+    val table = s"$w/pm"
+    assert(new java.io.File(s"$table/v=2/day=d3").exists())
+    assert(spark.sql(s"SELECT k FROM $cat.pm WHERE day = 'd3'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // no staging dir left behind
+    assert(!new java.io.File(table).listFiles()
+      .exists(_.getName.startsWith(".replace-staging")))
+    // k % 2 has no v1 source-filter translation: the rewrite path now
+    // serves it (pre-r13 this errored)
+    spark.sql(s"DELETE FROM $cat.pm WHERE k % 2 = 0")
+    assert(spark.sql(s"SELECT k FROM $cat.pm").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pm VERSION AS OF 2")
+      .head().getLong(0) == 3L)
+  }
+
   test("writes to a time-travel-pinned relation refuse; expire keeps " +
       "append-referenced data dirs alive") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
