@@ -175,9 +175,66 @@ object VersionedTable {
     }
   }
 
-  private def manifestContent(dirs: Seq[Long], self: Long): String =
-    if (dirs == Seq(self)) s"${System.currentTimeMillis()}\n"
-    else s"${System.currentTimeMillis()}\ndirs=${dirs.mkString(",")}\n"
+  private def manifestContent(dirs: Seq[Long], self: Long,
+      extra: Seq[String] = Nil): String = {
+    val dirLine =
+      if (dirs == Seq(self)) Nil else Seq(s"dirs=${dirs.mkString(",")}")
+    (System.currentTimeMillis().toString +: (dirLine ++ extra))
+      .mkString("", "\n", "\n")
+  }
+
+  /** Exactly-once STREAMING append: the foreachBatch body for a
+    * `writeStream` whose sink is a versioned table. Structured
+    * Streaming redelivers a batch after a crash-restart, so the commit
+    * must be idempotent per `batchId` — the manifest itself carries a
+    * `batch=N` line and a redelivered id at or below the newest
+    * recorded one is a no-op (None). The marker lives IN the commit,
+    * not in a side file: there is no ordering window where the data is
+    * visible but the marker missing or vice versa. Detection walks
+    * manifests newest→oldest and stops at the first batch line
+    * (batch ids are monotone), so the steady-state cost is one
+    * manifest read. Retention note: a retry can only follow a crash
+    * immediately, so expiry would have to drop EVERY batch-carrying
+    * manifest between the crash and the retry to re-admit a duplicate
+    * — keep `expire(keepLast >= 1)` on streaming sinks, which any
+    * useful retention already does. */
+  def appendBatch(df: DataFrame, table: String,
+      batchId: Long): Option[Long] = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "appendBatch")
+    if (lastStreamBatchOn(fs, root).exists(_ >= batchId)) None
+    else {
+      val vs = versionsOn(fs, root)
+      val next = vs.lastOption.getOrElse(0L) + 1L
+      writeData(df, root, next, table)
+      val dirs = vs.lastOption
+        .map(prev => dataVersionsOn(fs, root, prev) :+ next)
+        .getOrElse(Seq(next))
+      commitManifest(fs, root, next,
+        manifestContent(dirs, next, Seq(s"batch=$batchId")))
+      Some(next)
+    }
+  }
+
+  /** The newest committed streaming batch id, if any retained manifest
+    * carries one. */
+  def lastStreamBatch(table: String): Option[Long] = {
+    val (fs, root) = fsFor(table)
+    lastStreamBatchOn(fs, root)
+  }
+
+  private def lastStreamBatchOn(fs: FileSystem, root: Path): Option[Long] =
+    versionsOn(fs, root).reverseIterator.flatMap { v =>
+      val in = fs.open(new Path(manifestDir(root), v.toString))
+      val content =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      content.linesIterator.collectFirst {
+        case l if l.startsWith("batch=") =>
+          l.stripPrefix("batch=").trim.toLong
+      }
+    }.nextOption()
 
   /** The DATA VERSION LIST a manifested version resolves to, in commit
     * order. Three manifest shapes, all pre-resolved (reads never chase
@@ -479,6 +536,45 @@ object VersionedTable {
   /** Declared identity partition columns ([[create]]); empty otherwise. */
   def partitionColsOf(table: String): Seq[String] =
     storedMeta(table).map(_._1).getOrElse(Nil)
+
+  /** ADDITIVE schema evolution (Iceberg's `ALTER TABLE … ADD COLUMN`,
+    * the one evolution parquet serves for free: files written before
+    * the change simply lack the column and the declared-schema read
+    * null-fills it — no data rewrite). Everything else (drop, rename,
+    * type change) is refused at the catalog: those need per-file field
+    * IDs, the table-format seam. Rules enforced here: every existing
+    * field stays byte-identical (name, type, nullability, order),
+    * new fields append at the end and must be nullable (existing rows
+    * HAVE no value). Undeclared tables are adopted first (current
+    * schema pinned) so the evolution has a base to extend.
+    *
+    * Recorded simplification: the declared schema is table-level, not
+    * per-snapshot — time travel to a pre-evolution version serves the
+    * CURRENT schema with the new columns null-filled (Iceberg replays
+    * the snapshot's own schema; same data bytes either way). */
+  def addColumns(spark: SparkSession, table: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "addColumns")
+    val (pcols, base) = storedMeta(table).getOrElse {
+      val s = read(spark, table).schema
+      create(table, s)
+      (Nil, s)
+    }
+    require(newFields.nonEmpty, "addColumns: no columns given")
+    val clash = newFields.map(_.name)
+      .filter(n => base.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty, s"addColumns on $table: $clash already exist")
+    val notNullable = newFields.filterNot(_.nullable).map(_.name)
+    require(notNullable.isEmpty,
+      s"addColumns on $table: $notNullable must be nullable — existing " +
+        "rows have no value for a new column")
+    val evolved =
+      org.apache.spark.sql.types.StructType(base.fields ++ newFields)
+    val content = s"partition=${pcols.mkString(",")}\n${evolved.json}\n"
+    graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Commit an EMPTY snapshot (SQL TRUNCATE TABLE): history and prior
     * versions stay time-travelable, exactly Iceberg's truncate. */

@@ -417,6 +417,44 @@ object CdcQueries {
       s"c_mktsegment FROM $cat.cust")
   }
 
+  /** `ALTER TABLE ADD COLUMN` end-to-end (r13; Iceberg's additive
+    * schema evolution, the one parquet serves without field IDs): the
+    * fixture CTASes the even-key half of orders, evolves the schema by
+    * a `channel` column, and INSERTs the odd-key half WITH the column —
+    * so the current snapshot mixes pre- and post-evolution files in one
+    * scan. The export groups by the (null-filled) new column; the
+    * oracle replays both slices from raw orders — a read that drops
+    * old files, fails to null-fill, or misaligns the evolved schema
+    * hash-mismatches. */
+  def q194SqlAddColumn(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#alt", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""CREATE TABLE $cat.orda AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.orda ADD COLUMN channel STRING")
+      s.sql(
+        s"""INSERT INTO $cat.orda
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price, 'web' AS channel
+           |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      s"$w/orda"
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    s.sql(s"SELECT * FROM $cat.orda")
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("channel"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -428,7 +466,8 @@ object CdcQueries {
     "q190_version_as_of" -> (q190VersionAsOf _),
     "q191_sql_insert_snapshots" -> (q191SqlInsertSnapshots _),
     "q192_sql_delete_cow" -> (q192SqlDeleteCow _),
-    "q193_sql_merge_into" -> (q193SqlMergeInto _))
+    "q193_sql_merge_into" -> (q193SqlMergeInto _),
+    "q194_sql_add_column" -> (q194SqlAddColumn _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -498,6 +537,22 @@ object CdcQueries {
         |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
         |FROM t GROUP BY 1, 2
         |ORDER BY snap, o_orderstatus""".stripMargin,
+    // both slices replayed from raw orders: pre-evolution rows group
+    // under the null-filled ('legacy') channel, post-evolution under
+    // their inserted value
+    "q194_sql_add_column" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT 'legacy' AS channel, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t WHERE o_orderkey % 2 = 0 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'web' AS channel, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t WHERE o_orderkey % 2 = 1 GROUP BY 1, 2
+        |ORDER BY channel, o_orderstatus""".stripMargin,
     // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
     // redirect at v1's data and current — three literal rows
     "q186_snapshot_history" ->

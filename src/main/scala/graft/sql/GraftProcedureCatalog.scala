@@ -196,8 +196,30 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
     versionedTable(ident, dir, None)
   }
 
+  /** `ALTER TABLE … ADD COLUMN(S)`: the one schema evolution parquet
+    * serves without per-file field IDs (old files null-fill). Top-level
+    * nullable appends only; drop/rename/type-change refuse — that
+    * bookkeeping is the Iceberg/Delta seam (SCALING.md). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    require(VersionedTable.isVersioned(dir),
+      s"ALTER TABLE $ident: $dir is not a catalog-managed versioned table")
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"ALTER TABLE $ident: nested column '${a.fieldNames.mkString(".")}'" +
+            " is not supported — add top-level columns")
+        require(a.position() == null,
+          s"ALTER TABLE $ident: column positions are not supported — new " +
+            "columns append at the end")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)
+      case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    VersionedTable.addColumns(SparkSession.active, dir, adds)
+    versionedTable(ident, dir, None)
+  }
 
   /** `DROP TABLE`: removes the table directory (data + manifests).
     * Refuses plain parquet dirs — only roots this catalog's DDL could

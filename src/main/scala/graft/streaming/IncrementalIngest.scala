@@ -55,6 +55,32 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Drain `srcDir` into a VERSIONED table (r13): every microbatch
+    * commits one exactly-once append snapshot via
+    * [[graft.pipeline.VersionedTable.appendBatch]] — the streaming sink
+    * whose output is a time-travelable table. Idempotence lives in the
+    * manifest (`batch=N` line), so a crash-restart's redelivered batch
+    * is a structural no-op: the streamed table and a one-shot batch
+    * write of the same data are bit-identical however many times the
+    * drain is interrupted. Each batch append is O(batch), the
+    * snapshot count grows per drain — `Maintenance`-side compaction is
+    * any full rewrite (INSERT OVERWRITE / write()), which also resets
+    * the manifest dir list. */
+  def streamToVersioned(spark: SparkSession, srcDir: String,
+      schema: StructType, table: String, checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val q = transform(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.VersionedTable.appendBatch(batch.toDF(), table, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time windowed aggregation with a watermark — counts + exact sums
     * per (window, key). Usable both on a stream (late data beyond the
     * watermark is dropped, state is bounded) and in batch (same plan,

@@ -210,6 +210,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("not part of the current snapshot"))
   }
 
+  test("appendBatch is exactly-once per batch id: redelivery is a " +
+      "structural no-op; a streamed drain equals the one-shot write") {
+    val root = Files.createTempDirectory("graft_vt10_").toString
+    val table = s"$root/t"
+    assert(VersionedTable.appendBatch(
+      Seq((1L, "a")).toDF("k", "v"), table, 0L).contains(1L))
+    assert(VersionedTable.appendBatch(
+      Seq((2L, "b")).toDF("k", "v"), table, 1L).contains(2L))
+    // crash-restart redelivery: same id → None, no version, no data
+    assert(VersionedTable.appendBatch(
+      Seq((2L, "b")).toDF("k", "v"), table, 1L).isEmpty)
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    assert(VersionedTable.lastStreamBatch(table).contains(1L))
+    assert(VersionedTable.appendBatch(
+      Seq((3L, "c")).toDF("k", "v"), table, 2L).contains(3L))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // end-to-end drain: file-source stream -> versioned sink; second
+    // drain with the same checkpoint appends ONLY the new files
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val streamed = s"$root/st"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    Seq((10L, "x"), (11L, "y")).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    graft.streaming.IncrementalIngest.streamToVersioned(
+      spark, src, schema, streamed, ckpt)
+    val afterFirst = VersionedTable.read(spark, streamed).count()
+    assert(afterFirst == 2)
+    Seq((12L, "z")).toDF("k", "v").write.mode("append").parquet(src)
+    graft.streaming.IncrementalIngest.streamToVersioned(
+      spark, src, schema, streamed, ckpt)
+    assert(VersionedTable.read(spark, streamed).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+    // time travel into the drain history works like any other table
+    assert(VersionedTable.read(spark, streamed, Some(1L)).count() == 2)
+  }
+
   test("declared tables: create pins schema+partitioning, truncate " +
       "commits a readable empty snapshot, redeclare refuses") {
     val table = Files.createTempDirectory("graft_vt9_").toString + "/t"

@@ -89,11 +89,11 @@ class GraftTableCatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $cat.ns.a")
     }
     assert(e.getMessage.contains("plain parquet dir"))
-    // ALTER/RENAME refuse everywhere (no schema evolution at this layer)
+    // ALTER on a plain dir refuses (only versioned roots evolve)
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ns.a ADD COLUMN z INT")
     }
-    assert(e2.getMessage.contains("does not support"))
+    assert(e2.getMessage.contains("not a catalog-managed versioned table"))
     // procedures keep working with a warehouse configured
     val rep = spark.sql(
       s"CALL $cat.system.remove_orphan_files(table => '$w/ns/a')").collect()
@@ -267,6 +267,35 @@ class GraftTableCatalogSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L))
     assert(spark.sql(s"SELECT count(*) FROM $cat.pm VERSION AS OF 2")
       .head().getLong(0) == 3L)
+  }
+
+  test("ALTER TABLE ADD COLUMN: additive evolution, old files " +
+      "null-fill, non-additive changes refuse") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.a (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.a VALUES (1, 'x')")
+    spark.sql(s"ALTER TABLE $cat.a ADD COLUMNS (note STRING, score DOUBLE)")
+    // pre-evolution rows serve NULL for the new columns
+    val r1 = spark.sql(s"SELECT k, v, note, score FROM $cat.a").head()
+    assert(r1.getLong(0) == 1L && r1.isNullAt(2) && r1.isNullAt(3))
+    // post-evolution inserts carry the new columns
+    spark.sql(s"INSERT INTO $cat.a VALUES (2, 'y', 'n2', 0.5)")
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.a WHERE note = 'n2' AND score = 0.5")
+      .head().getLong(0) == 1L)
+    // mixed old/new files in one scan: both rows, nulls only where due
+    assert(spark.sql(s"SELECT count(*) FROM $cat.a").head().getLong(0) == 2L)
+    // non-additive evolutions refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.a DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.a RENAME COLUMN v TO w")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.a ADD COLUMN k STRING") // duplicate
+    }
   }
 
   test("writes to a time-travel-pinned relation refuse; expire keeps " +
