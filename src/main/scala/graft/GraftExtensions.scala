@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
         "graft_history"),
       pipeline.VersionedTable.historyTvfBuilder))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_changes"),
+      pipeline.VersionedTable.changesTvfBuilder))
     // automatic stats-table file skipping (no-op until a table is
     // registered via StatsPruning.register; idempotent if the session
     // also appended it to experimental.extraOptimizations)

@@ -396,6 +396,51 @@ object VersionedTable {
     read(SparkSession.active, table, version).queryExecution.analyzed
   }
 
+  /** INCREMENTAL read (Iceberg's incremental append scan): the rows
+    * ADDED between two retained snapshots — exactly the data dirs in
+    * `toVersion`'s manifest list that `fromVersion`'s lacks, so the
+    * scan cost is O(added data), never a diff join. Defined only for
+    * append-only history between the two snapshots: an overwrite,
+    * rollback, or delete in between removed dirs, there is no
+    * dir-granular "added rows", and the call refuses with a pointer to
+    * [[Cdc.snapshotDiff]] (the content-level diff). `fromVersion`'s
+    * own rows are excluded — (from, to], the CDC convention. */
+  def readIncremental(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readIncremental: from $fromVersion > to $toVersion")
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    Seq(fromVersion, toVersion).foreach(v =>
+      require(vs.contains(v), s"version $v not retained in $table"))
+    val from = dataVersionsOn(fs, root, fromVersion)
+    val to = dataVersionsOn(fs, root, toVersion)
+    val missing = from.filterNot(to.contains)
+    require(missing.isEmpty,
+      s"readIncremental($table, $fromVersion, $toVersion): snapshot " +
+        s"$toVersion no longer carries data dirs $missing of snapshot " +
+        s"$fromVersion — the history between them is not append-only " +
+        "(overwrite/rollback/delete); use a content diff " +
+        "(Cdc.snapshotDiff) instead")
+    val added = to.filterNot(from.contains)
+    if (added.isEmpty)
+      read(spark, table, Some(toVersion)).limit(0)
+    else
+      readDirs(spark, table,
+        added.map(k => new Path(root, s"v=$k").toString))
+  }
+
+  /** `graft_changes('table', from, to)` — [[readIncremental]] as a SQL
+    * table-valued function, Iceberg's
+    * `table$changes`/incremental-scan shape. */
+  def changesTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 3 && exprs.forall(_.foldable),
+      "graft_changes expects literal arguments: (table_path, from_version, to_version)")
+    readIncremental(SparkSession.active, exprs.head.eval().toString,
+      exprs(1).eval().toString.toLong, exprs(2).eval().toString.toLong)
+      .queryExecution.analyzed
+  }
+
   /** Commit wall-clock of a manifested version (the first manifest
     * line, epoch millis — written by [[write]]/[[rollback]]). */
   private def commitTimeOn(fs: FileSystem, root: Path, v: Long): Long = {

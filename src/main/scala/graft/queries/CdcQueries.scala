@@ -455,6 +455,33 @@ object CdcQueries {
       .orderBy(col("channel"), col("o_orderstatus"))
   }
 
+  /** INCREMENTAL read between snapshots (r13; Iceberg's incremental
+    * append scan / `table$changes`): over q191's three-append fixture,
+    * the rows added between snapshot 1 and snapshot 3 are exactly the
+    * two INSERT INTO batches — served by reading ONLY the added data
+    * dirs (O(added data), no diff join; the plan never touches v=1).
+    * The SQL TVF `graft_changes('t', 1, 3)` is require()d to agree
+    * with the API on a content digest, and the oracle replays the
+    * added slice from raw orders by the INSERT moduli. */
+  def q195IncrementalRead(s: SparkSession, dir: String): DataFrame = {
+    q191SqlInsertSnapshots(s, dir).count() // ensure the fixture exists
+    val table = writeTables(dir)
+    graft.expressions.GraftFunctions.register(s)
+    val tvf = s.sql(s"SELECT * FROM graft_changes('$table', 1, 3)")
+    val api = VersionedTable.readIncremental(s, table, 1L, 3L)
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(o_orderkey, o_orderstatus, price))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(digest(tvf) == digest(api),
+      "graft_changes TVF diverges from readIncremental")
+    tvf.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -467,7 +494,8 @@ object CdcQueries {
     "q191_sql_insert_snapshots" -> (q191SqlInsertSnapshots _),
     "q192_sql_delete_cow" -> (q192SqlDeleteCow _),
     "q193_sql_merge_into" -> (q193SqlMergeInto _),
-    "q194_sql_add_column" -> (q194SqlAddColumn _))
+    "q194_sql_add_column" -> (q194SqlAddColumn _),
+    "q195_incremental_read" -> (q195IncrementalRead _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -553,6 +581,16 @@ object CdcQueries {
         |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
         |FROM t WHERE o_orderkey % 2 = 1 GROUP BY 1, 2
         |ORDER BY channel, o_orderstatus""".stripMargin,
+    // the added slice = the two INSERT batches (moduli 1 and 2): an
+    // incremental read that leaks v=1 rows, drops an added dir, or
+    // double-counts hash-mismatches
+    "q195_incremental_read" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
     // redirect at v1's data and current — three literal rows
     "q186_snapshot_history" ->

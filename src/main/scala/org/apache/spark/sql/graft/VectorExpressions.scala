@@ -675,5 +675,8 @@ object VectorFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_history", graft.pipeline.VersionedTable.historyTvfBuilder,
       "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_changes", graft.pipeline.VersionedTable.changesTvfBuilder,
+      "built-in")
   }
 }

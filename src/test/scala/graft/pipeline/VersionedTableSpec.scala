@@ -210,6 +210,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("not part of the current snapshot"))
   }
 
+  test("readIncremental serves (from, to] added dirs only; refuses " +
+      "non-append-only history; empty for from == to") {
+    val table = Files.createTempDirectory("graft_vt11_").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)   // v1
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table)  // v2
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table)  // v3
+    assert(VersionedTable.readIncremental(spark, table, 1L, 3L).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(VersionedTable.readIncremental(spark, table, 2L, 3L).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(VersionedTable.readIncremental(spark, table, 3L, 3L).count() == 0)
+    // an overwrite breaks append-only lineage: incremental undefined
+    VersionedTable.write(Seq((9L, "z")).toDF("k", "v"), table)   // v4
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readIncremental(spark, table, 1L, 4L)
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // but within the post-overwrite lineage it works again
+    VersionedTable.append(Seq((10L, "y")).toDF("k", "v"), table) // v5
+    assert(VersionedTable.readIncremental(spark, table, 4L, 5L).collect()
+      .map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
   test("appendBatch is exactly-once per batch id: redelivery is a " +
       "structural no-op; a streamed drain equals the one-shot write") {
     val root = Files.createTempDirectory("graft_vt10_").toString
