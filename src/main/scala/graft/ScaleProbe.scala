@@ -346,6 +346,97 @@ object ScaleProbe {
     } finally StatsPruning.unregister(table)
   }
 
+  /** The SQL-DML cost model, MEASURED (SCALING.md "SQL DML on
+    * versioned tables"): run at two sf dirs, the append stage's claim
+    * is that its cost tracks the APPENDED slice, not the table — the
+    * slice is a fixed absolute key range (same rows at every SF), so
+    * if append were secretly O(table) the sf0.1 point would read ~10×
+    * the sf0.01 point. Stages: full write (the baseline the append
+    * must beat), fixed-slice append, current read (n+m rows over two
+    * dirs), incremental read (O(added): must track the slice, not the
+    * table), dir-granular CoW delete of a narrow key range (cost ∝
+    * affected dirs — here the appended dir only, because the range
+    * lives in the append slice and parquet min/max prunes the
+    * detection scan's data reads). */
+  def versionedDml(s: SparkSession, dir: String): Unit = {
+    import graft.pipeline.VersionedTable
+    val root = tmp("graft-probe-vdml-")
+    val table = s"$root/li"
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val n = li.count()
+    val (_, tFull) = timed { VersionedTable.write(li, table) }
+    emit("versioneddml", "full_write", tFull, n, dir)
+    // fixed ABSOLUTE slice: key range present identically at every SF
+    // (shifted up so appended keys do not collide with table keys —
+    // the delete stage below must only touch the appended dir)
+    val slice = li.filter(col("l_orderkey") <= 6000L)
+      .withColumn("l_orderkey", col("l_orderkey") + 100000000L)
+    val m = slice.count()
+    val (v2, tApp) = timed { VersionedTable.append(slice, table) }
+    emit("versioneddml", "append_fixed_slice", tApp, m, dir)
+    val (c1, tRead) = timed { VersionedTable.read(s, table).count() }
+    emit("versioneddml", "read_current", tRead, c1, dir)
+    require(c1 == n + m, s"append lost rows: $c1 != ${n + m}")
+    val (c2, tInc) = timed {
+      VersionedTable.readIncremental(s, table, 1L, v2).count()
+    }
+    emit("versioneddml", "incremental_read", tInc, c2, dir)
+    require(c2 == m, s"incremental read wrong: $c2 != $m")
+    // dir-granular CoW delete: predicate only matches the appended dir
+    val gvt = new graft.sql.GraftVersionedTable("probe", table, None, s)
+    val (_, tDel) = timed {
+      gvt.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("l_orderkey", 100000000L)))
+    }
+    emit("versioneddml", "delete_cow_narrow", tDel, m, dir)
+    val after = VersionedTable.read(s, table).count()
+    require(after == n, s"delete removed wrong rows: $after != $n")
+    val dirs = VersionedTable.dataDirs(table).map(_.split("/v=").last)
+    require(dirs == Seq("1", "3"),
+      s"delete must keep v=1 by reference and rewrite only v=2: $dirs")
+  }
+
+  /** Append-CHAIN depth: the manifest dir list grows one entry per
+    * append, so the axes that could degrade are commit time (reads the
+    * previous manifest), dataDirs resolution (one manifest read), and
+    * scan planning (lists N dirs). 150 tiny appends, then the
+    * steady-state costs — the honest stress for a daily-append table
+    * a few months between compactions. */
+  def appendChain(s: SparkSession, dir: String): Unit = {
+    import graft.pipeline.VersionedTable
+    import s.implicits._
+    val root = tmp("graft-probe-chain-")
+    val table = s"$root/t"
+    val nAppends = 150
+    val (_, tAll) = timed {
+      (0 until nAppends).foreach { i =>
+        VersionedTable.appendBatch(
+          Seq((i.toLong, s"row$i")).toDF("k", "v").coalesce(1),
+          table, i.toLong)
+      }
+    }
+    emit("appendchain", "appends_total", tAll, nAppends.toLong, dir)
+    val (_, tLast) = timed {
+      VersionedTable.appendBatch(
+        Seq((999L, "last")).toDF("k", "v").coalesce(1),
+        table, nAppends.toLong)
+    }
+    emit("appendchain", "append_at_depth", tLast, 1L, dir)
+    val (dirs, tResolve) = timed { VersionedTable.dataDirs(table) }
+    emit("appendchain", "resolve_dirs", tResolve, dirs.size.toLong, dir)
+    require(dirs.size == nAppends + 1)
+    val (c, tRead) = timed { VersionedTable.read(s, table).count() }
+    emit("appendchain", "read_all_dirs", tRead, c, dir)
+    require(c == nAppends + 1)
+    // a full write (compaction) collapses the list back to one dir
+    val (_, tCompact) = timed {
+      VersionedTable.write(VersionedTable.read(s, table), table)
+    }
+    emit("appendchain", "compact_rewrite", tCompact,
+      VersionedTable.dataDirs(table).size.toLong, dir)
+  }
+
   def triangles(s: SparkSession, dir: String, bloomMaxEdges: Long): Unit = {
     val label = if (bloomMaxEdges == 0L) "triangles_nobloom" else "triangles"
     // record the gate the run ACTUALLY used (derived gates depend on the
@@ -381,6 +472,8 @@ object ScaleProbe {
         case "multimodal" => multimodal(spark, dir)
         case "statsprune" => statsPrune(spark, dir)
         case "statsprune100k" => statsPrune100k(spark, dir)
+        case "versioneddml" => versionedDml(spark, dir)
+        case "appendchain" => appendChain(spark, dir)
         case other => sys.error(s"unknown probe: $other")
       }
       // streamIngest/perNode localCheckpoint per stage; without a purge,
