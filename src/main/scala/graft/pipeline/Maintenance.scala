@@ -240,6 +240,55 @@ object Maintenance {
     }
   }
 
+  /** Snapshot compaction for VERSIONED tables (r13) — the maintenance
+    * the append path needs: every `INSERT INTO`/`appendBatch` adds a
+    * data dir, and after months of daily appends the read side lists
+    * hundreds of dirs (measured: 151 one-row dirs read in ~2 s vs one
+    * dir in ~0.1 s, `appendchain` probe). Unlike [[compact]], which
+    * rewrites files IN PLACE and therefore refuses versioned roots
+    * (snapshots are immutable), this commits the binpacked (optionally
+    * range-sorted) content as a NEW full snapshot — the dir list
+    * collapses to one, history stays time-travelable, and the old
+    * snapshots fall to the normal [[graft.pipeline.VersionedTable.expire]]
+    * cycle. No-ops when the current snapshot is already one dir at or
+    * below its file-count target. */
+  def compactVersioned(spark: SparkSession, tableDir: String,
+      sortCols: Seq[String] = Nil,
+      targetFileBytes: Long = 256L * 1024 * 1024): Report = {
+    try {
+      require(VersionedTable.isVersioned(tableDir),
+        s"$tableDir is not a versioned table root")
+      val (fs, _) = fsFor(hadoopConf(spark), tableDir)
+      renameGuard(fs, tableDir, "compact_snapshots") match {
+        case Some(r) => return r
+        case None => ()
+      }
+      val dirs = VersionedTable.dataDirs(tableDir)
+      val bytes = dirs.map(d => dirSize(fs, new Path(d))).sum
+      val nf = targetFileCount(bytes, targetFileBytes)
+      if (dirs.size <= 1 && sortCols.isEmpty &&
+          dirs.headOption.forall(d =>
+            leafStats(fs, new Path(d))._1 <= nf)) {
+        return Report(tableDir, "compact_snapshots", ok = true,
+          "noop: current snapshot is one dir at/below target")
+      }
+      import org.apache.spark.sql.functions.col
+      val cur = VersionedTable.read(spark, tableDir)
+      val packed =
+        if (sortCols.isEmpty) cur.repartition(nf)
+        else cur.repartitionByRange(nf, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      val v = VersionedTable.write(packed, tableDir)
+      Report(tableDir, "compact_snapshots", ok = true,
+        s"rewrote ${dirs.size} data dirs into snapshot v$v ($nf files" +
+          (if (sortCols.isEmpty) ")" else s", sorted by ${sortCols.mkString(",")})") +
+          "; prior snapshots remain until expire()")
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "compact_snapshots", ok = false, e.toString)
+    }
+  }
+
   /** Compaction + data clustering: like [[compact]], but sorts rows by
     * `sortCols` within each output file so parquet min/max row-group stats
     * become selective — scans filtered on those columns skip most row

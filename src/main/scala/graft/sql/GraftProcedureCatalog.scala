@@ -41,7 +41,8 @@ import graft.pipeline.{Maintenance, VersionedTable}
   * names (`rewrite_data_files(strategy, sort_order)`,
   * `expire_snapshots(retain_last)`, `remove_orphan_files`) so a user
   * coming from the reference keeps their runbook vocabulary. */
-class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
+class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
@@ -92,9 +93,11 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
   // empty one, DELETE FROM rewrites copy-on-write — every mutation a
   // manifest commit, so history stays time-travelable and writes to a
   // pinned `VERSION AS OF` relation refuse. Plain parquet dirs stay
-  // read-only here (their write surface is the path-based pipeline);
-  // ALTER/RENAME refuse (schema evolution is the table-format seam this
-  // layer deliberately leaves to Iceberg/Delta — SCALING.md).
+  // read-only here (their write surface is the path-based pipeline).
+  // ALTER TABLE supports ADDITIVE evolution only (ADD COLUMN, old files
+  // null-fill); drop/rename/type-change and RENAME TABLE refuse — that
+  // bookkeeping is the table-format seam this layer deliberately
+  // leaves to Iceberg/Delta (SCALING.md).
 
   private def warehouseOrThrow: String = warehouse.getOrElse(
     throw new UnsupportedOperationException(
@@ -240,6 +243,76 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+
+  // ---- SupportsNamespaces: namespaces ARE warehouse subdirectories ---
+  //
+  // HadoopCatalog convention throughout: `CREATE NAMESPACE` mkdirs,
+  // `SHOW NAMESPACES` lists directories that are not themselves tables
+  // (a dir is a table when it is a versioned root or directly holds
+  // parquet files), `DROP NAMESPACE` removes an empty dir (or any dir
+  // with CASCADE). Namespaces also exist IMPLICITLY — a CTAS into
+  // `cat.new_ns.t` creates the path — matching path-based catalogs.
+
+  private def nsDir(namespace: Array[String]): String =
+    (warehouseOrThrow +: namespace).mkString("/")
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    VersionedTable.isVersioned(p.toString) ||
+      fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val (fs, p) = graft.util.Fs.fsFor(nsDir(namespace))
+    namespace.nonEmpty && fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val (fs, p) = graft.util.Fs.fsFor(nsDir(namespace))
+    if (!fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    fs.listStatus(p).filter(_.isDirectory)
+      .filterNot(st => isTableDir(fs, st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+      .sortBy(_.mkString("."))
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    java.util.Collections.singletonMap("location", nsDir(namespace))
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        namespace)
+    val (fs, p) = graft.util.Fs.fsFor(nsDir(namespace))
+    fs.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val (fs, p) = graft.util.Fs.fsFor(nsDir(namespace))
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          namespace)
+      fs.delete(p, true)
+    }
+  }
 }
 
 object GraftProcedureCatalog {
@@ -312,11 +385,24 @@ object GraftProcedureCatalog {
       val table = str(input, 0)
       val cols = str(input, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val target = input.getLong(3)
+      val versioned = VersionedTable.isVersioned(table)
       str(input, 1).toLowerCase(java.util.Locale.ROOT) match {
+        // a versioned root's snapshots are immutable — binpack/sort
+        // commit the packed content as a NEW snapshot instead of
+        // rewriting files in place (r13; the append-chain maintenance)
+        case "binpack" if versioned =>
+          Seq(Maintenance.compactVersioned(spark, table,
+            targetFileBytes = target))
+        case "sort" if versioned =>
+          Seq(Maintenance.compactVersioned(spark, table, cols, target))
         case "binpack" =>
           Seq(Maintenance.compact(spark, table, target))
         case "sort" =>
           Seq(Maintenance.compactSorted(spark, table, cols, target))
+        case "zorder" if versioned =>
+          Seq(Maintenance.Report(table, "rewrite_data_files", ok = false,
+            "zorder on a versioned table: use strategy 'sort' (snapshot " +
+              "recommit) or zorder-compact the table's plain export"))
         case "zorder" =>
           Seq(Maintenance.compactZorder(spark, table, cols,
             input.getInt(4), target))

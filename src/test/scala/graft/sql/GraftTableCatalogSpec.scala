@@ -269,6 +269,54 @@ class GraftTableCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
+  test("namespace DDL: CREATE/SHOW/DROP NAMESPACE over warehouse dirs; " +
+      "tables and namespaces are distinguished") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.silver")
+    // a table dir must NOT list as a namespace
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$w/events")
+    spark.sql(s"CREATE TABLE $cat.gold_t (k BIGINT)")
+    val namespaces = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(namespaces == Seq("raw", "silver"))
+    spark.sql(s"CREATE TABLE $cat.raw.t1 AS SELECT 1L AS k")
+    assert(spark.sql(s"SELECT k FROM $cat.raw.t1").head().getLong(0) == 1L)
+    // DROP without CASCADE refuses a non-empty namespace
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.raw") }
+    spark.sql(s"DROP NAMESPACE $cat.raw CASCADE")
+    assert(!new java.io.File(s"$w/raw").exists())
+    spark.sql(s"DROP NAMESPACE $cat.silver")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").count() == 0)
+  }
+
+  test("CALL rewrite_data_files on a versioned root commits the packed " +
+      "content as a NEW snapshot (append-chain maintenance)") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v STRING)")
+    (1 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.c VALUES ($i, 'r$i')"))
+    val table = s"$w/c"
+    assert(VersionedTable.dataDirs(table).size == 5)
+    val rep = spark.sql(
+      s"CALL $cat.system.rewrite_data_files(table => '$table')").collect()
+    assert(rep.head.getBoolean(2), rep.head.getString(3))
+    assert(rep.head.getString(3).contains("5 data dirs"))
+    // one dir now; content identical; history still time-travelable
+    assert(VersionedTable.dataDirs(table).size == 1)
+    assert(spark.sql(s"SELECT k FROM $cat.c").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c VERSION AS OF 3")
+      .head().getLong(0) == 3L)
+    // sorted strategy recommits too (range-clustered files)
+    val rep2 = spark.sql(s"CALL $cat.system.rewrite_data_files(" +
+      s"table => '$table', strategy => 'sort', sort_order => 'k')").collect()
+    assert(rep2.head.getBoolean(2), rep2.head.getString(3))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c").head().getLong(0) == 5L)
+  }
+
   test("ALTER TABLE ADD COLUMN: additive evolution, old files " +
       "null-fill, non-additive changes refuse") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
