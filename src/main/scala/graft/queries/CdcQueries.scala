@@ -482,6 +482,45 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The exactly-once STREAMING sink into a versioned table under the
+    * oracle gate (r13;
+    * [[graft.streaming.IncrementalIngest.streamToVersioned]]): events
+    * split by user parity land in two separate drains of one
+    * checkpointed file-source stream — each drain commits append
+    * snapshot(s) carrying their `batch=N` idempotence markers — and the
+    * exported aggregate of the CURRENT table must equal the oracle's
+    * one-shot replay of ALL events. A dropped batch, a duplicated
+    * redelivery, or an append that rewrote history would each move a
+    * count or sum and hash-mismatch. */
+  def q196StreamVersioned(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#stream", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val t0 = s"$w/ev"
+      ev.filter(col("user_id") % 2 === 0)
+        .write.mode("append").parquet(s"$w/src")
+      graft.streaming.IncrementalIngest.streamToVersioned(
+        s, s"$w/src", ev.schema, t0, s"$w/ckpt")
+      ev.filter(col("user_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$w/src")
+      graft.streaming.IncrementalIngest.streamToVersioned(
+        s, s"$w/src", ev.schema, t0, s"$w/ckpt")
+      require(VersionedTable.lastStreamBatch(t0).exists(_ >= 1L),
+        "expected at least two committed stream batches")
+      // the second drain must have APPENDED (carried dir references),
+      // not rewritten: the current snapshot resolves to >1 data dir
+      require(VersionedTable.dataDirs(t0).size > 1,
+        s"streamed commits must append by reference: ${VersionedTable.dataDirs(t0)}")
+      t0
+    })
+    VersionedTable.read(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -495,7 +534,8 @@ object CdcQueries {
     "q192_sql_delete_cow" -> (q192SqlDeleteCow _),
     "q193_sql_merge_into" -> (q193SqlMergeInto _),
     "q194_sql_add_column" -> (q194SqlAddColumn _),
-    "q195_incremental_read" -> (q195IncrementalRead _))
+    "q195_incremental_read" -> (q195IncrementalRead _),
+    "q196_stream_versioned" -> (q196StreamVersioned _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -591,6 +631,13 @@ object CdcQueries {
         |    AS total_price
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the one-shot replay of ALL events: the two-drain streamed table
+    // must reproduce it exactly (exactly-once, no drop, no duplicate)
+    "q196_stream_versioned" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
     // redirect at v1's data and current — three literal rows
     "q186_snapshot_history" ->
