@@ -551,6 +551,14 @@ object VersionedTable {
     val missing = partitionCols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"partition columns $missing are not in the declared schema")
+    // partitioned layouts read with basePath at the root, where the
+    // snapshot level surfaces as a discovered partition column named
+    // `v` — a declared column of that name would collide with it
+    require(partitionCols.isEmpty ||
+      !schema.fieldNames.exists(_.equalsIgnoreCase("v")),
+      s"partitioned table $table: a column named 'v' collides with the " +
+        "snapshot directory level (v=N) in partition discovery — rename " +
+        "the column or leave the table unpartitioned")
     fs.mkdirs(manifestDir(root))
     val content = s"partition=${partitionCols.mkString(",")}\n${schema.json}\n"
     graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root),
@@ -614,6 +622,10 @@ object VersionedTable {
     require(notNullable.isEmpty,
       s"addColumns on $table: $notNullable must be nullable — existing " +
         "rows have no value for a new column")
+    require(pcols.isEmpty ||
+      !newFields.exists(_.name.equalsIgnoreCase("v")),
+      s"addColumns on $table: a column named 'v' collides with the " +
+        "snapshot directory level (v=N) in partition discovery")
     val evolved =
       org.apache.spark.sql.types.StructType(base.fields ++ newFields)
     val content = s"partition=${pcols.mkString(",")}\n${evolved.json}\n"

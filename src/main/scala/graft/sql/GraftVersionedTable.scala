@@ -197,14 +197,19 @@ final class GraftVersionedTable(
     val current = VersionedTable.read(spark, root)
     // ONE scan answers which data dirs contain affected rows — the
     // file-metadata column costs no data-column IO beyond the
-    // predicate's own columns, and stock pushdown prunes the scan
-    val touchedFiles = current
+    // predicate's own columns, and stock pushdown prunes the scan.
+    // The dir VERSION is extracted distributed-side so the driver
+    // collects at most |snapshot dirs| longs, never a file-path list
+    // (the gated-collect discipline every other driver list follows).
+    val touched = current
       .filter(pred)
-      .select(col("_metadata.file_path"))
+      .select(org.apache.spark.sql.functions.regexp_extract(
+        col("_metadata.file_path"), "/v=(\\d+)/", 1).as("dv"))
+      .filter(col("dv") =!= "")
       .distinct()
       .collect()
-      .map(_.getString(0))
-    val touched = touchedFiles.flatMap(dirVersionOf).toSet
+      .map(_.getString(0).toLong)
+      .toSet
     if (touched.isEmpty) return // no row matches: current snapshot stands
     val allVersions = dirs.flatMap(d => dirVersionOf(d + "/"))
     val kept = allVersions.filterNot(touched)
