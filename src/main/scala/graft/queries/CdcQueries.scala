@@ -253,6 +253,10 @@ object CdcQueries {
   private val writeTables =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q197's captured between-commit instants (per dir). */
+  private val tsBetween =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** The SQL WRITE path end-to-end ([[graft.sql.GraftVersionedTable]],
     * r13 — the Iceberg DML shape the reference manages through Glue/
     * Iceberg, reference: README.md:85-88): a table is built from PURE
@@ -521,6 +525,42 @@ object CdcQueries {
       .orderBy(col("event_type"))
   }
 
+  /** `TIMESTAMP AS OF` end-to-end under the oracle gate (r13 — q190
+    * pins VERSION AS OF; this pins the time-based resolution the
+    * reference's time-travel claim equally implies): the fixture
+    * commits the good orders aggregate (v1), captures a wall-clock
+    * instant, then commits a zeroed recompute (v2) — so the snapshot
+    * "as of" the captured instant must be v1's content, replayed by
+    * the oracle from raw orders. Serving v2 (resolution off by one) or
+    * failing the ≤-boundary zeroes every measure and hash-mismatches. */
+  def q197TimestampAsOf(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#ts", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val t0 = s"$w/gold"
+      val good = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+      VersionedTable.write(good, t0)
+      Thread.sleep(10)
+      tsBetween.put(dir, System.currentTimeMillis())
+      Thread.sleep(10)
+      VersionedTable.write(
+        good.withColumn("n_orders", lit(0L))
+          .withColumn("total_price", lit(0.0d)), t0)
+      t0
+    })
+    val betweenMs = tsBetween(dir)
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    val tsLit = java.time.Instant.ofEpochMilli(betweenMs).toString
+      .replace("T", " ").stripSuffix("Z") // session is UTC
+    s.sql(s"SELECT * FROM $cat.gold TIMESTAMP AS OF '$tsLit'")
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -535,7 +575,8 @@ object CdcQueries {
     "q193_sql_merge_into" -> (q193SqlMergeInto _),
     "q194_sql_add_column" -> (q194SqlAddColumn _),
     "q195_incremental_read" -> (q195IncrementalRead _),
-    "q196_stream_versioned" -> (q196StreamVersioned _))
+    "q196_stream_versioned" -> (q196StreamVersioned _),
+    "q197_timestamp_as_of" -> (q197TimestampAsOf _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -631,6 +672,14 @@ object CdcQueries {
         |    AS total_price
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the snapshot AS OF the captured instant is v1 = the good orders
+    // aggregate, replayed from raw (same oracle shape as q169)
+    "q197_timestamp_as_of" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the one-shot replay of ALL events: the two-drain streamed table
     // must reproduce it exactly (exactly-once, no drop, no duplicate)
     "q196_stream_versioned" ->
