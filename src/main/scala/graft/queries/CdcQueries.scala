@@ -224,6 +224,12 @@ object CdcQueries {
     name
   }
 
+  /** dirs whose q190 catalog≡TVF agreement check already ran (the check
+    * is fixture-shaped — once per dir per JVM, the q191 discipline — so
+    * bench reps time the time-travel reads, not six extra round trips). */
+  private val q190Checked =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   def q190VersionAsOf(s: SparkSession, dir: String): DataFrame = {
     q169Rollback(s, dir).count() // ensure the versioned fixture exists
     val table = rollbackTables(dir)
@@ -232,14 +238,16 @@ object CdcQueries {
     graft.expressions.GraftFunctions.register(s)
     // the catalog and the TVF must serve identical bytes per snapshot
     // (incl. v3, whose manifest is a data redirect at v1)
-    Seq(1L, 2L, 3L).foreach { v =>
-      val viaCat = s.sql(
-        s"SELECT * FROM $cat.gold VERSION AS OF $v").collect().toSet
-      val tvf = s.sql(
-        s"SELECT * FROM graft_version('$table', $v)").collect().toSet
-      require(viaCat == tvf,
-        s"catalog VERSION AS OF $v diverges from the graft_version TVF")
-    }
+    q190Checked.getOrElseUpdate(dir, {
+      Seq(1L, 2L, 3L).foreach { v =>
+        val viaCat = s.sql(
+          s"SELECT * FROM $cat.gold VERSION AS OF $v").collect().toSet
+        val tvf = s.sql(
+          s"SELECT * FROM graft_version('$table', $v)").collect().toSet
+        require(viaCat == tvf,
+          s"catalog VERSION AS OF $v diverges from the graft_version TVF")
+      }
+    })
     val cols = Seq(col("o_orderstatus"), col("n_orders"), col("total_price"))
     s.sql(s"SELECT * FROM $cat.gold VERSION AS OF 2")
       .select(lit("v2").as("snap") +: cols: _*)

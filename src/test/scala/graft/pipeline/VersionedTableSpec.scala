@@ -299,5 +299,17 @@ class VersionedTableSpec extends SparkSpec {
         Files.createTempDirectory("graft_vt9b_").toString + "/t",
         schema, Seq("nope"))
     }
+    // a column named 'v' collides with the snapshot level in partition
+    // discovery — refused on PARTITIONED declarations (fine on flat)
+    val vSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "v BIGINT, day STRING")
+    val eV = intercept[IllegalArgumentException] {
+      VersionedTable.create(
+        Files.createTempDirectory("graft_vt9c_").toString + "/t",
+        vSchema, Seq("day"))
+    }
+    assert(eV.getMessage.contains("collides with the snapshot"))
+    VersionedTable.create(
+      Files.createTempDirectory("graft_vt9d_").toString + "/t", vSchema)
   }
 }
