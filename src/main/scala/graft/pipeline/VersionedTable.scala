@@ -94,9 +94,22 @@ object VersionedTable {
     requireRenameCapable(fs, table, "write")
     val next = versionsOn(fs, root).lastOption.getOrElse(0L) + 1L
     writeData(df, root, next, table)
-    commitManifest(fs, root, next, s"${System.currentTimeMillis()}\n")
+    commitManifest(fs, root, next,
+      manifestContent(Seq(next), next, carryBatchLine(fs, root)))
     next
   }
+
+  /** The exactly-once streaming marker, carried FORWARD: every manifest
+    * committed after any batch-carrying one repeats the newest known
+    * `batch=` line. Without this, a compaction/full write tops the
+    * history with a marker-less manifest and `expire(keepLast=1)` can
+    * drop every batch-carrying one — a crash-redelivered batchId would
+    * then be re-admitted and commit duplicate rows (r13 advice). With
+    * it, the newest manifest ALWAYS carries the newest marker, so
+    * detection is one manifest read and no retention setting can lose
+    * the marker. */
+  private def carryBatchLine(fs: FileSystem, root: Path): Seq[String] =
+    lastStreamBatchOn(fs, root).map(b => s"batch=$b").toSeq
 
   /** Commit an INCREMENTAL snapshot: only `df`'s rows are written; the
     * new version's content is the previous snapshot's data PLUS `df`
@@ -117,7 +130,8 @@ object VersionedTable {
     val dirs = vs.lastOption
       .map(prev => dataVersionsOn(fs, root, prev) :+ next)
       .getOrElse(Seq(next))
-    commitManifest(fs, root, next, manifestContent(dirs, next))
+    commitManifest(fs, root, next,
+      manifestContent(dirs, next, carryBatchLine(fs, root)))
     next
   }
 
@@ -143,7 +157,7 @@ object VersionedTable {
     val next = vs.last + 1L
     writeData(df, root, next, table)
     commitManifest(fs, root, next,
-      manifestContent(keepDataVersions :+ next, next))
+      manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root)))
     next
   }
 
@@ -160,7 +174,8 @@ object VersionedTable {
     require(v == expected,
       s"publishFull($table, $v): next version is $expected — a " +
         "concurrent commit landed after this rewrite started")
-    commitManifest(fs, root, v, s"${System.currentTimeMillis()}\n")
+    commitManifest(fs, root, v,
+      manifestContent(Seq(v), v, carryBatchLine(fs, root)))
   }
 
   /** Data lands in the version's own `v=N` dir; partition columns
@@ -193,11 +208,14 @@ object VersionedTable {
     * visible but the marker missing or vice versa. Detection walks
     * manifests newest→oldest and stops at the first batch line
     * (batch ids are monotone), so the steady-state cost is one
-    * manifest read. Retention note: a retry can only follow a crash
-    * immediately, so expiry would have to drop EVERY batch-carrying
-    * manifest between the crash and the retry to re-admit a duplicate
-    * — keep `expire(keepLast >= 1)` on streaming sinks, which any
-    * useful retention already does. */
+    * manifest read. Retention-proof (r14): every LATER commit of any
+    * kind — append, full write, compaction, rollback, row-level
+    * rewrite — re-carries the newest batch id into its own manifest
+    * ([[carryBatchLine]]), so the newest retained manifest always
+    * holds the newest marker and no `expire` setting can drop it
+    * (pre-r14 the marker lived only in its own manifest, and a
+    * compaction followed by expire(keepLast=1) would re-admit a
+    * crash-redelivered batch — the r13 advice finding). */
   def appendBatch(df: DataFrame, table: String,
       batchId: Long): Option[Long] = {
     val (fs, root) = fsFor(table)
@@ -378,7 +396,8 @@ object VersionedTable {
       if (target.size == 1) s"data=${target.head}"
       else s"dirs=${target.mkString(",")}"
     commitManifest(fs, root, next,
-      s"${System.currentTimeMillis()}\n$directive\n")
+      (Seq(System.currentTimeMillis().toString, directive) ++
+        carryBatchLine(fs, root)).mkString("", "\n", "\n"))
     next
   }
 

@@ -201,10 +201,18 @@ final class GraftVersionedTable(
     // The dir VERSION is extracted distributed-side so the driver
     // collects at most |snapshot dirs| longs, never a file-path list
     // (the gated-collect discipline every other driver list follows).
+    // The pattern is ANCHORED past the table root (regex-quoted last
+    // root segment, the same anchoring dirVersionOf applies driver
+    // side): an UNanchored "/v=(\d+)/" would match the FIRST such
+    // segment anywhere in the path, so a warehouse rooted at, say,
+    // /data/v=3/wh would resolve every file to the root's own segment
+    // and the DELETE would silently keep matching rows (r13 advice).
     val touched = current
       .filter(pred)
       .select(org.apache.spark.sql.functions.regexp_extract(
-        col("_metadata.file_path"), "/v=(\\d+)/", 1).as("dv"))
+        col("_metadata.file_path"),
+        java.util.regex.Pattern.quote(s"/$rootTail") + "/v=(\\d+)/",
+        1).as("dv"))
       .filter(col("dv") =!= "")
       .distinct()
       .collect()

@@ -280,7 +280,13 @@ case class PruneScanByFileStats(spark: SparkSession)
   private def admissionFor(statsDir: String, conjuncts: Seq[Conjunct])
       : Option[(Set[String], Set[String])] = {
     val mtime = StatsPruning.statsMtime(statsDir)
-    val key = (statsDir, mtime, conjKey(conjuncts))
+    // the resolved name gate is part of the key: a gate-exceeded refusal
+    // is cached, and the cached refusal must stop applying the moment the
+    // user raises the gate conf (r13 advice: a key without the gate made
+    // the documented remedy — raise the conf — a no-op until the stats
+    // table's mtime happened to change)
+    val gate = GraftFileIndex.resolveNameGate(spark)
+    val key = (statsDir, mtime, s"gate=$gate&${conjKey(conjuncts)}")
     StatsPruning.admissionCache.get(key).getOrElse {
       val computed =
         try computeAdmission(statsDir, mtime, conjuncts)

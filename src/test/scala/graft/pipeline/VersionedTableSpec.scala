@@ -273,6 +273,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, streamed, Some(1L)).count() == 2)
   }
 
+  test("exactly-once marker survives compaction + expire: every later " +
+      "commit carries the newest batch id forward") {
+    val root = Files.createTempDirectory("graft_vt11_").toString
+    val table = s"$root/t"
+    assert(VersionedTable.appendBatch(
+      Seq((1L, "a")).toDF("k", "v"), table, 7L).contains(1L))
+    // a FULL write (the compaction shape) tops the history with a
+    // manifest of its own — pre-r14 it carried no batch line
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    // expire everything but the compacted snapshot: the batch-carrying
+    // manifest v1 is gone
+    VersionedTable.expire(table, keepLast = 1)
+    assert(VersionedTable.versions(table) == Seq(2L))
+    // the marker must still be known — a crash-redelivered batch 7 is
+    // a no-op, not a duplicate commit
+    assert(VersionedTable.lastStreamBatch(table).contains(7L))
+    assert(VersionedTable.appendBatch(
+      Seq((1L, "a")).toDF("k", "v"), table, 7L).isEmpty)
+    assert(VersionedTable.read(spark, table).count() == 2)
+    // and the carry survives CHAINS of non-streaming commits: append,
+    // rollback, replace-style rewrites all re-carry
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table)
+    VersionedTable.rollback(table, 2L)
+    VersionedTable.expire(table, keepLast = 1)
+    assert(VersionedTable.lastStreamBatch(table).contains(7L))
+  }
+
   test("declared tables: create pins schema+partitioning, truncate " +
       "commits a readable empty snapshot, redeclare refuses") {
     val table = Files.createTempDirectory("graft_vt9_").toString + "/t"

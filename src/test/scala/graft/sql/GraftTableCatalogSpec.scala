@@ -184,6 +184,27 @@ class GraftTableCatalogSpec extends SparkSpec {
     assert(VersionedTable.versions(table) == before)
   }
 
+  test("DELETE FROM anchors dir detection past the table root: a " +
+      "warehouse living inside a /v=N/ path still resolves touched dirs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    // hostile root: the warehouse path itself contains a /v=3/ segment,
+    // so an UNanchored extraction would resolve every file to "3" and
+    // the DELETE would silently keep its rows (r13 advice finding)
+    val w = s"$base/v=3/wh"
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.d (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.d SELECT id FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.d SELECT id FROM range(100, 110)")
+    spark.sql(s"DELETE FROM $cat.d WHERE k >= 100")
+    val table = s"$w/d"
+    // v=1 (no affected rows) carried by reference; v=2 rewritten as v=3
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "3"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d WHERE k >= 100")
+      .head().getLong(0) == 0L)
+  }
+
   test("partitioned CREATE TABLE: identity partitioning lays out " +
       "Hive dirs inside each snapshot and prunes on read") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
