@@ -26,9 +26,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * ([[Maintenance.NonAtomicRenameSchemes]]) the way the compaction swap
   * does: on that deployment this layer IS the table format (Iceberg's
   * catalog CAS), per SCALING.md's boundary note. Reads work anywhere.
-  * Concurrency: one writer per table (the reference's Glue-job model);
-  * concurrent committers need the catalog CAS this layer stands in for. */
+  *
+  * Concurrency (r14): commits are optimistic. Data is STAGED into a
+  * dot-prefixed temp dir by an ordinary distributed write (no lock
+  * held), then the commit CLAIMS `v=N` with one rename and publishes
+  * the manifest — both inside a per-root driver-side monitor, so every
+  * committer in one driver JVM serializes (Spark manifests commit on
+  * the driver; a `local[*]` or single-driver cluster app gets true
+  * multi-thread safety: two concurrent appends both land, the second's
+  * manifest including the first's dirs). Across DRIVERS the claim
+  * rename and the manifest rename both fail loudly on collision, the
+  * loser's staged data is cleaned up (no orphan), and the commit
+  * retries against the advanced version a bounded number of times —
+  * but the read-version→commit window is not closed across processes:
+  * multi-driver committers still need the catalog CAS this layer
+  * stands in for (the reference's Glue-job model is one writer per
+  * table). */
 object VersionedTable {
+
+  // per-root commit monitor: all manifest mutations on one table root
+  // serialize within this JVM (the driver). Keyed by qualified root.
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def withCommitLock[T](root: Path)(body: => T): T =
+    commitLocks.getOrElseUpdate(root.toString, new Object)
+      .synchronized(body)
 
   private def confOf(): Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -92,12 +114,73 @@ object VersionedTable {
   def write(df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "write")
-    val next = versionsOn(fs, root).lastOption.getOrElse(0L) + 1L
-    writeData(df, root, next, table)
-    commitManifest(fs, root, next,
-      manifestContent(Seq(next), next, carryBatchLine(fs, root)))
-    next
+    val stage = stageData(df, root, table)
+    commitStaged(fs, root, stage) { (_, next) =>
+      manifestContent(Seq(next), next, carryBatchLine(fs, root))
+    }
   }
+
+  /** Stage `df` into a dot-prefixed temp dir under the root — the
+    * distributed half of every commit, run with NO lock held. Partition
+    * columns declared at [[create]] time lay out inside the staged dir,
+    * so the claim rename publishes the final structure verbatim. */
+  private def stageData(df: DataFrame, root: Path, table: String): Path = {
+    val stage = new Path(root,
+      s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+    partitionColsOf(table) match {
+      case cols if cols.nonEmpty =>
+        df.write.partitionBy(cols: _*).parquet(stage.toString)
+      case _ => df.write.parquet(stage.toString)
+    }
+    stage
+  }
+
+  /** The commit half: under the root's monitor, resolve the next
+    * version, CLAIM its data dir by renaming the staged dir into place,
+    * and publish the manifest `content` computes from the (fresh)
+    * retained-version list. On a cross-process collision (the claim
+    * target already exists — another driver staged the same number) the
+    * claim retries against the advanced version; on any failure after
+    * the claim, the claimed dir is deleted so no orphan remains and the
+    * staged data is not silently half-published. */
+  private def commitStaged(fs: FileSystem, root: Path, stage: Path)(
+      content: (Seq[Long], Long) => String): Long =
+    try withCommitLock(root) {
+      var attempts = 0
+      var committed = -1L
+      while (committed < 0) {
+        val vs = versionsOn(fs, root)
+        val next = vs.lastOption.getOrElse(0L) + 1L
+        val target = new Path(root, s"v=$next")
+        if (!fs.exists(target) && fs.rename(stage, target)) {
+          try {
+            commitManifest(fs, root, next, content(vs, next))
+            committed = next
+          } catch {
+            case e: Throwable => // loser/validation cleanup: un-claim
+              fs.delete(target, true)
+              throw e
+          }
+        } else {
+          // v=next exists with no manifest: a concurrent (cross-process)
+          // committer is mid-commit, or a crash orphaned the dir. Wait
+          // for its manifest to land (advancing our next), bounded.
+          attempts += 1
+          require(attempts < 5,
+            s"cannot claim data dir $target after $attempts attempts — " +
+              "either a concurrent committer is mid-commit or a crashed " +
+              "one orphaned the dir (CALL graft.system.remove_orphan_files)")
+          Thread.sleep(50L * attempts)
+        }
+      }
+      committed
+    } catch {
+      case e: Throwable =>
+        // the stage dir is ours alone — always safe to clean
+        try fs.delete(stage, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
 
   /** The exactly-once streaming marker, carried FORWARD: every manifest
     * committed after any batch-carrying one repeats the newest known
@@ -124,15 +207,16 @@ object VersionedTable {
   def append(df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "append")
-    val vs = versionsOn(fs, root)
-    val next = vs.lastOption.getOrElse(0L) + 1L
-    writeData(df, root, next, table)
-    val dirs = vs.lastOption
-      .map(prev => dataVersionsOn(fs, root, prev) :+ next)
-      .getOrElse(Seq(next))
-    commitManifest(fs, root, next,
-      manifestContent(dirs, next, carryBatchLine(fs, root)))
-    next
+    val stage = stageData(df, root, table)
+    commitStaged(fs, root, stage) { (vs, next) =>
+      // dirs resolve from the FRESH version list inside the commit
+      // lock, so a concurrent append that landed while this one staged
+      // is carried into this snapshot (no lost update within a driver)
+      val dirs = vs.lastOption
+        .map(prev => dataVersionsOn(fs, root, prev) :+ next)
+        .getOrElse(Seq(next))
+      manifestContent(dirs, next, carryBatchLine(fs, root))
+    }
   }
 
   /** Commit a snapshot that keeps `keepDataVersions`' directories BY
@@ -144,49 +228,58 @@ object VersionedTable {
     * dirs keeps a concurrent expiry from being able to reference-count
     * wrong). */
   def replace(df: DataFrame, table: String,
-      keepDataVersions: Seq[Long]): Long = {
+      keepDataVersions: Seq[Long], baseVersion: Option[Long] = None): Long = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "replace")
-    val vs = versionsOn(fs, root)
-    require(vs.nonEmpty, s"replace on $table: no current snapshot")
-    val current = dataVersionsOn(fs, root, vs.last).toSet
-    val unknown = keepDataVersions.filterNot(current)
-    require(unknown.isEmpty,
-      s"replace on $table: kept data versions $unknown are not part of " +
-        s"the current snapshot $current")
-    val next = vs.last + 1L
-    writeData(df, root, next, table)
-    commitManifest(fs, root, next,
-      manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root)))
-    next
+    def validate(vs: Seq[Long]): Unit = {
+      require(vs.nonEmpty, s"replace on $table: no current snapshot")
+      // a rewrite computed its survivors against a specific snapshot;
+      // if the table moved since (even to a superset), committing would
+      // silently drop the concurrent commit's rows — refuse instead
+      // (Iceberg's validateNoConflicting* commit check)
+      baseVersion.foreach(b => require(vs.last == b,
+        s"replace on $table: table moved to snapshot ${vs.last} while " +
+          s"this rewrite (based on $b) ran — re-run the rewrite"))
+      val current = dataVersionsOn(fs, root, vs.last).toSet
+      val unknown = keepDataVersions.filterNot(current)
+      require(unknown.isEmpty,
+        s"replace on $table: kept data versions $unknown are not part " +
+          s"of the current snapshot $current")
+    }
+    validate(versionsOn(fs, root)) // cheap pre-check before staging
+    val stage = stageData(df, root, table)
+    commitStaged(fs, root, stage) { (vs, next) =>
+      validate(vs) // re-validated under the commit lock
+      manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root))
+    }
   }
 
-  /** Publish a FULL snapshot whose data a caller already landed in
-    * `v=v` (the row-level-operation BatchWrite: executors write the
-    * files, this is the driver-side manifest flip that makes them
-    * visible). Refuses when `v` is not the next version — a stale
-    * pre-computed number means a concurrent commit won the race and
-    * this rewrite must not clobber it. */
-  private[graft] def publishFull(table: String, v: Long): Unit = {
+  /** Publish a STAGED data dir (files already written by executors —
+    * the row-level-operation BatchWrite) as the next snapshot, keeping
+    * `keepDataVersions`' dirs by reference. `baseVersion` is the
+    * snapshot the rewrite's scan read: the commit refuses if the table
+    * moved since (the claim/manifest renames inside would fail loudly
+    * anyway, but by then the loser's executors have burned the IO —
+    * the check makes the conflict an explicit, clean error, and the
+    * caller's abort() only ever deletes its own staging dir, never a
+    * possibly-owned `v=N`). Returns the published version. */
+  private[graft] def publishStagedReplace(table: String, stagedDir: String,
+      baseVersion: Option[Long], keepDataVersions: Seq[Long]): Long = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "publishFull")
-    val expected = versionsOn(fs, root).lastOption.getOrElse(0L) + 1L
-    require(v == expected,
-      s"publishFull($table, $v): next version is $expected — a " +
-        "concurrent commit landed after this rewrite started")
-    commitManifest(fs, root, v,
-      manifestContent(Seq(v), v, carryBatchLine(fs, root)))
-  }
-
-  /** Data lands in the version's own `v=N` dir; partition columns
-    * declared at [[create]] time apply to every commit so the layout
-    * stays uniform across the snapshot's dir list. */
-  private def writeData(df: DataFrame, root: Path, v: Long,
-      table: String): Unit = {
-    val target = new Path(root, s"v=$v").toString
-    partitionColsOf(table) match {
-      case cols if cols.nonEmpty => df.write.partitionBy(cols: _*).parquet(target)
-      case _ => df.write.parquet(target)
+    requireRenameCapable(fs, table, "publishStagedReplace")
+    commitStaged(fs, root, new Path(stagedDir)) { (vs, next) =>
+      require(vs.lastOption == baseVersion,
+        s"publishStagedReplace($table): table is at snapshot " +
+          s"${vs.lastOption.getOrElse("none")} but this rewrite read " +
+          s"${baseVersion.getOrElse("none")} — a concurrent commit " +
+          "landed while the rewrite ran; re-run it")
+      val current = vs.lastOption
+        .map(dataVersionsOn(fs, root, _).toSet).getOrElse(Set.empty[Long])
+      val unknown = keepDataVersions.filterNot(current)
+      require(unknown.isEmpty,
+        s"publishStagedReplace($table): kept data versions $unknown are " +
+          s"not part of the current snapshot $current")
+      manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root))
     }
   }
 
@@ -222,15 +315,13 @@ object VersionedTable {
     requireRenameCapable(fs, table, "appendBatch")
     if (lastStreamBatchOn(fs, root).exists(_ >= batchId)) None
     else {
-      val vs = versionsOn(fs, root)
-      val next = vs.lastOption.getOrElse(0L) + 1L
-      writeData(df, root, next, table)
-      val dirs = vs.lastOption
-        .map(prev => dataVersionsOn(fs, root, prev) :+ next)
-        .getOrElse(Seq(next))
-      commitManifest(fs, root, next,
-        manifestContent(dirs, next, Seq(s"batch=$batchId")))
-      Some(next)
+      val stage = stageData(df, root, table)
+      Some(commitStaged(fs, root, stage) { (vs, next) =>
+        val dirs = vs.lastOption
+          .map(prev => dataVersionsOn(fs, root, prev) :+ next)
+          .getOrElse(Seq(next))
+        manifestContent(dirs, next, Seq(s"batch=$batchId"))
+      })
     }
   }
 
@@ -384,21 +475,23 @@ object VersionedTable {
   def rollback(table: String, toVersion: Long): Long = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "rollback")
-    val vs = versionsOn(fs, root)
-    require(vs.contains(toVersion),
-      s"version $toVersion not retained in $table")
-    val next = vs.last + 1L
-    val target = dataVersionsOn(fs, root, toVersion)
-    // single-dir targets keep the pre-r13 `data=K` form (same bytes a
-    // pre-append reader of this layout understands); multi-dir targets
-    // (restoring an append-built snapshot) need the explicit list
-    val directive =
-      if (target.size == 1) s"data=${target.head}"
-      else s"dirs=${target.mkString(",")}"
-    commitManifest(fs, root, next,
-      (Seq(System.currentTimeMillis().toString, directive) ++
-        carryBatchLine(fs, root)).mkString("", "\n", "\n"))
-    next
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      require(vs.contains(toVersion),
+        s"version $toVersion not retained in $table")
+      val next = vs.last + 1L
+      val target = dataVersionsOn(fs, root, toVersion)
+      // single-dir targets keep the pre-r13 `data=K` form (same bytes a
+      // pre-append reader of this layout understands); multi-dir targets
+      // (restoring an append-built snapshot) need the explicit list
+      val directive =
+        if (target.size == 1) s"data=${target.head}"
+        else s"dirs=${target.mkString(",")}"
+      commitManifest(fs, root, next,
+        (Seq(System.currentTimeMillis().toString, directive) ++
+          carryBatchLine(fs, root)).mkString("", "\n", "\n"))
+      next
+    }
   }
 
   /** Logical-plan builder for the `graft_version('table'[, version])` SQL
@@ -513,8 +606,10 @@ object VersionedTable {
   def expire(table: String, keepLast: Int): Seq[Long] = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "expire")
-    val vs = versionsOn(fs, root)
-    expireDrop(fs, root, vs, vs.dropRight(keepLast))
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      expireDrop(fs, root, vs, vs.dropRight(keepLast))
+    }
   }
 
   /** Iceberg's `expire_snapshots(older_than => ts, retain_last => n)`
@@ -526,11 +621,13 @@ object VersionedTable {
       retainLast: Int = 1): Seq[Long] = {
     val (fs, root) = fsFor(table)
     requireRenameCapable(fs, table, "expireOlderThan")
-    val vs = versionsOn(fs, root)
-    val guarded = vs.takeRight(math.max(1, retainLast)).toSet
-    val drop = vs.filter(v =>
-      !guarded(v) && commitTimeOn(fs, root, v) < olderThanMillis)
-    expireDrop(fs, root, vs, drop)
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      val guarded = vs.takeRight(math.max(1, retainLast)).toSet
+      val drop = vs.filter(v =>
+        !guarded(v) && commitTimeOn(fs, root, v) < olderThanMillis)
+      expireDrop(fs, root, vs, drop)
+    }
   }
 
   /** `graft_history('table')` — [[history]] as a SQL table-valued

@@ -569,6 +569,68 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SQL `UPDATE` as DIR-GRANULAR copy-on-write (r14 — the fix for
+    * r13's one perf-weak O(table) UPDATE rewrite): Spark's own runtime
+    * group filtering (`RowLevelOperationRuntimeGroupFiltering`, the
+    * rule Iceberg's CoW rides) executes the UPDATE's condition as a
+    * subquery collecting the snapshot-dir metadata column `v`, hands
+    * the matching dir versions back to the row-level scan
+    * ([[graft.sql.GraftVersionedTable]]'s `GraftCowScan.filter`), the
+    * scan restricts itself to those dirs, and the ReplaceData write
+    * carries every untouched dir into the new snapshot BY REFERENCE.
+    * Fixture: low-key half of orders (v1) + high-key half (v2,
+    * incremental append); the UPDATE flips high-key 'F' rows to 'X'.
+    * The commit shape is REQUIREd: [v=1 (by reference), v=3 (v2's
+    * rewrite)] — a full rewrite would read [3] alone and fail the
+    * require before any oracle compare. Export: per-status aggregates
+    * of the current and pre-update snapshots; the oracle replays both
+    * from raw orders with the same max/2 split. */
+  def q198SqlUpdateCow(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#upd", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""CREATE TABLE $cat.ordu AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders
+           |WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) / 2
+           |""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.ordu
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders
+           |WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM orders) / 2
+           |""".stripMargin)
+      val t0 = s"$w/ordu"
+      val mid = t(s, dir, "orders").agg(max(col("o_orderkey")))
+        .head().getLong(0) / 2
+      s.sql(s"UPDATE $cat.ordu SET o_orderstatus = 'X' " +
+        s"WHERE o_orderkey > $mid AND o_orderstatus = 'F'")
+      // structural dir-granular proof: v1 carried by reference, only
+      // v2 rewritten — a full-table rewrite reads [3] and fails here
+      val dirs = VersionedTable.dataDirs(t0)
+      require(dirs.map(_.split("/v=").last) == Seq("1", "3"),
+        s"dir-granular UPDATE must keep v=1 by reference and rewrite " +
+          s"only v=2 into v=3 (runtime group filtering); got $dirs")
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    def agg(snap: String, sql: String): DataFrame =
+      s.sql(sql).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("total_price"))
+        .select(lit(snap).as("snap"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    agg("current", s"SELECT * FROM $cat.ordu")
+      .unionByName(agg("pre_update", s"SELECT * FROM $cat.ordu VERSION AS OF 2"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_merge_upsert" -> (q87MergeUpsert _),
     "q88_scd2" -> (q88Scd2 _),
@@ -584,7 +646,8 @@ object CdcQueries {
     "q194_sql_add_column" -> (q194SqlAddColumn _),
     "q195_incremental_read" -> (q195IncrementalRead _),
     "q196_stream_versioned" -> (q196StreamVersioned _),
-    "q197_timestamp_as_of" -> (q197TimestampAsOf _))
+    "q197_timestamp_as_of" -> (q197TimestampAsOf _),
+    "q198_sql_update_cow" -> (q198SqlUpdateCow _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -688,6 +751,27 @@ object CdcQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // post-update current + pre-update snapshot, both replayed from raw
+    // orders with the same max/2 split the UPDATE used — an update that
+    // misses rows, touches the wrong half, or breaks time travel
+    // mismatches one half (the dir-granular commit shape itself is
+    // require()d in-engine before this compare runs)
+    "q198_sql_update_cow" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |m AS (SELECT MAX(o_orderkey) / 2 AS mid FROM t)
+        |SELECT 'current' AS snap,
+        |  CASE WHEN o_orderkey > mid AND o_orderstatus = 'F'
+        |       THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t, m GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'pre_update' AS snap, o_orderstatus,
+        |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM t GROUP BY 1, 2
+        |ORDER BY snap, o_orderstatus""".stripMargin,
     // the one-shot replay of ALL events: the two-drain streamed table
     // must reproduce it exactly (exactly-once, no drop, no duplicate)
     "q196_stream_versioned" ->

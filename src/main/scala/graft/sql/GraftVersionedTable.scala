@@ -5,8 +5,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -49,10 +49,21 @@ final class GraftVersionedTable(
     pinnedVersion: Option[Long],
     spark: SparkSession)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def dataDirs: Seq[String] =
     VersionedTable.dataDirs(root, pinnedVersion)
+
+  /** True when the snapshot-dir level can surface as the metadata
+    * column `v` (the group id dir-granular copy-on-write rewrites
+    * filter on): needs a DECLARED schema (so the `basePath` read is
+    * inference-free and `v`'s type is pinned long) with no data column
+    * of that name (the dir level IS named `v=N`; partitioned layouts
+    * already refuse such columns at create, unpartitioned ones keep
+    * working and simply degrade to full-rewrite row-level ops). */
+  private[sql] lazy val dirMetaCapable: Boolean =
+    VersionedTable.storedSchema(root)
+      .exists(s => !s.fieldNames.exists(_.equalsIgnoreCase("v")))
 
   /** Fresh per call: a snapshot commit between two loads must be
     * visible to the next scan (the catalog caches nothing). Partitioned
@@ -60,16 +71,39 @@ final class GraftVersionedTable(
     * [[VersionedTable.readDirs]]: the snapshot level becomes a
     * partition column the projection never requests, and partition
     * pruning on the declared columns works across all snapshot dirs in
-    * one relation. */
-  private def delegate: ParquetTable = {
-    val opts =
-      if (VersionedTable.partitionColsOf(root).nonEmpty)
-        new CaseInsensitiveStringMap(
-          java.util.Collections.singletonMap("basePath", root))
-      else CaseInsensitiveStringMap.empty()
-    ParquetTable(identName, spark, opts, dataDirs,
-      VersionedTable.storedSchema(root), classOf[ParquetFileFormat])
-  }
+    * one relation. Metadata-capable tables ALWAYS read with `basePath`
+    * and the schema extended by `v BIGINT`, so the delegate serves the
+    * metadata column natively as a partition column — zero IO, full
+    * pushdown preserved (the scan builder is the stock parquet one). */
+  private def delegate: ParquetTable = delegateOver(dataDirs)
+
+  private[sql] def delegateOver(dirs: Seq[String]): ParquetTable =
+    if (dirMetaCapable) {
+      val opts = new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("basePath", root))
+      val schemaPlusV = StructType(
+        VersionedTable.storedSchema(root).get.fields :+
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))
+      ParquetTable(identName, spark, opts, dirs, Some(schemaPlusV),
+        classOf[ParquetFileFormat])
+    } else {
+      val opts =
+        if (VersionedTable.partitionColsOf(root).nonEmpty)
+          new CaseInsensitiveStringMap(
+            java.util.Collections.singletonMap("basePath", root))
+        else CaseInsensitiveStringMap.empty()
+      ParquetTable(identName, spark, opts, dirs,
+        VersionedTable.storedSchema(root), classOf[ParquetFileFormat])
+    }
+
+  /** The snapshot data-dir version owning each row, as Iceberg exposes
+    * `_file` — the group id of this layer's copy-on-write granularity.
+    * Served by partition discovery (the dir level IS `v=N`), so
+    * selecting it costs no data IO. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (dirMetaCapable) Array(GraftVersionedTable.SnapshotDirColumn)
+    else Array.empty
 
   override def name(): String = identName
 
@@ -131,56 +165,30 @@ final class GraftVersionedTable(
   // SQL `UPDATE` and `MERGE INTO` ride Spark's own group-based
   // row-level rewrite (RewriteUpdateTable / RewriteMergeIntoTable): the
   // operation's scan reads the current snapshot, the runtime plans the
-  // full post-statement state, and the write below commits it as a new
+  // full post-statement state, and the write commits it as a new
   // snapshot — Iceberg's copy-on-write shape. Translatable `DELETE
   // FROM` still downgrades to the dir-granular metadata path above
   // (OptimizeMetadataOnlyDeleteFromTable consults canDeleteWhere);
-  // untranslatable DELETEs now run the rewrite instead of erroring.
-  // Scale note: without runtime group filtering the rewrite is
-  // O(table) — the cost Iceberg CoW pays on its worst case; at 100 TB
-  // the merge-on-read/delta path is the table-format seam documented
-  // in SCALING.md.
+  // untranslatable DELETEs run the rewrite instead of erroring.
+  //
+  // DIR-GRANULAR since r14: the operation's scan exposes the snapshot
+  // dir as runtime-filterable group id (SupportsRuntimeV2Filtering on
+  // the metadata column `v`), so Spark's own
+  // RowLevelOperationRuntimeGroupFiltering executes the command's
+  // condition (for MERGE: an EXISTS against the source) as a subquery,
+  // hands back the matching dir versions, the scan restricts itself to
+  // those dirs, and the write carries every untouched dir into the new
+  // snapshot BY REFERENCE — a selective UPDATE/MERGE rewrites only the
+  // dirs it touches, Iceberg's CoW-with-group-pruning on this layer's
+  // dir granularity. When the filter never fires (conf off, `v`-named
+  // data column, condition always true) the scan reads everything and
+  // the write commits a full snapshot — the pre-r14 behavior, still
+  // exact.
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     refusePinned(info.command.toString)
-    () => new RowLevelOperation {
-      override def command: RowLevelOperation.Command = info.command
-      /** The rewrite's scan must read the WHOLE table: ReplaceData's
-        * contract is "the write replaces exactly the groups the scan
-        * read", and this table's write commits a full snapshot — one
-        * group. A pushdown-capable scan here would let the planner
-        * prune row groups by the command's condition and the rewrite
-        * would silently DROP every unmatched row it pruned (observed:
-        * an UPDATE whose condition pruned a parquet row group lost that
-        * row group's rows). Exposing only build() refuses every
-        * pushdown interface, so the scan is always the full table and
-        * the full-snapshot commit is exact. File-granular CoW needs the
-        * scan↔write group coordination a table format carries —
-        * the Iceberg seam, SCALING.md. */
-      override def newScanBuilder(
-          options: CaseInsensitiveStringMap): ScanBuilder = {
-        val inner = delegate.newScanBuilder(options)
-        // column pruning stays (it also projects away the internal
-        // snapshot-level partition column on partitioned layouts);
-        // filter/aggregate/limit pushdown is deliberately absent
-        new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-          override def pruneColumns(requiredSchema: StructType): Unit =
-            inner match {
-              case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-                c.pruneColumns(requiredSchema)
-              case _ => ()
-            }
-          override def build(): org.apache.spark.sql.connector.read.Scan =
-            inner.build()
-        }
-      }
-      override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
-        new WriteBuilder {
-          override def build(): Write = new GraftReplaceWrite(root, spark,
-            wi, VersionedTable.partitionColsOf(root))
-        }
-    }
+    () => new GraftRowLevelOperation(this, root, spark, info.command)
   }
 
   // ---- DELETE FROM: copy-on-write at data-dir granularity -------------
@@ -267,38 +275,234 @@ final class GraftVersionedTable(
   }
 }
 
+object GraftVersionedTable {
+
+  /** The snapshot-dir metadata column — the group id of this layer's
+    * copy-on-write (Iceberg's `_file`, at dir granularity). Named `v`
+    * because that IS the physical dir level (`v=N`); tables with a data
+    * column of that name simply don't expose it. */
+  private object SnapshotDirColumn extends MetadataColumn {
+    override def name(): String = "v"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def comment(): String =
+      "snapshot data-dir version (v=N) owning the row"
+  }
+}
+
+/** One SQL UPDATE / MERGE / untranslatable-DELETE statement: holds the
+  * state its scan(s) and write must agree on —
+  *   - the BASE snapshot, captured once, so the main scan, the
+  *     group-filter subquery scan, and the commit's optimistic
+  *     validation all see the same version (a concurrent commit while
+  *     the statement runs fails the publish cleanly);
+  *   - the TOUCHED dir set the runtime group filter proved, which the
+  *     write turns into carried-by-reference untouched dirs. */
+private final class GraftRowLevelOperation(
+    table: GraftVersionedTable,
+    root: String,
+    spark: SparkSession,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  private val baseVersion: Option[Long] = VersionedTable.latestVersion(root)
+  private val baseDirs: Seq[String] =
+    VersionedTable.dataDirs(root, baseVersion)
+  private val baseDirVersions: Seq[Long] = baseDirs.map(d =>
+    d.substring(d.lastIndexOf("/v=") + 3).toLong)
+
+  /** Dir versions the runtime group filter proved touched; None = the
+    * filter never fired, so the scan read everything and the write
+    * must commit a full snapshot. */
+  @volatile private[sql] var touchedDirs: Option[Set[Long]] = None
+
+  private def keptDirVersions: Seq[Long] = touchedDirs match {
+    case Some(t) => baseDirVersions.filterNot(t)
+    case None => Nil
+  }
+
+  override def command: RowLevelOperation.Command = cmd
+
+  /** Declaring `v` required is what makes Spark resolve the metadata
+    * column into the rewrite plan — both the group-filter subquery's
+    * collected key and the projection ReplaceDataExec strips before
+    * writing. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (table.dirMetaCapable) Array(Expressions.column("v"))
+    else Array.empty
+
+  /** Column pruning only — filter/aggregate/limit pushdown is
+    * deliberately absent: ReplaceData's contract is "the write replaces
+    * exactly the groups the scan read", and a statically pushed-down
+    * condition would prune ROWS (parquet row groups) out of the
+    * rewrite, silently dropping them from the table (observed pre-r13).
+    * Group-consistent pruning happens only through the runtime filter
+    * below, which restricts WHOLE dirs. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val op = this
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      private val inner = table.delegateOver(baseDirs).newScanBuilder(options)
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        required = Some(requiredSchema)
+        inner match {
+          case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            c.pruneColumns(requiredSchema)
+          case _ => ()
+        }
+      }
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val built = inner.build()
+        if (!table.dirMetaCapable) built
+        else new GraftCowScan(op, built, versions => {
+          val dirs = versions.toSeq.sorted.map(v => s"$root/v=$v")
+          val b = table.delegateOver(dirs).newScanBuilder(options)
+          (b, required) match {
+            case (c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
+                Some(r)) => c.pruneColumns(r)
+            case _ => ()
+          }
+          b.build()
+        })
+      }
+    }
+  }
+
+  override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftReplaceWrite(root, spark, wi,
+        VersionedTable.partitionColsOf(root), baseVersion,
+        () => keptDirVersions)
+    }
+}
+
+/** The row-level operation's scan: delegates everything to the stock
+  * parquet scan over the base snapshot's dirs, and implements Spark's
+  * runtime group filtering on the dir-version metadata column — when
+  * RowLevelOperationRuntimeGroupFiltering hands back `v IN (…)` (the
+  * dirs containing rows matching the command's condition, collected by
+  * the subquery it plans), the scan REBUILDS itself over exactly those
+  * dirs and records them on the operation for the write's
+  * carry-by-reference commit. Only whole dirs are ever dropped, so the
+  * scan↔write group contract holds by construction; an unrecognized
+  * runtime predicate is ignored (conservative: more dirs rewritten,
+  * never rows lost). */
+private final class GraftCowScan(
+    op: GraftRowLevelOperation,
+    initial: org.apache.spark.sql.connector.read.Scan,
+    rebuild: Set[Long] => org.apache.spark.sql.connector.read.Scan)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  @volatile private var current = initial
+
+  override def readSchema(): StructType = current.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    current.toBatch
+  override def description(): String = s"GraftCow(${current.description()})"
+
+  /** Forwarded so a MERGE's join strategy sees the parquet scan's real
+    * size (post-filter: the touched dirs only). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = current match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("v"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val sets = predicates.flatMap(versionsFrom)
+    if (sets.nonEmpty) {
+      val touched = sets.reduceLeft(_ intersect _)
+      op.touchedDirs = Some(touched)
+      current = rebuild(touched)
+    }
+  }
+
+  /** `v IN (…)` / `v = k` → the dir-version set; None for anything
+    * else (the predicate is then simply not applied — correct, because
+    * Spark re-checks the full condition on the scanned rows). */
+  private def versionsFrom(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[Long]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal}
+    def isV(e: Expression): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase("v")
+      case _ => false
+    }
+    def longOf(e: Expression): Option[Long] = e match {
+      case l: Literal[_] => l.value match {
+        case x: java.lang.Long => Some(x.longValue)
+        case x: java.lang.Integer => Some(x.longValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty && isV(kids.head) =>
+        val vs = kids.drop(1).map(longOf)
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten.toSet)
+        else if (kids.length == 1) Some(Set.empty[Long]) // IN () = no match
+        else None
+      case "=" if kids.length == 2 && isV(kids.head) =>
+        longOf(kids(1)).map(Set(_))
+      case "=" if kids.length == 2 && isV(kids(1)) =>
+        longOf(kids.head).map(Set(_))
+      case _ => None
+    }
+  }
+}
+
 /** The write half of a group-based row-level operation (ReplaceData):
-  * the rewritten table state lands as a NEW snapshot via the engine's
-  * own distributed parquet `BatchWrite` — executors write through
-  * Spark's FileBatchWrite into the snapshot's directory, and the
-  * driver-side commit() publishes the manifest, so a failed or aborted
-  * rewrite is invisible (no manifest → no version, the VersionedTable
-  * torn-write argument verbatim).
-  *
-  * Partitioned layouts: Spark's v2 file BatchWrite does not lay out
-  * Hive partitions, so the rewrite stages flat (partition columns live
-  * in the files) and commit() re-lays the staging dir into the
-  * snapshot's declared `col=value` structure with one distributed
-  * partitionBy pass, then removes the staging dir. That second pass is
-  * bounded by the rewritten data, not the table. */
+  * the rewritten content lands as a NEW snapshot. Executors write
+  * through Spark's own distributed parquet BatchWrite into a UNIQUE
+  * dot-prefixed staging dir (never into `v=N` directly — a concurrent
+  * commit could own that name by the time this write finishes, and an
+  * abort must never be able to delete a published snapshot's data: the
+  * r13 advice finding). The driver-side commit() re-lays partitioned
+  * staging into the declared Hive layout (bounded by the REWRITTEN
+  * data, which after runtime group filtering is the touched dirs, not
+  * the table) and publishes through
+  * [[VersionedTable.publishStagedReplace]]: claim `v=N` by rename,
+  * manifest carries the untouched dirs by reference, and the whole
+  * publish re-validates the base version under the commit lock — a
+  * lost race is a clean error with the staging dir the only thing
+  * cleaned up. */
 private final class GraftReplaceWrite(
     root: String,
     spark: SparkSession,
     info: LogicalWriteInfo,
-    partitionCols: Seq[String]) extends Write {
+    partitionCols: Seq[String],
+    baseVersion: Option[Long],
+    keptDirVersions: () => Seq[Long]) extends Write {
 
   override def toBatch: BatchWrite = {
-    val next = VersionedTable.latestVersion(root).getOrElse(0L) + 1L
-    val target = s"$root/v=$next"
-    val stagingDir =
-      if (partitionCols.isEmpty) target
-      else s"$root/.replace-staging-$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    val stagingDir = s"$root/.replace-staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val staged = ParquetTable("graft-replace-staging", spark,
       CaseInsensitiveStringMap.empty(), Seq(stagingDir),
       Some(info.schema()), classOf[ParquetFileFormat])
     val inner = staged.newWriteBuilder(info).build().toBatch
 
     new BatchWrite {
+      // a second staging dir the partitioned re-lay writes into; only
+      // ever non-empty between commit()'s re-lay and its publish
+      @volatile private var laidDir: Option[String] = None
+
       override def createBatchWriterFactory(
           pi: PhysicalWriteInfo): DataWriterFactory =
         new GraftReplaceWriterFactory(
@@ -315,19 +519,28 @@ private final class GraftReplaceWrite(
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)
-        if (partitionCols.nonEmpty) {
-          spark.read.schema(info.schema()).parquet(stagingDir)
-            .write.partitionBy(partitionCols: _*).parquet(target)
-          deleteDir(stagingDir)
-        }
-        // publish: the snapshot becomes visible only here
-        VersionedTable.publishFull(root, next)
+        val publishDir =
+          if (partitionCols.isEmpty) stagingDir
+          else {
+            val laid = s"$root/.replace-staging-" +
+              java.util.UUID.randomUUID().toString.take(8)
+            laidDir = Some(laid)
+            spark.read.schema(info.schema()).parquet(stagingDir)
+              .write.partitionBy(partitionCols: _*).parquet(laid)
+            deleteDir(stagingDir)
+            laid
+          }
+        // publish: the snapshot becomes visible only here (and the
+        // staged dir is consumed — renamed to v=N — on success)
+        VersionedTable.publishStagedReplace(root, publishDir,
+          baseVersion, keptDirVersions())
+        laidDir = None
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
         inner.abort(messages)
         deleteDir(stagingDir)
-        if (stagingDir != target) deleteDir(target)
+        laidDir.foreach(deleteDir)
       }
 
       private def deleteDir(d: String): Unit = {

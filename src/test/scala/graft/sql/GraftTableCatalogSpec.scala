@@ -290,6 +290,67 @@ class GraftTableCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
+  test("UPDATE rewrites only the dirs its condition touches: runtime " +
+      "group filtering carries untouched dirs by reference") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.gu (k BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $cat.gu SELECT id, 'a' FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.gu SELECT id, 'b' FROM range(100, 150)")
+    spark.sql(s"INSERT INTO $cat.gu SELECT id, 'c' FROM range(200, 250)")
+    spark.sql(s"UPDATE $cat.gu SET tag = 'upd' WHERE k >= 200")
+    val table = s"$w/gu"
+    // STRUCTURAL: dirs 1 and 2 (no row matches) carry by reference;
+    // only dir 3 rewrote, into the new snapshot's own v=4
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "2", "4"),
+      "untouched dirs must carry by reference — the runtime group " +
+        "filter did not restrict the rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gu WHERE tag = 'upd'")
+      .head().getLong(0) == 50L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gu").head().getLong(0) == 150L)
+    // pre-update snapshot intact
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.gu VERSION AS OF 3 WHERE tag = 'c'")
+      .head().getLong(0) == 50L)
+    // no staging leftovers
+    assert(!new java.io.File(table).listFiles()
+      .exists(f => f.getName.startsWith(".replace-staging") ||
+        f.getName.startsWith(".stage-")))
+    // the snapshot-dir metadata column reads like Iceberg's _file
+    assert(spark.sql(s"SELECT DISTINCT v FROM $cat.gu WHERE tag = 'upd'")
+      .head().getLong(0) == 4L)
+  }
+
+  test("MERGE INTO bounded by its source: only dirs with matched target " +
+      "rows rewrite; inserts land in the new dir") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.gm (k BIGINT, qty BIGINT)")
+    spark.sql(s"INSERT INTO $cat.gm SELECT id, 1 FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.gm SELECT id, 1 FROM range(100, 150)")
+    Seq((100L, 7L), (300L, 9L)).toDF("k", "qty")
+      .createOrReplaceTempView("gm_src")
+    spark.sql(
+      s"""MERGE INTO $cat.gm t USING gm_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET qty = s.qty
+         |WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.qty)
+         |""".stripMargin)
+    val table = s"$w/gm"
+    // the source only matches rows in dir 2: dir 1 carries by
+    // reference, dir 2 rewrites (plus the inserted row) into v=3
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "3"),
+      "MERGE must rewrite only dirs its ON condition can touch")
+    assert(spark.sql(s"SELECT qty FROM $cat.gm WHERE k = 100")
+      .head().getLong(0) == 7L)
+    assert(spark.sql(s"SELECT qty FROM $cat.gm WHERE k = 300")
+      .head().getLong(0) == 9L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gm").head().getLong(0) == 101L)
+    assert(spark.sql(s"SELECT sum(qty) FROM $cat.gm").head().getLong(0)
+      == 99L + 7L + 9L)
+  }
+
   test("namespace DDL: CREATE/SHOW/DROP NAMESPACE over warehouse dirs; " +
       "tables and namespaces are distinguished") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
