@@ -369,9 +369,12 @@ object ScaleProbe {
     emit("versioneddml", "full_write", tFull, n, dir)
     // fixed ABSOLUTE slice: key range present identically at every SF
     // (shifted up so appended keys do not collide with table keys —
-    // the delete stage below must only touch the appended dir)
+    // the delete stage below must only touch the appended dir). The
+    // shift is 100000001 so even a key of 0 (present since the r14
+    // testdata regen) lands strictly above the 100000000 threshold the
+    // delete/update predicates use.
     val slice = li.filter(col("l_orderkey") <= 6000L)
-      .withColumn("l_orderkey", col("l_orderkey") + 100000000L)
+      .withColumn("l_orderkey", col("l_orderkey") + 100000001L)
     val m = slice.count()
     val (v2, tApp) = timed { VersionedTable.append(slice, table) }
     emit("versioneddml", "append_fixed_slice", tApp, m, dir)
@@ -395,6 +398,32 @@ object ScaleProbe {
     val dirs = VersionedTable.dataDirs(table).map(_.split("/v=").last)
     require(dirs == Seq("1", "3"),
       s"delete must keep v=1 by reference and rewrite only v=2: $dirs")
+
+    // dir-granular SQL UPDATE (r14 runtime group filtering): a DECLARED
+    // two-dir table (big base + the fixed slice), UPDATE touching only
+    // the slice's key range — the rewrite must cost ∝ the appended dir,
+    // not the table, so the sf0.1 point must NOT read ~10× sf0.01
+    val w2 = tmp("graft-probe-vdml-upd-")
+    val t2 = s"$w2/li"
+    VersionedTable.create(t2, li.schema)
+    VersionedTable.write(li, t2)
+    VersionedTable.append(slice, t2)
+    val catName = s"probeupd${System.nanoTime()}"
+    s.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$catName.warehouse", w2)
+    val (_, tUpd) = timed {
+      s.sql(s"UPDATE $catName.li SET l_quantity = 0 " +
+        "WHERE l_orderkey > 100000000")
+    }
+    emit("versioneddml", "update_cow_narrow", tUpd, m, dir)
+    val updDirs = VersionedTable.dataDirs(t2).map(_.split("/v=").last)
+    require(updDirs == Seq("1", "3"),
+      s"dir-granular UPDATE must keep v=1 by reference and rewrite " +
+        s"only v=2: $updDirs")
+    val zeroed = VersionedTable.read(s, t2)
+      .filter(col("l_quantity") === 0).count()
+    require(zeroed == m, s"UPDATE touched wrong rows: $zeroed != $m")
   }
 
   /** Append-CHAIN depth: the manifest dir list grows one entry per

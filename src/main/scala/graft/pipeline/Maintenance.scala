@@ -506,6 +506,15 @@ object Maintenance {
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name == "_temporary") { fs.delete(st.getPath, true); removed += 1 }
+          // a crashed committer's staged-but-never-claimed data (r14
+          // commit protocol: stage → claim-rename → manifest). Safe to
+          // drop because a CLAIMED stage no longer has this name; like
+          // Iceberg's remove_orphan_files, do not run concurrently
+          // with live writers on the same table.
+          else if (name.startsWith(".stage-") ||
+              name.startsWith(".replace-staging-")) {
+            fs.delete(st.getPath, true); removed += 1
+          }
           else fs.listStatus(st.getPath).foreach(walk)
         } else if (name.endsWith(".crc") && name.startsWith(".")) {
           fs.delete(st.getPath, false); removed += 1

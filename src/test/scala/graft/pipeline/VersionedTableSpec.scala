@@ -300,6 +300,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.lastStreamBatch(table).contains(7L))
   }
 
+  test("two concurrent appends both land: commits serialize per root, " +
+      "the later manifest carries the earlier's dirs, no staging orphans") {
+    val table = Files.createTempDirectory("graft_vt12_").toString + "/t"
+    VersionedTable.write(Seq((0L, "z")).toDF("k", "v"), table)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appends = (1 to 4).map(i => Future {
+      VersionedTable.append(Seq((i.toLong, s"c$i")).toDF("k", "v"), table)
+    })
+    val versions = Await.result(Future.sequence(appends), 120.seconds)
+    // every append won a distinct version — nobody lost or clobbered
+    assert(versions.sorted == Seq(2L, 3L, 4L, 5L))
+    assert(VersionedTable.versions(table) == Seq(1L, 2L, 3L, 4L, 5L))
+    // the CURRENT snapshot carries every append's rows: each commit
+    // resolved its dir list under the lock, seeing all earlier winners
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // no staging dirs left behind
+    assert(!new java.io.File(table).listFiles()
+      .exists(_.getName.startsWith(".stage-")))
+  }
+
   test("declared tables: create pins schema+partitioning, truncate " +
       "commits a readable empty snapshot, redeclare refuses") {
     val table = Files.createTempDirectory("graft_vt9_").toString + "/t"
