@@ -111,10 +111,18 @@ object Profile {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tr = sum(col("n_ref")).over()
     val tc = sum(col("n_cur")).over()
+    // an EMPTY side (total 0) floors every probability instead of
+    // dividing by zero — PSI then reports maximal drift per bin, the
+    // right answer for "the current corpus has no rows here" and the
+    // reason a tiny SF can't crash the drift check (r14)
+    def safeP(n: org.apache.spark.sql.Column,
+        tot: org.apache.spark.sql.Column) =
+      greatest(when(tot === 0L, lit(0.0d))
+        .otherwise(n.cast("double") / tot), lit(pFloor))
     joined
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        greatest(col("n_ref").cast("double") / tr, lit(pFloor)).as("__pr"),
-        greatest(col("n_cur").cast("double") / tc, lit(pFloor)).as("__pc"))
+        safeP(col("n_ref"), tr).as("__pr"),
+        safeP(col("n_cur"), tc).as("__pc"))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round((col("__pr") - col("__pc")) * log(col("__pr") / col("__pc")), 6)
           .as("psi_term"))

@@ -1353,6 +1353,77 @@ object ExtQueries {
       .orderBy(col("dim"))
   }
 
+  /** AUTOMATIC file skipping on CATALOG-served versioned tables (r14 —
+    * the composition the r13 verdict flagged: the v1 rule matches
+    * `LogicalRelation` only, so `SELECT … FROM <cat>.<ns>.<t>` never
+    * pruned): a versioned table built as TWO range-clustered snapshots
+    * (write + append, 6 files each), min/max-indexed over its table
+    * ROOT and registered — one registration covers every snapshot via
+    * the parent-dir hop. A catalog point query on the clustered column
+    * must then prune at the DSv2 scan
+    * ([[org.apache.spark.sql.graft.GraftStatsScanBuilder]]): the
+    * require counts the files the executed BatchScanExec actually
+    * planned and demands fewer than the table holds. The oracle
+    * replays the slice from raw lineitem — over-pruning loses rows and
+    * hash-mismatches. */
+  private val v2PruneTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  def q199CatalogAutoPrune(s: SparkSession, dir: String): DataFrame = {
+    val (wh, key) = v2PruneTables.getOrElseUpdate(dir, {
+      indexCleanupHook
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-v2prune-").toString
+      val tbl = s"$d/wh/li"
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity"))
+      graft.pipeline.VersionedTable.create(tbl, li.schema)
+      def clustered(df: org.apache.spark.sql.DataFrame) =
+        df.repartitionByRange(6, col("l_partkey"))
+          .sortWithinPartitions(col("l_partkey"))
+      graft.pipeline.VersionedTable.write(
+        clustered(li.filter(col("l_partkey") % 2 === 0)), tbl)
+      graft.pipeline.VersionedTable.append(
+        clustered(li.filter(col("l_partkey") % 2 === 1)), tbl)
+      val statsDir = s"$d/stats"
+      graft.operators.FileIndex.statsForFiles(s,
+          graft.pipeline.VersionedTable.dataDirs(tbl), Seq("l_partkey"))
+        .write.parquet(statsDir)
+      org.apache.spark.sql.graft.StatsPruning.register(s, tbl, statsDir)
+      (s"$d/wh", li.agg(min(col("l_partkey"))).head().getLong(0))
+    })
+    val cat = s"gv2p${math.abs(wh.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val probe = s.sql(s"SELECT l_orderkey, l_quantity FROM $cat.li " +
+      s"WHERE l_partkey = $key")
+    probe.collect()
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten.map {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+          case _ => 0
+        }.sum
+    }.sum
+    val total = graft.pipeline.VersionedTable.dataDirs(s"$wh/li")
+      .map(p => Option(new java.io.File(p.stripPrefix("file:")).listFiles())
+        .getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))).sum
+    require(total >= 4,
+      s"construction broke: expected >=4 clustered files, got $total")
+    require(scanned > 0 && scanned < total,
+      s"catalog-served stats pruning did not fire: scanned $scanned " +
+        s"of $total files")
+    s.sql(s"SELECT l_orderkey, l_quantity FROM $cat.li " +
+        s"WHERE l_partkey = $key")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).cast("long").as("sum_okey"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   /** CSV raw-zone round-trip (the landing format object-store ingest
     * actually receives): documents written as RFC4180-quoted CSV once
     * per dir, read back with an explicit schema (+ multiLine, so
@@ -2157,6 +2228,7 @@ object ExtQueries {
     "q187_auto_pruned_scan" -> (q187AutoPrunedScan _),
     "q188_partitioned_auto_prune" -> (q188PartitionedAutoPrune _),
     "q189_zorder_auto_prune" -> (q189ZorderAutoPrune _),
+    "q199_catalog_auto_prune" -> (q199CatalogAutoPrune _),
     "q126_sql_sampling" -> (q126SqlSampling _),
     "q109_lm_score" -> (q109LmScore _),
     "q112_vocab" -> (q112Vocab _),
@@ -3141,6 +3213,16 @@ object ExtQueries {
         |SELECT event_id, user_id, value FROM events, md, mu
         |WHERE CAST(ts AS DATE) = md.d AND user_id = mu.u
         |ORDER BY event_id""".stripMargin,
+    "q199_catalog_auto_prune" ->
+      // the catalog-served pruned point slice replayed from RAW
+      // lineitem: a file lost to over-pruning at the DSv2 scan (or a
+      // snapshot dir dropped by the parent-hop registration) moves the
+      // count or a sum (the scanned<total require runs in-engine first)
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)""".stripMargin,
     "q189_zorder_auto_prune" ->
       // both z-clustered point slices replayed from RAW lineitem: a
       // lost file on either pruned dimension changes a count or sum

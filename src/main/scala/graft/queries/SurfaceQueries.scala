@@ -327,9 +327,12 @@ object SurfaceQueries {
     * corpus-version drift check. */
   def q116Psi(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // data-derived split (max/2) so BOTH halves are non-empty at every
+    // SF — the fixed 5000 cut left the current side empty below sf0.01
+    val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
     graft.operators.Profile.psi(
-      ev.filter(col("event_id") < 5000),
-      ev.filter(col("event_id") >= 5000),
+      ev.filter(col("event_id") < mid),
+      ev.filter(col("event_id") >= mid),
       "value", buckets = 8)
   }
 
@@ -363,8 +366,9 @@ object SurfaceQueries {
     "q116_psi" ->
       // reference-grid bins with two-sided clamp; identical probability
       // floor and op order; ln + 6dp only at export
-      """WITH r0 AS (SELECT value FROM events WHERE event_id < 5000),
-        |c0 AS (SELECT value FROM events WHERE event_id >= 5000),
+      """WITH md AS (SELECT MAX(event_id) // 2 AS mid FROM events),
+        |r0 AS (SELECT value FROM events, md WHERE event_id < mid),
+        |c0 AS (SELECT value FROM events, md WHERE event_id >= mid),
         |b AS (SELECT MIN(CAST(value AS DOUBLE)) AS mn,
         |             MAX(CAST(value AS DOUBLE)) AS mx FROM r0),
         |bins AS (SELECT unnest(generate_series(0, 7)) AS bin),

@@ -128,8 +128,19 @@ final class GraftVersionedTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Catalog reads prune through the registered stats index too (r14):
+    * the builder forwards every parquet pushdown verbatim and, at
+    * build(), drops files the index refuses — so `SELECT … FROM
+    * <cat>.<ns>.<t> WHERE k = x` skips files exactly like the v1 rule
+    * does for path reads. Registration names the table ROOT; the
+    * parent-hop in [[org.apache.spark.sql.graft.StatsPruning.statsDirsFor]]
+    * resolves it for every snapshot's `v=N` dirs. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    delegate.newScanBuilder(options) match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+        new org.apache.spark.sql.graft.GraftStatsScanBuilder(spark, p)
+      case other => other
+    }
 
   // ---- writes ---------------------------------------------------------
 

@@ -63,7 +63,7 @@ import graft.operators.{FileIndex => GraftFileIndex}
   * divergence — [[PrunedFileIndex.rootPaths]] deliberately returns the
   * parent's roots verbatim so downstream path-identity checks hold).
   * Disable globally with `spark.graft.statsPruning.enabled=false`. */
-object StatsPruning {
+object StatsPruning extends org.apache.spark.internal.Logging {
 
   val EnabledKey = "spark.graft.statsPruning.enabled"
 
@@ -110,11 +110,20 @@ object StatsPruning {
       spark.experimental.extraOptimizations ++= Seq(PruneScanByFileStats(spark))
   }
 
+  /** Stats tables registered for any of `rootPaths` — directly, or via
+    * the path's PARENT: a [[graft.pipeline.VersionedTable]] snapshot
+    * scan roots at the `v=N` data dirs while the registration names the
+    * table ROOT, so the parent hop is what lets ONE registration cover
+    * every snapshot of a versioned table (r14). */
   private[graft] def statsDirsFor(rootPaths: Seq[org.apache.hadoop.fs.Path])
       : Seq[String] =
     if (registry.isEmpty) Nil
     else rootPaths
-      .flatMap(p => registry.get(GraftFileIndex.canonicalFileKey(p.toString)))
+      .flatMap { p =>
+        registry.get(GraftFileIndex.canonicalFileKey(p.toString))
+          .orElse(Option(p.getParent).flatMap(pp =>
+            registry.get(GraftFileIndex.canonicalFileKey(pp.toString))))
+      }
       .distinct
 
   private[graft] def hasRegistrations: Boolean = registry.nonEmpty
@@ -178,6 +187,130 @@ object StatsPruning {
     val key = (System.identityHashCode(spark).toString, statsDir, mtime)
     statsDfCache.get(key)
       .getOrElse(boundedPut(statsDfCache, key, spark.read.parquet(statsDir)))
+  }
+
+  // ---- admission (shared by the v1 rule and the v2 scan builder) ------
+
+  import PruneScanByFileStats.{CmpEq, CmpGe, CmpGt, CmpLe, CmpLt, Conjunct, conjKey}
+
+  /** Memoized admission for one stats table: the (described, admitted)
+    * canonical-key sets for this predicate, or None when no conjunct
+    * participates in this table's columns. One gated stats job on
+    * cache miss; zero on hit. */
+  private[graft] def admissionFor(spark: SparkSession, statsDir: String,
+      conjuncts: Seq[Conjunct]): Option[(Set[String], Set[String])] = {
+    val mtime = statsMtime(statsDir)
+    // the resolved name gate is part of the key: a gate-exceeded refusal
+    // is cached, and the cached refusal must stop applying the moment the
+    // user raises the gate conf (r13 advice: a key without the gate made
+    // the documented remedy — raise the conf — a no-op until the stats
+    // table's mtime happened to change)
+    val gate = GraftFileIndex.resolveNameGate(spark)
+    val key = (statsDir, mtime, s"gate=$gate&${conjKey(conjuncts)}")
+    admissionCache.get(key).getOrElse {
+      val computed =
+        try computeAdmission(spark, statsDir, mtime, conjuncts)
+        catch {
+          // refusal (name gate, unreadable stats rows): degrade to "no
+          // pruning from this table" and CACHE it — the mtime key
+          // re-admits the table as soon as its stats change; warning
+          // once per (table version, predicate), not once per
+          // fixed-point pass
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"graft stats pruning skipped for $statsDir " +
+              s"(cached until the stats table changes): $e")
+            None
+        }
+      if (admissionCache.size > 1024) admissionCache.clear()
+      admissionCache.putIfAbsent(key, computed)
+      computed
+    }
+  }
+
+  private def computeAdmission(spark: SparkSession, statsDir: String,
+      mtime: Long, conjuncts: Seq[Conjunct])
+      : Option[(Set[String], Set[String])] = {
+    val stats = loadStats(spark, statsDir, mtime)
+    val statsCols = stats.columns.toSet
+    def hasRange(c: String) =
+      statsCols(s"${c}_min") && statsCols(s"${c}_max")
+    def colMin(c: String) =
+      org.apache.spark.sql.functions.col(s"${c}_min")
+    def colMax(c: String) =
+      org.apache.spark.sql.functions.col(s"${c}_max")
+    def litCol(l: Literal) = ExpressionUtils.column(l)
+
+    /** Equality conjunct -> its admission test over the stats row:
+      * bloom when indexed (selective on unclustered layout), min/max
+      * envelope otherwise. */
+    def eqAdmit(c: String, l: Literal): Option[Column] = {
+      val external =
+        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      if (external == null) None
+      else if (statsCols(s"${c}_bloom"))
+        Some(GraftFileIndex.bloomAdmits(stats, c, external))
+      else if (hasRange(c))
+        Some(colMax(c) >= litCol(l) && colMin(c) <= litCol(l))
+      else None
+    }
+    def rangeAdmit(c: String, l: Literal,
+        admit: => Column): Option[Column] =
+      if (hasRange(c) && l.value != null) Some(admit) else None
+
+    // per participating conjunct: the admission test its stats row
+    // must pass. One-sided ranges read directly off the envelope:
+    // `c > v` can only match files whose max exceeds v, etc.
+    val admits: Seq[Column] = conjuncts.flatMap {
+      case Conjunct(CmpEq, c, l) => eqAdmit(c, l)
+      case Conjunct(CmpGt, c, l) => rangeAdmit(c, l, colMax(c) > litCol(l))
+      case Conjunct(CmpGe, c, l) => rangeAdmit(c, l, colMax(c) >= litCol(l))
+      case Conjunct(CmpLt, c, l) => rangeAdmit(c, l, colMin(c) < litCol(l))
+      case Conjunct(CmpLe, c, l) => rangeAdmit(c, l, colMin(c) <= litCol(l))
+    }
+    if (admits.isEmpty) None
+    else {
+      // ONE stats pass answers both questions the rewrite needs —
+      // which files the index describes, and which it admits (the
+      // N+1-jobs-per-query shape this replaced dominated the rule's
+      // constant; measured 0.7 s -> ~0.25 s per point query)
+      import org.apache.spark.sql.functions.coalesce
+      import org.apache.spark.sql.functions.lit
+      val gate = GraftFileIndex.resolveNameGate(spark)
+      val lim = math.min(gate + 1L, Int.MaxValue.toLong).toInt
+      val pairs = stats.select(
+          org.apache.spark.sql.functions.col("file"),
+          coalesce(admits.reduce(_ && _), lit(false)).as("adm"))
+        .limit(lim).collect()
+      require(pairs.length <= gate,
+        s"stats table exceeds the driver name-list gate ($gate); raise " +
+          s"${GraftFileIndex.NameGateConfKey} or partition the index")
+      val described = pairs
+        .map(r => GraftFileIndex.canonicalFileKey(r.getString(0))).toSet
+      val admitted = pairs.filter(_.getBoolean(1))
+        .map(r => GraftFileIndex.canonicalFileKey(r.getString(0))).toSet
+      Some((described, admitted))
+    }
+  }
+
+  /** The keep-set for a CURRENT file listing under this predicate, or
+    * None when nothing prunes — the shared decision both integration
+    * points apply: a file is dropped only when some registered stats
+    * table describes it and every describing table refuses it. */
+  private[graft] def keepKeysFor(spark: SparkSession,
+      statsDirs: Seq[String], conjuncts: Seq[Conjunct],
+      currentFiles: Seq[String]): Option[Set[String]] = {
+    val perDir = statsDirs.flatMap(admissionFor(spark, _, conjuncts))
+    if (perDir.isEmpty) None
+    else {
+      val kept = currentFiles.filter { file =>
+        val k = GraftFileIndex.canonicalFileKey(file)
+        perDir.forall { case (described, admitted) =>
+          !described(k) || admitted(k)
+        }
+      }
+      if (kept.size >= currentFiles.size) None
+      else Some(kept.map(GraftFileIndex.canonicalFileKey).toSet)
+    }
   }
 
   // ---- maintenance integration ---------------------------------------
@@ -273,105 +406,6 @@ case class PruneScanByFileStats(spark: SparkSession)
     }
   }
 
-  /** Memoized admission for one stats table: the (described, admitted)
-    * canonical-key sets for this predicate, or None when no conjunct
-    * participates in this table's columns. One gated stats job on
-    * cache miss; zero on hit. */
-  private def admissionFor(statsDir: String, conjuncts: Seq[Conjunct])
-      : Option[(Set[String], Set[String])] = {
-    val mtime = StatsPruning.statsMtime(statsDir)
-    // the resolved name gate is part of the key: a gate-exceeded refusal
-    // is cached, and the cached refusal must stop applying the moment the
-    // user raises the gate conf (r13 advice: a key without the gate made
-    // the documented remedy — raise the conf — a no-op until the stats
-    // table's mtime happened to change)
-    val gate = GraftFileIndex.resolveNameGate(spark)
-    val key = (statsDir, mtime, s"gate=$gate&${conjKey(conjuncts)}")
-    StatsPruning.admissionCache.get(key).getOrElse {
-      val computed =
-        try computeAdmission(statsDir, mtime, conjuncts)
-        catch {
-          // refusal (name gate, unreadable stats rows): degrade to "no
-          // pruning from this table" and CACHE it — the mtime key
-          // re-admits the table as soon as its stats change; warning
-          // once per (table version, predicate), not once per
-          // fixed-point pass
-          case scala.util.control.NonFatal(e) =>
-            logWarning(s"graft stats pruning skipped for $statsDir " +
-              s"(cached until the stats table changes): $e")
-            None
-        }
-      if (StatsPruning.admissionCache.size > 1024)
-        StatsPruning.admissionCache.clear()
-      StatsPruning.admissionCache.putIfAbsent(key, computed)
-      computed
-    }
-  }
-
-  private def computeAdmission(statsDir: String, mtime: Long,
-      conjuncts: Seq[Conjunct]): Option[(Set[String], Set[String])] = {
-    val stats = StatsPruning.loadStats(spark, statsDir, mtime)
-    val statsCols = stats.columns.toSet
-    def hasRange(c: String) =
-      statsCols(s"${c}_min") && statsCols(s"${c}_max")
-    def colMin(c: String) =
-      org.apache.spark.sql.functions.col(s"${c}_min")
-    def colMax(c: String) =
-      org.apache.spark.sql.functions.col(s"${c}_max")
-    def litCol(l: Literal) = ExpressionUtils.column(l)
-
-    /** Equality conjunct -> its admission test over the stats row:
-      * bloom when indexed (selective on unclustered layout), min/max
-      * envelope otherwise. */
-    def eqAdmit(c: String, l: Literal): Option[Column] = {
-      val external =
-        CatalystTypeConverters.convertToScala(l.value, l.dataType)
-      if (external == null) None
-      else if (statsCols(s"${c}_bloom"))
-        Some(GraftFileIndex.bloomAdmits(stats, c, external))
-      else if (hasRange(c))
-        Some(colMax(c) >= litCol(l) && colMin(c) <= litCol(l))
-      else None
-    }
-    def rangeAdmit(c: String, l: Literal,
-        admit: => Column): Option[Column] =
-      if (hasRange(c) && l.value != null) Some(admit) else None
-
-    // per participating conjunct: the admission test its stats row
-    // must pass. One-sided ranges read directly off the envelope:
-    // `c > v` can only match files whose max exceeds v, etc.
-    val admits: Seq[Column] = conjuncts.flatMap {
-      case Conjunct(CmpEq, c, l) => eqAdmit(c, l)
-      case Conjunct(CmpGt, c, l) => rangeAdmit(c, l, colMax(c) > litCol(l))
-      case Conjunct(CmpGe, c, l) => rangeAdmit(c, l, colMax(c) >= litCol(l))
-      case Conjunct(CmpLt, c, l) => rangeAdmit(c, l, colMin(c) < litCol(l))
-      case Conjunct(CmpLe, c, l) => rangeAdmit(c, l, colMin(c) <= litCol(l))
-    }
-    if (admits.isEmpty) None
-    else {
-      // ONE stats pass answers both questions the rewrite needs —
-      // which files the index describes, and which it admits (the
-      // N+1-jobs-per-query shape this replaced dominated the rule's
-      // constant; measured 0.7 s -> ~0.25 s per point query)
-      import org.apache.spark.sql.functions.coalesce
-      import org.apache.spark.sql.functions.lit
-      val gate = GraftFileIndex.resolveNameGate(spark)
-      val lim = math.min(gate + 1L, Int.MaxValue.toLong).toInt
-      val pairs = stats.select(
-          org.apache.spark.sql.functions.col("file"),
-          coalesce(admits.reduce(_ && _), lit(false)).as("adm"))
-        .limit(lim).collect()
-      require(pairs.length <= gate,
-        s"stats table exceeds the driver name-list gate ($gate); raise " +
-          s"${GraftFileIndex.NameGateConfKey} or partition the index")
-      val described = pairs
-        .map(r => GraftFileIndex.canonicalFileKey(r.getString(0))).toSet
-      val admitted = pairs.filter(_.getBoolean(1))
-        .map(r => GraftFileIndex.canonicalFileKey(r.getString(0))).toSet
-      Some((described, admitted))
-    }
-  }
-
   private def prune(f: Filter, cond: Expression, rel: LogicalRelation,
       hfsr: HadoopFsRelation, statsDirs: Seq[String]): Option[LogicalPlan] =
     try {
@@ -382,26 +416,15 @@ case class PruneScanByFileStats(spark: SparkSession)
         // a file must be admitted by EVERY table that describes it
         // (disjoint tables in practice — per-root indexes — but the
         // all-tables fold is the conservative composition either way)
-        val perDir = statsDirs.flatMap(admissionFor(_, conjuncts))
-        if (perDir.isEmpty) None
-        else {
-          val current = hfsr.location.inputFiles.toSeq
-          val kept = current.filter { file =>
-            val k = GraftFileIndex.canonicalFileKey(file)
-            perDir.forall { case (described, admitted) =>
-              !described(k) || admitted(k)
-            }
-          }
-          if (kept.size >= current.size) None
-          else {
-            logInfo(s"graft stats pruning: ${current.size} -> ${kept.size} " +
-              s"files for ${hfsr.location.rootPaths.head}")
-            val prunedIndex = new PrunedFileIndex(hfsr.location,
-              kept.map(GraftFileIndex.canonicalFileKey).toSet)
-            // same output attributes: the Filter's references still bind
-            Some(f.copy(child =
-              rel.copy(relation = hfsr.copy(location = prunedIndex)(spark))))
-          }
+        StatsPruning.keepKeysFor(spark, statsDirs, conjuncts,
+            hfsr.location.inputFiles.toSeq).map { keep =>
+          logInfo(s"graft stats pruning: " +
+            s"${hfsr.location.inputFiles.length} -> ${keep.size} " +
+            s"files for ${hfsr.location.rootPaths.head}")
+          val prunedIndex = new PrunedFileIndex(hfsr.location, keep)
+          // same output attributes: the Filter's references still bind
+          f.copy(child =
+            rel.copy(relation = hfsr.copy(location = prunedIndex)(spark)))
         }
       }
     } catch {
