@@ -154,7 +154,14 @@ object VersionedTable {
         val target = new Path(root, s"v=$next")
         if (!fs.exists(target) && fs.rename(stage, target)) {
           try {
-            commitManifest(fs, root, next, content(vs, next))
+            // per-snapshot schema (r14): every commit of a DECLARED
+            // table embeds the schema current AT COMMIT TIME, so time
+            // travel to a pre-evolution snapshot can serve the schema
+            // as of that snapshot (Iceberg's per-snapshot schema-id
+            // contract; [[schemaAt]] reads it back)
+            val schemaLine = storedSchema(root.toString)
+              .map(sch => s"schema=${sch.json}\n").getOrElse("")
+            commitManifest(fs, root, next, content(vs, next) + schemaLine)
             committed = next
           } catch {
             case e: Throwable => // loser/validation cleanup: un-claim
@@ -377,7 +384,38 @@ object VersionedTable {
   private def dataVersionOn(fs: FileSystem, root: Path, v: Long): Long =
     dataVersionsOn(fs, root, v).last
 
-  /** Read a specific version (time travel) or the latest. */
+  /** The schema AS OF a retained snapshot (r14): the `schema=` line
+    * its manifest embedded at commit time, so `VERSION AS OF` a
+    * pre-`ALTER TABLE ADD COLUMN` snapshot serves the schema of that
+    * snapshot — Iceberg's per-snapshot schema contract. Falls back to
+    * the table-level declared schema for pre-r14 manifests (which
+    * null-fill evolved columns, the documented r13 simplification)
+    * and to None for undeclared tables. */
+  def schemaAt(table: String, version: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root) = fsFor(table)
+    manifestSchemaOn(fs, root, version).orElse(storedSchema(table))
+  }
+
+  private def manifestSchemaOn(fs: FileSystem, root: Path, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val m = new Path(manifestDir(root), v.toString)
+    if (!fs.exists(m)) return None
+    val in = fs.open(m)
+    val content =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    content.linesIterator.collectFirst {
+      case l if l.startsWith("schema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  /** Read a specific version (time travel) or the latest. Time-travel
+    * reads serve the schema AS OF the snapshot ([[schemaAt]]). */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val dirs = dataDirs(table, version)
@@ -387,7 +425,7 @@ object VersionedTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         storedSchema(table).get)
-    else readDirs(spark, table, dirs)
+    else readDirs(spark, table, dirs, version.flatMap(schemaAt(table, _)))
   }
 
   /** The one place snapshot data dirs turn into a DataFrame — shared by
@@ -404,12 +442,16 @@ object VersionedTable {
     * inside ONE relation (no per-dir union, plan size independent of
     * the append count). */
   private[graft] def readDirs(spark: SparkSession, table: String,
-      dirs: Seq[String]): DataFrame = storedMeta(table) match {
-    case Some((pcols, schema)) if pcols.nonEmpty =>
-      spark.read.schema(schema).option("basePath", table).parquet(dirs: _*)
-        .select(schema.fieldNames.toSeq
-          .map(org.apache.spark.sql.functions.col): _*)
-    case Some((_, schema)) => spark.read.schema(schema).parquet(dirs: _*)
+      dirs: Seq[String],
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = storedMeta(table) match {
+    case Some((pcols, declared)) =>
+      val schema = schemaOverride.getOrElse(declared)
+      if (pcols.nonEmpty)
+        spark.read.schema(schema).option("basePath", table).parquet(dirs: _*)
+          .select(schema.fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+      else spark.read.schema(schema).parquet(dirs: _*)
     case None => spark.read.parquet(dirs: _*)
   }
 
@@ -487,9 +529,13 @@ object VersionedTable {
       val directive =
         if (target.size == 1) s"data=${target.head}"
         else s"dirs=${target.mkString(",")}"
+      // the redirect serves old DATA under the CURRENT declared schema
+      // (evolved columns null-fill) — rollback restores content, not
+      // schema, matching Iceberg's rollback_to_snapshot
+      val schemaLine = storedSchema(table).map(s => s"schema=${s.json}").toSeq
       commitManifest(fs, root, next,
         (Seq(System.currentTimeMillis().toString, directive) ++
-          carryBatchLine(fs, root)).mkString("", "\n", "\n"))
+          carryBatchLine(fs, root) ++ schemaLine).mkString("", "\n", "\n"))
       next
     }
   }
@@ -717,10 +763,13 @@ object VersionedTable {
     * HAVE no value). Undeclared tables are adopted first (current
     * schema pinned) so the evolution has a base to extend.
     *
-    * Recorded simplification: the declared schema is table-level, not
-    * per-snapshot — time travel to a pre-evolution version serves the
-    * CURRENT schema with the new columns null-filled (Iceberg replays
-    * the snapshot's own schema; same data bytes either way). */
+    * Schema history (r14): every commit embeds the schema current at
+    * commit time in its manifest, so time travel to a pre-evolution
+    * snapshot serves the schema AS OF that snapshot ([[schemaAt]],
+    * Iceberg's contract). Pre-r14 manifests carry no schema line and
+    * fall back to the table-level declared schema (new columns
+    * null-filled — the recorded r13 simplification, now only the
+    * legacy-manifest path). */
   def addColumns(spark: SparkSession, table: String,
       newFields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     val (fs, root) = fsFor(table)

@@ -569,6 +569,29 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** PER-SNAPSHOT SCHEMA HISTORY (r14 — Iceberg's per-snapshot
+    * schema-id contract, replacing r13's current-schema-null-filled
+    * simplification): every commit embeds the schema current at commit
+    * time in its manifest, so `VERSION AS OF` a pre-`ADD COLUMN`
+    * snapshot serves the OLD schema. Over q194's fixture (CTAS even
+    * half → ALTER ADD channel → INSERT odd half WITH channel), reading
+    * snapshot 1 through the catalog must come back WITHOUT the channel
+    * column — require()d structurally — and its aggregate must equal
+    * the oracle's replay of the even-key slice alone. */
+  def q200SchemaHistory(s: SparkSession, dir: String): DataFrame = {
+    q194SqlAddColumn(s, dir).count() // build the evolution fixture
+    val table = writeTables(dir + "#alt")
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    val v1 = s.sql(s"SELECT * FROM $cat.orda VERSION AS OF 1")
+    require(v1.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "price"),
+      s"pre-evolution snapshot must serve its own schema (no evolved " +
+        s"column): got ${v1.columns.mkString(",")}")
+    v1.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL `UPDATE` as DIR-GRANULAR copy-on-write (r14 — the fix for
     * r13's one perf-weak O(table) UPDATE rewrite): Spark's own runtime
     * group filtering (`RowLevelOperationRuntimeGroupFiltering`, the
@@ -647,7 +670,8 @@ object CdcQueries {
     "q195_incremental_read" -> (q195IncrementalRead _),
     "q196_stream_versioned" -> (q196StreamVersioned _),
     "q197_timestamp_as_of" -> (q197TimestampAsOf _),
-    "q198_sql_update_cow" -> (q198SqlUpdateCow _))
+    "q198_sql_update_cow" -> (q198SqlUpdateCow _),
+    "q200_schema_history" -> (q200SchemaHistory _))
 
   val oracles: Map[String, String] = Map(
     "q169_rollback" ->
@@ -751,6 +775,17 @@ object CdcQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the pre-evolution snapshot replayed from raw orders' even-key
+    // slice WITHOUT the evolved column: serving the current schema
+    // (extra column) fails the in-engine require; serving wrong rows
+    // under the old schema hash-mismatches here
+    "q200_schema_history" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // post-update current + pre-update snapshot, both replayed from raw
     // orders with the same max/2 split the UPDATE used — an update that
     // misses rows, touches the wrong half, or breaks time travel

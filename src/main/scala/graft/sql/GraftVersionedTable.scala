@@ -61,8 +61,19 @@ final class GraftVersionedTable(
     * of that name (the dir level IS named `v=N`; partitioned layouts
     * already refuse such columns at create, unpartitioned ones keep
     * working and simply degrade to full-rewrite row-level ops). */
+  /** The schema this relation serves: per-snapshot for a time-travel
+    * pin (r14 — `VERSION AS OF` a pre-ADD-COLUMN snapshot reads the
+    * schema as of that snapshot, [[VersionedTable.schemaAt]]), the
+    * declared table schema otherwise. */
+  private def effectiveSchema
+      : Option[org.apache.spark.sql.types.StructType] =
+    pinnedVersion match {
+      case Some(v) => VersionedTable.schemaAt(root, v)
+      case None => VersionedTable.storedSchema(root)
+    }
+
   private[sql] lazy val dirMetaCapable: Boolean =
-    VersionedTable.storedSchema(root)
+    effectiveSchema
       .exists(s => !s.fieldNames.exists(_.equalsIgnoreCase("v")))
 
   /** Fresh per call: a snapshot commit between two loads must be
@@ -82,7 +93,7 @@ final class GraftVersionedTable(
       val opts = new CaseInsensitiveStringMap(
         java.util.Collections.singletonMap("basePath", root))
       val schemaPlusV = StructType(
-        VersionedTable.storedSchema(root).get.fields :+
+        effectiveSchema.get.fields :+
           org.apache.spark.sql.types.StructField("v",
             org.apache.spark.sql.types.LongType))
       ParquetTable(identName, spark, opts, dirs, Some(schemaPlusV),
@@ -94,7 +105,7 @@ final class GraftVersionedTable(
             java.util.Collections.singletonMap("basePath", root))
         else CaseInsensitiveStringMap.empty()
       ParquetTable(identName, spark, opts, dirs,
-        VersionedTable.storedSchema(root), classOf[ParquetFileFormat])
+        effectiveSchema, classOf[ParquetFileFormat])
     }
 
   /** The snapshot data-dir version owning each row, as Iceberg exposes
@@ -107,11 +118,12 @@ final class GraftVersionedTable(
 
   override def name(): String = identName
 
-  /** The DECLARED schema when one exists — the delegate's would append
-    * the internal snapshot-level partition column on partitioned
-    * layouts (basePath discovery); analysis must never see it. */
+  /** The DECLARED schema when one exists (per-snapshot under a
+    * time-travel pin) — the delegate's would append the internal
+    * snapshot-level partition column on `basePath` discovery; analysis
+    * must never see it. */
   override def schema(): StructType =
-    VersionedTable.storedSchema(root).getOrElse(delegate.schema)
+    effectiveSchema.getOrElse(delegate.schema)
 
   override def partitioning(): Array[Transform] =
     VersionedTable.partitionColsOf(root)

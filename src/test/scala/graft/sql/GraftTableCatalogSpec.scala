@@ -428,6 +428,38 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("per-snapshot schema history: VERSION AS OF a pre-evolution " +
+      "snapshot serves the schema as of that snapshot, across two " +
+      "evolutions") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.h (k BIGINT, a STRING)")
+    spark.sql(s"INSERT INTO $cat.h VALUES (1, 'x')") // v1: (k, a)
+    spark.sql(s"ALTER TABLE $cat.h ADD COLUMN b STRING")
+    spark.sql(s"INSERT INTO $cat.h VALUES (2, 'y', 'b2')") // v2: (k, a, b)
+    spark.sql(s"ALTER TABLE $cat.h ADD COLUMN c DOUBLE")
+    spark.sql(s"INSERT INTO $cat.h VALUES (3, 'z', 'b3', 1.5)") // v3
+    assert(spark.sql(s"SELECT * FROM $cat.h VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "a"))
+    assert(spark.sql(s"SELECT * FROM $cat.h VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "a", "b"))
+    assert(spark.sql(s"SELECT * FROM $cat.h")
+      .columns.toSeq == Seq("k", "a", "b", "c"))
+    // an evolved column does not EXIST as of the old snapshot
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT b FROM $cat.h VERSION AS OF 1").collect()
+    }
+    // the API read agrees with the catalog read
+    assert(VersionedTable.read(spark, s"$w/h", Some(2L))
+      .columns.toSeq == Seq("k", "a", "b"))
+    // contents under each historical schema
+    assert(spark.sql(s"SELECT k FROM $cat.h VERSION AS OF 2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.h WHERE c IS NOT NULL")
+      .head().getLong(0) == 1L)
+  }
+
   test("writes to a time-travel-pinned relation refuse; expire keeps " +
       "append-referenced data dirs alive") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
