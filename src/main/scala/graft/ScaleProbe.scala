@@ -458,6 +458,21 @@ object ScaleProbe {
     val (c, tRead) = timed { VersionedTable.read(s, table).count() }
     emit("appendchain", "read_all_dirs", tRead, c, dir)
     require(c == nAppends + 1)
+    // rewrite_manifests (r14): collapse the READ cost without touching
+    // data — one listing pass commits a file-list manifest; the re-read
+    // must recover most of the dir-listing latency and the data dirs
+    // must be byte-identical (no rewrite happened)
+    val dirsBefore = VersionedTable.dataDirs(table)
+    val (_, tManifest) = timed {
+      require(VersionedTable.rewriteManifests(table).nonEmpty)
+    }
+    emit("appendchain", "rewrite_manifests", tManifest,
+      VersionedTable.dataFiles(table).map(_.size.toLong).getOrElse(0L), dir)
+    require(VersionedTable.dataDirs(table) == dirsBefore,
+      "rewrite_manifests must not move data")
+    val (c2, tReadFl) = timed { VersionedTable.read(s, table).count() }
+    emit("appendchain", "read_file_list", tReadFl, c2, dir)
+    require(c2 == c)
     // a full write (compaction) collapses the list back to one dir
     val (_, tCompact) = timed {
       VersionedTable.write(VersionedTable.read(s, table), table)

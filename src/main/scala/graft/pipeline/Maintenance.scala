@@ -486,6 +486,25 @@ object Maintenance {
     * the FileSystem from the default Hadoop configuration (classpath
     * `core-site.xml`; plain paths → local `file:`). A session's custom
     * fs.* settings only flow through the SparkSession overload. */
+  /** Iceberg's `rewrite_manifests` verb: collapse a versioned table's
+    * append-chain read cost by committing a pre-resolved file-list
+    * manifest ([[VersionedTable.rewriteManifests]]) — metadata-only,
+    * no data rewrite, prior snapshots untouched. */
+  def rewriteManifests(tableDir: String): Report =
+    try {
+      require(VersionedTable.isVersioned(tableDir),
+        s"$tableDir is not a versioned table root")
+      VersionedTable.rewriteManifests(tableDir) match {
+        case Some(v) => Report(tableDir, "rewrite_manifests", ok = true,
+          s"committed file-list manifest as snapshot v$v (data untouched)")
+        case None => Report(tableDir, "rewrite_manifests", ok = true,
+          "noop: single-dir snapshot or file list already present")
+      }
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "rewrite_manifests", ok = false, e.toString)
+    }
+
   def removeOrphans(tableDir: String): Report =
     removeOrphansOn(new Configuration(), tableDir)
 

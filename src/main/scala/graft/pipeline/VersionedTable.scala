@@ -415,7 +415,9 @@ object VersionedTable {
   }
 
   /** Read a specific version (time travel) or the latest. Time-travel
-    * reads serve the schema AS OF the snapshot ([[schemaAt]]). */
+    * reads serve the schema AS OF the snapshot ([[schemaAt]]); a
+    * [[rewriteManifests]]-collapsed snapshot reads its pre-resolved
+    * file list (zero dir listings). */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val dirs = dataDirs(table, version)
@@ -425,7 +427,9 @@ object VersionedTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         storedSchema(table).get)
-    else readDirs(spark, table, dirs, version.flatMap(schemaAt(table, _)))
+    else readDirs(spark, table,
+      dataFiles(table, version).getOrElse(dirs),
+      version.flatMap(schemaAt(table, _)))
   }
 
   /** The one place snapshot data dirs turn into a DataFrame — shared by
@@ -486,6 +490,93 @@ object VersionedTable {
       s"snapshot of $table resolves to ${dirs.size} data dirs; use dataDirs")
     dirs.head
   }
+
+  /** Iceberg's `rewrite_manifests` for this layer (r14): re-materialize
+    * the CURRENT snapshot's manifest with an explicit root-relative
+    * FILE list (`files=` line) — one listing pass now, zero per-dir
+    * listings on every later read — WITHOUT touching any data: the
+    * `dirs=` list is carried unchanged (expiry liveness accounting is
+    * untouched) and prior snapshots stay exactly as committed. The
+    * appendchain probe showed read latency tracks the dir-listing
+    * count (151 one-row dirs ≈ 2 s); this removes that axis for long
+    * append chains at the cost of a manifest proportional to the file
+    * count — precisely Iceberg's manifest shape, without the data-copy
+    * cost of a compaction. A LATER append falls back to dir-list
+    * manifests (its new dir is unlisted), so rewrite_manifests is a
+    * recurring maintenance verb like Iceberg's. Returns the new
+    * version; None when there is nothing to collapse (≤ 1 dir, or the
+    * current manifest already carries a file list). */
+  def rewriteManifests(table: String): Option[Long] = {
+    val (fs, root) = fsFor(table)
+    requireRenameCapable(fs, table, "rewriteManifests")
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
+      val dirVersions = dataVersionsOn(fs, root, vs.last)
+      if (dirVersions.size <= 1 ||
+          manifestFilesOn(fs, root, vs.last).isDefined) None
+      else {
+        val rootPrefix = root.toString + "/"
+        val files = dirVersions.flatMap { k =>
+          val it = fs.listFiles(new Path(root, s"v=$k"), true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+              buf += st.getPath.toString.stripPrefix(rootPrefix)
+          }
+          buf
+        }
+        val next = vs.last + 1L
+        val schemaLine =
+          storedSchema(table).map(s => s"schema=${s.json}").toSeq
+        commitManifest(fs, root, next,
+          (Seq(System.currentTimeMillis().toString,
+            s"dirs=${dirVersions.mkString(",")}",
+            s"files=${files.mkString(",")}") ++
+            carryBatchLine(fs, root) ++ schemaLine)
+            .mkString("", "\n", "\n"))
+        Some(next)
+      }
+    }
+  }
+
+  private def manifestFilesOn(fs: FileSystem, root: Path,
+      v: Long): Option[Seq[String]] = {
+    val m = new Path(manifestDir(root), v.toString)
+    if (!fs.exists(m)) return None
+    val in = fs.open(m)
+    val content =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    content.linesIterator.collectFirst {
+      case l if l.startsWith("files=") =>
+        l.stripPrefix("files=").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** ABSOLUTE data-file paths when the addressed snapshot's manifest
+    * carries a pre-resolved `files=` list ([[rewriteManifests]]);
+    * None otherwise (read via the dir list). */
+  def dataFiles(table: String,
+      version: Option[Long] = None): Option[Seq[String]] = {
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    version.orElse(vs.lastOption).flatMap { v =>
+      if (!vs.contains(v)) None
+      else manifestFilesOn(fs, root, v)
+        .map(_.map(rel => new Path(root, rel).toString))
+    }
+  }
+
+  /** The paths a snapshot read should scan: the pre-resolved file list
+    * when the manifest carries one, the data-dir list otherwise — the
+    * one resolution both [[read]] and the DSv2 catalog use. */
+  def dataPaths(table: String, version: Option[Long] = None): Seq[String] =
+    dataFiles(table, version).getOrElse(dataDirs(table, version))
 
   /** The snapshot current AT `timestampMillis` — the newest retained
     * version whose commit time is <= the timestamp (Iceberg's
@@ -588,14 +679,56 @@ object VersionedTable {
         added.map(k => new Path(root, s"v=$k").toString))
   }
 
+  /** [[readIncremental]] with TIMESTAMP bounds (r14 — the symmetry the
+    * time-travel surface has: q197's `TIMESTAMP AS OF` resolves reads,
+    * this resolves CHANGE windows): the window is
+    * `(versionAt(fromTs), versionAt(toTs)]` — the rows committed after
+    * the snapshot current at `fromTs`, up to the snapshot current at
+    * `toTs`. */
+  def readIncrementalAt(spark: SparkSession, table: String,
+      fromTsMillis: Long, toTsMillis: Long): DataFrame =
+    readIncremental(spark, table,
+      versionAt(table, fromTsMillis), versionAt(table, toTsMillis))
+
   /** `graft_changes('table', from, to)` — [[readIncremental]] as a SQL
-    * table-valued function, Iceberg's
-    * `table$changes`/incremental-scan shape. */
+    * table-valued function, Iceberg's `table$changes`/incremental-scan
+    * shape. Bounds are VERSIONS (integer literals) or TIMESTAMPS
+    * (timestamp/string literals, resolved via [[versionAt]] with the
+    * session time zone — the same resolution `TIMESTAMP AS OF`
+    * applies), mixable. */
   def changesTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
     require(exprs.size == 3 && exprs.forall(_.foldable),
-      "graft_changes expects literal arguments: (table_path, from_version, to_version)")
-    readIncremental(SparkSession.active, exprs.head.eval().toString,
-      exprs(1).eval().toString.toLong, exprs(2).eval().toString.toLong)
+      "graft_changes expects literal arguments: (table_path, from, to) " +
+        "— snapshot versions (INT) or timestamps (TIMESTAMP/STRING)")
+    val table = exprs.head.eval().toString
+    def bound(e: Expression): Long = e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType =>
+        e.eval().toString.toLong
+      case org.apache.spark.sql.types.TimestampType =>
+        versionAt(table, e.eval().asInstanceOf[Long] / 1000L)
+      case _: org.apache.spark.sql.types.StringType =>
+        val s = e.eval().toString
+        s.toLongOption.getOrElse {
+          // parse with the SESSION time zone, exactly like the
+          // catalog's TIMESTAMP AS OF literal resolution
+          val micros = org.apache.spark.sql.catalyst.expressions
+            .Cast(e, org.apache.spark.sql.types.TimestampType,
+              Option(org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone))
+            .eval()
+          require(micros != null,
+            s"graft_changes: '$s' is neither a version nor a timestamp")
+          versionAt(table, micros.asInstanceOf[Long] / 1000L)
+        }
+      case dt => throw new IllegalArgumentException(
+        s"graft_changes: unsupported bound type $dt (INT version or " +
+          "TIMESTAMP/STRING timestamp)")
+    }
+    readIncremental(SparkSession.active, table,
+      bound(exprs(1)), bound(exprs(2)))
       .queryExecution.analyzed
   }
 

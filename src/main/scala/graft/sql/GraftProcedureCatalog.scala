@@ -472,9 +472,20 @@ object GraftProcedureCatalog {
         str(input, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
   }
 
+  private object RewriteManifests extends MaintProc("rewrite_manifests",
+    "collapse an append chain's read cost by committing a pre-resolved " +
+      "file-list manifest — metadata only, no data rewrite (Iceberg's " +
+      "rewrite_manifests; versioned tables only)",
+    Array(p("table", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.rewriteManifests(str(input, 0)))
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "rewrite_data_files" -> RewriteDataFiles,
     "expire_snapshots" -> ExpireSnapshots,
     "remove_orphan_files" -> RemoveOrphanFiles,
+    "rewrite_manifests" -> RewriteManifests,
     "repartition_table" -> RepartitionTable)
 }

@@ -51,8 +51,11 @@ final class GraftVersionedTable(
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  private def dataDirs: Seq[String] =
-    VersionedTable.dataDirs(root, pinnedVersion)
+  /** Scan roots: the pre-resolved FILE list when the snapshot's
+    * manifest carries one (rewrite_manifests, r14 — zero dir
+    * listings), the data-dir list otherwise. */
+  private def dataPaths: Seq[String] =
+    VersionedTable.dataPaths(root, pinnedVersion)
 
   /** True when the snapshot-dir level can surface as the metadata
     * column `v` (the group id dir-granular copy-on-write rewrites
@@ -86,7 +89,7 @@ final class GraftVersionedTable(
     * and the schema extended by `v BIGINT`, so the delegate serves the
     * metadata column natively as a partition column — zero IO, full
     * pushdown preserved (the scan builder is the stock parquet one). */
-  private def delegate: ParquetTable = delegateOver(dataDirs)
+  private def delegate: ParquetTable = delegateOver(dataPaths)
 
   private[sql] def delegateOver(dirs: Seq[String]): ParquetTable =
     if (dirMetaCapable) {
@@ -223,7 +226,8 @@ final class GraftVersionedTable(
     refusePinned("DELETE")
     val pred = filters.flatMap(translate).reduceOption(_ && _)
       .getOrElse(lit(true))
-    val dirs = dataDirs
+    // DIR list deliberately (not dataPaths): the CoW unit is the dir
+    val dirs = VersionedTable.dataDirs(root, pinnedVersion)
     if (dirs.isEmpty) return // declared-but-empty table: nothing to delete
     val current = VersionedTable.read(spark, root)
     // ONE scan answers which data dirs contain affected rows — the

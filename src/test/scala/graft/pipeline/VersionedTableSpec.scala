@@ -300,6 +300,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.lastStreamBatch(table).contains(7L))
   }
 
+  test("graft_changes accepts timestamp bounds: resolution via " +
+      "versionAt matches the version-pair read") {
+    val table = Files.createTempDirectory("graft_vt14_").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table) // v1
+    Thread.sleep(10); val t1 = System.currentTimeMillis(); Thread.sleep(10)
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table) // v2
+    Thread.sleep(10); val t2 = System.currentTimeMillis(); Thread.sleep(10)
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table) // v3
+    // API: (versionAt(t1)=1, versionAt(t2)=2] = v2's rows only
+    assert(VersionedTable.readIncrementalAt(spark, table, t1, t2)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // SQL TVF with TIMESTAMP literals (session is UTC)
+    graft.expressions.GraftFunctions.register(spark)
+    def lit(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(s"SELECT k FROM graft_changes('$table', " +
+        s"TIMESTAMP '${lit(t1)}', TIMESTAMP '${lit(t2)}')")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // STRING timestamps and mixed version/timestamp bounds also resolve
+    assert(spark.sql(s"SELECT k FROM graft_changes('$table', " +
+        s"'${lit(t1)}', 3)")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // plain version pair unchanged
+    assert(spark.sql(s"SELECT k FROM graft_changes('$table', 1, 3)")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("rewriteManifests collapses the read side to a file list " +
+      "without rewriting data; later appends fall back cleanly") {
+    val table = Files.createTempDirectory("graft_vt13_").toString + "/t"
+    (0 until 5).foreach(i =>
+      VersionedTable.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), table))
+    val dirsBefore = VersionedTable.dataDirs(table)
+    assert(dirsBefore.size == 5)
+    val v = VersionedTable.rewriteManifests(table)
+    assert(v.contains(6L))
+    // METADATA-ONLY: the new snapshot owns no data dir of its own
+    assert(!new java.io.File(
+      s"$table/v=6".stripPrefix("file:")).exists())
+    // liveness accounting unchanged: same dirs carried by reference
+    assert(VersionedTable.dataDirs(table) == dirsBefore)
+    // reads resolve the pre-resolved file list, same content
+    assert(VersionedTable.dataFiles(table).exists(_.size >= 5))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // idempotent: a second call is a no-op
+    assert(VersionedTable.rewriteManifests(table).isEmpty)
+    // a later append's manifest is dir-based again (its dir is unlisted)
+    VersionedTable.append(Seq((9L, "x")).toDF("k", "v"), table)
+    assert(VersionedTable.dataFiles(table).isEmpty)
+    assert(VersionedTable.read(spark, table).count() == 6)
+    // expiring everything but the collapsed+appended history keeps the
+    // referenced dirs alive
+    VersionedTable.expire(table, keepLast = 1)
+    assert(VersionedTable.read(spark, table).count() == 6)
+  }
+
   test("two concurrent appends both land: commits serialize per root, " +
       "the later manifest carries the earlier's dirs, no staging orphans") {
     val table = Files.createTempDirectory("graft_vt12_").toString + "/t"

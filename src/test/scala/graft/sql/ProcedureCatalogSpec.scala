@@ -97,6 +97,35 @@ class ProcedureCatalogSpec extends SparkSpec {
     assert(rep3.head.getBoolean(2) && !Files.exists(Paths.get(plain, "_temporary")))
   }
 
+  test("CALL rewrite_manifests collapses an append chain to a " +
+      "file-list manifest from SQL — metadata only, data untouched") {
+    import spark.implicits._
+    val vt = tmpDir() + "/ac"
+    (0 until 4).foreach(i =>
+      VersionedTable.append(Seq((i, s"r$i")).toDF("k", "tag"), vt))
+    val rep = call(
+      s"CALL graft.system.rewrite_manifests(table => '$vt')")
+    assert(rep.head.getBoolean(2) &&
+      rep.head.getString(3).contains("file-list manifest"),
+      rep.head.getString(3))
+    // the collapsed snapshot reads the same content via its file list
+    assert(VersionedTable.dataFiles(vt).exists(_.size >= 4))
+    assert(VersionedTable.read(spark, vt).count() == 4)
+    // time travel to a pre-collapse snapshot still serves its slice
+    assert(VersionedTable.read(spark, vt, Some(2L)).count() == 2)
+    // second call: explicit no-op
+    val rep2 = call(
+      s"CALL graft.system.rewrite_manifests(table => '$vt')")
+    assert(rep2.head.getBoolean(2) &&
+      rep2.head.getString(3).contains("noop"), rep2.head.getString(3))
+    // plain parquet dirs refuse (not a versioned root)
+    val plain = tmpDir() + "/p"
+    Seq(1).toDF("x").write.parquet(plain)
+    val rep3 = call(
+      s"CALL graft.system.rewrite_manifests(table => '$plain')")
+    assert(!rep3.head.getBoolean(2))
+  }
+
   test("CALL repartition_table evolves the Hive layout from SQL; old " +
       "keys survive as data columns; empty cols un-partitions") {
     import spark.implicits._
@@ -131,7 +160,7 @@ class ProcedureCatalogSpec extends SparkSpec {
     val cat = new GraftProcedureCatalog
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("expire_snapshots", "remove_orphan_files", "repartition_table",
-        "rewrite_data_files"))
+        "rewrite_data_files", "rewrite_manifests"))
     assert(cat.listProcedures(Array("other")).isEmpty)
   }
 }
