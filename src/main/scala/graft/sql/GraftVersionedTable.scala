@@ -495,15 +495,16 @@ private final class GraftCowScan(
 }
 
 /** The write half of a group-based row-level operation (ReplaceData):
-  * the rewritten content lands as a NEW snapshot. Executors write
-  * through Spark's own distributed parquet BatchWrite into a UNIQUE
-  * dot-prefixed staging dir (never into `v=N` directly — a concurrent
-  * commit could own that name by the time this write finishes, and an
-  * abort must never be able to delete a published snapshot's data: the
-  * r13 advice finding). The driver-side commit() re-lays partitioned
-  * staging into the declared Hive layout (bounded by the REWRITTEN
-  * data, which after runtime group filtering is the touched dirs, not
-  * the table) and publishes through
+  * the rewritten content lands as a NEW snapshot. Executors write into
+  * a UNIQUE dot-prefixed staging dir (never into `v=N` directly — a
+  * concurrent commit could own that name by the time this write
+  * finishes, and an abort must never be able to delete a published
+  * snapshot's data: the r13 advice finding). Unpartitioned tables ride
+  * Spark's own parquet BatchWrite; partitioned tables write their Hive
+  * layout DIRECTLY in the same single pass
+  * ([[org.apache.spark.sql.graft.PartitionedStagingWrite]] — r14,
+  * replacing the r13 stage-flat-then-re-lay second job that doubled
+  * the rewrite's write IO). The driver-side commit() publishes through
   * [[VersionedTable.publishStagedReplace]]: claim `v=N` by rename,
   * manifest carries the untouched dirs by reference, and the whole
   * publish re-validates the base version under the commit lock — a
@@ -520,16 +521,19 @@ private final class GraftReplaceWrite(
   override def toBatch: BatchWrite = {
     val stagingDir = s"$root/.replace-staging-" +
       java.util.UUID.randomUUID().toString.take(8)
+    if (partitionCols.isEmpty) flatBatch(stagingDir)
+    else partitionedBatch(stagingDir)
+  }
+
+  /** Unpartitioned: Spark's v2 parquet BatchWrite into the staging
+    * dir, op-column adaptation per row, publish by rename. */
+  private def flatBatch(stagingDir: String): BatchWrite = {
     val staged = ParquetTable("graft-replace-staging", spark,
       CaseInsensitiveStringMap.empty(), Seq(stagingDir),
       Some(info.schema()), classOf[ParquetFileFormat])
     val inner = staged.newWriteBuilder(info).build().toBatch
 
     new BatchWrite {
-      // a second staging dir the partitioned re-lay writes into; only
-      // ever non-empty between commit()'s re-lay and its publish
-      @volatile private var laidDir: Option[String] = None
-
       override def createBatchWriterFactory(
           pi: PhysicalWriteInfo): DataWriterFactory =
         new GraftReplaceWriterFactory(
@@ -546,35 +550,46 @@ private final class GraftReplaceWrite(
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)
-        val publishDir =
-          if (partitionCols.isEmpty) stagingDir
-          else {
-            val laid = s"$root/.replace-staging-" +
-              java.util.UUID.randomUUID().toString.take(8)
-            laidDir = Some(laid)
-            spark.read.schema(info.schema()).parquet(stagingDir)
-              .write.partitionBy(partitionCols: _*).parquet(laid)
-            deleteDir(stagingDir)
-            laid
-          }
         // publish: the snapshot becomes visible only here (and the
         // staged dir is consumed — renamed to v=N — on success)
-        VersionedTable.publishStagedReplace(root, publishDir,
+        VersionedTable.publishStagedReplace(root, stagingDir,
           baseVersion, keptDirVersions())
-        laidDir = None
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
         inner.abort(messages)
         deleteDir(stagingDir)
-        laidDir.foreach(deleteDir)
-      }
-
-      private def deleteDir(d: String): Unit = {
-        val (fs, p) = graft.util.Fs.fsFor(d)
-        fs.delete(p, true)
       }
     }
+  }
+
+  /** Partitioned: ONE distributed pass lays the Hive structure inside
+    * the staging dir; commit reconciles the listing against the task
+    * messages (exactly-once against retried attempts) and publishes by
+    * rename. */
+  private def partitionedBatch(stagingDir: String): BatchWrite = {
+    import org.apache.spark.sql.graft.PartitionedStagingWrite
+    val factory = PartitionedStagingWrite.factory(spark, stagingDir,
+      info.schema(), partitionCols)
+
+    new BatchWrite {
+      override def createBatchWriterFactory(
+          pi: PhysicalWriteInfo): DataWriterFactory = factory
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        PartitionedStagingWrite.reconcile(stagingDir, messages)
+        VersionedTable.publishStagedReplace(root, stagingDir,
+          baseVersion, keptDirVersions())
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        deleteDir(stagingDir)
+    }
+  }
+
+  private def deleteDir(d: String): Unit = {
+    val (fs, p) = graft.util.Fs.fsFor(d)
+    fs.delete(p, true)
   }
 }
 

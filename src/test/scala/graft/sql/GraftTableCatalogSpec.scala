@@ -281,6 +281,15 @@ class GraftTableCatalogSpec extends SparkSpec {
     // no staging dir left behind
     assert(!new java.io.File(table).listFiles()
       .exists(_.getName.startsWith(".replace-staging")))
+    // SINGLE-PASS layout (r14): the published files carry the staging
+    // writer's own part-<pid>-<tid>-<uuid> names — the r13 re-lay
+    // second job would have rewritten them under Spark's
+    // part-00000-<uuid> convention
+    val laid = Option(new java.io.File(s"$table/v=2/day=d3").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    assert(laid.nonEmpty && laid.forall(
+      _.getName.matches("part-\\d+-\\d+-[0-9a-f]{8}\\..*parquet")),
+      laid.map(_.getName).mkString(","))
     // k % 2 has no v1 source-filter translation: the rewrite path now
     // serves it (pre-r13 this errored)
     spark.sql(s"DELETE FROM $cat.pm WHERE k % 2 = 0")
