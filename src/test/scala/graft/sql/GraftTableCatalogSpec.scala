@@ -360,6 +360,72 @@ class GraftTableCatalogSpec extends SparkSpec {
       == 99L + 7L + 9L)
   }
 
+  test("untranslatable DELETE is dir-granular too: the row-level " +
+      "rewrite's runtime filter bounds it to dirs containing matches") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.ud (k BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $cat.ud SELECT id, 'a' FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.ud SELECT id, 'b' FROM range(100, 150)")
+    // k % 7 has no v1 source-filter translation -> row-level rewrite;
+    // the conjunct k >= 100 bounds matches to dir 2, and the runtime
+    // group filter must carry dir 1 by reference
+    spark.sql(s"DELETE FROM $cat.ud WHERE k % 7 = 0 AND k >= 100")
+    val table = s"$w/ud"
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last)
+      == Seq("1", "3"),
+      "untranslatable DELETE must bound its rewrite to touched dirs")
+    // deleted: 105, 112, 119, 126, 133, 140, 147 — seven rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ud").head().getLong(0)
+      == 93L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ud WHERE k % 7 = 0")
+      .head().getLong(0) == 8L) // 0,7,...,49 in the untouched dir survive
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE falls back to the full " +
+      "rewrite and stays exact") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.ms (k BIGINT, qty BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ms SELECT id, 1 FROM range(0, 5)")
+    spark.sql(s"INSERT INTO $cat.ms SELECT id, 1 FROM range(10, 15)")
+    Seq((10L, 5L)).toDF("k", "qty").createOrReplaceTempView("ms_src")
+    spark.sql(
+      s"""MERGE INTO $cat.ms t USING ms_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET qty = s.qty
+         |WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE
+         |""".stripMargin)
+    // rows 0,1 deleted (not matched by source), k=10 updated to 5
+    assert(spark.sql(s"SELECT sum(qty) FROM $cat.ms").head().getLong(0)
+      == 3L + 4L + 5L) // 2..4 at qty 1 (=3) + 11..14 at qty 1 (=4) + k10 at 5
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ms").head().getLong(0) == 8L)
+  }
+
+  test("concurrent commit during a row-level rewrite fails the rewrite " +
+      "cleanly: base-version validation, no staging orphan, appender wins") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.cc (k BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $cat.cc SELECT id, 'a' FROM range(0, 10)")
+    val table = s"$w/cc"
+    // simulate a concurrent committer landing AFTER the rewrite's base
+    // was captured: publishStagedReplace must refuse
+    val stage = s"$table/.replace-staging-test"
+    spark.range(1).selectExpr("id AS k", "'x' AS tag")
+      .write.parquet(stage)
+    VersionedTable.append(
+      spark.range(20, 22).selectExpr("id AS k", "'b' AS tag"), table)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.publishStagedReplace(table, stage,
+        baseVersion = Some(1L), keepDataVersions = Nil)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // loser cleanup: the staged dir is gone, the appender's commit stands
+    assert(!new java.io.File(stage).exists())
+    assert(VersionedTable.read(spark, table).count() == 12L)
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+  }
+
   test("namespace DDL: CREATE/SHOW/DROP NAMESPACE over warehouse dirs; " +
       "tables and namespaces are distinguished") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
