@@ -528,6 +528,19 @@ object VersionedTable {
           }
           buf
         }
+        // the file-name list lives in DRIVER memory on every later
+        // manifest resolution — same budget class as the stats-index
+        // name lists, gated by the same conf (a table beyond it wants
+        // compaction first, which shrinks the file count itself)
+        val gate = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(graft.operators.FileIndex.resolveNameGate)
+          .getOrElse(graft.operators.FileIndex.derivedNameGate())
+        require(files.size <= gate,
+          s"rewriteManifests on $table: ${files.size} data files exceed " +
+            s"the driver name-list gate ($gate); compact first " +
+            s"(rewrite_data_files) or raise " +
+            s"${graft.operators.FileIndex.NameGateConfKey}")
         val next = vs.last + 1L
         val schemaLine =
           storedSchema(table).map(s => s"schema=${s.json}").toSeq

@@ -71,6 +71,34 @@ class StatsPruningSpec extends SparkSpec {
     } finally StatsPruning.unregister(dir)
   }
 
+  test("versioned-table reads prune via the ROOT registration: the " +
+      "parent-dir hop covers every snapshot's v=N scan roots (r14)") {
+    import graft.pipeline.VersionedTable
+    val dir = tmpDir() + "/vt"
+    // two snapshots, each one file with a disjoint k-range
+    VersionedTable.write(
+      (0 until 1000).map(j => (j.toLong, s"a$j")).toDF("k", "v")
+        .coalesce(1), dir)
+    VersionedTable.append(
+      (0 until 1000).map(j => (5000L + j, s"b$j")).toDF("k", "v")
+        .coalesce(1), dir)
+    val statsDir = tmpDir() + "/stats"
+    FileIndex.statsForFiles(spark, VersionedTable.dataDirs(dir), Seq("k"))
+      .write.parquet(statsDir)
+    StatsPruning.register(spark, dir, statsDir) // the ROOT, not v=N dirs
+    try {
+      val q = VersionedTable.read(spark, dir).where(col("k") === 5321L)
+      assert(scannedFiles(q).size == 1,
+        "only the admitting snapshot dir's file should be read")
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("b321"))
+      // time travel prunes through the same registration
+      val tt = VersionedTable.read(spark, dir, Some(1L))
+        .where(col("k") === 321L)
+      assert(scannedFiles(tt).size == 1)
+      assert(tt.count() == 1)
+    } finally StatsPruning.unregister(dir)
+  }
+
   test("min/max-only stats prune equality scans too") {
     val dir = tmpDir() + "/t"
     buildTable(dir, 6)
