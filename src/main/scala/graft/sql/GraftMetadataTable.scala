@@ -1,0 +1,67 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pipeline.VersionedTable
+
+/** Iceberg's metadata-table shape for versioned roots (r14):
+  * `SELECT * FROM <cat>.<ns>.<t>.history` (alias `snapshots`) serves
+  * the snapshot listing — one row per RETAINED version with commit
+  * time, resolved data version, and currency — the exact rows the
+  * `graft_history` TVF serves, so the two front doors agree by
+  * construction (both fold [[VersionedTable.history]]). Rows are
+  * |versions|-bounded driver rows computed AT SCAN time (a commit
+  * between analysis and execution is visible, like every other
+  * catalog read here). */
+final class GraftMetadataTable(
+    identName: String,
+    root: String,
+    metaName: String) extends Table with SupportsRead {
+
+  override def name(): String = identName
+
+  override def schema(): StructType = GraftMetadataTable.HistorySchema
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root, "metadata" -> metaName).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new LocalScan {
+    override def readSchema(): StructType = GraftMetadataTable.HistorySchema
+    override def rows(): Array[InternalRow] = {
+      val spark = SparkSession.active
+      VersionedTable.history(spark, root).collect().map { r =>
+        InternalRow(
+          r.getLong(0),
+          r.getTimestamp(1).getTime * 1000L, // micros
+          r.getLong(2),
+          r.getBoolean(3))
+      }
+    }
+    override def description(): String = s"graft $metaName of $root"
+  }
+}
+
+object GraftMetadataTable {
+  /** Recognized metadata-view names (`history` is the TVF's name;
+    * `snapshots` the Iceberg spelling). */
+  val Names: Set[String] = Set("history", "snapshots")
+
+  private[sql] val HistorySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("data_version", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+}

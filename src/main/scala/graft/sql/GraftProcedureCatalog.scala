@@ -130,11 +130,23 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
     new GraftVersionedTable(ident.toString, dir, pinned, SparkSession.active)
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES (r14): `SELECT * FROM cat.ns.t.history`
+    // resolves here as Identifier(ns :+ t, "history") — when the parent
+    // is a versioned root and the name is a known metadata view, serve
+    // it (same rows as the graft_history TVF, by construction)
+    val metaName = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (GraftMetadataTable.Names(metaName) && ident.namespace().nonEmpty) {
+      val parentDir = (warehouseOrThrow +: ident.namespace()).mkString("/")
+      val (fs, p) = graft.util.Fs.fsFor(parentDir)
+      if (fs.exists(p) && VersionedTable.isVersioned(parentDir))
+        return new GraftMetadataTable(ident.toString, parentDir, metaName)
+    }
     loadVia(ident) { dir =>
       if (VersionedTable.isVersioned(dir)) versionedTable(ident, dir, None)
       else parquetTable(ident, dir)
     }
+  }
 
   /** `VERSION AS OF v` — only meaningful on a versioned root. */
   override def loadTable(ident: Identifier, version: String): Table =

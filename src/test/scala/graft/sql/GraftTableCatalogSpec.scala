@@ -503,6 +503,40 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: SELECT * FROM <cat>.<t>.history lists the " +
+      "snapshot history and agrees with the graft_history TVF") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.mt (k BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $cat.mt VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.mt VALUES (2, 'b')")
+    VersionedTable.rollback(s"$w/mt", 1L)
+    val viaCat = spark.sql(
+      s"SELECT version, data_version, is_current FROM $cat.mt.history " +
+        "ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaCat == Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true)))
+    // the Iceberg spelling aliases the same view
+    assert(spark.sql(s"SELECT count(*) FROM $cat.mt.snapshots")
+      .head().getLong(0) == 3L)
+    // agrees with the TVF by construction
+    graft.expressions.GraftFunctions.register(spark)
+    val viaTvf = spark.sql(
+      s"SELECT version, data_version, is_current FROM " +
+        s"graft_history('$w/mt') ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaTvf == viaCat)
+    // commit timestamps survive the catalog read
+    assert(spark.sql(s"SELECT count(*) FROM $cat.mt.history " +
+        "WHERE committed_at > TIMESTAMP '2020-01-01'")
+      .head().getLong(0) == 3L)
+    // a plain parquet dir has no snapshots to serve
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$w/plainmt")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.plainmt.history").collect()
+    }
+  }
+
   test("per-snapshot schema history: VERSION AS OF a pre-evolution " +
       "snapshot serves the schema as of that snapshot, across two " +
       "evolutions") {
