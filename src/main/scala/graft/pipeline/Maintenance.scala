@@ -531,7 +531,8 @@ object Maintenance {
           // Iceberg's remove_orphan_files, do not run concurrently
           // with live writers on the same table.
           else if (name.startsWith(".stage-") ||
-              name.startsWith(".replace-staging-")) {
+              name.startsWith(".replace-staging-") ||
+              name.startsWith(".inflight-")) {
             fs.delete(st.getPath, true); removed += 1
           }
           else fs.listStatus(st.getPath).foreach(walk)

@@ -90,6 +90,19 @@ object VersionedTable {
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
+  /** (root -> (newest manifest version, its batch marker)) — the
+    * marker-carry invariant makes the NEWEST manifest authoritative
+    * for the whole history, so once a commit records what it wrote,
+    * later commits and dedup checks need ZERO manifest reads (the
+    * pre-cache cost was a full newest→oldest walk per commit on
+    * marker-less tables — O(chain²) small-file reads across an append
+    * chain, inside the commit lock). Entries validate against the
+    * CURRENT newest version before use, so an out-of-band commit
+    * (cross-process — outside the documented writer model, but cheap
+    * to be safe about) simply misses the cache and re-walks. */
+  private val batchMarkerCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Option[Long])]
+
   /** Manifest commit: temp in `_versions` (dot-prefixed, skipped by the
     * numeric-name filter in [[versionsOn]]) + atomic rename. */
   private def commitManifest(fs: FileSystem, root: Path, v: Long,
@@ -105,6 +118,14 @@ object VersionedTable {
       fs.delete(tmp, false)
       sys.error(s"manifest commit failed for version $v in $root")
     }
+    // the committed content is authoritative for the newest marker:
+    // every commit path re-carries the newest batch= line, so absence
+    // here means absence everywhere at-or-below v
+    batchMarkerCache.put(root.toString,
+      (v, content.linesIterator.collectFirst {
+        case l if l.startsWith("batch=") =>
+          l.stripPrefix("batch=").trim.toLong
+      }))
   }
 
   /** Commit a new FULL snapshot (the whole table's content is `df`);
@@ -316,6 +337,11 @@ object VersionedTable {
     * (pre-r14 the marker lived only in its own manifest, and a
     * compaction followed by expire(keepLast=1) would re-admit a
     * crash-redelivered batch — the r13 advice finding). */
+  /** Thrown inside the commit lock when the batch id turns out to be
+    * already committed — the data was staged by then, so the commit
+    * aborts (stage cleaned) and the caller reports the no-op. */
+  private final class DuplicateBatch extends RuntimeException
+
   def appendBatch(df: DataFrame, table: String,
       batchId: Long): Option[Long] = {
     val (fs, root) = fsFor(table)
@@ -323,12 +349,19 @@ object VersionedTable {
     if (lastStreamBatchOn(fs, root).exists(_ >= batchId)) None
     else {
       val stage = stageData(df, root, table)
-      Some(commitStaged(fs, root, stage) { (vs, next) =>
+      try Some(commitStaged(fs, root, stage) { (vs, next) =>
+        // RE-CHECKED under the commit lock: the pre-stage check above
+        // is only an optimization — two racing deliveries of one
+        // batch id (zombie pre-restart thread + the restarted query)
+        // could both pass it, and exactly one may commit
+        if (lastStreamBatchOn(fs, root).exists(_ >= batchId))
+          throw new DuplicateBatch
         val dirs = vs.lastOption
           .map(prev => dataVersionsOn(fs, root, prev) :+ next)
           .getOrElse(Seq(next))
         manifestContent(dirs, next, Seq(s"batch=$batchId"))
       })
+      catch { case _: DuplicateBatch => None }
     }
   }
 
@@ -339,18 +372,44 @@ object VersionedTable {
     lastStreamBatchOn(fs, root)
   }
 
-  private def lastStreamBatchOn(fs: FileSystem, root: Path): Option[Long] =
-    versionsOn(fs, root).reverseIterator.flatMap { v =>
-      val in = fs.open(new Path(manifestDir(root), v.toString))
-      val content =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      content.linesIterator.collectFirst {
-        case l if l.startsWith("batch=") =>
-          l.stripPrefix("batch=").trim.toLong
-      }
-    }.nextOption()
+  private def lastStreamBatchOn(fs: FileSystem, root: Path): Option[Long] = {
+    val vs = versionsOn(fs, root)
+    vs.lastOption match {
+      case None => None
+      case Some(newest) =>
+        batchMarkerCache.get(root.toString) match {
+          case Some((v, marker)) if v == newest => marker
+          case _ =>
+            val walked = vs.reverseIterator.flatMap { v =>
+              val in = fs.open(new Path(manifestDir(root), v.toString))
+              val content =
+                try new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                finally in.close()
+              content.linesIterator.collectFirst {
+                case l if l.startsWith("batch=") =>
+                  l.stripPrefix("batch=").trim.toLong
+              }
+            }.nextOption()
+            batchMarkerCache.put(root.toString, (newest, walked))
+            walked
+        }
+    }
+  }
+
+  /** One manifest's raw content — the ONE read every parse below
+    * shares: a snapshot resolution (dirs, file list, schema, commit
+    * time) is lines of a single small file, so a read path that calls
+    * several parsers should fetch the content once and hand it to the
+    * `parse*` forms (pre-r14, [[read]] re-opened the same manifest
+    * three times — 3× metadata latency on remote filesystems). */
+  private def manifestContentOf(fs: FileSystem, root: Path,
+      v: Long): String = {
+    val in = fs.open(new Path(manifestDir(root), v.toString))
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
   /** The DATA VERSION LIST a manifested version resolves to, in commit
     * order. Three manifest shapes, all pre-resolved (reads never chase
@@ -359,14 +418,7 @@ object VersionedTable {
     *   - `data=K` (a pre-r13 [[rollback]] redirect): → [K];
     *   - `dirs=a,b,c` (r13 [[append]]/[[replace]]/multi-dir rollback):
     *     the explicit list, last entry = the newest dir. */
-  private def dataVersionsOn(fs: FileSystem, root: Path,
-      v: Long): Seq[Long] = {
-    val m = new Path(manifestDir(root), v.toString)
-    val in = fs.open(m)
-    val content =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+  private def parseDirVersions(content: String, v: Long): Seq[Long] =
     content.linesIterator
       .collectFirst {
         case l if l.startsWith("data=") =>
@@ -375,7 +427,10 @@ object VersionedTable {
           l.stripPrefix("dirs=").trim.split(",").toSeq.map(_.trim.toLong)
       }
       .getOrElse(Seq(v))
-  }
+
+  private def dataVersionsOn(fs: FileSystem, root: Path,
+      v: Long): Seq[Long] =
+    parseDirVersions(manifestContentOf(fs, root, v), v)
 
   /** The newest data version of a snapshot — the single-dir view
     * [[history]]'s `data_version` column reports (for a full write:
@@ -397,39 +452,51 @@ object VersionedTable {
     manifestSchemaOn(fs, root, version).orElse(storedSchema(table))
   }
 
-  private def manifestSchemaOn(fs: FileSystem, root: Path, v: Long)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val m = new Path(manifestDir(root), v.toString)
-    if (!fs.exists(m)) return None
-    val in = fs.open(m)
-    val content =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+  private def parseSchema(content: String)
+      : Option[org.apache.spark.sql.types.StructType] =
     content.linesIterator.collectFirst {
       case l if l.startsWith("schema=") =>
         org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("schema="))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+
+  private def manifestSchemaOn(fs: FileSystem, root: Path, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (!fs.exists(new Path(manifestDir(root), v.toString))) return None
+    parseSchema(manifestContentOf(fs, root, v))
   }
 
   /** Read a specific version (time travel) or the latest. Time-travel
     * reads serve the schema AS OF the snapshot ([[schemaAt]]); a
     * [[rewriteManifests]]-collapsed snapshot reads its pre-resolved
-    * file list (zero dir listings). */
+    * file list (zero dir listings). ONE `_versions` listing + ONE
+    * manifest read resolve everything (dirs, file list, per-snapshot
+    * schema). */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
-    val dirs = dataDirs(table, version)
-    if (dirs.isEmpty)
-      // a created-then-never-written table has a declared schema and no
-      // committed version: serve the empty relation CREATE promised
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        storedSchema(table).get)
-    else readDirs(spark, table,
-      dataFiles(table, version).getOrElse(dirs),
-      version.flatMap(schemaAt(table, _)))
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    version.orElse(vs.lastOption) match {
+      case None =>
+        // a created-then-never-written table has a declared schema and
+        // no committed version: serve the empty relation CREATE promised
+        storedSchema(table) match {
+          case Some(s) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          case None =>
+            throw new IllegalStateException(s"no versions in $table")
+        }
+      case Some(v) =>
+        require(vs.contains(v), s"version $v not retained in $table")
+        val content = manifestContentOf(fs, root, v)
+        val paths = parseFiles(content)
+          .map(_.map(rel => new Path(root, rel).toString))
+          .getOrElse(parseDirVersions(content, v)
+            .map(k => new Path(root, s"v=$k").toString))
+        readDirs(spark, table, paths,
+          if (version.isDefined) parseSchema(content) else None)
+    }
   }
 
   /** The one place snapshot data dirs turn into a DataFrame — shared by
@@ -522,9 +589,15 @@ object VersionedTable {
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
           while (it.hasNext) {
             val st = it.next()
-            if (st.isFile && !st.getPath.getName.startsWith("_") &&
-                !st.getPath.getName.startsWith("."))
-              buf += st.getPath.toString.stripPrefix(rootPrefix)
+            val rel = st.getPath.toString.stripPrefix(rootPrefix)
+            // hidden-PATH filter, every segment: Spark's own listing
+            // excludes '_'/'.'-prefixed names at ANY level (e.g.
+            // `_temporary/…` debris inside a committed dir) — a
+            // metadata-only rewrite must never make previously
+            // invisible files appear
+            val hidden = rel.split("/").exists(seg =>
+              seg.startsWith("_") || seg.startsWith("."))
+            if (st.isFile && !hidden) buf += rel
           }
           buf
         }
@@ -544,10 +617,14 @@ object VersionedTable {
         val next = vs.last + 1L
         val schemaLine =
           storedSchema(table).map(s => s"schema=${s.json}").toSeq
+        // TAB-separated: Hive path escaping percent-encodes control
+        // chars and Spark's part-file names carry none, so '\t' cannot
+        // appear inside an entry — a COMMA can (partition VALUES are
+        // not comma-escaped: `city=San Jose, CA` would shred the list)
         commitManifest(fs, root, next,
           (Seq(System.currentTimeMillis().toString,
             s"dirs=${dirVersions.mkString(",")}",
-            s"files=${files.mkString(",")}") ++
+            s"files=${files.mkString("\t")}") ++
             carryBatchLine(fs, root) ++ schemaLine)
             .mkString("", "\n", "\n"))
         Some(next)
@@ -555,20 +632,17 @@ object VersionedTable {
     }
   }
 
-  private def manifestFilesOn(fs: FileSystem, root: Path,
-      v: Long): Option[Seq[String]] = {
-    val m = new Path(manifestDir(root), v.toString)
-    if (!fs.exists(m)) return None
-    val in = fs.open(m)
-    val content =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+  private def parseFiles(content: String): Option[Seq[String]] =
     content.linesIterator.collectFirst {
       case l if l.startsWith("files=") =>
-        l.stripPrefix("files=").split(",").toSeq
+        l.stripPrefix("files=").split("\t").toSeq
           .map(_.trim).filter(_.nonEmpty)
     }
+
+  private def manifestFilesOn(fs: FileSystem, root: Path,
+      v: Long): Option[Seq[String]] = {
+    if (!fs.exists(new Path(manifestDir(root), v.toString))) return None
+    parseFiles(manifestContentOf(fs, root, v))
   }
 
   /** ABSOLUTE data-file paths when the addressed snapshot's manifest
@@ -587,9 +661,24 @@ object VersionedTable {
 
   /** The paths a snapshot read should scan: the pre-resolved file list
     * when the manifest carries one, the data-dir list otherwise — the
-    * one resolution both [[read]] and the DSv2 catalog use. */
-  def dataPaths(table: String, version: Option[Long] = None): Seq[String] =
-    dataFiles(table, version).getOrElse(dataDirs(table, version))
+    * DSv2 catalog's resolution, one listing + at most one manifest
+    * read. */
+  def dataPaths(table: String, version: Option[Long] = None): Seq[String] = {
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    version.orElse(vs.lastOption) match {
+      case None =>
+        if (storedSchema(table).isDefined) Seq.empty
+        else throw new IllegalStateException(s"no versions in $table")
+      case Some(v) =>
+        require(vs.contains(v), s"version $v not retained in $table")
+        val content = manifestContentOf(fs, root, v)
+        parseFiles(content)
+          .map(_.map(rel => new Path(root, rel).toString))
+          .getOrElse(parseDirVersions(content, v)
+            .map(k => new Path(root, s"v=$k").toString))
+    }
+  }
 
   /** The snapshot current AT `timestampMillis` — the newest retained
     * version whose commit time is <= the timestamp (Iceberg's

@@ -226,7 +226,12 @@ final class GraftVersionedTable(
     refusePinned("DELETE")
     val pred = filters.flatMap(translate).reduceOption(_ && _)
       .getOrElse(lit(true))
-    // DIR list deliberately (not dataPaths): the CoW unit is the dir
+    // DIR list deliberately (not dataPaths): the CoW unit is the dir.
+    // The base version is captured BEFORE the detection scan and
+    // re-validated at publish — without it, a commit landing between
+    // the scan and the replace would be silently dropped from the new
+    // snapshot (kept ⊆ current alone admits supersets).
+    val base = VersionedTable.latestVersion(root)
     val dirs = VersionedTable.dataDirs(root, pinnedVersion)
     if (dirs.isEmpty) return // declared-but-empty table: nothing to delete
     val current = VersionedTable.read(spark, root)
@@ -261,7 +266,7 @@ final class GraftVersionedTable(
     val survivors = VersionedTable
       .readDirs(spark, root, touched.toSeq.sorted.map(v => s"$root/v=$v"))
       .filter(not(coalesce(pred, lit(false))))
-    VersionedTable.replace(survivors, root, kept)
+    VersionedTable.replace(survivors, root, kept, baseVersion = base)
   }
 
   /** The owning `v=K` data version of a file path under this root, if

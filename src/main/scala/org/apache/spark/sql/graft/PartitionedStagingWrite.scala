@@ -17,28 +17,35 @@ import org.apache.spark.util.SerializableConfiguration
 /** ONE-PASS partitioned staging for row-level rewrites (r14 — the r13
   * design staged flat and re-laid the Hive structure with a second
   * distributed job, doubling the rewrite's write IO): each task writes
-  * its rows DIRECTLY into `stagingDir/<col>=<val>/…` through Spark's
-  * own parquet [[OutputWriterFactory]] (the same writer
-  * FileFormatWriter drives), one open writer per partition value seen
-  * by the task. There is deliberately NO per-task temporary/rename
-  * protocol: the staging dir as a whole IS the temporary — it becomes
-  * data only when the driver-side commit renames it to `v=N`
-  * ([[graft.pipeline.VersionedTable.publishStagedReplace]]) — so task
-  * crash-restarts need only the reconciliation below, not a commit
-  * protocol of their own.
+  * its rows through Spark's own parquet [[OutputWriterFactory]] (the
+  * same writer FileFormatWriter drives), one open writer per partition
+  * value seen by the task, producing the final `<col>=<val>/…`
+  * structure in a single pass.
   *
-  * Exactly-once against retries/speculation: every file name carries
-  * (partitionId, taskId, uuid), a failed attempt's abort deletes the
-  * files it wrote, and the driver's commit RECONCILES the staging dir
-  * against the union of the commit messages' file lists — any stray
-  * file from an attempt that died without aborting is deleted before
-  * the publish rename, so the committed snapshot contains exactly the
-  * files of the successful attempts.
+  * Exactly-once against retries, speculation, AND zombie writers —
+  * three layers, each needed:
+  *   1. tasks write into a DOT-PREFIXED per-attempt dir
+  *      (`.inflight-<pid>-<tid>-<uuid>/<partdirs>/file`) and RENAME
+  *      their files into the final staging layout only inside the
+  *      task commit, which the OutputCommitCoordinator authorizes
+  *      exactly once per partition. A zombie attempt (lost executor
+  *      still flushing after the driver moved on) can only ever
+  *      mutate its own dot-prefixed dir — invisible to Spark reads
+  *      forever, even if it survives into the published `v=N`;
+  *   2. a failed attempt's abort deletes everything it wrote;
+  *   3. the driver's commit RECONCILES the staging dir against the
+  *      union of the commit messages' file lists — stray visible
+  *      files and leftover inflight dirs from attempts that died
+  *      without aborting are deleted before the publish rename, so
+  *      the committed snapshot contains exactly the files of the
+  *      authorized attempts.
   *
   * Partition paths are formatted the way Spark's own writer formats
-  * them: value cast to string with the session time zone, Hive
-  * escaping, `__HIVE_DEFAULT_PARTITION__` for null — so the basePath
-  * read that later serves the snapshot parses them back identically. */
+  * them ([[ExternalCatalogUtils.getPartitionPathString]]: session-zone
+  * string cast, Hive escaping, null AND empty-string to the
+  * default-partition sentinel) — so the basePath read that later
+  * serves the snapshot parses them back identically, and a rewrite
+  * lands each row in the same partition dir an INSERT would. */
 object PartitionedStagingWrite {
 
   final case class StagedFiles(paths: Seq[String]) extends WriterCommitMessage
@@ -60,8 +67,9 @@ object PartitionedStagingWrite {
       new SerializableConfiguration(job.getConfiguration), owf)
   }
 
-  /** Delete every file under `stagingDir` that no commit message
-    * claims — the stray output of attempts that died without aborting.
+  /** Delete everything under `stagingDir` no commit message claims —
+    * the stray output of attempts that died without aborting: leftover
+    * `.inflight-*` dirs go wholesale, then any unclaimed visible file.
     * Returns the number of strays removed. */
   def reconcile(stagingDir: String,
       messages: Array[WriterCommitMessage]): Int = {
@@ -73,6 +81,11 @@ object PartitionedStagingWrite {
     }.map(s => fs.makeQualified(new org.apache.hadoop.fs.Path(s)).toString)
       .toSet
     var removed = 0
+    fs.listStatus(p).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".inflight-")) {
+        fs.delete(st.getPath, true); removed += 1
+      }
+    }
     val it = fs.listFiles(p, true)
     val strays = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     while (it.hasNext) {
@@ -128,13 +141,24 @@ final class PartitionedStagingWriterFactory(
         org.apache.spark.sql.execution.datasources.OutputWriter]
       private val written = mutable.ArrayBuffer.empty[String]
 
+      /** Spark's OWN name=value formatting (null AND empty string both
+        * map to the default-partition sentinel, values Hive-escaped) —
+        * an INSERT's `partitionBy` layout and a rewrite's layout must
+        * agree on every edge value or a row's partition identity would
+        * flip across a rewrite. */
       private def dirFor(partRow: InternalRow): String =
         partitionCols.indices.map { j =>
-          val v =
-            if (partRow.isNullAt(j)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-            else ExternalCatalogUtils.escapePathName(partRow.getString(j))
-          s"${ExternalCatalogUtils.escapePathName(partitionCols(j))}=$v"
+          ExternalCatalogUtils.getPartitionPathString(partitionCols(j),
+            if (partRow.isNullAt(j)) null else partRow.getString(j))
         }.mkString("/")
+
+      // this attempt's PRIVATE dot-prefixed dir: writes land here and
+      // move into the final staging layout only on AUTHORIZED task
+      // commit — a zombie attempt can never mutate visible paths
+      private val inflight = s"$stagingDir/.inflight-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      // temp path -> final path, per opened writer
+      private val moves = mutable.ArrayBuffer.empty[(String, String)]
 
       override def write(raw: InternalRow): Unit = {
         val shifted = raw.numFields != rowSchema.length
@@ -142,17 +166,26 @@ final class PartitionedStagingWriterFactory(
         val dir =
           dirFor(if (shifted) partStringShifted(raw) else partString(raw))
         val w = writers.getOrElseUpdate(dir, {
-          val path = s"$stagingDir/$dir/part-$partitionId-$taskId-" +
+          val name = s"part-$partitionId-$taskId-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}$ext"
-          written += path
-          owf.newInstance(path, dataSchema, ctx)
+          moves += (s"$inflight/$dir/$name" -> s"$stagingDir/$dir/$name")
+          owf.newInstance(s"$inflight/$dir/$name", dataSchema, ctx)
         })
         w.write(if (shifted) toDataShifted(raw) else toData(raw))
       }
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_.close()); writers.clear()
-        PartitionedStagingWrite.StagedFiles(written.toSeq)
+        val fs = new org.apache.hadoop.fs.Path(stagingDir)
+          .getFileSystem(conf.value)
+        moves.foreach { case (tmp, fin) =>
+          val finPath = new org.apache.hadoop.fs.Path(fin)
+          fs.mkdirs(finPath.getParent)
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmp), finPath),
+            s"task commit rename failed: $tmp -> $fin")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(inflight), true)
+        PartitionedStagingWrite.StagedFiles(moves.map(_._2).toSeq)
       }
 
       override def abort(): Unit = {
@@ -162,8 +195,11 @@ final class PartitionedStagingWriterFactory(
         writers.clear()
         val fs = new org.apache.hadoop.fs.Path(stagingDir)
           .getFileSystem(conf.value)
-        written.foreach { f =>
-          try fs.delete(new org.apache.hadoop.fs.Path(f), false)
+        try fs.delete(new org.apache.hadoop.fs.Path(inflight), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        // files already moved by a commit() that failed mid-way
+        moves.foreach { case (_, fin) =>
+          try fs.delete(new org.apache.hadoop.fs.Path(fin), false)
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }

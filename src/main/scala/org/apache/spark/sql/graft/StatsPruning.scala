@@ -111,18 +111,23 @@ object StatsPruning extends org.apache.spark.internal.Logging {
   }
 
   /** Stats tables registered for any of `rootPaths` — directly, or via
-    * the path's PARENT: a [[graft.pipeline.VersionedTable]] snapshot
-    * scan roots at the `v=N` data dirs while the registration names the
-    * table ROOT, so the parent hop is what lets ONE registration cover
-    * every snapshot of a versioned table (r14). */
+    * a bounded ANCESTOR walk: a [[graft.pipeline.VersionedTable]]
+    * snapshot scan roots at `v=N` data dirs (one hop below the
+    * registered root), a partitioned snapshot's or a
+    * rewrite_manifests-collapsed snapshot's scan roots are FILES one
+    * or two levels deeper still — so one ROOT registration covers
+    * every read shape of a versioned table. Four levels bound
+    * root/v=N/pcol=x/file; the registry is a tiny map, so the extra
+    * lookups are free. */
   private[graft] def statsDirsFor(rootPaths: Seq[org.apache.hadoop.fs.Path])
       : Seq[String] =
     if (registry.isEmpty) Nil
     else rootPaths
       .flatMap { p =>
-        registry.get(GraftFileIndex.canonicalFileKey(p.toString))
-          .orElse(Option(p.getParent).flatMap(pp =>
-            registry.get(GraftFileIndex.canonicalFileKey(pp.toString))))
+        Iterator.iterate(p)(_.getParent)
+          .takeWhile(_ != null).take(4)
+          .flatMap(a => registry.get(GraftFileIndex.canonicalFileKey(a.toString)))
+          .nextOption()
       }
       .distinct
 

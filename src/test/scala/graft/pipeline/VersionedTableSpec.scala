@@ -208,6 +208,15 @@ class VersionedTableSpec extends SparkSpec {
         keepDataVersions = Seq(2L)) // v2's dir is not in v3's list
     }
     assert(e.getMessage.contains("not part of the current snapshot"))
+    // a replace whose survivors were computed against an OLD snapshot
+    // refuses even when its kept dirs are a subset of current — without
+    // the base check, a concurrent commit's rows would silently vanish
+    // (the DELETE-vs-append race the r14 review found)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.replace(Seq((7L, "y")).toDF("k", "v"), table,
+        keepDataVersions = Seq(1L), baseVersion = Some(2L)) // now at 3
+    }
+    assert(e2.getMessage.contains("table moved"))
   }
 
   test("readIncremental serves (from, to] added dirs only; refuses " +
