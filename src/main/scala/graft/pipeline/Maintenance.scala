@@ -505,6 +505,30 @@ object Maintenance {
         Report(tableDir, "rewrite_manifests", ok = false, e.toString)
     }
 
+  /** Iceberg's `create_tag`: name a retained snapshot; tagged snapshots
+    * are expiry-proof until dropped and readable as
+    * `VERSION AS OF '<tag>'` / `graft_version(t, '<tag>')`. */
+  def createTag(tableDir: String, tag: String,
+      version: Option[Long] = None): Report =
+    try {
+      val v = VersionedTable.createTag(tableDir, tag, version)
+      Report(tableDir, "create_tag", ok = true,
+        s"tag '$tag' -> snapshot v$v (expiry-proof until dropped)")
+    } catch {
+      case e: Throwable => Report(tableDir, "create_tag", ok = false,
+        e.toString)
+    }
+
+  /** Iceberg's `drop_tag`: the snapshot becomes expirable again. */
+  def dropTag(tableDir: String, tag: String): Report =
+    try {
+      VersionedTable.dropTag(tableDir, tag)
+      Report(tableDir, "drop_tag", ok = true, s"dropped tag '$tag'")
+    } catch {
+      case e: Throwable => Report(tableDir, "drop_tag", ok = false,
+        e.toString)
+    }
+
   def removeOrphans(tableDir: String): Report =
     removeOrphansOn(new Configuration(), tableDir)
 
@@ -541,6 +565,11 @@ object Maintenance {
         }
       }
       if (fs.exists(root)) walk(fs.getFileStatus(root))
+      // versioned roots: clean commit-protocol crash debris too (stale
+      // claim markers, unmanifested unreferenced v=K dirs) — the
+      // failure modes the commit error messages point HERE for
+      if (isDir(fs, new Path(root, "_versions")))
+        removed += VersionedTable.removeCommitDebris(fs, root)
       val parent = root.getParent
       val siblings =
         if (parent != null && fs.exists(parent))

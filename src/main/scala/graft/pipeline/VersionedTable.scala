@@ -21,11 +21,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *
   * Substrate (r12): all I/O runs over Hadoop's `FileSystem`, resolved
   * per table path — the same code commits on `file:`, `hdfs:`, or NFS
-  * mounts. The protocol's atomicity rests on rename being an atomic
-  * metadata operation, so MUTATING calls refuse object-store schemes
-  * ([[Maintenance.NonAtomicRenameSchemes]]) the way the compaction swap
-  * does: on that deployment this layer IS the table format (Iceberg's
-  * catalog CAS), per SCALING.md's boundary note. Reads work anywhere.
+  * mounts. Reads work anywhere. TWO commit protocols (r14, selected by
+  * `spark.graft.commit.protocol`): the default RENAME protocol rests on
+  * rename being an atomic metadata operation and refuses object-store
+  * schemes ([[graft.util.Fs.NonAtomicRenameSchemes]]); the CREATE
+  * protocol is object-store-native — versions are claimed by
+  * CONDITIONAL CREATE (S3 If-None-Match PUT, GCS preconditions, Azure
+  * ETag), data writes directly into the claimed `v=N`, manifests
+  * publish by conditional create, ZERO renames on the commit path —
+  * see the protocol-selection comment below.
   *
   * Concurrency (r14): commits are optimistic. Data is STAGED into a
   * dot-prefixed temp dir by an ordinary distributed write (no lock
@@ -65,13 +69,72 @@ object VersionedTable {
 
   private def manifestDir(root: Path): Path = new Path(root, "_versions")
 
-  private def requireRenameCapable(fs: FileSystem, table: String,
-      action: String): Unit = {
+  // ---- commit protocol selection (r14) ---------------------------------
+  //
+  // Two ways a commit can make its version visible, selected per session:
+  //   - RENAME (default on rename-capable schemes): stage data under a
+  //     unique dot-prefixed dir, CLAIM `v=N` with one atomic rename,
+  //     publish the manifest by temp-write + rename. Sound on `file:`,
+  //     `hdfs:`, NFS — anywhere rename is an atomic metadata operation.
+  //   - CREATE (`spark.graft.commit.protocol=create`): ZERO renames.
+  //     Version N is claimed by a CONDITIONAL CREATE of the marker
+  //     `_versions/.claim-N` (create-if-absent — S3's If-None-Match
+  //     PUT, GA since Nov 2024; GCS `ifGenerationMatch=0`; Azure ETag
+  //     `If-None-Match: *`), data is written DIRECTLY into the claimed
+  //     `v=N` (exclusivity makes a unique final name safe), and the
+  //     manifest publishes by conditional create too. This is the
+  //     object-store-native path: the only atomicity it needs is
+  //     "create fails if the object exists", which conditional PUT
+  //     provides; single-object PUTs are atomic (readers never observe
+  //     a torn manifest). On POSIX filesystems the manifest create has
+  //     a visible-while-open window the rename protocol lacks, so
+  //     CREATE is only the right choice where conditional PUT is the
+  //     best primitive available — exactly object stores. Data-file
+  //     task commits inside the claimed dir may still rename
+  //     (FileOutputCommitter); on object stores deployments point
+  //     Spark at the store's zero-rename committer (e.g. the S3A
+  //     committers) — correctness does not depend on it, because
+  //     visibility is manifest-gated.
+  //   - `auto` (default conf): rename-capable scheme → RENAME; object
+  //     store → refuse with a pointer to the conf, because the engine
+  //     cannot verify conditional-create support from the scheme alone.
+
+  /** Session conf selecting the commit protocol: `auto` (default),
+    * `rename`, or `create`. */
+  val ProtocolConfKey = "spark.graft.commit.protocol"
+
+  private[graft] sealed trait Protocol
+  private[graft] case object RenameCommit extends Protocol
+  private[graft] case object CreateCommit extends Protocol
+
+  private def protocolConf: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(s.conf.get(ProtocolConfKey, "auto")).toOption)
+      .getOrElse("auto")
+
+  private[graft] def protocolFor(fs: FileSystem, table: String,
+      action: String): Protocol = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    require(!Maintenance.NonAtomicRenameSchemes(scheme),
-      s"VersionedTable.$action on '$table': scheme '$scheme' has no " +
-        "atomic rename, so the manifest commit protocol is unsound — " +
-        "use a catalog-backed table format (Iceberg) on object stores")
+    val objectStore = graft.util.Fs.NonAtomicRenameSchemes(scheme)
+    protocolConf match {
+      case "create" => CreateCommit
+      case "rename" =>
+        require(!objectStore,
+          s"VersionedTable.$action on '$table': $ProtocolConfKey=rename " +
+            s"but scheme '$scheme' has no atomic rename — set " +
+            s"$ProtocolConfKey=create (requires conditional-create " +
+            "support: S3 If-None-Match PUT, GCS preconditions, Azure ETag)")
+        RenameCommit
+      case _ =>
+        require(!objectStore,
+          s"VersionedTable.$action on '$table': scheme '$scheme' has no " +
+            "atomic rename, so the rename commit protocol is unsound " +
+            s"there — set $ProtocolConfKey=create IF the store supports " +
+            "conditional create (S3 If-None-Match PUT — GA since " +
+            "Nov 2024, GCS ifGenerationMatch, Azure ETag), or use a " +
+            "catalog-backed table format (Iceberg)")
+        RenameCommit
+    }
   }
 
   private def versionsOn(fs: FileSystem, root: Path): Seq[Long] = {
@@ -134,10 +197,14 @@ object VersionedTable {
     * [[append]]. */
   def write(df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "write")
-    val stage = stageData(df, root, table)
-    commitStaged(fs, root, stage) { (_, next) =>
+    val content = (next: Long) =>
       manifestContent(Seq(next), next, carryBatchLine(fs, root))
+    protocolFor(fs, table, "write") match {
+      case RenameCommit =>
+        val stage = stageData(df, root, table)
+        commitStaged(fs, root, stage)((_, next) => content(next))
+      case CreateCommit =>
+        commitCreate(fs, root, table, df)((_, next) => content(next))
     }
   }
 
@@ -210,6 +277,237 @@ object VersionedTable {
         throw e
     }
 
+  // ---- CREATE-protocol commits (r14): claim → write → publish ---------
+
+  private def claimPath(root: Path, v: Long): Path =
+    new Path(manifestDir(root), s".claim-$v")
+
+  /** Versions with an outstanding claim marker (CREATE protocol). */
+  private def claimsOn(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".claim-"))
+      .flatMap(_.stripPrefix(".claim-").toLongOption)
+      .sorted
+  }
+
+  /** Claims owned by committers in THIS JVM — lets the publish wait
+    * distinguish a live sibling (wait for it) from a foreign or crashed
+    * claim (bounded wait, then a loud error naming the cleanup tool).
+    * Mutated only under the root's commit lock. */
+  private val liveClaims =
+    scala.collection.concurrent.TrieMap.empty[String, Set[Long]]
+  private def addLiveClaim(root: Path, v: Long): Unit =
+    liveClaims.updateWith(root.toString)(s => Some(s.getOrElse(Set.empty) + v))
+  private def dropLiveClaim(root: Path, v: Long): Unit =
+    liveClaims.updateWith(root.toString)(_.map(_ - v).filter(_.nonEmpty))
+
+  /** CLAIM the next version via conditional create of the marker file —
+    * the one primitive object stores provide atomically (If-None-Match
+    * PUT). The claimed `v=N` data dir is the committer's to write
+    * directly; nothing is visible until [[publishClaimed]] lands the
+    * manifest. */
+  private[graft] def claimVersion(fs: FileSystem, root: Path,
+      table: String): Long = withCommitLock(root) {
+    var attempts = 0
+    var got = -1L
+    while (got < 0) {
+      val next = math.max(
+        versionsOn(fs, root).lastOption.getOrElse(0L),
+        claimsOn(fs, root).lastOption.getOrElse(0L)) + 1L
+      val collided =
+        if (fs.exists(new Path(root, s"v=$next"))) true
+        else try {
+          fs.mkdirs(manifestDir(root))
+          val out = fs.create(claimPath(root, next), false)
+          try out.write(s"${System.currentTimeMillis()}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          addLiveClaim(root, next)
+          got = next
+          false
+        } catch {
+          // conditional create lost to a cross-process claimer
+          case _: java.io.IOException => true
+        }
+      if (collided) {
+        attempts += 1
+        require(attempts < 5,
+          s"cannot claim a version on $table after $attempts attempts — " +
+            "a crashed committer may have left a stale claim or data " +
+            "dir (CALL graft.system.remove_orphan_files)")
+        Thread.sleep(50L * attempts)
+      }
+    }
+    got
+  }
+
+  /** Un-claim: delete the claimed data dir (if any was written) and the
+    * claim marker. The failure/abort path of every CREATE-protocol
+    * commit — never called after the manifest published. */
+  private[graft] def abandonClaim(fs: FileSystem, root: Path,
+      v: Long): Unit = withCommitLock(root) {
+    try fs.delete(new Path(root, s"v=$v"), true)
+    catch { case scala.util.control.NonFatal(_) => () }
+    try fs.delete(claimPath(root, v), false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    dropLiveClaim(root, v)
+  }
+
+  /** Publish a claimed version: commit its manifest by conditional
+    * create, strictly in CLAIM ORDER — a manifest for `v` committed
+    * while a LOWER claim is still writing would let a later append
+    * resolve its `prev` dirs to a snapshot that does not yet include
+    * the lower committer's rows (the serializability the rename
+    * protocol gets from claiming inside the lock). Lower claims owned
+    * by this JVM are waited out indefinitely (they are live, holding
+    * real work); foreign claims get a bounded wait, then a loud error
+    * naming remove_orphan_files. A lower claim whose manifest already
+    * exists (marker-delete failed post-publish) does not block.
+    * On any failure before the manifest lands, the claim is abandoned
+    * (data dir + marker deleted) and the error rethrown. */
+  private[graft] def publishClaimed(fs: FileSystem, root: Path,
+      table: String, v: Long)(
+      content: (Seq[Long], Long) => String): Long = {
+    var manifested = false
+    try {
+      var attempts = 0
+      while (!manifested) {
+        val pendingForeign = withCommitLock(root) {
+          val vs = versionsOn(fs, root)
+          val lower = claimsOn(fs, root)
+            .filter(c => c < v && !vs.contains(c))
+          if (lower.isEmpty) {
+            val schemaLine = storedSchema(root.toString)
+              .map(sch => s"schema=${sch.json}\n").getOrElse("")
+            commitManifestCreate(fs, root, v, content(vs, v) + schemaLine)
+            manifested = true
+            try fs.delete(claimPath(root, v), false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            dropLiveClaim(root, v)
+            Nil
+          } else
+            lower.filterNot(
+              liveClaims.getOrElse(root.toString, Set.empty))
+        }
+        if (!manifested) {
+          if (pendingForeign.nonEmpty) {
+            attempts += 1
+            require(attempts < 50,
+              s"claims $pendingForeign below $v on $table never " +
+                "published — crashed committer? clean with CALL " +
+                "graft.system.remove_orphan_files, then retry")
+          }
+          Thread.sleep(100)
+        }
+      }
+      v
+    } catch {
+      case e: Throwable =>
+        if (!manifested) abandonClaim(fs, root, v)
+        throw e
+    }
+  }
+
+  /** Manifest commit by conditional create — no temp, no rename: on a
+    * conditional-PUT object store the PUT is atomic whole-object, and
+    * the claim guarantees no competing writer of this version exists.
+    * A failure mid-write deletes the torn target before rethrowing. */
+  private def commitManifestCreate(fs: FileSystem, root: Path, v: Long,
+      content: String): Unit = {
+    val target = new Path(manifestDir(root), v.toString)
+    try {
+      val out = fs.create(target, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(target, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    batchMarkerCache.put(root.toString,
+      (v, content.linesIterator.collectFirst {
+        case l if l.startsWith("batch=") =>
+          l.stripPrefix("batch=").trim.toLong
+      }))
+  }
+
+  /** The CREATE-protocol data commit: claim a version, write `df`
+    * DIRECTLY into the claimed `v=N` (no staging, no rename — the claim
+    * makes the final name exclusive), publish in claim order. */
+  private def commitCreate(fs: FileSystem, root: Path, table: String,
+      df: DataFrame)(content: (Seq[Long], Long) => String): Long = {
+    val v = claimVersion(fs, root, table)
+    try {
+      val target = new Path(root, s"v=$v")
+      partitionColsOf(table) match {
+        case cols if cols.nonEmpty =>
+          df.write.partitionBy(cols: _*).parquet(target.toString)
+        case _ => df.write.parquet(target.toString)
+      }
+      publishClaimed(fs, root, table, v)(content)
+    } catch {
+      case e: Throwable =>
+        // idempotent: publishClaimed cleans on ITS failures, but a
+        // write-step failure still holds the claim
+        abandonClaim(fs, root, v)
+        throw e
+    }
+  }
+
+  /** A data-less (metadata-only) CREATE-protocol commit — rollback,
+    * rewrite_manifests. */
+  private def commitMetaCreate(fs: FileSystem, root: Path,
+      table: String)(content: (Seq[Long], Long) => String): Long = {
+    val v = claimVersion(fs, root, table)
+    try publishClaimed(fs, root, table, v)(content)
+    catch { case e: Throwable => abandonClaim(fs, root, v); throw e }
+  }
+
+  /** Remove crash debris of BOTH commit protocols (called by
+    * `remove_orphan_files`; like Iceberg's, NOT safe concurrently with
+    * live writers in other processes — in-JVM committers are protected
+    * by [[liveClaims]] and the commit lock):
+    *   - stale claim markers whose committer died (CREATE protocol) —
+    *     these BLOCK later publishes by design, so cleaning them is
+    *     what un-wedges the table;
+    *   - data dirs `v=K` with no manifest and no retained reference —
+    *     a CREATE-protocol claimer that died mid-write, or a RENAME-
+    *     protocol committer that crashed between the claim rename and
+    *     the manifest (the failure the commit error message points
+    *     here for).
+    * Returns the number of entries removed. */
+  private[pipeline] def removeCommitDebris(fs: FileSystem,
+      root: Path): Int = withCommitLock(root) {
+    var removed = 0
+    val vs = versionsOn(fs, root)
+    val manifested = vs.toSet
+    val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet
+    val owned = liveClaims.getOrElse(root.toString, Set.empty)
+    claimsOn(fs, root).foreach { k =>
+      if (!owned.contains(k)) {
+        fs.delete(claimPath(root, k), false); removed += 1
+        if (!manifested(k) && !live(k) &&
+            fs.exists(new Path(root, s"v=$k"))) {
+          fs.delete(new Path(root, s"v=$k"), true); removed += 1
+        }
+      }
+    }
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v=")) {
+        n.stripPrefix("v=").toLongOption.foreach { k =>
+          if (!manifested(k) && !live(k) && !owned(k)) {
+            fs.delete(st.getPath, true); removed += 1
+          }
+        }
+      }
+    }
+    removed
+  }
+
   /** The exactly-once streaming marker, carried FORWARD: every manifest
     * committed after any batch-carrying one repeats the newest known
     * `batch=` line. Without this, a compaction/full write tops the
@@ -234,16 +532,22 @@ object VersionedTable {
     * Iceberg's rewrite_manifests discipline. */
   def append(df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "append")
-    val stage = stageData(df, root, table)
-    commitStaged(fs, root, stage) { (vs, next) =>
-      // dirs resolve from the FRESH version list inside the commit
-      // lock, so a concurrent append that landed while this one staged
-      // is carried into this snapshot (no lost update within a driver)
+    // dirs resolve from the FRESH version list at publish time (inside
+    // the commit lock / in claim order), so a concurrent append that
+    // landed while this one staged is carried into this snapshot (no
+    // lost update within a driver)
+    val content = (vs: Seq[Long], next: Long) => {
       val dirs = vs.lastOption
         .map(prev => dataVersionsOn(fs, root, prev) :+ next)
         .getOrElse(Seq(next))
       manifestContent(dirs, next, carryBatchLine(fs, root))
+    }
+    protocolFor(fs, table, "append") match {
+      case RenameCommit =>
+        val stage = stageData(df, root, table)
+        commitStaged(fs, root, stage)(content)
+      case CreateCommit =>
+        commitCreate(fs, root, table, df)(content)
     }
   }
 
@@ -258,7 +562,7 @@ object VersionedTable {
   def replace(df: DataFrame, table: String,
       keepDataVersions: Seq[Long], baseVersion: Option[Long] = None): Long = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "replace")
+    val proto = protocolFor(fs, table, "replace")
     def validate(vs: Seq[Long]): Unit = {
       require(vs.nonEmpty, s"replace on $table: no current snapshot")
       // a rewrite computed its survivors against a specific snapshot;
@@ -275,10 +579,16 @@ object VersionedTable {
           s"of the current snapshot $current")
     }
     validate(versionsOn(fs, root)) // cheap pre-check before staging
-    val stage = stageData(df, root, table)
-    commitStaged(fs, root, stage) { (vs, next) =>
-      validate(vs) // re-validated under the commit lock
+    val content = (vs: Seq[Long], next: Long) => {
+      validate(vs) // re-validated at publish time
       manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root))
+    }
+    proto match {
+      case RenameCommit =>
+        val stage = stageData(df, root, table)
+        commitStaged(fs, root, stage)(content)
+      case CreateCommit =>
+        commitCreate(fs, root, table, df)(content)
     }
   }
 
@@ -291,13 +601,12 @@ object VersionedTable {
     * the check makes the conflict an explicit, clean error, and the
     * caller's abort() only ever deletes its own staging dir, never a
     * possibly-owned `v=N`). Returns the published version. */
-  private[graft] def publishStagedReplace(table: String, stagedDir: String,
-      baseVersion: Option[Long], keepDataVersions: Seq[Long]): Long = {
-    val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "publishStagedReplace")
-    commitStaged(fs, root, new Path(stagedDir)) { (vs, next) =>
+  private def replaceContent(fs: FileSystem, root: Path, table: String,
+      what: String, baseVersion: Option[Long],
+      keepDataVersions: Seq[Long]): (Seq[Long], Long) => String =
+    (vs, next) => {
       require(vs.lastOption == baseVersion,
-        s"publishStagedReplace($table): table is at snapshot " +
+        s"$what($table): table is at snapshot " +
           s"${vs.lastOption.getOrElse("none")} but this rewrite read " +
           s"${baseVersion.getOrElse("none")} — a concurrent commit " +
           "landed while the rewrite ran; re-run it")
@@ -305,10 +614,45 @@ object VersionedTable {
         .map(dataVersionsOn(fs, root, _).toSet).getOrElse(Set.empty[Long])
       val unknown = keepDataVersions.filterNot(current)
       require(unknown.isEmpty,
-        s"publishStagedReplace($table): kept data versions $unknown are " +
+        s"$what($table): kept data versions $unknown are " +
           s"not part of the current snapshot $current")
       manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root))
     }
+
+  private[graft] def publishStagedReplace(table: String, stagedDir: String,
+      baseVersion: Option[Long], keepDataVersions: Seq[Long]): Long = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "publishStagedReplace") match {
+      case RenameCommit => ()
+      case CreateCommit => sys.error(
+        s"publishStagedReplace($table): staged-dir publish renames — " +
+          "under the create protocol row-level writes claim their " +
+          "version up front (claimReplaceVersion/publishClaimedReplace)")
+    }
+    commitStaged(fs, root, new Path(stagedDir))(
+      replaceContent(fs, root, table, "publishStagedReplace",
+        baseVersion, keepDataVersions))
+  }
+
+  /** CREATE-protocol face of the row-level write: claim the target
+    * version up front so executors write DIRECTLY into `v=N` (no
+    * staging dir, no rename anywhere). Abort = [[abandonClaimOn]]. */
+  private[graft] def claimReplaceVersion(table: String): Long = {
+    val (fs, root) = fsFor(table)
+    claimVersion(fs, root, table)
+  }
+
+  private[graft] def publishClaimedReplace(table: String, v: Long,
+      baseVersion: Option[Long], keepDataVersions: Seq[Long]): Long = {
+    val (fs, root) = fsFor(table)
+    publishClaimed(fs, root, table, v)(
+      replaceContent(fs, root, table, "publishClaimedReplace",
+        baseVersion, keepDataVersions))
+  }
+
+  private[graft] def abandonClaimOn(table: String, v: Long): Unit = {
+    val (fs, root) = fsFor(table)
+    abandonClaim(fs, root, v)
   }
 
   private def manifestContent(dirs: Seq[Long], self: Long,
@@ -345,21 +689,26 @@ object VersionedTable {
   def appendBatch(df: DataFrame, table: String,
       batchId: Long): Option[Long] = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "appendBatch")
+    val proto = protocolFor(fs, table, "appendBatch")
     if (lastStreamBatchOn(fs, root).exists(_ >= batchId)) None
     else {
-      val stage = stageData(df, root, table)
-      try Some(commitStaged(fs, root, stage) { (vs, next) =>
-        // RE-CHECKED under the commit lock: the pre-stage check above
-        // is only an optimization — two racing deliveries of one
-        // batch id (zombie pre-restart thread + the restarted query)
-        // could both pass it, and exactly one may commit
+      // RE-CHECKED at publish time (commit lock / claim order): the
+      // pre-stage check above is only an optimization — two racing
+      // deliveries of one batch id (zombie pre-restart thread + the
+      // restarted query) could both pass it, and exactly one may commit
+      val content = (vs: Seq[Long], next: Long) => {
         if (lastStreamBatchOn(fs, root).exists(_ >= batchId))
           throw new DuplicateBatch
         val dirs = vs.lastOption
           .map(prev => dataVersionsOn(fs, root, prev) :+ next)
           .getOrElse(Seq(next))
         manifestContent(dirs, next, Seq(s"batch=$batchId"))
+      }
+      try Some(proto match {
+        case RenameCommit =>
+          commitStaged(fs, root, stageData(df, root, table))(content)
+        case CreateCommit =>
+          commitCreate(fs, root, table, df)(content)
       })
       catch { case _: DuplicateBatch => None }
     }
@@ -575,60 +924,86 @@ object VersionedTable {
     * current manifest already carries a file list). */
   def rewriteManifests(table: String): Option[Long] = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "rewriteManifests")
-    withCommitLock(root) {
-      val vs = versionsOn(fs, root)
-      require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
-      val dirVersions = dataVersionsOn(fs, root, vs.last)
-      if (dirVersions.size <= 1 ||
-          manifestFilesOn(fs, root, vs.last).isDefined) None
-      else {
-        val rootPrefix = root.toString + "/"
-        val files = dirVersions.flatMap { k =>
-          val it = fs.listFiles(new Path(root, s"v=$k"), true)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (it.hasNext) {
-            val st = it.next()
-            val rel = st.getPath.toString.stripPrefix(rootPrefix)
-            // hidden-PATH filter, every segment: Spark's own listing
-            // excludes '_'/'.'-prefixed names at ANY level (e.g.
-            // `_temporary/…` debris inside a committed dir) — a
-            // metadata-only rewrite must never make previously
-            // invisible files appear
-            val hidden = rel.split("/").exists(seg =>
-              seg.startsWith("_") || seg.startsWith("."))
-            if (st.isFile && !hidden) buf += rel
-          }
-          buf
+    val proto = protocolFor(fs, table, "rewriteManifests")
+    // gathers the file list for the snapshot CURRENT at gather time and
+    // returns the manifest content (sans schema line), re-validating at
+    // publish that the snapshot hasn't moved — the two protocols share
+    // the computation, only the lock/claim discipline differs
+    def contentFor(base: Long, dirVersions: Seq[Long])
+        : (Seq[Long], Long) => String = {
+      val rootPrefix = root.toString + "/"
+      val files = dirVersions.flatMap { k =>
+        val it = fs.listFiles(new Path(root, s"v=$k"), true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(rootPrefix)
+          // hidden-PATH filter, every segment: Spark's own listing
+          // excludes '_'/'.'-prefixed names at ANY level (e.g.
+          // `_temporary/…` debris inside a committed dir) — a
+          // metadata-only rewrite must never make previously
+          // invisible files appear
+          val hidden = rel.split("/").exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+          if (st.isFile && !hidden) buf += rel
         }
-        // the file-name list lives in DRIVER memory on every later
-        // manifest resolution — same budget class as the stats-index
-        // name lists, gated by the same conf (a table beyond it wants
-        // compaction first, which shrinks the file count itself)
-        val gate = SparkSession.getActiveSession
-          .orElse(SparkSession.getDefaultSession)
-          .map(graft.operators.FileIndex.resolveNameGate)
-          .getOrElse(graft.operators.FileIndex.derivedNameGate())
-        require(files.size <= gate,
-          s"rewriteManifests on $table: ${files.size} data files exceed " +
-            s"the driver name-list gate ($gate); compact first " +
-            s"(rewrite_data_files) or raise " +
-            s"${graft.operators.FileIndex.NameGateConfKey}")
-        val next = vs.last + 1L
-        val schemaLine =
-          storedSchema(table).map(s => s"schema=${s.json}").toSeq
-        // TAB-separated: Hive path escaping percent-encodes control
-        // chars and Spark's part-file names carry none, so '\t' cannot
-        // appear inside an entry — a COMMA can (partition VALUES are
-        // not comma-escaped: `city=San Jose, CA` would shred the list)
-        commitManifest(fs, root, next,
-          (Seq(System.currentTimeMillis().toString,
-            s"dirs=${dirVersions.mkString(",")}",
-            s"files=${files.mkString("\t")}") ++
-            carryBatchLine(fs, root) ++ schemaLine)
-            .mkString("", "\n", "\n"))
-        Some(next)
+        buf
       }
+      // the file-name list lives in DRIVER memory on every later
+      // manifest resolution — same budget class as the stats-index
+      // name lists, gated by the same conf (a table beyond it wants
+      // compaction first, which shrinks the file count itself)
+      val gate = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(graft.operators.FileIndex.resolveNameGate)
+        .getOrElse(graft.operators.FileIndex.derivedNameGate())
+      require(files.size <= gate,
+        s"rewriteManifests on $table: ${files.size} data files exceed " +
+          s"the driver name-list gate ($gate); compact first " +
+          s"(rewrite_data_files) or raise " +
+          s"${graft.operators.FileIndex.NameGateConfKey}")
+      // TAB-separated: Hive path escaping percent-encodes control
+      // chars and Spark's part-file names carry none, so '\t' cannot
+      // appear inside an entry — a COMMA can (partition VALUES are
+      // not comma-escaped: `city=San Jose, CA` would shred the list)
+      (vs, _) => {
+        require(vs.lastOption.contains(base),
+          s"rewriteManifests on $table: table moved to snapshot " +
+            s"${vs.lastOption.getOrElse("none")} while the file list " +
+            s"was gathered against $base — re-run")
+        (Seq(System.currentTimeMillis().toString,
+          s"dirs=${dirVersions.mkString(",")}",
+          s"files=${files.mkString("\t")}") ++
+          carryBatchLine(fs, root))
+          .mkString("", "\n", "\n")
+      }
+    }
+    proto match {
+      case RenameCommit => withCommitLock(root) {
+        val vs = versionsOn(fs, root)
+        require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
+        val dirVersions = dataVersionsOn(fs, root, vs.last)
+        if (dirVersions.size <= 1 ||
+            manifestFilesOn(fs, root, vs.last).isDefined) None
+        else {
+          val next = vs.last + 1L
+          val schemaLine = storedSchema(table)
+            .map(s => s"schema=${s.json}\n").getOrElse("")
+          commitManifest(fs, root, next,
+            contentFor(vs.last, dirVersions)(vs, next) + schemaLine)
+          Some(next)
+        }
+      }
+      case CreateCommit =>
+        // gather OUTSIDE the lock (the claim-order publish wait must
+        // not run under it), revalidate the base at publish
+        val vs = versionsOn(fs, root)
+        require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
+        val dirVersions = dataVersionsOn(fs, root, vs.last)
+        if (dirVersions.size <= 1 ||
+            manifestFilesOn(fs, root, vs.last).isDefined) None
+        else Some(commitMetaCreate(fs, root, table)(
+          contentFor(vs.last, dirVersions)))
     }
   }
 
@@ -701,6 +1076,117 @@ object VersionedTable {
     fs.exists(d) && fs.getFileStatus(d).isDirectory
   }
 
+  // ---- TAGS: named immutable refs (r14; Iceberg's create_tag) ---------
+  //
+  // A tag names a retained snapshot (`_versions/.tag-<name>`, one small
+  // file: version + creation time). Tagged snapshots are EXPIRY-PROOF:
+  // expire/expireOlderThan keep them (and, transitively, every data dir
+  // their manifests reference) until the tag is dropped — Iceberg's tag
+  // retention contract, the mechanism behind "keep the audited monthly
+  // snapshot while dailies expire". Tags resolve anywhere a version
+  // does: `VERSION AS OF 'name'` through the catalog, the graft_version
+  // TVF, and [[tagVersion]] for the API. Tag files are written by
+  // CONDITIONAL CREATE under both protocols — create-if-absent is the
+  // natural primitive for an immutable ref, and it is object-store
+  // native.
+
+  private def tagPath(root: Path, name: String): Path =
+    new Path(manifestDir(root), s".tag-$name")
+
+  /** Tag names: word chars, dash, dot — and NOT parseable as a number
+    * (a numeric tag would be ambiguous with a snapshot id everywhere a
+    * ref string is accepted). */
+  private def requireValidTagName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"invalid tag name '$name': use letters, digits, '.', '-', '_'")
+    require(name.toLongOption.isEmpty,
+      s"invalid tag name '$name': a numeric name is ambiguous with a " +
+        "snapshot id")
+  }
+
+  /** Tag a retained snapshot (the latest when `version` is None).
+    * Returns the tagged version. Refuses duplicates — a tag is
+    * immutable; drop and re-create to move it deliberately. */
+  def createTag(table: String, name: String,
+      version: Option[Long] = None): Long = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "createTag")
+    requireValidTagName(name)
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      require(vs.nonEmpty, s"no versions in $table")
+      val v = version.getOrElse(vs.last)
+      require(vs.contains(v), s"version $v not retained in $table")
+      require(!fs.exists(tagPath(root, name)),
+        s"tag '$name' already exists on $table (tags are immutable — " +
+          "drop_tag first to move it)")
+      val out = fs.create(tagPath(root, name), false)
+      try out.write(s"$v\n${System.currentTimeMillis()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      v
+    }
+  }
+
+  /** Drop a tag; its snapshot becomes expirable again. */
+  def dropTag(table: String, name: String): Unit = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "dropTag")
+    requireValidTagName(name)
+    withCommitLock(root) {
+      require(fs.exists(tagPath(root, name)),
+        s"no tag '$name' on $table")
+      fs.delete(tagPath(root, name), false)
+    }
+  }
+
+  private def tagsOn(fs: FileSystem, root: Path): Map[String, (Long, Long)] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".tag-"))
+      .flatMap { n =>
+        val name = n.stripPrefix(".tag-")
+        val lines = graft.util.Fs
+          .readSmallFileFs(fs, new Path(dir, n)).linesIterator.toSeq
+        for {
+          v <- lines.headOption.flatMap(_.trim.toLongOption)
+        } yield name -> (v, lines.lift(1).flatMap(_.trim.toLongOption)
+          .getOrElse(0L))
+      }.toMap
+  }
+
+  /** All tags: name -> tagged version. */
+  def tags(table: String): Map[String, Long] = {
+    val (fs, root) = fsFor(table)
+    tagsOn(fs, root).view.mapValues(_._1).toMap
+  }
+
+  /** The version a tag names, if the tag exists. */
+  def tagVersion(table: String, name: String): Option[Long] = {
+    val (fs, root) = fsFor(table)
+    tagsOn(fs, root).get(name).map(_._1)
+  }
+
+  /** A version-or-tag REF string, resolved the way every SQL surface
+    * accepts it: a number is a snapshot id, anything else a tag. */
+  def resolveRef(table: String, ref: String): Long =
+    ref.toLongOption.orElse(tagVersion(table, ref)).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$ref' is neither a snapshot id nor a tag on $table " +
+          s"(tags: ${tags(table).keys.toSeq.sorted.mkString(", ")})"))
+
+  /** The refs view (`SELECT * FROM t.refs` / metadata table): one row
+    * per tag with its snapshot and creation time. */
+  def refs(spark: SparkSession, table: String): DataFrame = {
+    val (fs, root) = fsFor(table)
+    import spark.implicits._
+    tagsOn(fs, root).toSeq.sortBy(_._1).map { case (n, (v, ts)) =>
+      (n, "TAG", v, new java.sql.Timestamp(ts))
+    }.toDF("name", "type", "version", "created_at")
+  }
+
   /** Iceberg's `rollback_to_snapshot` for this layer: make `toVersion`'s
     * content current WITHOUT rewriting data or erasing history — a new
     * manifest commits a `data=` redirect at the old snapshot's data
@@ -709,27 +1195,35 @@ object VersionedTable {
     * readable until [[expire]]d. Returns the new current version. */
   def rollback(table: String, toVersion: Long): Long = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "rollback")
-    withCommitLock(root) {
-      val vs = versionsOn(fs, root)
+    val proto = protocolFor(fs, table, "rollback")
+    // content computed from the FRESH version list at publish time;
+    // single-dir targets keep the pre-r13 `data=K` form (same bytes a
+    // pre-append reader of this layout understands); multi-dir targets
+    // (restoring an append-built snapshot) need the explicit list.
+    // The redirect serves old DATA under the CURRENT declared schema
+    // (evolved columns null-fill) — rollback restores content, not
+    // schema, matching Iceberg's rollback_to_snapshot.
+    val content = (vs: Seq[Long], _: Long) => {
       require(vs.contains(toVersion),
         s"version $toVersion not retained in $table")
-      val next = vs.last + 1L
       val target = dataVersionsOn(fs, root, toVersion)
-      // single-dir targets keep the pre-r13 `data=K` form (same bytes a
-      // pre-append reader of this layout understands); multi-dir targets
-      // (restoring an append-built snapshot) need the explicit list
       val directive =
         if (target.size == 1) s"data=${target.head}"
         else s"dirs=${target.mkString(",")}"
-      // the redirect serves old DATA under the CURRENT declared schema
-      // (evolved columns null-fill) — rollback restores content, not
-      // schema, matching Iceberg's rollback_to_snapshot
-      val schemaLine = storedSchema(table).map(s => s"schema=${s.json}").toSeq
-      commitManifest(fs, root, next,
-        (Seq(System.currentTimeMillis().toString, directive) ++
-          carryBatchLine(fs, root) ++ schemaLine).mkString("", "\n", "\n"))
-      next
+      (Seq(System.currentTimeMillis().toString, directive) ++
+        carryBatchLine(fs, root)).mkString("", "\n", "\n")
+    }
+    proto match {
+      case CreateCommit => commitMetaCreate(fs, root, table)(content)
+      case RenameCommit => withCommitLock(root) {
+        val vs = versionsOn(fs, root)
+        require(vs.nonEmpty, s"no versions in $table")
+        val next = vs.last + 1L
+        val schemaLine =
+          storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
+        commitManifest(fs, root, next, content(vs, next) + schemaLine)
+        next
+      }
     }
   }
 
@@ -743,7 +1237,10 @@ object VersionedTable {
     require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
       "graft_version expects literal arguments: (table_path[, version])")
     val table = exprs.head.eval().toString
-    val version = exprs.lift(1).map(_.eval().toString.toLong)
+    // a number is a snapshot id; any other string resolves as a TAG
+    // (graft_version('/t', 'audited-2026-07')) — the same ref contract
+    // the catalog's VERSION AS OF applies
+    val version = exprs.lift(1).map(e => resolveRef(table, e.eval().toString))
     read(SparkSession.active, table, version).queryExecution.analyzed
   }
 
@@ -886,10 +1383,14 @@ object VersionedTable {
     * deleting it would corrupt the current snapshot. */
   def expire(table: String, keepLast: Int): Seq[Long] = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "expire")
+    protocolFor(fs, table, "expire") // deletes are protocol-neutral; this validates scheme/conf
     withCommitLock(root) {
       val vs = versionsOn(fs, root)
-      expireDrop(fs, root, vs, vs.dropRight(keepLast))
+      // TAGGED snapshots are expiry-proof (Iceberg's tag retention):
+      // they stay readable — and keep their data dirs live — until the
+      // tag is dropped
+      val tagged = tagsOn(fs, root).values.map(_._1).toSet
+      expireDrop(fs, root, vs, vs.dropRight(keepLast).filterNot(tagged))
     }
   }
 
@@ -901,10 +1402,11 @@ object VersionedTable {
   def expireOlderThan(table: String, olderThanMillis: Long,
       retainLast: Int = 1): Seq[Long] = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "expireOlderThan")
+    protocolFor(fs, table, "expireOlderThan")
     withCommitLock(root) {
       val vs = versionsOn(fs, root)
-      val guarded = vs.takeRight(math.max(1, retainLast)).toSet
+      val guarded = vs.takeRight(math.max(1, retainLast)).toSet ++
+        tagsOn(fs, root).values.map(_._1) // tags are expiry-proof
       val drop = vs.filter(v =>
         !guarded(v) && commitTimeOn(fs, root, v) < olderThanMillis)
       expireDrop(fs, root, vs, drop)
@@ -933,6 +1435,35 @@ object VersionedTable {
   private def tableMetaPath(root: Path): Path =
     new Path(manifestDir(root), ".table")
 
+  /** The CURRENT table-meta file. Under the rename protocol `.table` is
+    * rewritten in place (atomic rename); under the CREATE protocol a
+    * schema evolution writes a fresh GENERATION `.table.gK` by
+    * conditional create (object stores cannot atomically overwrite
+    * without a CAS) — the newest generation wins, `.table` is the
+    * implicit generation -1. Resolution is one listing of `_versions`,
+    * the same small dir every read already lists. */
+  private def tableMetaGen(name: String): Option[Long] =
+    if (name == ".table") Some(-1L)
+    else if (name.startsWith(".table.g")) {
+      val g = name.stripPrefix(".table.g")
+      if (g.nonEmpty && g.forall(_.isDigit)) Some(g.toLong) else None
+    } else None
+
+  private def currentTableMetaOn(fs: FileSystem,
+      root: Path): Option[(Path, Long)] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
+    else {
+      val metas = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap(n => tableMetaGen(n).map(n -> _))
+      if (metas.isEmpty) None
+      else {
+        val (name, gen) = metas.maxBy(_._2)
+        Some((new Path(dir, name), gen))
+      }
+    }
+  }
+
   /** Declare a table: schema + optional identity partition columns.
     * Refuses to redeclare (schema evolution is a deliberate non-goal of
     * this layer — the reference's ALTER path is Iceberg's, out of
@@ -941,7 +1472,7 @@ object VersionedTable {
   def create(table: String, schema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String] = Nil): Unit = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "create")
+    val proto = protocolFor(fs, table, "create")
     require(storedMeta(table).isEmpty,
       s"table $table is already declared; this layer does not evolve " +
         "schemas (drop and recreate, or write a new table)")
@@ -958,23 +1489,30 @@ object VersionedTable {
         "the column or leave the table unpartitioned")
     fs.mkdirs(manifestDir(root))
     val content = s"partition=${partitionCols.mkString(",")}\n${schema.json}\n"
-    graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root),
-      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    proto match {
+      case RenameCommit =>
+        graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root), bytes)
+      case CreateCommit =>
+        // conditional create: two racing declarations — one wins, the
+        // other fails loudly (the storedMeta pre-check above is only a
+        // fast path)
+        val out = fs.create(tableMetaPath(root), false)
+        try out.write(bytes) finally out.close()
+    }
   }
 
   private def storedMeta(table: String)
       : Option[(Seq[String], org.apache.spark.sql.types.StructType)] = {
     val (fs, root) = fsFor(table)
-    val p = tableMetaPath(root)
-    if (!fs.exists(p)) None
-    else {
+    currentTableMetaOn(fs, root).map { case (p, _) =>
       val lines = graft.util.Fs.readSmallFileFs(fs, p).linesIterator.toSeq
       val cols = lines.head.stripPrefix("partition=").split(",")
         .toSeq.map(_.trim).filter(_.nonEmpty)
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(lines.drop(1).mkString("\n"))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      Some((cols, schema))
+      (cols, schema)
     }
   }
 
@@ -1008,7 +1546,7 @@ object VersionedTable {
   def addColumns(spark: SparkSession, table: String,
       newFields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     val (fs, root) = fsFor(table)
-    requireRenameCapable(fs, table, "addColumns")
+    val proto = protocolFor(fs, table, "addColumns")
     val (pcols, base) = storedMeta(table).getOrElse {
       val s = read(spark, table).schema
       create(table, s)
@@ -1029,8 +1567,20 @@ object VersionedTable {
     val evolved =
       org.apache.spark.sql.types.StructType(base.fields ++ newFields)
     val content = s"partition=${pcols.mkString(",")}\n${evolved.json}\n"
-    graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root),
-      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    proto match {
+      case RenameCommit =>
+        graft.util.Fs.writeFileAtomicFs(fs, tableMetaPath(root), bytes)
+      case CreateCommit =>
+        // object stores can't atomically overwrite `.table` — write the
+        // NEXT GENERATION by conditional create; two racing evolutions
+        // collide on the generation name and the loser fails loudly
+        // (never a silent lost update)
+        val gen = currentTableMetaOn(fs, root).map(_._2).getOrElse(-1L) + 1L
+        val out = fs.create(
+          new Path(manifestDir(root), s".table.g$gen"), false)
+        try out.write(bytes) finally out.close()
+    }
   }
 
   /** Commit an EMPTY snapshot (SQL TRUNCATE TABLE): history and prior

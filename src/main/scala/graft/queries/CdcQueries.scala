@@ -578,6 +578,113 @@ object CdcQueries {
     * snapshot 1 through the catalog must come back WITHOUT the channel
     * column — require()d structurally — and its aggregate must equal
     * the oracle's replay of the even-key slice alone. */
+  /** TAGS (r14; Iceberg's `create_tag`): the audited snapshot (v1, the
+    * good aggregate) is tagged; two corrupted recomputes land on top
+    * (v2, v3); `expire(keepLast=1)` then drops the UNTAGGED old
+    * snapshot (v2) but keeps the tagged one — versions must read
+    * exactly [1, 3], the structural proof that tag retention is
+    * load-bearing (without the tag the survivor set is [3] and the
+    * require fails before the compare). The query reads `VERSION AS OF
+    * 'audited'` through the CATALOG (tag-ref resolution) and the oracle
+    * replays the good aggregate from raw orders — resolving the wrong
+    * ref or losing the tagged snapshot's data dir hash-mismatches. The
+    * CALL surface (create_tag/drop_tag) and the `.refs` metadata table
+    * are exercised in the fixture: a second tag is created and dropped
+    * via SQL CALL, and `.refs` must list exactly the surviving tag. */
+  def q202SnapshotTags(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#tag", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val t0 = s"$w/tagged"
+      val good = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+      VersionedTable.write(good, t0) // v1: the audited state
+      require(VersionedTable.createTag(t0, "audited") == 1L)
+      val zeroed = good.withColumn("total_price", lit(0.0d))
+      VersionedTable.write(zeroed, t0) // v2: corrupted recompute
+      VersionedTable.write(zeroed, t0) // v3: corrupted again
+      val cat = catalogFor(s, w)
+      // the SQL face: CALL create_tag/drop_tag + the .refs view
+      s.sql(s"CALL $cat.system.create_tag(table => '$t0', " +
+        "tag => 'wip', version => '2')").collect()
+      require(VersionedTable.tags(t0) == Map("audited" -> 1L, "wip" -> 2L),
+        s"CALL create_tag must land: ${VersionedTable.tags(t0)}")
+      s.sql(s"CALL $cat.system.drop_tag(table => '$t0', tag => 'wip')")
+        .collect()
+      // expiry: tagged v1 survives, untagged v2 drops, newest v3 stays
+      VersionedTable.expire(t0, keepLast = 1)
+      require(VersionedTable.versions(t0) == Seq(1L, 3L),
+        s"tag retention must keep v1 and expire v2; got " +
+          s"${VersionedTable.versions(t0)}")
+      val refRows = s.sql(s"SELECT name, version FROM $cat.tagged.refs")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(refRows == Seq(("audited", 1L)),
+        s".refs must list exactly the surviving tag; got $refRows")
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    s.sql(s"SELECT * FROM $cat.tagged VERSION AS OF 'audited'")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Object-store-native commits (r14): the snapshot lifecycle — a full
+    * write, two by-reference appends, a metadata-only manifest collapse
+    * — committed through the CREATE protocol
+    * (`spark.graft.commit.protocol=create`): versions are claimed by
+    * CONDITIONAL CREATE of a marker (`S3 If-None-Match PUT`), data
+    * writes directly into the claimed `v=N`, manifests publish by
+    * conditional create — ZERO renames on the commit path (the
+    * rename-refusing-filesystem proof lives in CreateProtocolSpec; this
+    * entry gates the protocol's CORRECTNESS under the oracle). The
+    * three slices partition raw lineitem, so the final aggregate equals
+    * the whole-table aggregate the oracle replays — a protocol bug that
+    * loses or duplicates any dir hash-mismatches. Structure require()d:
+    * appends keep prior dirs BY REFERENCE ([1,2,3]), the collapse
+    * commits a pre-resolved file list without touching data, and no
+    * claim marker survives a commit. */
+  def q201ConditionalCommit(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#cc", {
+      rollbackCleanupHook
+      val t0 = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString + "/cc"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+      val prev = s.conf.getOption(VersionedTable.ProtocolConfKey)
+      s.conf.set(VersionedTable.ProtocolConfKey, "create")
+      try {
+        VersionedTable.write(li.filter(col("l_orderkey") % 3 === 0), t0)
+        VersionedTable.append(li.filter(col("l_orderkey") % 3 === 1), t0)
+        VersionedTable.append(li.filter(col("l_orderkey") % 3 === 2), t0)
+        val dirs = VersionedTable.dataDirs(t0).map(_.split("/v=").last)
+        require(dirs == Seq("1", "2", "3"),
+          s"create-protocol appends must keep prior dirs by reference " +
+            s"([1,2,3]); got $dirs")
+        require(VersionedTable.rewriteManifests(t0).contains(4L),
+          "rewrite_manifests must commit the collapse as v4")
+        require(VersionedTable.dataFiles(t0).exists(_.nonEmpty),
+          "the collapsed manifest must carry a pre-resolved file list")
+        val (fs, vroot) = graft.util.Fs.fsFor(s"$t0/_versions")
+        require(!fs.listStatus(vroot).exists(
+          _.getPath.getName.startsWith(".claim-")),
+          "create-protocol commits must clean their claim markers")
+      } finally prev match {
+        case Some(p) => s.conf.set(VersionedTable.ProtocolConfKey, p)
+        case None => s.conf.unset(VersionedTable.ProtocolConfKey)
+      }
+      t0
+    })
+    VersionedTable.read(s, table)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   def q200SchemaHistory(s: SparkSession, dir: String): DataFrame = {
     q194SqlAddColumn(s, dir).count() // build the evolution fixture
     val table = writeTables(dir + "#alt")
@@ -671,12 +778,33 @@ object CdcQueries {
     "q196_stream_versioned" -> (q196StreamVersioned _),
     "q197_timestamp_as_of" -> (q197TimestampAsOf _),
     "q198_sql_update_cow" -> (q198SqlUpdateCow _),
-    "q200_schema_history" -> (q200SchemaHistory _))
+    "q200_schema_history" -> (q200SchemaHistory _),
+    "q201_conditional_commit" -> (q201ConditionalCommit _),
+    "q202_snapshot_tags" -> (q202SnapshotTags _))
 
   val oracles: Map[String, String] = Map(
+    // the create-protocol table is the three-way slice UNION of raw
+    // lineitem, so its current snapshot must reproduce the whole-table
+    // aggregate — any dir lost, duplicated, or half-published by the
+    // conditional-create commit path hash-mismatches here
+    "q201_conditional_commit" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q169_rollback" ->
       // the GOOD aggregate from raw orders: reading the rolled-back
       // current snapshot must reproduce it exactly
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the tagged (v1) snapshot IS the good aggregate: VERSION AS OF
+    // 'audited' must reproduce it after two corrupted recomputes and an
+    // expire that the tag survived
+    "q202_snapshot_tags" ->
       """SELECT o_orderstatus,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

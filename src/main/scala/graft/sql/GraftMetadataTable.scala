@@ -29,7 +29,11 @@ final class GraftMetadataTable(
 
   override def name(): String = identName
 
-  override def schema(): StructType = GraftMetadataTable.HistorySchema
+  private def isRefs: Boolean = metaName == "refs"
+
+  override def schema(): StructType =
+    if (isRefs) GraftMetadataTable.RefsSchema
+    else GraftMetadataTable.HistorySchema
 
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "metadata" -> metaName).asJava
@@ -39,16 +43,25 @@ final class GraftMetadataTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = () => new LocalScan {
-    override def readSchema(): StructType = GraftMetadataTable.HistorySchema
+    override def readSchema(): StructType = schema()
     override def rows(): Array[InternalRow] = {
       val spark = SparkSession.active
-      VersionedTable.history(spark, root).collect().map { r =>
-        InternalRow(
-          r.getLong(0),
-          r.getTimestamp(1).getTime * 1000L, // micros
-          r.getLong(2),
-          r.getBoolean(3))
-      }
+      if (isRefs)
+        VersionedTable.refs(spark, root).collect().map { r =>
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+            r.getLong(2),
+            r.getTimestamp(3).getTime * 1000L) // micros
+        }
+      else
+        VersionedTable.history(spark, root).collect().map { r =>
+          InternalRow(
+            r.getLong(0),
+            r.getTimestamp(1).getTime * 1000L, // micros
+            r.getLong(2),
+            r.getBoolean(3))
+        }
     }
     override def description(): String = s"graft $metaName of $root"
   }
@@ -56,12 +69,20 @@ final class GraftMetadataTable(
 
 object GraftMetadataTable {
   /** Recognized metadata-view names (`history` is the TVF's name;
-    * `snapshots` the Iceberg spelling). */
-  val Names: Set[String] = Set("history", "snapshots")
+    * `snapshots` the Iceberg spelling; `refs` lists tags, r14). */
+  val Names: Set[String] = Set("history", "snapshots", "refs")
 
   private[sql] val HistorySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
     StructField("data_version", LongType, nullable = false),
     StructField("is_current", BooleanType, nullable = false)))
+
+  private[sql] val RefsSchema = StructType(Seq(
+    StructField("name", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("type", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false)))
 }

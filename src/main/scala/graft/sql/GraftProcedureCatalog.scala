@@ -148,15 +148,16 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
     }
   }
 
-  /** `VERSION AS OF v` — only meaningful on a versioned root. */
+  /** `VERSION AS OF v` — only meaningful on a versioned root. A
+    * non-numeric ref resolves as a TAG (r14: `VERSION AS OF
+    * 'audited-2026-07'`, Iceberg's tag-ref spelling). */
   override def loadTable(ident: Identifier, version: String): Table =
     loadVia(ident) { dir =>
       require(VersionedTable.isVersioned(dir),
         s"$dir is not a versioned table: VERSION AS OF needs a " +
           "VersionedTable root (plain parquet dirs have no snapshots)")
-      val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"VERSION AS OF '$version': graft snapshot ids are integers"))
-      versionedTable(ident, dir, Some(v))
+      versionedTable(ident, dir,
+        Some(VersionedTable.resolveRef(dir, version)))
     }
 
   /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
@@ -494,10 +495,36 @@ object GraftProcedureCatalog {
       Seq(Maintenance.rewriteManifests(str(input, 0)))
   }
 
+  private object CreateTag extends MaintProc("create_tag",
+    "name a retained snapshot (expiry-proof until dropped; readable as " +
+      "VERSION AS OF '<tag>') — Iceberg's create_tag; empty version = " +
+      "the current snapshot",
+    Array(
+      p("table", StringType),
+      p("tag", StringType),
+      p("version", StringType, "''"))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] = {
+      val v = str(input, 2).trim
+      Seq(Maintenance.createTag(str(input, 0), str(input, 1),
+        if (v.isEmpty) None else Some(v.toLong)))
+    }
+  }
+
+  private object DropTag extends MaintProc("drop_tag",
+    "drop a snapshot tag; the snapshot becomes expirable again",
+    Array(p("table", StringType), p("tag", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.dropTag(str(input, 0), str(input, 1)))
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "rewrite_data_files" -> RewriteDataFiles,
     "expire_snapshots" -> ExpireSnapshots,
     "remove_orphan_files" -> RemoveOrphanFiles,
     "rewrite_manifests" -> RewriteManifests,
-    "repartition_table" -> RepartitionTable)
+    "repartition_table" -> RepartitionTable,
+    "create_tag" -> CreateTag,
+    "drop_tag" -> DropTag)
 }

@@ -524,15 +524,45 @@ private final class GraftReplaceWrite(
     keptDirVersions: () => Seq[Long]) extends Write {
 
   override def toBatch: BatchWrite = {
-    val stagingDir = s"$root/.replace-staging-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    if (partitionCols.isEmpty) flatBatch(stagingDir)
-    else partitionedBatch(stagingDir)
+    val (fs, _) = graft.util.Fs.fsFor(root)
+    // CREATE protocol (r14): claim the target version UP FRONT and have
+    // executors write DIRECTLY into the claimed `v=N` — no staging dir,
+    // no rename anywhere on the commit path (the object-store shape);
+    // abort abandons the claim (deletes the claimed dir + marker, never
+    // anything another commit could own). RENAME protocol: stage under
+    // a unique dot-prefixed dir, publish claims `v=N` by rename.
+    val claimed = VersionedTable.protocolFor(fs, root, "rowLevelWrite") match {
+      case VersionedTable.CreateCommit =>
+        Some(VersionedTable.claimReplaceVersion(root))
+      case VersionedTable.RenameCommit => None
+    }
+    val dir = claimed match {
+      case Some(v) => s"$root/v=$v"
+      case None => s"$root/.replace-staging-" +
+        java.util.UUID.randomUUID().toString.take(8)
+    }
+    if (partitionCols.isEmpty) flatBatch(dir, claimed)
+    else partitionedBatch(dir, claimed)
   }
+
+  private def publish(dir: String, claimed: Option[Long]): Unit =
+    claimed match {
+      case Some(v) => VersionedTable.publishClaimedReplace(root, v,
+        baseVersion, keptDirVersions())
+      case None => VersionedTable.publishStagedReplace(root, dir,
+        baseVersion, keptDirVersions())
+    }
+
+  private def abortCleanup(dir: String, claimed: Option[Long]): Unit =
+    claimed match {
+      case Some(v) => VersionedTable.abandonClaimOn(root, v)
+      case None => deleteDir(dir)
+    }
 
   /** Unpartitioned: Spark's v2 parquet BatchWrite into the staging
     * dir, op-column adaptation per row, publish by rename. */
-  private def flatBatch(stagingDir: String): BatchWrite = {
+  private def flatBatch(stagingDir: String,
+      claimed: Option[Long]): BatchWrite = {
     val staged = ParquetTable("graft-replace-staging", spark,
       CaseInsensitiveStringMap.empty(), Seq(stagingDir),
       Some(info.schema()), classOf[ParquetFileFormat])
@@ -555,15 +585,15 @@ private final class GraftReplaceWrite(
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)
-        // publish: the snapshot becomes visible only here (and the
-        // staged dir is consumed — renamed to v=N — on success)
-        VersionedTable.publishStagedReplace(root, stagingDir,
-          baseVersion, keptDirVersions())
+        // publish: the snapshot becomes visible only here (rename: the
+        // staged dir is consumed into v=N; create: the claimed dir's
+        // manifest lands)
+        publish(stagingDir, claimed)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
         inner.abort(messages)
-        deleteDir(stagingDir)
+        abortCleanup(stagingDir, claimed)
       }
     }
   }
@@ -572,7 +602,8 @@ private final class GraftReplaceWrite(
     * the staging dir; commit reconciles the listing against the task
     * messages (exactly-once against retried attempts) and publishes by
     * rename. */
-  private def partitionedBatch(stagingDir: String): BatchWrite = {
+  private def partitionedBatch(stagingDir: String,
+      claimed: Option[Long]): BatchWrite = {
     import org.apache.spark.sql.graft.PartitionedStagingWrite
     val factory = PartitionedStagingWrite.factory(spark, stagingDir,
       info.schema(), partitionCols)
@@ -583,12 +614,11 @@ private final class GraftReplaceWrite(
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         PartitionedStagingWrite.reconcile(stagingDir, messages)
-        VersionedTable.publishStagedReplace(root, stagingDir,
-          baseVersion, keptDirVersions())
+        publish(stagingDir, claimed)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =
-        deleteDir(stagingDir)
+        abortCleanup(stagingDir, claimed)
     }
   }
 

@@ -90,10 +90,14 @@ object Fs {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
   /** Schemes whose Hadoop connector implements rename as copy+delete —
-    * every rename-based commit in the engine shares this one set. */
+    * every rename-based commit in the engine shares this one set.
+    * `graftnr` is the test-only simulated object store
+    * (`graft.util.NoCommitRenameFileSystem`): a local filesystem whose
+    * rename REFUSES commit-protocol targets, so the create-protocol
+    * specs prove structurally that no commit ever renames. */
   val NonAtomicRenameSchemes: Set[String] =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
-      "oss", "cos", "swift")
+      "oss", "cos", "swift", "graftnr")
 
   def schemeOf(fs: FileSystem): String =
     Option(fs.getUri.getScheme).getOrElse("file")

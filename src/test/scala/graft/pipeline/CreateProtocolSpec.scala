@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The CREATE (conditional-create / object-store) commit protocol:
+  * claim a version by create-if-absent marker, write data DIRECTLY into
+  * the claimed `v=N`, publish the manifest by conditional create — zero
+  * renames on the commit path. The graftnr suite runs every verb on a
+  * simulated object store whose rename() THROWS for any commit-protocol
+  * target, so "no rename" is proven structurally, not argued. */
+class CreateProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCreateProtocol[T](body: => T): T = {
+    spark.conf.set(VersionedTable.ProtocolConfKey, "create")
+    try body
+    finally spark.conf.unset(VersionedTable.ProtocolConfKey)
+  }
+
+  /** A graftnr:// root over a fresh local temp dir. */
+  private def graftnrRoot(prefix: String): String = {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftnr.impl",
+      classOf[graft.util.NoCommitRenameFileSystem].getName)
+    "graftnr://" + Files.createTempDirectory(prefix).toString
+  }
+
+  test("create protocol: full verb lifecycle, no claims left behind") {
+    withCreateProtocol {
+      val table = Files.createTempDirectory("graft_cp_").toString + "/t"
+      val v1 = VersionedTable.write(Seq(1, 2).toDF("x"), table)
+      val v2 = VersionedTable.append(Seq(3).toDF("x"), table)
+      assert((v1, v2) == (1L, 2L))
+      assert(VersionedTable.read(spark, table).count() == 3)
+      assert(VersionedTable.read(spark, table, Some(1L)).count() == 2)
+      // append keeps prior data BY REFERENCE (dirs= manifest)
+      assert(VersionedTable.dataDirs(table).size == 2)
+
+      // replace: keep v1 by reference, rewrite v2's content
+      val v3 = VersionedTable.replace(Seq(30).toDF("x"), table,
+        keepDataVersions = Seq(1L), baseVersion = Some(2L))
+      assert(v3 == 3L)
+      assert(VersionedTable.read(spark, table).collect().map(_.getInt(0))
+        .sorted.toSeq == Seq(1, 2, 30))
+
+      // rollback + rewrite_manifests + truncate + expire
+      val v4 = VersionedTable.rollback(table, 1L)
+      assert(VersionedTable.read(spark, table).count() == 2)
+      VersionedTable.rollback(table, v3)
+      val collapsed = VersionedTable.rewriteManifests(table)
+      assert(collapsed.nonEmpty)
+      assert(VersionedTable.read(spark, table).count() == 3)
+      VersionedTable.truncate(spark, table)
+      assert(VersionedTable.read(spark, table).count() == 0)
+      VersionedTable.rollback(table, v4)
+      assert(VersionedTable.read(spark, table).count() == 2)
+      VersionedTable.expire(table, keepLast = 2)
+
+      // the protocol cleans up after itself: no claim markers remain
+      val (fs, root) = graft.util.Fs.fsFor(s"$table/_versions")
+      assert(!fs.listStatus(root).exists(
+        _.getPath.getName.startsWith(".claim-")))
+    }
+  }
+
+  test("create protocol: two concurrent appends both land, later " +
+      "manifest carries the earlier's dirs") {
+    withCreateProtocol {
+      val table = Files.createTempDirectory("graft_cp2_").toString + "/t"
+      VersionedTable.write(Seq(0).toDF("x"), table)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs2 = Seq(1, 2).map(i => scala.concurrent.Future {
+        VersionedTable.append(Seq(i * 10).toDF("x"), table)
+      })
+      val got = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs2),
+        scala.concurrent.duration.Duration(120, "s")).sorted
+      pool.shutdown()
+      assert(got == Seq(2L, 3L))
+      assert(VersionedTable.read(spark, table).collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(0, 10, 20))
+      assert(VersionedTable.dataDirs(table).size == 3)
+    }
+  }
+
+  test("stale foreign claim blocks publishes LOUDLY; remove_orphan_files " +
+      "un-wedges the table") {
+    withCreateProtocol {
+      val table = Files.createTempDirectory("graft_cp3_").toString + "/t"
+      VersionedTable.write(Seq(1).toDF("x"), table)
+      // a committer in another process claimed v2 and died
+      val (fs, root) = graft.util.Fs.fsFor(table)
+      val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
+      val out = fs.create(claim, false)
+      out.write("0\n".getBytes); out.close()
+
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.append(Seq(2).toDF("x"), table)
+      }
+      assert(e.getMessage.contains("remove_orphan_files"))
+      // the failed append abandoned ITS claim: only the foreign one left
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_versions"))
+        .map(_.getPath.getName).count(_.startsWith(".claim-")) == 1)
+
+      val rep = Maintenance.removeOrphans(spark, table)
+      assert(rep.ok, rep.detail)
+      assert(VersionedTable.append(Seq(2).toDF("x"), table) > 1L)
+      assert(VersionedTable.read(spark, table).count() == 2)
+    }
+  }
+
+  test("create protocol: appendBatch stays exactly-once under " +
+      "redelivery") {
+    withCreateProtocol {
+      val table = Files.createTempDirectory("graft_cp4_").toString + "/t"
+      assert(VersionedTable.appendBatch(Seq(1).toDF("x"), table, 0L).nonEmpty)
+      assert(VersionedTable.appendBatch(Seq(1).toDF("x"), table, 0L).isEmpty)
+      assert(VersionedTable.appendBatch(Seq(2).toDF("x"), table, 1L).nonEmpty)
+      assert(VersionedTable.read(spark, table).count() == 2)
+      assert(VersionedTable.lastStreamBatch(table).contains(1L))
+    }
+  }
+
+  test("create protocol: schema evolution writes META GENERATIONS " +
+      "(no overwrite), per-snapshot schema history intact") {
+    withCreateProtocol {
+      val table = Files.createTempDirectory("graft_cp5_").toString + "/t"
+      val base = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      VersionedTable.create(table, base)
+      VersionedTable.write(Seq(1L).toDF("k"), table)
+      VersionedTable.addColumns(spark, table, Seq(
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType)))
+      VersionedTable.addColumns(spark, table, Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType)))
+      assert(VersionedTable.storedSchema(table).get.fieldNames.toSeq ==
+        Seq("k", "note", "extra"))
+      // generations on disk: .table (g-1), .table.g0, .table.g1
+      val (fs, root) = graft.util.Fs.fsFor(s"$table/_versions")
+      val metas = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith(".table")).sorted.toSeq
+      assert(metas == Seq(".table", ".table.g0", ".table.g1"))
+      // time travel to the pre-evolution snapshot serves the OLD schema
+      assert(VersionedTable.read(spark, table, Some(1L))
+        .schema.fieldNames.toSeq == Seq("k"))
+      // evolved reads null-fill
+      VersionedTable.append(Seq((2L, "n", 9L)).toDF("k", "note", "extra"),
+        table)
+      val cur = VersionedTable.read(spark, table)
+      assert(cur.schema.fieldNames.toSeq == Seq("k", "note", "extra"))
+      assert(cur.where(col("k") === 1L).select("note").collect()
+        .head.isNullAt(0))
+    }
+  }
+
+  test("graftnr simulated object store: auto protocol REFUSES with a " +
+      "pointer to the conf; create protocol runs every verb with zero " +
+      "commit renames") {
+    val table = graftnrRoot("graft_nr_") + "/t"
+    // auto mode refuses the non-rename scheme, naming the opt-in conf
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq(1).toDF("x"), table)
+    }
+    assert(e.getMessage.contains(VersionedTable.ProtocolConfKey))
+
+    withCreateProtocol {
+      VersionedTable.write(Seq(1, 2).toDF("x"), table)
+      VersionedTable.append(Seq(3).toDF("x"), table)
+      assert(VersionedTable.read(spark, table).count() == 3)
+      assert(VersionedTable.read(spark, table, Some(1L)).count() == 2)
+      VersionedTable.rollback(table, 1L)
+      assert(VersionedTable.read(spark, table).count() == 2)
+      VersionedTable.rollback(table, 2L)
+      assert(VersionedTable.rewriteManifests(table).nonEmpty)
+      assert(VersionedTable.read(spark, table).count() == 3)
+      VersionedTable.truncate(spark, table)
+      assert(VersionedTable.read(spark, table).count() == 0)
+      VersionedTable.expire(table, keepLast = 3)
+      assert(VersionedTable.appendBatch(Seq(9).toDF("x"), table, 7L).nonEmpty)
+      assert(VersionedTable.appendBatch(Seq(9).toDF("x"), table, 7L).isEmpty)
+      assert(VersionedTable.read(spark, table).count() == 1)
+    }
+  }
+
+  test("graftnr object store: SQL DML (INSERT / UPDATE / DELETE / " +
+      "MERGE) commits through the claim-at-write path") {
+    val w = graftnrRoot("graft_nrsql_")
+    withCreateProtocol {
+      val cat = s"gnr${System.nanoTime()}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sql.GraftProcedureCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      spark.sql(s"CREATE TABLE $cat.wh.t (k BIGINT, val STRING)")
+      spark.sql(s"INSERT INTO $cat.wh.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $cat.wh.t VALUES (3, 'c')")
+      assert(spark.sql(s"SELECT * FROM $cat.wh.t").count() == 3)
+      // row-level rewrite: claim-at-write (executors write into the
+      // claimed v=N; no staging rename anywhere)
+      spark.sql(s"UPDATE $cat.wh.t SET val = 'B' WHERE k = 2")
+      assert(spark.sql(
+        s"SELECT val FROM $cat.wh.t WHERE k = 2").collect()
+        .head.getString(0) == "B")
+      // untouched dir carried BY REFERENCE: the update rewrote only the
+      // touched snapshot dir
+      spark.sql(s"DELETE FROM $cat.wh.t WHERE k = 1")
+      assert(spark.sql(s"SELECT * FROM $cat.wh.t").count() == 2)
+      spark.sql(s"""MERGE INTO $cat.wh.t t USING (SELECT 3 AS k, 'C' AS val
+        UNION ALL SELECT 4, 'd') s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql(s"SELECT val FROM $cat.wh.t ORDER BY k").collect()
+        .map(_.getString(0)).toSeq == Seq("B", "C", "d"))
+      // time travel still serves every retained snapshot
+      assert(spark.sql(s"SELECT * FROM $cat.wh.t VERSION AS OF 2")
+        .count() == 3)
+    }
+  }
+}
