@@ -529,6 +529,40 @@ object Maintenance {
         e.toString)
     }
 
+  /** Iceberg's branch verbs, as reports for the CALL surface:
+    * fork / publish (fast-forward) / drop — the write-audit-publish
+    * workflow from SQL. */
+  def createBranch(tableDir: String, branch: String): Report =
+    try {
+      val base = VersionedTable.createBranch(tableDir, branch)
+      Report(tableDir, "create_branch", ok = true,
+        s"branch '$branch' forked at snapshot v$base")
+    } catch {
+      case e: Throwable => Report(tableDir, "create_branch", ok = false,
+        e.toString)
+    }
+
+  def fastForward(tableDir: String, branch: String): Report =
+    try {
+      val v = VersionedTable.fastForward(tableDir, branch)
+      Report(tableDir, "fast_forward", ok = true,
+        s"published branch '$branch' as main snapshot v$v (by reference)")
+    } catch {
+      case e: Throwable => Report(tableDir, "fast_forward", ok = false,
+        e.toString)
+    }
+
+  def dropBranch(tableDir: String, branch: String): Report =
+    try {
+      VersionedTable.dropBranch(tableDir, branch)
+      Report(tableDir, "drop_branch", ok = true,
+        s"dropped branch '$branch' (exclusive dirs reclaimable via " +
+          "remove_orphan_files)")
+    } catch {
+      case e: Throwable => Report(tableDir, "drop_branch", ok = false,
+        e.toString)
+    }
+
   def removeOrphans(tableDir: String): Report =
     removeOrphansOn(new Configuration(), tableDir)
 

@@ -146,6 +146,74 @@ object VersionedTable {
       .sorted
   }
 
+  // ---- BRANCHES (r14): write-audit-publish refs -------------------------
+  //
+  // A branch is a named line of snapshots that advances WITHOUT moving
+  // the main table — Iceberg's branch refs, the substrate of
+  // write-audit-publish: stage commits on a branch, audit them by
+  // reading the branch, then FAST-FORWARD main to the branch head (a
+  // metadata-only main commit adopting the branch's resolved dir list
+  // by reference). Layout: branch manifests live under
+  // `_versions/branch-<name>/<v>`; version NUMBERS stay global (every
+  // commit — main or branch — allocates from one counter over main
+  // manifests, claims, and every branch's manifests), so `v=N` data
+  // dirs never collide across lines. `_versions/branch-<name>/.base`
+  // records the main version the branch forked from: fast-forward
+  // refuses when main moved past it (diverged — Iceberg's
+  // fast_forward ancestor check). Branch-referenced data dirs are LIVE
+  // for expiry and orphan cleanup; dropping a branch releases its
+  // exclusive dirs to `remove_orphan_files`.
+
+  private def branchManifestDir(root: Path, name: String): Path =
+    new Path(manifestDir(root), s"branch-$name")
+
+  private def branchNamesOn(fs: FileSystem, root: Path): Seq[String] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("branch-"))
+      .map(_.getPath.getName.stripPrefix("branch-"))
+      .sorted
+  }
+
+  private def branchVersionsOn(fs: FileSystem, root: Path,
+      name: String): Seq[Long] = {
+    val dir = branchManifestDir(root, name)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted
+  }
+
+  /** (base main version, creation time) of a branch. */
+  private def branchBaseOn(fs: FileSystem, root: Path,
+      name: String): (Long, Long) = {
+    val p = new Path(branchManifestDir(root, name), ".base")
+    require(fs.exists(p), s"no branch '$name' on $root")
+    val lines = graft.util.Fs.readSmallFileFs(fs, p).linesIterator.toSeq
+    (lines.head.trim.toLong,
+      lines.lift(1).flatMap(_.trim.toLongOption).getOrElse(0L))
+  }
+
+  /** The one global next-version source: main manifests, outstanding
+    * claims, and every branch's manifests — a branch commit and a main
+    * commit can never allocate the same `v=N` data dir. */
+  private def maxAllocatedOn(fs: FileSystem, root: Path): Long =
+    (versionsOn(fs, root) ++ claimsOn(fs, root) ++
+      branchNamesOn(fs, root).flatMap(branchVersionsOn(fs, root, _)))
+      .maxOption.getOrElse(0L)
+
+  /** Every data-dir version ANY branch manifest references — live for
+    * main expiry and orphan cleanup (a branch may carry main dirs by
+    * reference from its fork point, and owns its exclusive dirs). */
+  private def branchLiveDirsOn(fs: FileSystem, root: Path): Set[Long] =
+    branchNamesOn(fs, root).flatMap { b =>
+      branchVersionsOn(fs, root, b).flatMap { v =>
+        parseDirVersions(graft.util.Fs.readSmallFileFs(fs,
+          new Path(branchManifestDir(root, b), v.toString)), v)
+      }
+    }.toSet
+
   def versions(table: String): Seq[Long] = {
     val (fs, root) = fsFor(table)
     versionsOn(fs, root)
@@ -166,11 +234,13 @@ object VersionedTable {
   private val batchMarkerCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Option[Long])]
 
-  /** Manifest commit: temp in `_versions` (dot-prefixed, skipped by the
-    * numeric-name filter in [[versionsOn]]) + atomic rename. */
+  /** Manifest commit: temp in the manifest dir (dot-prefixed, skipped
+    * by the numeric-name filter in [[versionsOn]]) + atomic rename.
+    * `branch` redirects the manifest into that branch's dir (r14) —
+    * branch commits never touch the main marker cache. */
   private def commitManifest(fs: FileSystem, root: Path, v: Long,
-      content: String): Unit = {
-    val dir = manifestDir(root)
+      content: String, branch: Option[String] = None): Unit = {
+    val dir = branch.map(branchManifestDir(root, _)).getOrElse(manifestDir(root))
     fs.mkdirs(dir)
     val tmp = new Path(dir,
       s".$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -184,7 +254,7 @@ object VersionedTable {
     // the committed content is authoritative for the newest marker:
     // every commit path re-carries the newest batch= line, so absence
     // here means absence everywhere at-or-below v
-    batchMarkerCache.put(root.toString,
+    if (branch.isEmpty) batchMarkerCache.put(root.toString,
       (v, content.linesIterator.collectFirst {
         case l if l.startsWith("batch=") =>
           l.stripPrefix("batch=").trim.toLong
@@ -231,14 +301,17 @@ object VersionedTable {
     * claim retries against the advanced version; on any failure after
     * the claim, the claimed dir is deleted so no orphan remains and the
     * staged data is not silently half-published. */
-  private def commitStaged(fs: FileSystem, root: Path, stage: Path)(
+  private def commitStaged(fs: FileSystem, root: Path, stage: Path,
+      branch: Option[String] = None)(
       content: (Seq[Long], Long) => String): Long =
     try withCommitLock(root) {
       var attempts = 0
       var committed = -1L
       while (committed < 0) {
         val vs = versionsOn(fs, root)
-        val next = vs.lastOption.getOrElse(0L) + 1L
+        // global allocation: branch manifests and claims count too, so
+        // a main commit never claims a data dir a branch owns
+        val next = maxAllocatedOn(fs, root) + 1L
         val target = new Path(root, s"v=$next")
         if (!fs.exists(target) && fs.rename(stage, target)) {
           try {
@@ -249,7 +322,8 @@ object VersionedTable {
             // contract; [[schemaAt]] reads it back)
             val schemaLine = storedSchema(root.toString)
               .map(sch => s"schema=${sch.json}\n").getOrElse("")
-            commitManifest(fs, root, next, content(vs, next) + schemaLine)
+            commitManifest(fs, root, next, content(vs, next) + schemaLine,
+              branch)
             committed = next
           } catch {
             case e: Throwable => // loser/validation cleanup: un-claim
@@ -313,9 +387,7 @@ object VersionedTable {
     var attempts = 0
     var got = -1L
     while (got < 0) {
-      val next = math.max(
-        versionsOn(fs, root).lastOption.getOrElse(0L),
-        claimsOn(fs, root).lastOption.getOrElse(0L)) + 1L
+      val next = maxAllocatedOn(fs, root) + 1L
       val collided =
         if (fs.exists(new Path(root, s"v=$next"))) true
         else try {
@@ -368,7 +440,7 @@ object VersionedTable {
     * On any failure before the manifest lands, the claim is abandoned
     * (data dir + marker deleted) and the error rethrown. */
   private[graft] def publishClaimed(fs: FileSystem, root: Path,
-      table: String, v: Long)(
+      table: String, v: Long, branch: Option[String] = None)(
       content: (Seq[Long], Long) => String): Long = {
     var manifested = false
     try {
@@ -381,7 +453,8 @@ object VersionedTable {
           if (lower.isEmpty) {
             val schemaLine = storedSchema(root.toString)
               .map(sch => s"schema=${sch.json}\n").getOrElse("")
-            commitManifestCreate(fs, root, v, content(vs, v) + schemaLine)
+            commitManifestCreate(fs, root, v, content(vs, v) + schemaLine,
+              branch)
             manifested = true
             try fs.delete(claimPath(root, v), false)
             catch { case scala.util.control.NonFatal(_) => () }
@@ -415,8 +488,10 @@ object VersionedTable {
     * the claim guarantees no competing writer of this version exists.
     * A failure mid-write deletes the torn target before rethrowing. */
   private def commitManifestCreate(fs: FileSystem, root: Path, v: Long,
-      content: String): Unit = {
-    val target = new Path(manifestDir(root), v.toString)
+      content: String, branch: Option[String] = None): Unit = {
+    val dir = branch.map(branchManifestDir(root, _))
+      .getOrElse(manifestDir(root))
+    val target = new Path(dir, v.toString)
     try {
       val out = fs.create(target, false)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -427,7 +502,7 @@ object VersionedTable {
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
-    batchMarkerCache.put(root.toString,
+    if (branch.isEmpty) batchMarkerCache.put(root.toString,
       (v, content.linesIterator.collectFirst {
         case l if l.startsWith("batch=") =>
           l.stripPrefix("batch=").trim.toLong
@@ -438,7 +513,8 @@ object VersionedTable {
     * DIRECTLY into the claimed `v=N` (no staging, no rename — the claim
     * makes the final name exclusive), publish in claim order. */
   private def commitCreate(fs: FileSystem, root: Path, table: String,
-      df: DataFrame)(content: (Seq[Long], Long) => String): Long = {
+      df: DataFrame, branch: Option[String] = None)(
+      content: (Seq[Long], Long) => String): Long = {
     val v = claimVersion(fs, root, table)
     try {
       val target = new Path(root, s"v=$v")
@@ -447,7 +523,7 @@ object VersionedTable {
           df.write.partitionBy(cols: _*).parquet(target.toString)
         case _ => df.write.parquet(target.toString)
       }
-      publishClaimed(fs, root, table, v)(content)
+      publishClaimed(fs, root, table, v, branch)(content)
     } catch {
       case e: Throwable =>
         // idempotent: publishClaimed cleans on ITS failures, but a
@@ -483,8 +559,12 @@ object VersionedTable {
       root: Path): Int = withCommitLock(root) {
     var removed = 0
     val vs = versionsOn(fs, root)
-    val manifested = vs.toSet
-    val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet
+    // branch manifests count as manifested (a claim whose publish went
+    // to a branch is not debris) and their referenced dirs as live
+    val manifested = vs.toSet ++
+      branchNamesOn(fs, root).flatMap(branchVersionsOn(fs, root, _))
+    val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet ++
+      branchLiveDirsOn(fs, root)
     val owned = liveClaims.getOrElse(root.toString, Set.empty)
     claimsOn(fs, root).foreach { k =>
       if (!owned.contains(k)) {
@@ -986,7 +1066,7 @@ object VersionedTable {
         if (dirVersions.size <= 1 ||
             manifestFilesOn(fs, root, vs.last).isDefined) None
         else {
-          val next = vs.last + 1L
+          val next = maxAllocatedOn(fs, root) + 1L
           val schemaLine = storedSchema(table)
             .map(s => s"schema=${s.json}\n").getOrElse("")
           commitManifest(fs, root, next,
@@ -1093,15 +1173,15 @@ object VersionedTable {
   private def tagPath(root: Path, name: String): Path =
     new Path(manifestDir(root), s".tag-$name")
 
-  /** Tag names: word chars, dash, dot — and NOT parseable as a number
-    * (a numeric tag would be ambiguous with a snapshot id everywhere a
-    * ref string is accepted). */
+  /** Ref (tag/branch) names: word chars, dash, dot — and NOT parseable
+    * as a number (a numeric ref would be ambiguous with a snapshot id
+    * everywhere a ref string is accepted). */
   private def requireValidTagName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
-      s"invalid tag name '$name': use letters, digits, '.', '-', '_'")
+      s"invalid ref name '$name': use letters, digits, '.', '-', '_'")
     require(name.toLongOption.isEmpty,
-      s"invalid tag name '$name': a numeric name is ambiguous with a " +
+      s"invalid ref name '$name': a numeric name is ambiguous with a " +
         "snapshot id")
   }
 
@@ -1178,14 +1258,257 @@ object VersionedTable {
           s"(tags: ${tags(table).keys.toSeq.sorted.mkString(", ")})"))
 
   /** The refs view (`SELECT * FROM t.refs` / metadata table): one row
-    * per tag with its snapshot and creation time. */
+    * per TAG (its snapshot + creation time) and per BRANCH (its head —
+    * the fork base while uncommitted — + fork time). */
   def refs(spark: SparkSession, table: String): DataFrame = {
     val (fs, root) = fsFor(table)
     import spark.implicits._
-    tagsOn(fs, root).toSeq.sortBy(_._1).map { case (n, (v, ts)) =>
-      (n, "TAG", v, new java.sql.Timestamp(ts))
-    }.toDF("name", "type", "version", "created_at")
+    val tagRows = tagsOn(fs, root).toSeq.sortBy(_._1).map {
+      case (n, (v, ts)) => (n, "TAG", v, new java.sql.Timestamp(ts))
+    }
+    val branchRows = branchNamesOn(fs, root).map { b =>
+      val (base, ts) = branchBaseOn(fs, root, b)
+      (b, "BRANCH",
+        branchVersionsOn(fs, root, b).lastOption.getOrElse(base),
+        new java.sql.Timestamp(ts))
+    }
+    (tagRows ++ branchRows)
+      .toDF("name", "type", "version", "created_at")
   }
+
+  // ---- branch verbs: the write-audit-publish surface --------------------
+
+  /** Fork a branch at the CURRENT main snapshot. Returns the base
+    * version. Branch and tag names share one ref namespace (a ref
+    * string must resolve unambiguously). */
+  def createBranch(table: String, name: String): Long = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "createBranch")
+    requireValidTagName(name)
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      require(vs.nonEmpty, s"no versions in $table")
+      require(tagVersion(table, name).isEmpty,
+        s"'$name' already names a TAG on $table — refs share one namespace")
+      val dir = branchManifestDir(root, name)
+      require(!fs.exists(dir), s"branch '$name' already exists on $table")
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, ".base"), false)
+      try out.write(s"${vs.last}\n${System.currentTimeMillis()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      vs.last
+    }
+  }
+
+  /** All branches: name -> head version (the base version while the
+    * branch has no commits of its own). */
+  def branches(table: String): Map[String, Long] = {
+    val (fs, root) = fsFor(table)
+    branchNamesOn(fs, root).map { b =>
+      b -> branchVersionsOn(fs, root, b).lastOption
+        .getOrElse(branchBaseOn(fs, root, b)._1)
+    }.toMap
+  }
+
+  /** The branch head's resolved data-dir list (falls through to the
+    * base snapshot while the branch has no commits — which must then
+    * still be retained on main). */
+  private def branchHeadDirsOn(fs: FileSystem, root: Path,
+      name: String): Seq[Long] = {
+    val bvs = branchVersionsOn(fs, root, name)
+    bvs.lastOption match {
+      case Some(h) =>
+        parseDirVersions(graft.util.Fs.readSmallFileFs(fs,
+          new Path(branchManifestDir(root, name), h.toString)), h)
+      case None =>
+        val (base, _) = branchBaseOn(fs, root, name)
+        require(versionsOn(fs, root).contains(base),
+          s"branch '$name' of $root: base snapshot $base expired " +
+            "before any branch commit — drop and re-fork the branch")
+        dataVersionsOn(fs, root, base)
+    }
+  }
+
+  /** Append rows to a BRANCH: main does not move; the branch manifest
+    * carries the branch head's dirs plus the new one by reference —
+    * the staging half of write-audit-publish. */
+  def appendToBranch(df: DataFrame, table: String, name: String): Long = {
+    val (fs, root) = fsFor(table)
+    val proto = protocolFor(fs, table, "appendToBranch")
+    branchBaseOn(fs, root, name) // loud existence check before staging
+    val content = (_: Seq[Long], next: Long) =>
+      manifestContent(branchHeadDirsOn(fs, root, name) :+ next, next)
+    proto match {
+      case RenameCommit =>
+        commitStaged(fs, root, stageData(df, root, table), Some(name))(content)
+      case CreateCommit =>
+        commitCreate(fs, root, table, df, Some(name))(content)
+    }
+  }
+
+  /** Replace a BRANCH's content wholesale (the full-recompute WAP
+    * shape): the branch head becomes exactly `df`. */
+  def writeToBranch(df: DataFrame, table: String, name: String): Long = {
+    val (fs, root) = fsFor(table)
+    val proto = protocolFor(fs, table, "writeToBranch")
+    branchBaseOn(fs, root, name)
+    val content = (_: Seq[Long], next: Long) =>
+      manifestContent(Seq(next), next)
+    proto match {
+      case RenameCommit =>
+        commitStaged(fs, root, stageData(df, root, table), Some(name))(content)
+      case CreateCommit =>
+        commitCreate(fs, root, table, df, Some(name))(content)
+    }
+  }
+
+  /** Read a BRANCH head (the audit half of write-audit-publish):
+    * resolved exactly like a snapshot read, serving the schema embedded
+    * at branch-commit time. */
+  def readBranch(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    val (fs, root) = fsFor(table)
+    val bvs = branchVersionsOn(fs, root, name)
+    bvs.lastOption match {
+      case Some(h) =>
+        val content = graft.util.Fs.readSmallFileFs(fs,
+          new Path(branchManifestDir(root, name), h.toString))
+        readDirs(spark, table,
+          parseDirVersions(content, h)
+            .map(k => new Path(root, s"v=$k").toString),
+          parseSchema(content))
+      case None =>
+        val (base, _) = branchBaseOn(fs, root, name)
+        read(spark, table, Some(base))
+    }
+  }
+
+  /** The branch head's scan paths + per-branch schema — what the DSv2
+    * catalog binds `VERSION AS OF '<branch>'` to. */
+  private[graft] def branchDataPaths(table: String,
+      name: String): Seq[String] = {
+    val (fs, root) = fsFor(table)
+    branchHeadDirsOn(fs, root, name)
+      .map(k => new Path(root, s"v=$k").toString)
+  }
+
+  private[graft] def branchSchema(table: String, name: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root) = fsFor(table)
+    branchVersionsOn(fs, root, name).lastOption.flatMap { h =>
+      parseSchema(graft.util.Fs.readSmallFileFs(fs,
+        new Path(branchManifestDir(root, name), h.toString)))
+    }.orElse(storedSchema(table))
+  }
+
+  /** PUBLISH a branch: commit the branch head's content as the next
+    * MAIN snapshot — metadata only, every data dir adopted BY REFERENCE
+    * (Iceberg's fast_forward). Refuses when main moved past the
+    * branch's fork point (diverged) or the branch has no commits.
+    * The branch stays; drop it when the audit cycle is done. */
+  def fastForward(table: String, name: String): Long = {
+    val (fs, root) = fsFor(table)
+    val proto = protocolFor(fs, table, "fastForward")
+    val content = (vs: Seq[Long], next: Long) => {
+      val (base, _) = branchBaseOn(fs, root, name)
+      require(vs.lastOption.contains(base),
+        s"fast_forward('$name') on $table: main is at snapshot " +
+          s"${vs.lastOption.getOrElse(-1L)} but the branch forked at " +
+          s"$base — histories diverged; re-fork the branch from the " +
+          "current snapshot and re-stage")
+      require(branchVersionsOn(fs, root, name).nonEmpty,
+        s"fast_forward('$name') on $table: branch has no commits — " +
+          "nothing to publish")
+      manifestContent(branchHeadDirsOn(fs, root, name), next,
+        carryBatchLine(fs, root))
+    }
+    proto match {
+      case CreateCommit => commitMetaCreate(fs, root, table)(content)
+      case RenameCommit => withCommitLock(root) {
+        val vs = versionsOn(fs, root)
+        require(vs.nonEmpty, s"no versions in $table")
+        val next = maxAllocatedOn(fs, root) + 1L
+        val schemaLine =
+          storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
+        commitManifest(fs, root, next, content(vs, next) + schemaLine)
+        next
+      }
+    }
+  }
+
+  /** Drop a branch. Its exclusive data dirs become orphans —
+    * `remove_orphan_files` reclaims them (dirs adopted by a
+    * fast-forward are main-referenced and stay). */
+  def dropBranch(table: String, name: String): Unit = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "dropBranch")
+    requireValidTagName(name)
+    withCommitLock(root) {
+      require(fs.exists(branchManifestDir(root, name)),
+        s"no branch '$name' on $table")
+      fs.delete(branchManifestDir(root, name), true)
+    }
+  }
+
+  /** Read ANY ref — snapshot id, tag, or branch — the resolution every
+    * SQL string-ref surface shares. */
+  def readRef(spark: SparkSession, table: String, ref: String): DataFrame =
+    ref.toLongOption match {
+      case Some(v) => read(spark, table, Some(v))
+      case None => tagVersion(table, ref) match {
+        case Some(v) => read(spark, table, Some(v))
+        case None if branches(table).contains(ref) =>
+          readBranch(spark, table, ref)
+        case None => throw new IllegalArgumentException(
+          s"'$ref' is neither a snapshot id, a tag, nor a branch on " +
+            s"$table (tags: ${tags(table).keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})")
+      }
+    }
+
+  /** The files view (`SELECT * FROM t.files` metadata table): one row
+    * per DATA FILE of the addressed snapshot — root-relative path, the
+    * owning data-dir version, and size. Pre-resolved `files=` manifests
+    * ([[rewriteManifests]]) serve without listing; dir-list snapshots
+    * pay one recursive listing per dir. Driver rows are file-count
+    * bounded — the same budget class as the stats-index name lists. */
+  def filesView(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, root) = fsFor(table)
+    val rootPrefix = root.toString + "/"
+    import spark.implicits._
+    val rows = dataPaths(table, version).flatMap { p =>
+      val qp = new Path(p)
+      if (!fs.exists(qp)) Nil
+      else if (fs.getFileStatus(qp).isFile) {
+        // a files= manifest entry: one exact status call, no listing
+        val st = fs.getFileStatus(qp)
+        val rel = st.getPath.toString.stripPrefix(rootPrefix)
+        Seq((rel, dirVersionOfRel(rel), st.getLen))
+      } else {
+        val it = fs.listFiles(qp, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(rootPrefix)
+          val hidden = rel.split("/").exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+          if (st.isFile && !hidden)
+            buf += ((rel, dirVersionOfRel(rel), st.getLen))
+        }
+        buf
+      }
+    }
+    rows.sortBy(_._1).toDF("file_path", "data_version", "size_bytes")
+  }
+
+  /** The leading `v=K/` data-dir version of a ROOT-RELATIVE path. */
+  private def dirVersionOfRel(rel: String): Long =
+    rel.split("/").headOption
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption)
+      .getOrElse(-1L)
 
   /** Iceberg's `rollback_to_snapshot` for this layer: make `toVersion`'s
     * content current WITHOUT rewriting data or erasing history — a new
@@ -1218,7 +1541,7 @@ object VersionedTable {
       case RenameCommit => withCommitLock(root) {
         val vs = versionsOn(fs, root)
         require(vs.nonEmpty, s"no versions in $table")
-        val next = vs.last + 1L
+        val next = maxAllocatedOn(fs, root) + 1L
         val schemaLine =
           storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
         commitManifest(fs, root, next, content(vs, next) + schemaLine)
@@ -1237,11 +1560,13 @@ object VersionedTable {
     require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
       "graft_version expects literal arguments: (table_path[, version])")
     val table = exprs.head.eval().toString
-    // a number is a snapshot id; any other string resolves as a TAG
-    // (graft_version('/t', 'audited-2026-07')) — the same ref contract
-    // the catalog's VERSION AS OF applies
-    val version = exprs.lift(1).map(e => resolveRef(table, e.eval().toString))
-    read(SparkSession.active, table, version).queryExecution.analyzed
+    // a number is a snapshot id; any other string resolves as a TAG or
+    // a BRANCH (graft_version('/t', 'audited-2026-07')) — the same ref
+    // contract the catalog's VERSION AS OF applies
+    (exprs.lift(1) match {
+      case Some(e) => readRef(SparkSession.active, table, e.eval().toString)
+      case None => read(SparkSession.active, table)
+    }).queryExecution.analyzed
   }
 
   /** INCREMENTAL read (Iceberg's incremental append scan): the rows
@@ -1364,9 +1689,12 @@ object VersionedTable {
       drop: Seq[Long]): Seq[Long] = {
     val dropSet = drop.toSet
     // resolve BEFORE dropping manifests: every data dir ANY kept
-    // version references (redirect targets, append bases) is live
+    // version references (redirect targets, append bases) is live —
+    // and so is every dir a BRANCH manifest references (a branch
+    // carries main dirs by reference from its fork point)
     val live = vs.filterNot(dropSet)
-      .flatMap(dataVersionsOn(fs, root, _)).toSet
+      .flatMap(dataVersionsOn(fs, root, _)).toSet ++
+      branchLiveDirsOn(fs, root)
     drop.foreach { v =>
       fs.delete(new Path(manifestDir(root), v.toString), false)
       if (!live.contains(v)) {

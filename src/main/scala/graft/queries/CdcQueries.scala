@@ -631,6 +631,51 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** WRITE-AUDIT-PUBLISH via branches (r14; Iceberg's branch refs +
+    * fast_forward): a third of raw orders is committed to main, the
+    * other two thirds are STAGED as branch commits (main must not move
+    * — require()d), the audit read sees the full union on the branch,
+    * and fast_forward publishes the branch head to main BY REFERENCE
+    * (main's dir list must read [1,2,3] — a data-copying publish or a
+    * wrong fork would fail the requires). The query aggregates the
+    * published main table; the oracle replays the whole-orders
+    * aggregate — any staged row lost or duplicated across the
+    * branch/publish machinery hash-mismatches. */
+  def q203Wap(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#wap", {
+      rollbackCleanupHook
+      val t0 = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString + "/wap"
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.write(ord.filter(col("o_orderkey") % 3 === 0), t0)
+      require(VersionedTable.createBranch(t0, "audit") == 1L)
+      VersionedTable.appendToBranch(
+        ord.filter(col("o_orderkey") % 3 === 1), t0, "audit")
+      VersionedTable.appendToBranch(
+        ord.filter(col("o_orderkey") % 3 === 2), t0, "audit")
+      // staging left main untouched; the audit read sees everything
+      require(VersionedTable.versions(t0) == Seq(1L),
+        s"branch staging must not move main: ${VersionedTable.versions(t0)}")
+      val audited = VersionedTable.readBranch(s, t0, "audit").count()
+      val mainBefore = VersionedTable.read(s, t0).count()
+      require(audited > mainBefore,
+        s"audit read must see staged rows: $audited vs $mainBefore")
+      VersionedTable.fastForward(t0, "audit")
+      val dirs = VersionedTable.dataDirs(t0).map(_.split("/v=").last)
+      require(dirs == Seq("1", "2", "3"),
+        s"fast_forward must adopt branch dirs BY REFERENCE; got $dirs")
+      VersionedTable.dropBranch(t0, "audit")
+      t0
+    })
+    VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Object-store-native commits (r14): the snapshot lifecycle — a full
     * write, two by-reference appends, a metadata-only manifest collapse
     * — committed through the CREATE protocol
@@ -780,7 +825,8 @@ object CdcQueries {
     "q198_sql_update_cow" -> (q198SqlUpdateCow _),
     "q200_schema_history" -> (q200SchemaHistory _),
     "q201_conditional_commit" -> (q201ConditionalCommit _),
-    "q202_snapshot_tags" -> (q202SnapshotTags _))
+    "q202_snapshot_tags" -> (q202SnapshotTags _),
+    "q203_wap" -> (q203Wap _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -796,6 +842,16 @@ object CdcQueries {
     "q169_rollback" ->
       // the GOOD aggregate from raw orders: reading the rolled-back
       // current snapshot must reproduce it exactly
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the published main table is the three-way slice union of raw
+    // orders: a WAP bug that loses/duplicates staged rows, publishes
+    // the wrong branch head, or copies instead of referencing
+    // hash-mismatches here
+    "q203_wap" ->
       """SELECT o_orderstatus,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

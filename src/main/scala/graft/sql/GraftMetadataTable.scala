@@ -30,9 +30,11 @@ final class GraftMetadataTable(
   override def name(): String = identName
 
   private def isRefs: Boolean = metaName == "refs"
+  private def isFiles: Boolean = metaName == "files"
 
   override def schema(): StructType =
     if (isRefs) GraftMetadataTable.RefsSchema
+    else if (isFiles) GraftMetadataTable.FilesSchema
     else GraftMetadataTable.HistorySchema
 
   override def properties(): util.Map[String, String] =
@@ -54,6 +56,13 @@ final class GraftMetadataTable(
             r.getLong(2),
             r.getTimestamp(3).getTime * 1000L) // micros
         }
+      else if (isFiles)
+        VersionedTable.filesView(spark, root).collect().map { r =>
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            r.getLong(1),
+            r.getLong(2))
+        }
       else
         VersionedTable.history(spark, root).collect().map { r =>
           InternalRow(
@@ -69,14 +78,21 @@ final class GraftMetadataTable(
 
 object GraftMetadataTable {
   /** Recognized metadata-view names (`history` is the TVF's name;
-    * `snapshots` the Iceberg spelling; `refs` lists tags, r14). */
-  val Names: Set[String] = Set("history", "snapshots", "refs")
+    * `snapshots` the Iceberg spelling; `refs` lists tags and `files`
+    * the current snapshot's data files, r14). */
+  val Names: Set[String] = Set("history", "snapshots", "refs", "files")
 
   private[sql] val HistorySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
     StructField("data_version", LongType, nullable = false),
     StructField("is_current", BooleanType, nullable = false)))
+
+  private[sql] val FilesSchema = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("data_version", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
 
   private[sql] val RefsSchema = StructType(Seq(
     StructField("name", org.apache.spark.sql.types.StringType,

@@ -149,15 +149,24 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
   }
 
   /** `VERSION AS OF v` — only meaningful on a versioned root. A
-    * non-numeric ref resolves as a TAG (r14: `VERSION AS OF
-    * 'audited-2026-07'`, Iceberg's tag-ref spelling). */
+    * non-numeric ref resolves as a TAG, then a BRANCH (r14: `VERSION AS
+    * OF 'audited-2026-07'` / `VERSION AS OF 'wap-staging'`, Iceberg's
+    * ref spelling). */
   override def loadTable(ident: Identifier, version: String): Table =
     loadVia(ident) { dir =>
       require(VersionedTable.isVersioned(dir),
         s"$dir is not a versioned table: VERSION AS OF needs a " +
           "VersionedTable root (plain parquet dirs have no snapshots)")
-      versionedTable(ident, dir,
-        Some(VersionedTable.resolveRef(dir, version)))
+      version.toLongOption.orElse(VersionedTable.tagVersion(dir, version))
+        match {
+        case Some(v) => versionedTable(ident, dir, Some(v))
+        case None if VersionedTable.branches(dir).contains(version) =>
+          new GraftVersionedTable(ident.toString, dir, None,
+            SparkSession.active, branchPin = Some(version))
+        case None => throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': neither a snapshot id nor a tag " +
+            s"nor a branch on $dir")
+      }
     }
 
   /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
@@ -519,6 +528,34 @@ object GraftProcedureCatalog {
       Seq(Maintenance.dropTag(str(input, 0), str(input, 1)))
   }
 
+  private object CreateBranch extends MaintProc("create_branch",
+    "fork a branch at the current snapshot — the staging ref of " +
+      "write-audit-publish (Iceberg's create_branch)",
+    Array(p("table", StringType), p("branch", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.createBranch(str(input, 0), str(input, 1)))
+  }
+
+  private object FastForward extends MaintProc("fast_forward",
+    "publish a branch: commit its head content as the next MAIN " +
+      "snapshot by reference (refuses if main diverged) — Iceberg's " +
+      "fast_forward",
+    Array(p("table", StringType), p("branch", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.fastForward(str(input, 0), str(input, 1)))
+  }
+
+  private object DropBranch extends MaintProc("drop_branch",
+    "drop a branch; its exclusive data dirs become reclaimable via " +
+      "remove_orphan_files",
+    Array(p("table", StringType), p("branch", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.dropBranch(str(input, 0), str(input, 1)))
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "rewrite_data_files" -> RewriteDataFiles,
     "expire_snapshots" -> ExpireSnapshots,
@@ -526,5 +563,8 @@ object GraftProcedureCatalog {
     "rewrite_manifests" -> RewriteManifests,
     "repartition_table" -> RepartitionTable,
     "create_tag" -> CreateTag,
-    "drop_tag" -> DropTag)
+    "drop_tag" -> DropTag,
+    "create_branch" -> CreateBranch,
+    "fast_forward" -> FastForward,
+    "drop_branch" -> DropBranch)
 }

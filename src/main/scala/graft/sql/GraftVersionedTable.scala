@@ -47,15 +47,20 @@ final class GraftVersionedTable(
     identName: String,
     root: String,
     pinnedVersion: Option[Long],
-    spark: SparkSession)
+    spark: SparkSession,
+    branchPin: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  /** Scan roots: the pre-resolved FILE list when the snapshot's
+  /** Scan roots: the branch head's dirs under a BRANCH pin (r14 —
+    * `VERSION AS OF '<branch>'`, the audit read of write-audit-
+    * publish); otherwise the pre-resolved FILE list when the snapshot's
     * manifest carries one (rewrite_manifests, r14 — zero dir
     * listings), the data-dir list otherwise. */
-  private def dataPaths: Seq[String] =
-    VersionedTable.dataPaths(root, pinnedVersion)
+  private def dataPaths: Seq[String] = branchPin match {
+    case Some(b) => VersionedTable.branchDataPaths(root, b)
+    case None => VersionedTable.dataPaths(root, pinnedVersion)
+  }
 
   /** True when the snapshot-dir level can surface as the metadata
     * column `v` (the group id dir-granular copy-on-write rewrites
@@ -70,9 +75,10 @@ final class GraftVersionedTable(
     * declared table schema otherwise. */
   private def effectiveSchema
       : Option[org.apache.spark.sql.types.StructType] =
-    pinnedVersion match {
-      case Some(v) => VersionedTable.schemaAt(root, v)
-      case None => VersionedTable.storedSchema(root)
+    (branchPin, pinnedVersion) match {
+      case (Some(b), _) => VersionedTable.branchSchema(root, b)
+      case (None, Some(v)) => VersionedTable.schemaAt(root, v)
+      case _ => VersionedTable.storedSchema(root)
     }
 
   private[sql] lazy val dirMetaCapable: Boolean =
@@ -159,10 +165,15 @@ final class GraftVersionedTable(
 
   // ---- writes ---------------------------------------------------------
 
-  private def refusePinned(op: String): Unit =
+  private def refusePinned(op: String): Unit = {
     require(pinnedVersion.isEmpty,
       s"$op on $identName VERSION AS OF ${pinnedVersion.get}: snapshots " +
         "are immutable — write to the table, not to a point in its history")
+    require(branchPin.isEmpty,
+      s"$op on $identName VERSION AS OF '${branchPin.getOrElse("")}': " +
+        "branch relations are read-only here — stage branch commits " +
+        "with appendToBranch/writeToBranch, publish with fast_forward")
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refusePinned("write")
@@ -220,7 +231,8 @@ final class GraftVersionedTable(
   // ---- DELETE FROM: copy-on-write at data-dir granularity -------------
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    pinnedVersion.isEmpty && filters.forall(translate(_).isDefined)
+    pinnedVersion.isEmpty && branchPin.isEmpty &&
+      filters.forall(translate(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     refusePinned("DELETE")

@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** BRANCHES — write-audit-publish (Iceberg's branch refs +
+  * fast_forward): staging commits on a branch leave main untouched,
+  * the audit reads the branch, fast-forward publishes its content to
+  * main BY REFERENCE, and liveness accounting (expiry, orphan cleanup)
+  * respects branch-referenced data dirs throughout. */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write-audit-publish: branch commits leave main untouched; " +
+      "fast_forward adopts the branch head by reference; drop + " +
+      "remove_orphan_files reclaims only branch-exclusive dirs") {
+    val table = Files.createTempDirectory("graft_br_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table) // main v1
+    val base = VersionedTable.createBranch(table, "wap")
+    assert(base == 1L)
+
+    // stage two commits on the branch
+    VersionedTable.appendToBranch(Seq(2).toDF("x"), table, "wap")
+    VersionedTable.appendToBranch(Seq(3).toDF("x"), table, "wap")
+
+    // audit: the branch sees main's fork-point data PLUS the staged rows
+    assert(VersionedTable.readBranch(spark, table, "wap").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // main has not moved and still reads only its own data
+    assert(VersionedTable.versions(table) == Seq(1L))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    assert(VersionedTable.branches(table) == Map("wap" -> 3L))
+
+    // publish: a metadata-only main commit adopting dirs BY REFERENCE
+    val published = VersionedTable.fastForward(table, "wap")
+    assert(published == 4L)
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // by reference: main's current snapshot resolves to the branch's
+    // data dirs (v=1 from the fork, v=2 and v=3 staged on the branch)
+    assert(VersionedTable.dataDirs(table).map(_.split("/v=").last) ==
+      Seq("1", "2", "3"))
+
+    // drop the branch: the published dirs are main-referenced and stay
+    VersionedTable.dropBranch(table, "wap")
+    assert(VersionedTable.branches(table).isEmpty)
+    val rep = Maintenance.removeOrphans(spark, table)
+    assert(rep.ok, rep.detail)
+    assert(VersionedTable.read(spark, table).count() == 3)
+  }
+
+  test("diverged main refuses fast_forward; abandoned branch's " +
+      "exclusive dirs are reclaimed after drop") {
+    val table = Files.createTempDirectory("graft_br2_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table)
+    VersionedTable.createBranch(table, "stale")
+    VersionedTable.appendToBranch(Seq(9).toDF("x"), table, "stale")
+    // main moves past the fork point
+    VersionedTable.append(Seq(2).toDF("x"), table)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.fastForward(table, "stale")
+    }
+    assert(e.getMessage.contains("diverged"))
+    // branch data dirs are NOT debris while the branch lives
+    val (fs, root) = graft.util.Fs.fsFor(table)
+    Maintenance.removeOrphans(spark, table)
+    assert(VersionedTable.readBranch(spark, table, "stale").count() == 2)
+    // after drop, the branch-exclusive dir is reclaimed
+    val branchDir = VersionedTable.branches(table)("stale")
+    VersionedTable.dropBranch(table, "stale")
+    Maintenance.removeOrphans(spark, table)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, s"v=$branchDir")))
+    assert(VersionedTable.read(spark, table).count() == 2) // main intact
+  }
+
+  test("main expiry never deletes dirs a live branch references") {
+    val table = Files.createTempDirectory("graft_br3_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table)   // v1
+    VersionedTable.createBranch(table, "keepalive") // forks at v1
+    VersionedTable.appendToBranch(Seq(2).toDF("x"), table, "keepalive")
+    VersionedTable.write(Seq(30).toDF("x"), table)  // main v3 (overwrite)
+    // expire main history: v1's manifest drops, but its DATA dir is
+    // branch-referenced and must survive
+    assert(VersionedTable.expire(table, keepLast = 1) == Seq(1L))
+    assert(VersionedTable.readBranch(spark, table, "keepalive").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).toSeq == Seq(30))
+  }
+
+  test("refusals and the empty-branch edge; writeToBranch replaces " +
+      "the branch wholesale") {
+    val table = Files.createTempDirectory("graft_br4_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table)
+    VersionedTable.createTag(table, "t1")
+    // tag/branch names share one namespace
+    intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(table, "t1")
+    }
+    VersionedTable.createBranch(table, "b")
+    intercept[IllegalArgumentException] { // duplicate
+      VersionedTable.createBranch(table, "b")
+    }
+    // empty branch: readBranch serves the base, fast_forward refuses
+    assert(VersionedTable.readBranch(spark, table, "b").count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.fastForward(table, "b")
+    }
+    assert(e.getMessage.contains("no commits"))
+    // writeToBranch: the branch head becomes exactly df
+    VersionedTable.writeToBranch(Seq(7, 8).toDF("x"), table, "b")
+    assert(VersionedTable.readBranch(spark, table, "b").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+    assert(VersionedTable.fastForward(table, "b") > 1L)
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropBranch(table, "nope")
+    }
+  }
+
+  test("SQL faces: VERSION AS OF '<branch>', graft_version branch " +
+      "refs, CALL create_branch/fast_forward/drop_branch, .refs view, " +
+      "branch relations refuse writes") {
+    graft.expressions.GraftFunctions.register(spark)
+    val w = Files.createTempDirectory("graft_br5_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)
+    val cat = s"gbr${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+
+    spark.sql(s"CALL $cat.system.create_branch(table => '$table', " +
+      "branch => 'audit')").collect()
+    VersionedTable.appendToBranch(Seq((2L, "b")).toDF("k", "v"),
+      table, "audit")
+
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'audit'")
+      .count() == 2)
+    assert(spark.sql(s"SELECT * FROM graft_version('$table', 'audit')")
+      .count() == 2)
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 1) // main as-is
+    // refs view lists the branch with its head
+    val refs = spark.sql(
+      s"SELECT name, type, version FROM $cat.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("audit", "BRANCH", 2L)))
+    // a branch relation is read-only
+    val e = intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $cat.t VERSION AS OF 'audit' VALUES (9, 'z')")
+    }
+    // publish + cleanup from SQL
+    spark.sql(s"CALL $cat.system.fast_forward(table => '$table', " +
+      "branch => 'audit')").collect()
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 2)
+    spark.sql(s"CALL $cat.system.drop_branch(table => '$table', " +
+      "branch => 'audit')").collect()
+    assert(VersionedTable.branches(table).isEmpty)
+  }
+
+  test("the whole WAP flow runs under the CREATE protocol") {
+    spark.conf.set(VersionedTable.ProtocolConfKey, "create")
+    try {
+      val table = Files.createTempDirectory("graft_br6_").toString + "/t"
+      VersionedTable.write(Seq(1).toDF("x"), table)
+      VersionedTable.createBranch(table, "wap")
+      VersionedTable.appendToBranch(Seq(2).toDF("x"), table, "wap")
+      assert(VersionedTable.read(spark, table).count() == 1)
+      assert(VersionedTable.readBranch(spark, table, "wap").count() == 2)
+      VersionedTable.fastForward(table, "wap")
+      assert(VersionedTable.read(spark, table).collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+      VersionedTable.dropBranch(table, "wap")
+      // no claim debris anywhere
+      val (fs, root) = graft.util.Fs.fsFor(s"$table/_versions")
+      assert(!fs.listStatus(root).exists(
+        _.getPath.getName.startsWith(".claim-")))
+    } finally spark.conf.unset(VersionedTable.ProtocolConfKey)
+  }
+}

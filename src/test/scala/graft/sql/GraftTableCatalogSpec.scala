@@ -537,6 +537,34 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: .files lists the current snapshot's data " +
+      "files with their dir versions and sizes, across dir-list and " +
+      "file-list (rewrite_manifests) manifests") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.ft (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ft VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.ft VALUES (2)")
+    val rows = spark.sql(
+      s"SELECT file_path, data_version, size_bytes FROM $cat.ft.files")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, dv, sz) =>
+      p.startsWith(s"v=$dv/") && p.endsWith(".parquet") && sz > 0 })
+    assert(rows.map(_._2).toSet == Set(1L, 2L))
+    // sizes agree with what the filesystem reports per file
+    val (fs, _) = graft.util.Fs.fsFor(s"$w/ft")
+    assert(rows.forall { case (p, _, sz) =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$w/ft/$p"))
+        .getLen == sz })
+    // a files= manifest (rewrite_manifests) serves the same rows
+    assert(VersionedTable.rewriteManifests(s"$w/ft").nonEmpty)
+    val rows2 = spark.sql(
+      s"SELECT file_path, data_version, size_bytes FROM $cat.ft.files")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows2.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("per-snapshot schema history: VERSION AS OF a pre-evolution " +
       "snapshot serves the schema as of that snapshot, across two " +
       "evolutions") {

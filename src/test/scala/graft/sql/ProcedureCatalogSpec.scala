@@ -159,9 +159,9 @@ class ProcedureCatalogSpec extends SparkSpec {
       messages.contains("rewrite_data_files"), messages)
     val cat = new GraftProcedureCatalog
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("create_tag", "drop_tag", "expire_snapshots",
-        "remove_orphan_files", "repartition_table",
-        "rewrite_data_files", "rewrite_manifests"))
+      Seq("create_branch", "create_tag", "drop_branch", "drop_tag",
+        "expire_snapshots", "fast_forward", "remove_orphan_files",
+        "repartition_table", "rewrite_data_files", "rewrite_manifests"))
     assert(cat.listProcedures(Array("other")).isEmpty)
   }
 }
