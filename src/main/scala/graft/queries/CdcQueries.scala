@@ -676,6 +676,61 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Conf-driven WAP (r14; Iceberg's `spark.wap.branch`): the same
+    * publish contract as q203, but the staging writes are PLAIN SQL
+    * `INSERT INTO` statements with `spark.graft.wap.branch` set — no
+    * branch-aware code in the pipeline. While the conf is set, reads of
+    * the catalog relation must serve the staged branch (require()d) and
+    * main must not move; after publish (CALL fast_forward) + conf
+    * unset, the table serves the full union the oracle replays. */
+  def q204WapConf(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#wapc", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""CREATE TABLE $cat.wapc AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      val t0 = s"$w/wapc"
+      s.sql(s"CALL $cat.system.create_branch(table => '$t0', " +
+        "branch => 'stage')").collect()
+      s.conf.set(graft.sql.GraftVersionedTable.WapBranchConfKey, "stage")
+      try {
+        Seq(1, 2).foreach(m => s.sql(
+          s"""INSERT INTO $cat.wapc
+             |SELECT o_orderkey, o_orderstatus,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 3 = $m""".stripMargin))
+        require(VersionedTable.versions(t0) == Seq(1L),
+          s"WAP staging must not move main: ${VersionedTable.versions(t0)}")
+        // the session's reads serve the staged branch while the conf is on
+        val staged = s.sql(s"SELECT count(*) c FROM $cat.wapc")
+          .head().getLong(0)
+        val mainRows = VersionedTable.read(s, t0).count()
+        require(staged > mainRows,
+          s"reads under wap.branch must serve the branch: $staged vs $mainRows")
+      } finally s.conf.unset(
+        graft.sql.GraftVersionedTable.WapBranchConfKey)
+      s.sql(s"CALL $cat.system.fast_forward(table => '$t0', " +
+        "branch => 'stage')").collect()
+      require(VersionedTable.dataDirs(t0).size == 3,
+        "publish must adopt the staged dirs by reference")
+      s.sql(s"CALL $cat.system.drop_branch(table => '$t0', " +
+        "branch => 'stage')").collect()
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    s.sql(s"SELECT * FROM $cat.wapc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Object-store-native commits (r14): the snapshot lifecycle — a full
     * write, two by-reference appends, a metadata-only manifest collapse
     * — committed through the CREATE protocol
@@ -826,7 +881,8 @@ object CdcQueries {
     "q200_schema_history" -> (q200SchemaHistory _),
     "q201_conditional_commit" -> (q201ConditionalCommit _),
     "q202_snapshot_tags" -> (q202SnapshotTags _),
-    "q203_wap" -> (q203Wap _))
+    "q203_wap" -> (q203Wap _),
+    "q204_wap_conf" -> (q204WapConf _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -852,6 +908,14 @@ object CdcQueries {
     // the wrong branch head, or copies instead of referencing
     // hash-mismatches here
     "q203_wap" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // conf-driven WAP: plain-SQL INSERTs staged the other two thirds on
+    // the branch; the published table must replay whole-orders exactly
+    "q204_wap_conf" ->
       """SELECT o_orderstatus,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

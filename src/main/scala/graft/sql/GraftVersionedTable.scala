@@ -52,12 +52,28 @@ final class GraftVersionedTable(
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
+  /** The session's write-audit-publish branch (Iceberg's
+    * `spark.wap.branch`): while set, catalog WRITES to this table stage
+    * on that branch instead of committing to main, and catalog READS
+    * serve the branch head when the branch exists — one conf turns an
+    * existing INSERT/SELECT pipeline into the staging half of WAP, no
+    * code changes. Time-travel pins ignore it (an explicit `VERSION AS
+    * OF` beats the ambient conf). */
+  private def wapBranch: Option[String] =
+    scala.util.Try(spark.conf.get(GraftVersionedTable.WapBranchConfKey))
+      .toOption.filter(_.nonEmpty)
+      .filter(_ => pinnedVersion.isEmpty && branchPin.isEmpty)
+
+  private def wapReadBranch: Option[String] =
+    wapBranch.filter(b => VersionedTable.branches(root).contains(b))
+
   /** Scan roots: the branch head's dirs under a BRANCH pin (r14 —
     * `VERSION AS OF '<branch>'`, the audit read of write-audit-
-    * publish); otherwise the pre-resolved FILE list when the snapshot's
+    * publish) or while `spark.graft.wap.branch` names an existing
+    * branch; otherwise the pre-resolved FILE list when the snapshot's
     * manifest carries one (rewrite_manifests, r14 — zero dir
     * listings), the data-dir list otherwise. */
-  private def dataPaths: Seq[String] = branchPin match {
+  private def dataPaths: Seq[String] = branchPin.orElse(wapReadBranch) match {
     case Some(b) => VersionedTable.branchDataPaths(root, b)
     case None => VersionedTable.dataPaths(root, pinnedVersion)
   }
@@ -75,7 +91,7 @@ final class GraftVersionedTable(
     * declared table schema otherwise. */
   private def effectiveSchema
       : Option[org.apache.spark.sql.types.StructType] =
-    (branchPin, pinnedVersion) match {
+    (branchPin.orElse(wapReadBranch), pinnedVersion) match {
       case (Some(b), _) => VersionedTable.branchSchema(root, b)
       case (None, Some(v)) => VersionedTable.schemaAt(root, v)
       case _ => VersionedTable.storedSchema(root)
@@ -165,6 +181,16 @@ final class GraftVersionedTable(
 
   // ---- writes ---------------------------------------------------------
 
+  /** Row-level DML and TRUNCATE under an ambient WAP branch would
+    * commit to MAIN while every read in the session shows the BRANCH —
+    * refuse rather than let a session mutate what it cannot see. */
+  private def refuseWap(op: String): Unit =
+    wapBranch.foreach(b => throw new IllegalArgumentException(
+      s"$op on $identName while ${GraftVersionedTable.WapBranchConfKey}=" +
+        s"'$b': only INSERT / INSERT OVERWRITE stage onto a branch — " +
+        "unset the conf to run row-level DML on main, or restage the " +
+        "branch content"))
+
   private def refusePinned(op: String): Unit = {
     require(pinnedVersion.isEmpty,
       s"$op on $identName VERSION AS OF ${pinnedVersion.get}: snapshots " +
@@ -184,8 +210,20 @@ final class GraftVersionedTable(
         override def toInsertableRelation: sources.InsertableRelation =
           new sources.InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              if (overwriteAll) VersionedTable.write(data, root)
-              else VersionedTable.append(data, root)
+              wapBranch match {
+                case Some(b) =>
+                  // the WAP conf routes the write to the branch —
+                  // which must exist (a typo'd name silently staging
+                  // into a fresh line would lose the publish)
+                  require(VersionedTable.branches(root).contains(b),
+                    s"spark.graft.wap.branch='$b' but $identName has " +
+                      "no such branch — CALL create_branch first")
+                  if (overwriteAll) VersionedTable.writeToBranch(data, root, b)
+                  else VersionedTable.appendToBranch(data, root, b)
+                case None =>
+                  if (overwriteAll) VersionedTable.write(data, root)
+                  else VersionedTable.append(data, root)
+              }
           }
       }
     }
@@ -193,6 +231,7 @@ final class GraftVersionedTable(
 
   override def truncateTable(): Boolean = {
     refusePinned("TRUNCATE")
+    refuseWap("TRUNCATE")
     VersionedTable.truncate(spark, root)
     true
   }
@@ -225,17 +264,19 @@ final class GraftVersionedTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     refusePinned(info.command.toString)
+    refuseWap(info.command.toString)
     () => new GraftRowLevelOperation(this, root, spark, info.command)
   }
 
   // ---- DELETE FROM: copy-on-write at data-dir granularity -------------
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    pinnedVersion.isEmpty && branchPin.isEmpty &&
+    pinnedVersion.isEmpty && branchPin.isEmpty && wapBranch.isEmpty &&
       filters.forall(translate(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     refusePinned("DELETE")
+    refuseWap("DELETE")
     val pred = filters.flatMap(translate).reduceOption(_ && _)
       .getOrElse(lit(true))
     // DIR list deliberately (not dataPaths): the CoW unit is the dir.
@@ -320,6 +361,11 @@ final class GraftVersionedTable(
 }
 
 object GraftVersionedTable {
+
+  /** Session conf naming the write-audit-publish branch (Iceberg's
+    * `spark.wap.branch`): while set, catalog writes stage onto the
+    * branch and catalog reads serve it. */
+  val WapBranchConfKey = "spark.graft.wap.branch"
 
   /** The snapshot-dir metadata column — the group id of this layer's
     * copy-on-write (Iceberg's `_file`, at dir granularity). Named `v`

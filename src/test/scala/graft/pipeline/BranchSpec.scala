@@ -162,6 +162,47 @@ class BranchSpec extends SparkSpec {
     assert(VersionedTable.branches(table).isEmpty)
   }
 
+  test("spark.graft.wap.branch: INSERTs stage onto the branch, reads " +
+      "serve it while set, explicit pins beat the conf, row-level DML " +
+      "refuses, and a missing branch fails loudly") {
+    val w = Files.createTempDirectory("graft_br7_").toString
+    val table = s"$w/t"
+    val cat = s"gwap${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")
+    VersionedTable.createBranch(table, "stage")
+
+    spark.conf.set(graft.sql.GraftVersionedTable.WapBranchConfKey, "stage")
+    try {
+      spark.sql(s"INSERT INTO $cat.t VALUES (2)")
+      // reads in this session see the staged state...
+      assert(spark.sql(s"SELECT * FROM $cat.t").count() == 2)
+      // ...but main did NOT move, and explicit pins beat the conf
+      assert(VersionedTable.versions(table) == Seq(1L))
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").count() == 1)
+      // row-level DML while staged refuses (it would hit main)
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+      }
+      assert(e.getMessage.contains("wap.branch"))
+      // a typo'd branch fails loudly instead of staging into the void
+      spark.conf.set(graft.sql.GraftVersionedTable.WapBranchConfKey, "typo")
+      val e2 = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.t VALUES (3)")
+      }
+      assert(e2.getMessage.contains("no such branch"))
+    } finally spark.conf.unset(
+      graft.sql.GraftVersionedTable.WapBranchConfKey)
+
+    // conf unset: reads serve main again; publish, then verify
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 1)
+    VersionedTable.fastForward(table, "stage")
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 2)
+  }
+
   test("the whole WAP flow runs under the CREATE protocol") {
     spark.conf.set(VersionedTable.ProtocolConfKey, "create")
     try {
