@@ -125,7 +125,7 @@ object VersionedTable {
             s"$ProtocolConfKey=create (requires conditional-create " +
             "support: S3 If-None-Match PUT, GCS preconditions, Azure ETag)")
         RenameCommit
-      case _ =>
+      case "auto" =>
         require(!objectStore,
           s"VersionedTable.$action on '$table': scheme '$scheme' has no " +
             "atomic rename, so the rename commit protocol is unsound " +
@@ -134,16 +134,41 @@ object VersionedTable {
             "Nov 2024, GCS ifGenerationMatch, Azure ETag), or use a " +
             "catalog-backed table format (Iceberg)")
         RenameCommit
+      case other =>
+        // a typo'd protocol silently running the other one would let a
+        // user believe they validated a protocol they never ran
+        throw new IllegalArgumentException(
+          s"$ProtocolConfKey='$other' is not a protocol — use " +
+            "auto | rename | create")
     }
   }
 
-  private def versionsOn(fs: FileSystem, root: Path): Seq[Long] = {
+  private def versionsOn(fs: FileSystem, root: Path): Seq[Long] =
+    listVersionsDir(fs, root).versions
+
+  /** ONE listing of `_versions`, parsed every way the commit paths
+    * need it (main versions, claim numbers, branch names) — the
+    * allocation picture without paying three LISTs per commit attempt
+    * (object-store LISTs are billable round-trips, and publishClaimed
+    * polls this every 100 ms while waiting on a lower claim). */
+  private final case class VersionsListing(versions: Seq[Long],
+      claims: Seq[Long], branchNames: Seq[String])
+
+  private def listVersionsDir(fs: FileSystem,
+      root: Path): VersionsListing = {
     val dir = manifestDir(root)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .sorted
+    if (!fs.exists(dir)) VersionsListing(Nil, Nil, Nil)
+    else {
+      val sts = fs.listStatus(dir).toSeq
+      val names = sts.map(_.getPath.getName)
+      VersionsListing(
+        names.flatMap(n => scala.util.Try(n.toLong).toOption).sorted,
+        names.filter(_.startsWith(".claim-"))
+          .flatMap(_.stripPrefix(".claim-").toLongOption).sorted,
+        sts.filter(st =>
+            st.isDirectory && st.getPath.getName.startsWith("branch-"))
+          .map(_.getPath.getName.stripPrefix("branch-")).sorted)
+    }
   }
 
   // ---- BRANCHES (r14): write-audit-publish refs -------------------------
@@ -167,14 +192,8 @@ object VersionedTable {
   private def branchManifestDir(root: Path, name: String): Path =
     new Path(manifestDir(root), s"branch-$name")
 
-  private def branchNamesOn(fs: FileSystem, root: Path): Seq[String] = {
-    val dir = manifestDir(root)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("branch-"))
-      .map(_.getPath.getName.stripPrefix("branch-"))
-      .sorted
-  }
+  private def branchNamesOn(fs: FileSystem, root: Path): Seq[String] =
+    listVersionsDir(fs, root).branchNames
 
   private def branchVersionsOn(fs: FileSystem, root: Path,
       name: String): Seq[Long] = {
@@ -197,11 +216,14 @@ object VersionedTable {
 
   /** The one global next-version source: main manifests, outstanding
     * claims, and every branch's manifests — a branch commit and a main
-    * commit can never allocate the same `v=N` data dir. */
-  private def maxAllocatedOn(fs: FileSystem, root: Path): Long =
-    (versionsOn(fs, root) ++ claimsOn(fs, root) ++
-      branchNamesOn(fs, root).flatMap(branchVersionsOn(fs, root, _)))
+    * commit can never allocate the same `v=N` data dir. One `_versions`
+    * listing plus one per branch. */
+  private def maxAllocatedOn(fs: FileSystem, root: Path): Long = {
+    val l = listVersionsDir(fs, root)
+    (l.versions ++ l.claims ++
+      l.branchNames.flatMap(branchVersionsOn(fs, root, _)))
       .maxOption.getOrElse(0L)
+  }
 
   /** Every data-dir version ANY branch manifest references — live for
     * main expiry and orphan cleanup (a branch may carry main dirs by
@@ -357,14 +379,8 @@ object VersionedTable {
     new Path(manifestDir(root), s".claim-$v")
 
   /** Versions with an outstanding claim marker (CREATE protocol). */
-  private def claimsOn(fs: FileSystem, root: Path): Seq[Long] = {
-    val dir = manifestDir(root)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(".claim-"))
-      .flatMap(_.stripPrefix(".claim-").toLongOption)
-      .sorted
-  }
+  private def claimsOn(fs: FileSystem, root: Path): Seq[Long] =
+    listVersionsDir(fs, root).claims
 
   /** Claims owned by committers in THIS JVM — lets the publish wait
     * distinguish a live sibling (wait for it) from a foreign or crashed
@@ -400,8 +416,11 @@ object VersionedTable {
           got = next
           false
         } catch {
-          // conditional create lost to a cross-process claimer
-          case _: java.io.IOException => true
+          // ONLY the exists-already signal is a lost race; any other
+          // I/O failure (permissions, credentials, network) must
+          // surface as itself, not masquerade as a crashed committer
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+          case _: java.nio.file.FileAlreadyExistsException => true
         }
       if (collided) {
         attempts += 1
@@ -444,33 +463,54 @@ object VersionedTable {
       content: (Seq[Long], Long) => String): Long = {
     var manifested = false
     try {
-      var attempts = 0
+      var foreignWaitMs = 0L
+      var ownedWaitMs = 0L
       while (!manifested) {
-        val pendingForeign = withCommitLock(root) {
-          val vs = versionsOn(fs, root)
-          val lower = claimsOn(fs, root)
-            .filter(c => c < v && !vs.contains(c))
+        val pending = withCommitLock(root) {
+          val l = listVersionsDir(fs, root) // ONE listing per poll
+          val lower = l.claims.filter(c => c < v && !l.versions.contains(c))
           if (lower.isEmpty) {
             val schemaLine = storedSchema(root.toString)
               .map(sch => s"schema=${sch.json}\n").getOrElse("")
-            commitManifestCreate(fs, root, v, content(vs, v) + schemaLine,
-              branch)
+            commitManifestCreate(fs, root, v,
+              content(l.versions, v) + schemaLine, branch)
             manifested = true
             try fs.delete(claimPath(root, v), false)
             catch { case scala.util.control.NonFatal(_) => () }
             dropLiveClaim(root, v)
             Nil
-          } else
-            lower.filterNot(
-              liveClaims.getOrElse(root.toString, Set.empty))
+          } else lower
         }
         if (!manifested) {
-          if (pendingForeign.nonEmpty) {
-            attempts += 1
-            require(attempts < 50,
-              s"claims $pendingForeign below $v on $table never " +
-                "published — crashed committer? clean with CALL " +
-                "graft.system.remove_orphan_files, then retry")
+          val owned = liveClaims.getOrElse(root.toString, Set.empty)
+          val foreign = pending.filterNot(owned)
+          if (foreign.nonEmpty) {
+            // a live cross-process committer may legitimately hold its
+            // claim for the length of a data write — give it the
+            // configured budget before pointing at the cleanup tool
+            // (which itself refuses claims younger than the TTL, so a
+            // premature CALL cannot destroy in-flight data)
+            foreignWaitMs += 100
+            require(foreignWaitMs < foreignClaimWaitMs,
+              s"claims $foreign below $v on $table unpublished after " +
+                s"${foreignWaitMs / 1000}s — if the committer is alive " +
+                s"and mid-write, raise $ForeignWaitConfKey and retry; " +
+                "if it crashed, CALL graft.system.remove_orphan_files " +
+                s"(which skips claims younger than $ClaimTtlConfKey), " +
+                "then retry")
+          } else {
+            // owned claims are live in-JVM work — but one LEAKED by a
+            // query that died between planning (claim-at-write) and
+            // commit/abort would otherwise hang this table forever;
+            // bound generously and name the wedge
+            ownedWaitMs += 100
+            require(ownedWaitMs < ownedClaimWaitMs,
+              s"in-JVM claims ${pending.filter(owned)} below $v on " +
+                s"$table unpublished after ${ownedWaitMs / 1000}s — a " +
+                "long-running sibling commit (raise " +
+                s"$OwnedWaitConfKey) or a claim leaked by a query that " +
+                "died before its write started (restart the driver or " +
+                "CALL graft.system.remove_orphan_files after the TTL)")
           }
           Thread.sleep(100)
         }
@@ -482,6 +522,24 @@ object VersionedTable {
         throw e
     }
   }
+
+  /** Foreign (cross-process) lower-claim publish wait budget. */
+  val ForeignWaitConfKey = "spark.graft.commit.foreignClaimWaitMs"
+  /** In-JVM sibling lower-claim publish wait budget (a sibling holds
+    * its claim for the length of its data write). */
+  val OwnedWaitConfKey = "spark.graft.commit.ownedClaimWaitMs"
+  /** Age below which remove_orphan_files refuses to treat a claim as
+    * crashed-committer debris. */
+  val ClaimTtlConfKey = "spark.graft.commit.claimTtlMs"
+
+  private def confMs(key: String, default: Long): Long =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(s.conf.get(key)).toOption)
+      .flatMap(_.toLongOption).getOrElse(default)
+
+  private def foreignClaimWaitMs: Long = confMs(ForeignWaitConfKey, 60000L)
+  private def ownedClaimWaitMs: Long = confMs(OwnedWaitConfKey, 1800000L)
+  private[pipeline] def claimTtlMs: Long = confMs(ClaimTtlConfKey, 600000L)
 
   /** Manifest commit by conditional create — no temp, no rename: on a
     * conditional-PUT object store the PUT is atomic whole-object, and
@@ -534,13 +592,36 @@ object VersionedTable {
   }
 
   /** A data-less (metadata-only) CREATE-protocol commit — rollback,
-    * rewrite_manifests. */
+    * fast_forward, rewrite_manifests. */
   private def commitMetaCreate(fs: FileSystem, root: Path,
       table: String)(content: (Seq[Long], Long) => String): Long = {
     val v = claimVersion(fs, root, table)
     try publishClaimed(fs, root, table, v)(content)
     catch { case e: Throwable => abandonClaim(fs, root, v); throw e }
   }
+
+  /** The RENAME-protocol twin of [[commitMetaCreate]]: one shared
+    * metadata-only commit body (global allocation, schema line,
+    * manifest publish) instead of a copy per verb. */
+  private def commitMetaRename(fs: FileSystem, root: Path,
+      table: String)(content: (Seq[Long], Long) => String): Long =
+    withCommitLock(root) {
+      val vs = versionsOn(fs, root)
+      require(vs.nonEmpty, s"no versions in $table")
+      val next = maxAllocatedOn(fs, root) + 1L
+      val schemaLine =
+        storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
+      commitManifest(fs, root, next, content(vs, next) + schemaLine)
+      next
+    }
+
+  /** Protocol-dispatched metadata-only commit. */
+  private def commitMeta(fs: FileSystem, root: Path, table: String,
+      proto: Protocol)(content: (Seq[Long], Long) => String): Long =
+    proto match {
+      case RenameCommit => commitMetaRename(fs, root, table)(content)
+      case CreateCommit => commitMetaCreate(fs, root, table)(content)
+    }
 
   /** Remove crash debris of BOTH commit protocols (called by
     * `remove_orphan_files`; like Iceberg's, NOT safe concurrently with
@@ -566,8 +647,17 @@ object VersionedTable {
     val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet ++
       branchLiveDirsOn(fs, root)
     val owned = liveClaims.getOrElse(root.toString, Set.empty)
+    val now = System.currentTimeMillis()
     claimsOn(fs, root).foreach { k =>
-      if (!owned.contains(k)) {
+      // TTL guard: a claim younger than claimTtlMs may belong to a LIVE
+      // cross-process committer mid-write — deleting it (and the dir it
+      // owns) would let that committer publish a manifest over
+      // destroyed data. Unreadable/undated claims count as old.
+      val ageMs = scala.util.Try(
+        graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))
+          .linesIterator.next().trim.toLong).toOption
+        .map(ts => now - ts).getOrElse(Long.MaxValue)
+      if (!owned.contains(k) && ageMs >= claimTtlMs) {
         fs.delete(claimPath(root, k), false); removed += 1
         if (!manifested(k) && !live(k) &&
             fs.exists(new Path(root, s"v=$k"))) {
@@ -575,11 +665,14 @@ object VersionedTable {
         }
       }
     }
+    // claims that survived the TTL guard still OWN their data dir —
+    // the orphan-dir sweep must not pull it out from under them
+    val surviving = claimsOn(fs, root).toSet
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("v=")) {
         n.stripPrefix("v=").toLongOption.foreach { k =>
-          if (!manifested(k) && !live(k) && !owned(k)) {
+          if (!manifested(k) && !live(k) && !owned(k) && !surviving(k)) {
             fs.delete(st.getPath, true); removed += 1
           }
         }
@@ -1058,33 +1151,17 @@ object VersionedTable {
           .mkString("", "\n", "\n")
       }
     }
-    proto match {
-      case RenameCommit => withCommitLock(root) {
-        val vs = versionsOn(fs, root)
-        require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
-        val dirVersions = dataVersionsOn(fs, root, vs.last)
-        if (dirVersions.size <= 1 ||
-            manifestFilesOn(fs, root, vs.last).isDefined) None
-        else {
-          val next = maxAllocatedOn(fs, root) + 1L
-          val schemaLine = storedSchema(table)
-            .map(s => s"schema=${s.json}\n").getOrElse("")
-          commitManifest(fs, root, next,
-            contentFor(vs.last, dirVersions)(vs, next) + schemaLine)
-          Some(next)
-        }
-      }
-      case CreateCommit =>
-        // gather OUTSIDE the lock (the claim-order publish wait must
-        // not run under it), revalidate the base at publish
-        val vs = versionsOn(fs, root)
-        require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
-        val dirVersions = dataVersionsOn(fs, root, vs.last)
-        if (dirVersions.size <= 1 ||
-            manifestFilesOn(fs, root, vs.last).isDefined) None
-        else Some(commitMetaCreate(fs, root, table)(
-          contentFor(vs.last, dirVersions)))
-    }
+    // gather OUTSIDE the lock (under CREATE, the claim-order publish
+    // wait must not run under it); contentFor revalidates the base at
+    // publish, so a concurrent commit is a loud refusal, never a
+    // manifest for a moved snapshot
+    val vs = versionsOn(fs, root)
+    require(vs.nonEmpty, s"rewriteManifests on $table: no snapshot")
+    val dirVersions = dataVersionsOn(fs, root, vs.last)
+    if (dirVersions.size <= 1 ||
+        manifestFilesOn(fs, root, vs.last).isDefined) None
+    else Some(commitMeta(fs, root, table, proto)(
+      contentFor(vs.last, dirVersions)))
   }
 
   private def parseFiles(content: String): Option[Seq[String]] =
@@ -1201,6 +1278,13 @@ object VersionedTable {
       require(!fs.exists(tagPath(root, name)),
         s"tag '$name' already exists on $table (tags are immutable — " +
           "drop_tag first to move it)")
+      // refs share ONE namespace in both directions: a tag shadowing a
+      // branch would make `VERSION AS OF '<name>'` (tag wins) and
+      // wap.branch writes (branch) silently disagree — the WAP audit
+      // would read the wrong data
+      require(!fs.exists(branchManifestDir(root, name)),
+        s"'$name' already names a BRANCH on $table — refs share one " +
+          "namespace")
       val out = fs.create(tagPath(root, name), false)
       try out.write(s"$v\n${System.currentTimeMillis()}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1423,18 +1507,7 @@ object VersionedTable {
       manifestContent(branchHeadDirsOn(fs, root, name), next,
         carryBatchLine(fs, root))
     }
-    proto match {
-      case CreateCommit => commitMetaCreate(fs, root, table)(content)
-      case RenameCommit => withCommitLock(root) {
-        val vs = versionsOn(fs, root)
-        require(vs.nonEmpty, s"no versions in $table")
-        val next = maxAllocatedOn(fs, root) + 1L
-        val schemaLine =
-          storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
-        commitManifest(fs, root, next, content(vs, next) + schemaLine)
-        next
-      }
-    }
+    commitMeta(fs, root, table, proto)(content)
   }
 
   /** Drop a branch. Its exclusive data dirs become orphans —
@@ -1480,24 +1553,26 @@ object VersionedTable {
     import spark.implicits._
     val rows = dataPaths(table, version).flatMap { p =>
       val qp = new Path(p)
-      if (!fs.exists(qp)) Nil
-      else if (fs.getFileStatus(qp).isFile) {
-        // a files= manifest entry: one exact status call, no listing
-        val st = fs.getFileStatus(qp)
+      // ONE status call answers existence, kind, and length (three
+      // separate calls would be 3F driver-side HEADs on object stores)
+      scala.util.Try(fs.getFileStatus(qp)).toOption.toSeq.flatMap { st =>
+      if (st.isFile) {
+        // a files= manifest entry: the status IS the row
         val rel = st.getPath.toString.stripPrefix(rootPrefix)
         Seq((rel, dirVersionOfRel(rel), st.getLen))
       } else {
         val it = fs.listFiles(qp, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
         while (it.hasNext) {
-          val st = it.next()
-          val rel = st.getPath.toString.stripPrefix(rootPrefix)
+          val f = it.next()
+          val rel = f.getPath.toString.stripPrefix(rootPrefix)
           val hidden = rel.split("/").exists(seg =>
             seg.startsWith("_") || seg.startsWith("."))
-          if (st.isFile && !hidden)
-            buf += ((rel, dirVersionOfRel(rel), st.getLen))
+          if (f.isFile && !hidden)
+            buf += ((rel, dirVersionOfRel(rel), f.getLen))
         }
         buf
+      }
       }
     }
     rows.sortBy(_._1).toDF("file_path", "data_version", "size_bytes")
@@ -1536,18 +1611,7 @@ object VersionedTable {
       (Seq(System.currentTimeMillis().toString, directive) ++
         carryBatchLine(fs, root)).mkString("", "\n", "\n")
     }
-    proto match {
-      case CreateCommit => commitMetaCreate(fs, root, table)(content)
-      case RenameCommit => withCommitLock(root) {
-        val vs = versionsOn(fs, root)
-        require(vs.nonEmpty, s"no versions in $table")
-        val next = maxAllocatedOn(fs, root) + 1L
-        val schemaLine =
-          storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
-        commitManifest(fs, root, next, content(vs, next) + schemaLine)
-        next
-      }
-    }
+    commitMeta(fs, root, table, proto)(content)
   }
 
   /** Logical-plan builder for the `graft_version('table'[, version])` SQL

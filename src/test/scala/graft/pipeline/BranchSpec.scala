@@ -103,6 +103,9 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // duplicate
       VersionedTable.createBranch(table, "b")
     }
+    intercept[IllegalArgumentException] { // tag over branch: same namespace
+      VersionedTable.createTag(table, "b")
+    }
     // empty branch: readBranch serves the base, fast_forward refuses
     assert(VersionedTable.readBranch(spark, table, "b").count() == 1)
     val e = intercept[IllegalArgumentException] {

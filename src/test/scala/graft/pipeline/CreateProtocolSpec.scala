@@ -89,28 +89,44 @@ class CreateProtocolSpec extends SparkSpec {
   }
 
   test("stale foreign claim blocks publishes LOUDLY; remove_orphan_files " +
-      "un-wedges the table") {
+      "un-wedges the table but refuses claims younger than the TTL") {
     withCreateProtocol {
-      val table = Files.createTempDirectory("graft_cp3_").toString + "/t"
-      VersionedTable.write(Seq(1).toDF("x"), table)
-      // a committer in another process claimed v2 and died
-      val (fs, root) = graft.util.Fs.fsFor(table)
-      val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
-      val out = fs.create(claim, false)
-      out.write("0\n".getBytes); out.close()
+      spark.conf.set(VersionedTable.ForeignWaitConfKey, "1500")
+      try {
+        val table = Files.createTempDirectory("graft_cp3_").toString + "/t"
+        VersionedTable.write(Seq(1).toDF("x"), table)
+        // a committer in another process claimed v2 and died long ago
+        // (epoch-0 creation time — well past the TTL)
+        val (fs, root) = graft.util.Fs.fsFor(table)
+        val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
+        val out = fs.create(claim, false)
+        out.write("0\n".getBytes); out.close()
 
-      val e = intercept[IllegalArgumentException] {
-        VersionedTable.append(Seq(2).toDF("x"), table)
-      }
-      assert(e.getMessage.contains("remove_orphan_files"))
-      // the failed append abandoned ITS claim: only the foreign one left
-      assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_versions"))
-        .map(_.getPath.getName).count(_.startsWith(".claim-")) == 1)
+        val e = intercept[IllegalArgumentException] {
+          VersionedTable.append(Seq(2).toDF("x"), table)
+        }
+        assert(e.getMessage.contains("remove_orphan_files"))
+        // the failed append abandoned ITS claim: only the foreign one left
+        assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_versions"))
+          .map(_.getPath.getName).count(_.startsWith(".claim-")) == 1)
 
-      val rep = Maintenance.removeOrphans(spark, table)
-      assert(rep.ok, rep.detail)
-      assert(VersionedTable.append(Seq(2).toDF("x"), table) > 1L)
-      assert(VersionedTable.read(spark, table).count() == 2)
+        val rep = Maintenance.removeOrphans(spark, table)
+        assert(rep.ok, rep.detail)
+        assert(VersionedTable.append(Seq(2).toDF("x"), table) > 1L)
+        assert(VersionedTable.read(spark, table).count() == 2)
+
+        // a YOUNG foreign claim (live committer mid-write elsewhere) is
+        // NOT debris: cleanup must leave the claim AND its data dir
+        val young = new org.apache.hadoop.fs.Path(root, "_versions/.claim-9")
+        val o2 = fs.create(young, false)
+        o2.write(s"${System.currentTimeMillis()}\n".getBytes); o2.close()
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=9"))
+        assert(Maintenance.removeOrphans(spark, table).ok)
+        assert(fs.exists(young))
+        assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v=9")))
+        fs.delete(young, false)
+        fs.delete(new org.apache.hadoop.fs.Path(root, "v=9"), true)
+      } finally spark.conf.unset(VersionedTable.ForeignWaitConfKey)
     }
   }
 
