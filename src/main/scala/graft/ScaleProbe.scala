@@ -426,6 +426,62 @@ object ScaleProbe {
     require(zeroed == m, s"UPDATE touched wrong rows: $zeroed != $m")
   }
 
+  /** Refs + commit protocols (r14): the same fixed slice appended under
+    * the RENAME and the CREATE protocol (their delta is the claim /
+    * conditional-create overhead — metadata ops, so it must NOT scale
+    * with SF), a branch staging commit (same O(new data) as an append),
+    * fast_forward (metadata-only — flat across SF), and tag-guarded
+    * expiry. */
+  def refsWap(s: SparkSession, dir: String): Unit = {
+    import graft.pipeline.VersionedTable
+    val root = tmp("graft-probe-refs-")
+    val table = s"$root/li"
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val n = li.count()
+    VersionedTable.write(li, table)
+    val slice = li.filter(col("l_orderkey") <= 6000L)
+      .withColumn("l_orderkey", col("l_orderkey") + 100000001L)
+    val m = slice.count()
+
+    val (_, tAppR) = timed { VersionedTable.append(slice, table) }
+    emit("refswap", "append_rename", tAppR, m, dir)
+
+    // the SAME base + slice under the CREATE protocol: the reading is
+    // rename-append plus claim + conditional-create publish overhead
+    val t2 = tmp("graft-probe-refs-cp-") + "/li"
+    VersionedTable.write(li, t2)
+    s.conf.set(VersionedTable.ProtocolConfKey, "create")
+    val tAppC =
+      try timed { VersionedTable.append(slice, t2) }._2
+      finally s.conf.unset(VersionedTable.ProtocolConfKey)
+    emit("refswap", "append_create_protocol", tAppC, m, dir)
+
+    // WAP: staging commit, then the metadata-only publish
+    VersionedTable.createBranch(table, "wap")
+    val (_, tStage) = timed {
+      VersionedTable.appendToBranch(slice, table, "wap")
+    }
+    emit("refswap", "branch_stage", tStage, m, dir)
+    val (ffv, tFf) = timed { VersionedTable.fastForward(table, "wap") }
+    emit("refswap", "fast_forward", tFf, n + 2 * m, dir)
+    require(VersionedTable.dataDirs(table).size == 3,
+      "fast_forward must adopt dirs by reference")
+
+    // tag retention: the guarded expiry keeps the tagged snapshot
+    VersionedTable.createTag(table, "audited", Some(1L))
+    val (dropped, tExp) = timed { VersionedTable.expire(table, 1) }
+    emit("refswap", "expire_tag_guarded", tExp, dropped.size.toLong, dir)
+    require(VersionedTable.versions(table).sorted ==
+      Seq(1L, ffv).sorted, s"tag must survive the expiry: " +
+      s"${VersionedTable.versions(table)}")
+    val (tagRows, tTagRead) = timed {
+      VersionedTable.readRef(s, table, "audited").count()
+    }
+    emit("refswap", "read_tag", tTagRead, tagRows, dir)
+    require(tagRows == n, s"tagged snapshot lost rows: $tagRows != $n")
+  }
+
   /** Append-CHAIN depth: the manifest dir list grows one entry per
     * append, so the axes that could degrade are commit time (reads the
     * previous manifest), dataDirs resolution (one manifest read), and
@@ -518,6 +574,7 @@ object ScaleProbe {
         case "statsprune100k" => statsPrune100k(spark, dir)
         case "versioneddml" => versionedDml(spark, dir)
         case "appendchain" => appendChain(spark, dir)
+        case "refswap" => refsWap(spark, dir)
         case other => sys.error(s"unknown probe: $other")
       }
       // streamIngest/perNode localCheckpoint per stage; without a purge,
