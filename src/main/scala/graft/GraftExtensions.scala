@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
         "graft_changes"),
       pipeline.VersionedTable.changesTvfBuilder))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_refs"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_refs"),
+      pipeline.VersionedTable.refsTvfBuilder))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_files"),
+      pipeline.VersionedTable.filesTvfBuilder))
     // automatic stats-table file skipping (no-op until a table is
     // registered via StatsPruning.register; idempotent if the session
     // also appended it to experimental.extraOptimizations)

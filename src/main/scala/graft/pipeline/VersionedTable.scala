@@ -1814,6 +1814,26 @@ object VersionedTable {
       .queryExecution.analyzed
   }
 
+  /** `graft_refs('table')` — the tag/branch listing ([[refs]]) as a
+    * TVF, symmetric with the `.refs` metadata table. */
+  def refsTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 1 && exprs.head.foldable,
+      "graft_refs expects one literal argument: (table_path)")
+    refs(SparkSession.active, exprs.head.eval().toString)
+      .queryExecution.analyzed
+  }
+
+  /** `graft_files('table'[, version])` — the data-file listing
+    * ([[filesView]]) as a TVF, symmetric with the `.files` metadata
+    * table and additionally addressable per snapshot. */
+  def filesTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
+      "graft_files expects literal arguments: (table_path[, version])")
+    filesView(SparkSession.active, exprs.head.eval().toString,
+      exprs.lift(1).map(_.eval().toString.toLong))
+      .queryExecution.analyzed
+  }
+
   // ---- declared tables (CREATE TABLE / catalog DDL, r13) --------------
   //
   // A versioned table can exist BEFORE its first commit: `create`

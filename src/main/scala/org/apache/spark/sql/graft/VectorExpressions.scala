@@ -678,5 +678,11 @@ object VectorFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_changes", graft.pipeline.VersionedTable.changesTvfBuilder,
       "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_refs", graft.pipeline.VersionedTable.refsTvfBuilder,
+      "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_files", graft.pipeline.VersionedTable.filesTvfBuilder,
+      "built-in")
   }
 }

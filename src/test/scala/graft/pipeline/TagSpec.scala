@@ -92,10 +92,18 @@ class TagSpec extends SparkSpec {
       .count() == 1)
     assert(spark.sql(s"SELECT * FROM graft_version('$table', 'one')")
       .count() == 1)
-    // .refs metadata view agrees with the API
+    // .refs metadata view agrees with the API — and with the TVF
     val refs = spark.sql(s"SELECT name, type, version FROM $cat.t.refs")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(refs.toSeq == Seq(("one", "TAG", 1L)))
+    val viaTvf = spark.sql(
+      s"SELECT name, type, version FROM graft_refs('$table')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(viaTvf.toSeq == refs.toSeq)
+    // graft_files: per-snapshot file listing from SQL
+    assert(spark.sql(s"SELECT * FROM graft_files('$table')").count() > 0)
+    assert(spark.sql(s"SELECT * FROM graft_files('$table', 1)")
+      .collect().forall(_.getString(0).startsWith("v=1/")))
     // unknown tag: loud from SQL too
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
