@@ -563,6 +563,25 @@ object Maintenance {
         e.toString)
     }
 
+  /** Deliberate commit-protocol migration (r15): re-pin the table's
+    * persisted protocol. The everyday path never needs this — the pin
+    * is written at first commit and `auto` follows it; this verb is
+    * for the real migration (a table tested on file: moving to an
+    * object store, or back). Refuses while commit claims are
+    * outstanding; like remove_orphan_files, do not run concurrently
+    * with live writers in other processes. */
+  def setCommitProtocol(tableDir: String, protocol: String): Report =
+    try {
+      require(VersionedTable.isVersioned(tableDir),
+        s"$tableDir is not a versioned table root")
+      VersionedTable.setCommitProtocol(tableDir, protocol)
+      Report(tableDir, "set_commit_protocol", ok = true,
+        s"pinned commit protocol '$protocol'")
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "set_commit_protocol", ok = false, e.toString)
+    }
+
   def removeOrphans(tableDir: String): Report =
     removeOrphansOn(new Configuration(), tableDir)
 
@@ -579,10 +598,27 @@ object Maintenance {
       // lifecycle on rename/delete), so this name check only ever fires
       // on raw stores where a committer genuinely stranded one — the
       // hidden-and-managed case needs no cleaning by construction.
+      // CREATE-protocol committers write DIRECTLY into their claimed
+      // `v=N` while the claim is young (TTL) or owned in-JVM — the walk
+      // must skip those subtrees WHOLE (r15): their `_temporary` /
+      // task-attempt dirs are in-flight work, and deleting them would
+      // let the committer publish a manifest over lost data (with
+      // FileOutputCommitter v1 the job can even commit an empty dir).
+      // removeCommitDebris below applies the same TTL guard to the
+      // claims themselves.
+      val protectedVs: Set[Long] =
+        if (isDir(fs, new Path(root, "_versions")))
+          VersionedTable.protectedClaimVersions(fs, root)
+        else Set.empty
+      def claimProtected(p: Path): Boolean =
+        protectedVs.nonEmpty && p.getParent == root &&
+          p.getName.startsWith("v=") &&
+          p.getName.stripPrefix("v=").toLongOption.exists(protectedVs)
       def walk(st: FileStatus): Unit = {
         val name = st.getPath.getName
         if (st.isDirectory) {
-          if (name == "_temporary") { fs.delete(st.getPath, true); removed += 1 }
+          if (claimProtected(st.getPath)) () // live claimed dir: hands off
+          else if (name == "_temporary") { fs.delete(st.getPath, true); removed += 1 }
           // a crashed committer's staged-but-never-claimed data (r14
           // commit protocol: stage → claim-rename → manifest). Safe to
           // drop because a CLAIMED stage no longer has this name; like

@@ -116,24 +116,16 @@ object VersionedTable {
       action: String): Protocol = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     val objectStore = graft.util.Fs.NonAtomicRenameSchemes(scheme)
-    protocolConf match {
-      case "create" => CreateCommit
-      case "rename" =>
-        require(!objectStore,
-          s"VersionedTable.$action on '$table': $ProtocolConfKey=rename " +
-            s"but scheme '$scheme' has no atomic rename — set " +
-            s"$ProtocolConfKey=create (requires conditional-create " +
-            "support: S3 If-None-Match PUT, GCS preconditions, Azure ETag)")
-        RenameCommit
-      case "auto" =>
-        require(!objectStore,
-          s"VersionedTable.$action on '$table': scheme '$scheme' has no " +
-            "atomic rename, so the rename commit protocol is unsound " +
-            s"there — set $ProtocolConfKey=create IF the store supports " +
-            "conditional create (S3 If-None-Match PUT — GA since " +
-            "Nov 2024, GCS ifGenerationMatch, Azure ETag), or use a " +
-            "catalog-backed table format (Iceberg)")
-        RenameCommit
+    def requireRenameCapable(how: String): Unit =
+      require(!objectStore,
+        s"VersionedTable.$action on '$table': $how but scheme '$scheme' " +
+          "has no atomic rename, so the rename commit protocol is " +
+          s"unsound there — set $ProtocolConfKey=create IF the store " +
+          "supports conditional create (S3 If-None-Match PUT — GA " +
+          "since Nov 2024, GCS ifGenerationMatch, Azure ETag), or use " +
+          "a catalog-backed table format (Iceberg)")
+    val conf = protocolConf match {
+      case p @ ("auto" | "rename" | "create") => p
       case other =>
         // a typo'd protocol silently running the other one would let a
         // user believe they validated a protocol they never ran
@@ -141,6 +133,156 @@ object VersionedTable {
           s"$ProtocolConfKey='$other' is not a protocol — use " +
             "auto | rename | create")
     }
+    // The TABLE's persisted protocol wins (r15, like an Iceberg table
+    // property): two processes writing one table under DIFFERENT
+    // protocols would claim via different objects (v=N rename vs
+    // .claim-N marker) with no common linearization point and could
+    // allocate the same version — so the choice is pinned at first
+    // commit ([[ensureProtocolPersisted]]) and a session conf that
+    // EXPLICITLY disagrees is refused (auto follows the table; change
+    // deliberately via CALL graft.system.set_commit_protocol).
+    persistedProtocolOn(fs, fs.makeQualified(new Path(table))) match {
+      case Some(p) =>
+        val pName = protocolName(p)
+        require(conf == "auto" || conf == pName,
+          s"VersionedTable.$action on '$table': the table's commit " +
+            s"protocol is pinned to '$pName' (first commit) but " +
+            s"$ProtocolConfKey='$conf' — unset the conf, or migrate " +
+            "deliberately with CALL graft.system.set_commit_protocol")
+        if (p == RenameCommit)
+          requireRenameCapable(s"the table is pinned to 'rename'")
+        p
+      case None => conf match {
+        case "create" => CreateCommit
+        case "rename" =>
+          requireRenameCapable(s"$ProtocolConfKey=rename")
+          RenameCommit
+        case "auto" =>
+          requireRenameCapable("no protocol is pinned or configured")
+          RenameCommit
+      }
+    }
+  }
+
+  // ---- persisted protocol choice (r15) --------------------------------
+  //
+  // `_versions/.protocol` (generations `.protocol.gK` for migrations —
+  // object stores cannot atomically overwrite, so a change writes the
+  // NEXT generation by conditional create; newest wins, like `.table`).
+  // Written create-if-absent by the FIRST commit; losing that race
+  // re-reads and verifies agreement, so the very first two racing
+  // commits of a table already share one linearization point.
+
+  private def protocolName(p: Protocol): String = p match {
+    case RenameCommit => "rename"
+    case CreateCommit => "create"
+  }
+
+  private def protocolMetaGen(name: String): Option[Long] =
+    if (name == ".protocol") Some(-1L)
+    else if (name.startsWith(".protocol.g")) {
+      val g = name.stripPrefix(".protocol.g")
+      if (g.nonEmpty && g.forall(_.isDigit)) Some(g.toLong) else None
+    } else None
+
+  private def currentProtocolMetaOn(fs: FileSystem,
+      root: Path): Option[(Path, Long)] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
+    else {
+      val metas = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap(n => protocolMetaGen(n).map(n -> _))
+      if (metas.isEmpty) None
+      else {
+        val (name, gen) = metas.maxBy(_._2)
+        Some((new Path(dir, name), gen))
+      }
+    }
+  }
+
+  private[pipeline] def persistedProtocolOn(fs: FileSystem,
+      root: Path): Option[Protocol] =
+    currentProtocolMetaOn(fs, root).map { case (p, _) =>
+      graft.util.Fs.readSmallFileFs(fs, p).trim match {
+        case "rename" => RenameCommit
+        case "create" => CreateCommit
+        case other => sys.error(
+          s"unreadable protocol pin '$other' in $p — expected " +
+            "rename | create")
+      }
+    }
+
+  /** Pin the protocol at first commit (create-if-absent; both protocols
+    * can, and it IS the linearization point two racing first commits
+    * share). Pre-r15 tables have no pin: their next commit writes one
+    * for the protocol it runs under, so existing tables adopt the pin
+    * without a migration step. */
+  private def ensureProtocolPersisted(fs: FileSystem, root: Path,
+      table: String, proto: Protocol): Unit = {
+    if (persistedProtocolOn(fs, root).nonEmpty) return
+    fs.mkdirs(manifestDir(root))
+    try {
+      val out = fs.create(new Path(manifestDir(root), ".protocol"), false)
+      try out.write(protocolName(proto)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // lost the create race (or a connector-shaped failure): someone
+        // pinned first — all that matters is that the pin AGREES
+        val pinned = persistedProtocolOn(fs, root)
+        require(pinned.contains(proto),
+          s"commit on $table: a concurrent first commit pinned the " +
+            s"protocol to '${pinned.map(protocolName).getOrElse("?")}' " +
+            s"while this one runs '${protocolName(proto)}' — re-run " +
+            "under the pinned protocol")
+    }
+  }
+
+  /** Deliberate protocol migration (`CALL graft.system
+    * .set_commit_protocol`): re-pin the table to `protocol`. Writes the
+    * next `.protocol.gK` generation by conditional create (atomic on
+    * both protocols; racing migrations collide on the generation name
+    * and the loser fails loudly). Refuses while commit claims are
+    * outstanding — migrating under a live committer is exactly the
+    * mixed-protocol race the pin exists to prevent; like
+    * remove_orphan_files, do not run concurrently with live writers in
+    * other processes. The target protocol must be sound on the table's
+    * filesystem (rename → rename-atomic scheme; create → the
+    * conditional-create probe runs at the next commit). */
+  def setCommitProtocol(table: String, protocol: String): Unit = {
+    val (fs, root) = fsFor(table)
+    val target = protocol match {
+      case "rename" =>
+        val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+        require(!graft.util.Fs.NonAtomicRenameSchemes(scheme),
+          s"set_commit_protocol($table, rename): scheme '$scheme' has " +
+            "no atomic rename")
+        RenameCommit
+      case "create" => CreateCommit
+      case other => throw new IllegalArgumentException(
+        s"set_commit_protocol($table, '$other'): use rename | create")
+    }
+    withCommitLock(root) {
+      require(claimsOn(fs, root).isEmpty,
+        s"set_commit_protocol($table): outstanding commit claims " +
+          s"${claimsOn(fs, root)} — wait for in-flight commits (or " +
+          "clean crashed ones with remove_orphan_files), then retry")
+      if (persistedProtocolOn(fs, root).contains(target)) return
+      fs.mkdirs(manifestDir(root))
+      val gen = currentProtocolMetaOn(fs, root).map(_._2).getOrElse(-1L) + 1L
+      val out = fs.create(
+        new Path(manifestDir(root), s".protocol.g$gen"), false)
+      try out.write(protocolName(target)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The pinned protocol name, if the table has pinned one. */
+  def commitProtocolOf(table: String): Option[String] = {
+    val (fs, root) = fsFor(table)
+    persistedProtocolOn(fs, root).map(protocolName)
   }
 
   private def versionsOn(fs: FileSystem, root: Path): Seq[Long] =
@@ -326,42 +468,57 @@ object VersionedTable {
   private def commitStaged(fs: FileSystem, root: Path, stage: Path,
       branch: Option[String] = None)(
       content: (Seq[Long], Long) => String): Long =
-    try withCommitLock(root) {
-      var attempts = 0
+    try {
+      ensureProtocolPersisted(fs, root, root.toString, RenameCommit)
+      // contention discipline (r15, mirrors claimVersion): each claim
+      // ATTEMPT holds the per-root lock; the retry sleep does not (a
+      // sleeping claimer must not stall sibling committers), and only
+      // a next that NEVER MOVES counts toward the failure bound — a
+      // moving next is live cross-process contention, retried with
+      // backoff indefinitely
+      var stuck = 0
+      var lastNext = -1L
       var committed = -1L
       while (committed < 0) {
-        val vs = versionsOn(fs, root)
-        // global allocation: branch manifests and claims count too, so
-        // a main commit never claims a data dir a branch owns
-        val next = maxAllocatedOn(fs, root) + 1L
-        val target = new Path(root, s"v=$next")
-        if (!fs.exists(target) && fs.rename(stage, target)) {
-          try {
-            // per-snapshot schema (r14): every commit of a DECLARED
-            // table embeds the schema current AT COMMIT TIME, so time
-            // travel to a pre-evolution snapshot can serve the schema
-            // as of that snapshot (Iceberg's per-snapshot schema-id
-            // contract; [[schemaAt]] reads it back)
-            val schemaLine = storedSchema(root.toString)
-              .map(sch => s"schema=${sch.json}\n").getOrElse("")
-            commitManifest(fs, root, next, content(vs, next) + schemaLine,
-              branch)
-            committed = next
-          } catch {
-            case e: Throwable => // loser/validation cleanup: un-claim
-              fs.delete(target, true)
-              throw e
-          }
-        } else {
+        val claimed: Boolean = withCommitLock(root) {
+          val vs = versionsOn(fs, root)
+          // global allocation: branch manifests and claims count too, so
+          // a main commit never claims a data dir a branch owns
+          val next = maxAllocatedOn(fs, root) + 1L
+          if (next != lastNext) { stuck = 0; lastNext = next }
+          val target = new Path(root, s"v=$next")
+          if (!fs.exists(target) && fs.rename(stage, target)) {
+            try {
+              // per-snapshot schema (r14): every commit of a DECLARED
+              // table embeds the schema current AT COMMIT TIME, so time
+              // travel to a pre-evolution snapshot can serve the schema
+              // as of that snapshot (Iceberg's per-snapshot schema-id
+              // contract; [[schemaAt]] reads it back)
+              val schemaLine = storedSchema(root.toString)
+                .map(sch => s"schema=${sch.json}\n").getOrElse("")
+              commitManifest(fs, root, next, content(vs, next) + schemaLine,
+                branch)
+              committed = next
+              true
+            } catch {
+              case e: Throwable => // loser/validation cleanup: un-claim
+                fs.delete(target, true)
+                throw e
+            }
+          } else false
+        }
+        if (!claimed) {
           // v=next exists with no manifest: a concurrent (cross-process)
           // committer is mid-commit, or a crash orphaned the dir. Wait
-          // for its manifest to land (advancing our next), bounded.
-          attempts += 1
-          require(attempts < 5,
-            s"cannot claim data dir $target after $attempts attempts — " +
-              "either a concurrent committer is mid-commit or a crashed " +
-              "one orphaned the dir (CALL graft.system.remove_orphan_files)")
-          Thread.sleep(50L * attempts)
+          // for its manifest to land (advancing our next), bounded only
+          // while next stays stuck.
+          stuck += 1
+          require(stuck < 5,
+            s"cannot claim data dir v=$lastNext in $root after $stuck " +
+              "attempts with no concurrent commit advancing it — a " +
+              "crashed committer orphaned the dir " +
+              "(CALL graft.system.remove_orphan_files)")
+          Thread.sleep(50L * stuck)
         }
       }
       committed
@@ -397,41 +554,120 @@ object VersionedTable {
     * the one primitive object stores provide atomically (If-None-Match
     * PUT). The claimed `v=N` data dir is the committer's to write
     * directly; nothing is visible until [[publishClaimed]] lands the
-    * manifest. */
+    * manifest.
+    *
+    * Soundness rests on the Hadoop connector mapping
+    * `create(path, overwrite=false)` to a CONDITIONAL write (S3A needs
+    * `fs.s3a.create.conditional.enabled`; GCS/ABFS enforce it natively)
+    * — the engine cannot verify that from the scheme, so the first
+    * create-protocol commit per table root PROBES it
+    * ([[probeConditionalCreate]]): a connector whose create(false) is
+    * check-then-PUT fails the probe loudly instead of silently letting
+    * two drivers claim one version. Connectors surface a lost
+    * conditional-PUT race in DIFFERENT shapes — FileAlreadyExists at
+    * create() on POSIX/HDFS, a precondition failure (HTTP 412, e.g.
+    * S3A's RemoteFileChangedException) at close() where the PUT
+    * actually happens — so on ANY IOException the claim is read back
+    * and disambiguated by the unique token this committer wrote: our
+    * token = the claim IS ours (won despite the error); a foreign or
+    * unreadable claim = lost race (retry); no claim = a real I/O
+    * failure that surfaces as itself.
+    *
+    * Contention discipline (r15): the retry sleep runs OUTSIDE the
+    * per-root lock (a sleeping claimer must not stall sibling in-JVM
+    * committers), and collisions only count as suspicious while `next`
+    * DOES NOT MOVE — a moving next is live cross-process contention
+    * (keep retrying with backoff); a stuck next is real crash debris
+    * (bounded, loud error naming the cleanup tool). */
   private[graft] def claimVersion(fs: FileSystem, root: Path,
-      table: String): Long = withCommitLock(root) {
-    var attempts = 0
+      table: String): Long = {
+    ensureProtocolPersisted(fs, root, table, CreateCommit)
+    probeConditionalCreate(fs, root, table)
+    var stuck = 0
+    var lastNext = -1L
     var got = -1L
     while (got < 0) {
-      val next = maxAllocatedOn(fs, root) + 1L
-      val collided =
+      val token = java.util.UUID.randomUUID().toString
+      val collided: Boolean = withCommitLock(root) {
+        val next = maxAllocatedOn(fs, root) + 1L
+        if (next != lastNext) { stuck = 0; lastNext = next }
         if (fs.exists(new Path(root, s"v=$next"))) true
         else try {
           fs.mkdirs(manifestDir(root))
           val out = fs.create(claimPath(root, next), false)
-          try out.write(s"${System.currentTimeMillis()}\n"
+          try out.write(s"${System.currentTimeMillis()}\n$token\n"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           addLiveClaim(root, next)
           got = next
           false
         } catch {
-          // ONLY the exists-already signal is a lost race; any other
-          // I/O failure (permissions, credentials, network) must
-          // surface as itself, not masquerade as a crashed committer
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
           case _: java.nio.file.FileAlreadyExistsException => true
+          case e: java.io.IOException =>
+            // a connector may surface the lost race only at close()
+            // (conditional-PUT 412); read the claim back and let the
+            // token decide — permissions/credentials/network failures
+            // leave NO claim and surface as themselves
+            scala.util.Try(graft.util.Fs
+              .readSmallFileFs(fs, claimPath(root, next))
+              .linesIterator.toSeq.lift(1).map(_.trim)) match {
+              case scala.util.Success(Some(t)) if t == token =>
+                addLiveClaim(root, next); got = next; false
+              case scala.util.Success(_) => true // foreign claim: lost race
+              case scala.util.Failure(_) =>
+                if (fs.exists(claimPath(root, next))) true else throw e
+            }
         }
-      if (collided) {
-        attempts += 1
-        require(attempts < 5,
-          s"cannot claim a version on $table after $attempts attempts — " +
-            "a crashed committer may have left a stale claim or data " +
-            "dir (CALL graft.system.remove_orphan_files)")
-        Thread.sleep(50L * attempts)
+      }
+      if (collided && got < 0) {
+        stuck += 1
+        require(stuck < 5,
+          s"cannot claim version $lastNext on $table after $stuck " +
+            "attempts with no concurrent commit advancing it — a " +
+            "crashed committer left a stale claim or data dir " +
+            "(CALL graft.system.remove_orphan_files)")
+        Thread.sleep(50L * stuck) // outside the lock: siblings keep committing
       }
     }
     got
+  }
+
+  /** One-time-per-root probe that `create(path, overwrite=false)` is
+    * actually CONDITIONAL on this filesystem: create a dot-prefixed
+    * probe marker twice and require the second create to fail. A
+    * connector that maps create(false) to check-then-PUT (no
+    * `If-None-Match`) passes the second create — then two drivers can
+    * claim one version and the loser's cleanup would delete the
+    * winner's published data, so the protocol REFUSES up front with
+    * the connector setting to fix (e.g. S3A's
+    * `fs.s3a.create.conditional.enabled`). Probed once per root per
+    * JVM; the marker is removed either way. */
+  private val probedRoots =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def probeConditionalCreate(fs: FileSystem, root: Path,
+      table: String): Unit = {
+    if (probedRoots.contains(root.toString)) return
+    val p = new Path(manifestDir(root),
+      s".probe-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(manifestDir(root))
+    val out = fs.create(p, false)
+    try out.write('x') finally out.close()
+    val enforced =
+      try {
+        val second = fs.create(p, false)
+        second.close() // not conditional: the create succeeded
+        false
+      } catch { case _: java.io.IOException => true }
+    try fs.delete(p, false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    require(enforced,
+      s"$ProtocolConfKey=create on $table, but this filesystem's " +
+        "create(overwrite=false) is NOT conditional — two committers " +
+        "could claim one version. Enable the connector's conditional " +
+        "write support (S3A: fs.s3a.create.conditional.enabled) or " +
+        "use the rename protocol on a rename-atomic filesystem")
+    probedRoots.put(root.toString, true)
   }
 
   /** Un-claim: delete the claimed data dir (if any was written) and the
@@ -485,19 +721,27 @@ object VersionedTable {
           val owned = liveClaims.getOrElse(root.toString, Set.empty)
           val foreign = pending.filterNot(owned)
           if (foreign.nonEmpty) {
-            // a live cross-process committer may legitimately hold its
-            // claim for the length of a data write — give it the
-            // configured budget before pointing at the cleanup tool
-            // (which itself refuses claims younger than the TTL, so a
-            // premature CALL cannot destroy in-flight data)
-            foreignWaitMs += 100
-            require(foreignWaitMs < foreignClaimWaitMs,
-              s"claims $foreign below $v on $table unpublished after " +
-                s"${foreignWaitMs / 1000}s — if the committer is alive " +
-                s"and mid-write, raise $ForeignWaitConfKey and retry; " +
-                "if it crashed, CALL graft.system.remove_orphan_files " +
-                s"(which skips claims younger than $ClaimTtlConfKey), " +
-                "then retry")
+            // self-healing (r15): a TTL-expired foreign claim is a
+            // crashed committer — reap it HERE, under the same guards
+            // remove_orphan_files applies, instead of erroring and
+            // demanding a manual CALL (the pre-r15 wedge: one crashed
+            // claim blocked every later publish until an operator
+            // intervened). Young foreign claims still get the wait
+            // budget: they may be a live committer mid-write.
+            val reaped = withCommitLock(root) {
+              foreign.count(reapClaimIfStale(fs, root, _))
+            }
+            if (reaped == 0) {
+              foreignWaitMs += 100
+              require(foreignWaitMs < foreignClaimWaitMs,
+                s"claims $foreign below $v on $table unpublished after " +
+                  s"${foreignWaitMs / 1000}s — if the committer is alive " +
+                  s"and mid-write, raise $ForeignWaitConfKey and retry; " +
+                  s"if it crashed, its claim self-reaps once older than " +
+                  s"$ClaimTtlConfKey (or CALL " +
+                  "graft.system.remove_orphan_files), then this " +
+                  "publish proceeds")
+            }
           } else {
             // owned claims are live in-JVM work — but one LEAKED by a
             // query that died between planning (claim-at-write) and
@@ -544,7 +788,16 @@ object VersionedTable {
   /** Manifest commit by conditional create — no temp, no rename: on a
     * conditional-PUT object store the PUT is atomic whole-object, and
     * the claim guarantees no competing writer of this version exists.
-    * A failure mid-write deletes the torn target before rethrowing. */
+    *
+    * Failure cleanup NEVER deletes a manifest it did not write (r15):
+    * a create/close failure can mean the target ALREADY EXISTS (a
+    * foreign manifest — a connector surfacing a collision late, or a
+    * claim protocol violated upstream), and deleting it would destroy
+    * someone else's published commit. The target is read back and the
+    * content decides: equal = this commit's object landed whole (the
+    * commit stands — success); a strict PREFIX of ours = our own torn
+    * write (only possible on visible-while-open POSIX; deleted);
+    * anything else or unreadable = left untouched, error rethrown. */
   private def commitManifestCreate(fs: FileSystem, root: Path, v: Long,
       content: String, branch: Option[String] = None): Unit = {
     val dir = branch.map(branchManifestDir(root, _))
@@ -556,9 +809,21 @@ object VersionedTable {
       finally out.close()
     } catch {
       case e: Throwable =>
-        try fs.delete(target, false)
-        catch { case scala.util.control.NonFatal(_) => () }
-        throw e
+        scala.util.Try(graft.util.Fs.readSmallFileFs(fs, target))
+          .toOption match {
+          case Some(c) if c == content =>
+            () // landed whole despite the error: the commit stands
+          case Some(c) if content.startsWith(c) =>
+            // our own torn write (manifests start with a millis
+            // timestamp, so a foreign manifest diverges within the
+            // first line) — clean it and surface the failure
+            try fs.delete(target, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+          case _ =>
+            // foreign or unreadable: never delete what we did not write
+            throw e
+        }
     }
     if (branch.isEmpty) batchMarkerCache.put(root.toString,
       (v, content.linesIterator.collectFirst {
@@ -606,6 +871,7 @@ object VersionedTable {
   private def commitMetaRename(fs: FileSystem, root: Path,
       table: String)(content: (Seq[Long], Long) => String): Long =
     withCommitLock(root) {
+      ensureProtocolPersisted(fs, root, table, RenameCommit)
       val vs = versionsOn(fs, root)
       require(vs.nonEmpty, s"no versions in $table")
       val next = maxAllocatedOn(fs, root) + 1L
@@ -636,6 +902,68 @@ object VersionedTable {
     *     the manifest (the failure the commit error message points
     *     here for).
     * Returns the number of entries removed. */
+  /** Age of a claim marker in millis; unreadable/undated claims count
+    * as infinitely old (crash debris by definition). */
+  private def claimAgeMs(fs: FileSystem, root: Path, k: Long): Long =
+    scala.util.Try(
+      graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))
+        .linesIterator.next().trim.toLong).toOption
+      .map(ts => System.currentTimeMillis() - ts).getOrElse(Long.MaxValue)
+
+  /** Reap ONE crashed-committer claim: foreign (not live in this JVM)
+    * and older than the TTL — the claim marker goes, and its data dir
+    * with it when no manifest or retained reference owns that dir.
+    * TTL guard: a younger claim may belong to a LIVE cross-process
+    * committer mid-write; deleting it (and the dir it owns) would let
+    * that committer publish a manifest over destroyed data. Returns
+    * entries removed (0 = not stale / not ours to reap). Callers hold
+    * the commit lock. */
+  private def reapClaimEntries(fs: FileSystem, root: Path, k: Long,
+      manifested: Set[Long], live: Set[Long], owned: Set[Long]): Int = {
+    if (owned(k) || claimAgeMs(fs, root, k) < claimTtlMs) 0
+    else {
+      var removed = 0
+      if (fs.delete(claimPath(root, k), false)) removed += 1
+      if (!manifested(k) && !live(k) &&
+          fs.exists(new Path(root, s"v=$k"))) {
+        fs.delete(new Path(root, s"v=$k"), true); removed += 1
+      }
+      removed
+    }
+  }
+
+  /** [[reapClaimEntries]] with the liveness sets computed fresh — the
+    * publish-path self-heal form (r15), called for the handful of
+    * foreign claims blocking a publish. True iff the claim was
+    * reaped. */
+  private def reapClaimIfStale(fs: FileSystem, root: Path,
+      k: Long): Boolean = {
+    val owned = liveClaims.getOrElse(root.toString, Set.empty)
+    if (owned(k) || claimAgeMs(fs, root, k) < claimTtlMs) return false
+    val vs = versionsOn(fs, root)
+    val manifested = vs.toSet ++
+      branchNamesOn(fs, root).flatMap(branchVersionsOn(fs, root, _))
+    val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet ++
+      branchLiveDirsOn(fs, root)
+    reapClaimEntries(fs, root, k, manifested, live, owned) > 0
+  }
+
+  /** Versions whose claim is still PROTECTED — owned by a live in-JVM
+    * committer, or younger than the claim TTL (possibly a live
+    * cross-process committer mid-write into its claimed `v=N`). The
+    * orphan walk must not touch ANYTHING under these dirs (r15): their
+    * `_temporary` / task-attempt debris is in-flight work, and deleting
+    * it would let the committer publish a manifest over lost data —
+    * the exact contradiction of publishClaimed's "a premature CALL
+    * cannot destroy in-flight data" promise (ADVICE r14). */
+  private[pipeline] def protectedClaimVersions(fs: FileSystem,
+      root: Path): Set[Long] = {
+    val owned = liveClaims.getOrElse(root.toString, Set.empty)
+    claimsOn(fs, root)
+      .filter(k => owned(k) || claimAgeMs(fs, root, k) < claimTtlMs)
+      .toSet
+  }
+
   private[pipeline] def removeCommitDebris(fs: FileSystem,
       root: Path): Int = withCommitLock(root) {
     var removed = 0
@@ -647,23 +975,8 @@ object VersionedTable {
     val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet ++
       branchLiveDirsOn(fs, root)
     val owned = liveClaims.getOrElse(root.toString, Set.empty)
-    val now = System.currentTimeMillis()
     claimsOn(fs, root).foreach { k =>
-      // TTL guard: a claim younger than claimTtlMs may belong to a LIVE
-      // cross-process committer mid-write — deleting it (and the dir it
-      // owns) would let that committer publish a manifest over
-      // destroyed data. Unreadable/undated claims count as old.
-      val ageMs = scala.util.Try(
-        graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))
-          .linesIterator.next().trim.toLong).toOption
-        .map(ts => now - ts).getOrElse(Long.MaxValue)
-      if (!owned.contains(k) && ageMs >= claimTtlMs) {
-        fs.delete(claimPath(root, k), false); removed += 1
-        if (!manifested(k) && !live(k) &&
-            fs.exists(new Path(root, s"v=$k"))) {
-          fs.delete(new Path(root, s"v=$k"), true); removed += 1
-        }
-      }
+      removed += reapClaimEntries(fs, root, k, manifested, live, owned)
     }
     // claims that survived the TTL guard still OWN their data dir —
     // the orphan-dir sweep must not pull it out from under them
@@ -1773,16 +2086,27 @@ object VersionedTable {
     * A data directory referenced by a RETAINED manifest's `data=` redirect
     * (a [[rollback]] target) survives even when its own manifest expires —
     * deleting it would corrupt the current snapshot. */
+  /** Versions no expiry may drop: tagged snapshots (Iceberg's tag
+    * retention) and the FORK BASE of every branch that has no commits
+    * of its own (r15 — Iceberg refs retain their REFERENCED snapshot:
+    * an uncommitted branch resolves through its base manifest, so
+    * expiring it would kill the branch before its first commit; once
+    * the branch commits, its head is a branch manifest and the base's
+    * data dirs stay live via [[branchLiveDirsOn]] — the base MANIFEST
+    * is then no longer referenced and may expire). */
+  private def expiryProofOn(fs: FileSystem, root: Path): Set[Long] =
+    tagsOn(fs, root).values.map(_._1).toSet ++
+      branchNamesOn(fs, root)
+        .filter(branchVersionsOn(fs, root, _).isEmpty)
+        .map(branchBaseOn(fs, root, _)._1)
+
   def expire(table: String, keepLast: Int): Seq[Long] = {
     val (fs, root) = fsFor(table)
     protocolFor(fs, table, "expire") // deletes are protocol-neutral; this validates scheme/conf
     withCommitLock(root) {
       val vs = versionsOn(fs, root)
-      // TAGGED snapshots are expiry-proof (Iceberg's tag retention):
-      // they stay readable — and keep their data dirs live — until the
-      // tag is dropped
-      val tagged = tagsOn(fs, root).values.map(_._1).toSet
-      expireDrop(fs, root, vs, vs.dropRight(keepLast).filterNot(tagged))
+      val pinned = expiryProofOn(fs, root)
+      expireDrop(fs, root, vs, vs.dropRight(keepLast).filterNot(pinned))
     }
   }
 
@@ -1798,7 +2122,7 @@ object VersionedTable {
     withCommitLock(root) {
       val vs = versionsOn(fs, root)
       val guarded = vs.takeRight(math.max(1, retainLast)).toSet ++
-        tagsOn(fs, root).values.map(_._1) // tags are expiry-proof
+        expiryProofOn(fs, root) // tags + branch fork bases
       val drop = vs.filter(v =>
         !guarded(v) && commitTimeOn(fs, root, v) < olderThanMillis)
       expireDrop(fs, root, vs, drop)

@@ -556,6 +556,17 @@ object GraftProcedureCatalog {
       Seq(Maintenance.dropBranch(str(input, 0), str(input, 1)))
   }
 
+  private object SetCommitProtocol extends MaintProc("set_commit_protocol",
+    "deliberately migrate a table's pinned commit protocol " +
+      "(rename | create) — the pin is set at first commit and a " +
+      "disagreeing session conf is refused; do not run concurrently " +
+      "with live writers (r15)",
+    Array(p("table", StringType), p("protocol", StringType))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.setCommitProtocol(str(input, 0), str(input, 1)))
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "rewrite_data_files" -> RewriteDataFiles,
     "expire_snapshots" -> ExpireSnapshots,
@@ -566,5 +577,6 @@ object GraftProcedureCatalog {
     "drop_tag" -> DropTag,
     "create_branch" -> CreateBranch,
     "fast_forward" -> FastForward,
-    "drop_branch" -> DropBranch)
+    "drop_branch" -> DropBranch,
+    "set_commit_protocol" -> SetCommitProtocol)
 }

@@ -88,42 +88,55 @@ class CreateProtocolSpec extends SparkSpec {
     }
   }
 
-  test("stale foreign claim blocks publishes LOUDLY; remove_orphan_files " +
-      "un-wedges the table but refuses claims younger than the TTL") {
+  test("a TTL-expired stale foreign claim SELF-REAPS on the publish " +
+      "path (r15) — no manual CALL; a young claim still blocks and " +
+      "survives cleanup") {
     withCreateProtocol {
       spark.conf.set(VersionedTable.ForeignWaitConfKey, "1500")
       try {
         val table = Files.createTempDirectory("graft_cp3_").toString + "/t"
         VersionedTable.write(Seq(1).toDF("x"), table)
         // a committer in another process claimed v2 and died long ago
-        // (epoch-0 creation time — well past the TTL)
+        // (epoch-0 creation time — well past the TTL), leaving a
+        // half-written data dir behind
         val (fs, root) = graft.util.Fs.fsFor(table)
         val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
         val out = fs.create(claim, false)
         out.write("0\n".getBytes); out.close()
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=2"))
 
-        val e = intercept[IllegalArgumentException] {
-          VersionedTable.append(Seq(2).toDF("x"), table)
-        }
-        assert(e.getMessage.contains("remove_orphan_files"))
-        // the failed append abandoned ITS claim: only the foreign one left
+        // pre-r15 this append ERRORED pointing at remove_orphan_files;
+        // the publish wait now reaps the TTL-expired claim itself — the
+        // append lands with zero operator intervention, and the crashed
+        // committer's claim marker AND orphaned data dir are gone
+        val v = VersionedTable.append(Seq(2).toDF("x"), table)
+        assert(v == 3L, s"append must allocate past the dead claim: $v")
+        assert(VersionedTable.read(spark, table).collect()
+          .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+        assert(!fs.exists(claim))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=2")))
         assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_versions"))
-          .map(_.getPath.getName).count(_.startsWith(".claim-")) == 1)
-
-        val rep = Maintenance.removeOrphans(spark, table)
-        assert(rep.ok, rep.detail)
-        assert(VersionedTable.append(Seq(2).toDF("x"), table) > 1L)
-        assert(VersionedTable.read(spark, table).count() == 2)
+          .map(_.getPath.getName).count(_.startsWith(".claim-")) == 0)
 
         // a YOUNG foreign claim (live committer mid-write elsewhere) is
-        // NOT debris: cleanup must leave the claim AND its data dir
+        // NOT debris: the publish path must wait (bounded, loud, still
+        // naming the self-reap TTL) and cleanup must leave the claim
+        // AND its data dir — including any _temporary in-flight work
+        // under it (r15: the orphan walk skips TTL-protected dirs)
         val young = new org.apache.hadoop.fs.Path(root, "_versions/.claim-9")
         val o2 = fs.create(young, false)
         o2.write(s"${System.currentTimeMillis()}\n".getBytes); o2.close()
-        fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=9"))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=9/_temporary/0"))
+        val e = intercept[IllegalArgumentException] {
+          VersionedTable.append(Seq(3).toDF("x"), table)
+        }
+        assert(e.getMessage.contains(VersionedTable.ClaimTtlConfKey))
         assert(Maintenance.removeOrphans(spark, table).ok)
         assert(fs.exists(young))
-        assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v=9")))
+        assert(fs.exists(
+          new org.apache.hadoop.fs.Path(root, "v=9/_temporary/0")),
+          "orphan cleanup must not touch in-flight work under a " +
+            "TTL-protected claim")
         fs.delete(young, false)
         fs.delete(new org.apache.hadoop.fs.Path(root, "v=9"), true)
       } finally spark.conf.unset(VersionedTable.ForeignWaitConfKey)
@@ -238,5 +251,62 @@ class CreateProtocolSpec extends SparkSpec {
       assert(spark.sql(s"SELECT * FROM $cat.wh.t VERSION AS OF 2")
         .count() == 3)
     }
+  }
+
+  test("protocol PIN (r15): the first commit pins the table's protocol; " +
+      "a disagreeing session conf is refused; set_commit_protocol " +
+      "migrates deliberately and the mixed rename→create history keeps " +
+      "every invariant through expire + orphan cleanup") {
+    val table = Files.createTempDirectory("graft_cp7_").toString + "/t"
+    // first commit under the default (auto → rename on file:) pins it
+    VersionedTable.write(Seq(1).toDF("x"), table)
+    assert(VersionedTable.commitProtocolOf(table).contains("rename"))
+    spark.conf.set(VersionedTable.ProtocolConfKey, "create")
+    try {
+      // an explicitly disagreeing conf must refuse — two protocols on
+      // one table have no common claim-linearization point
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.append(Seq(0).toDF("x"), table)
+      }
+      assert(e.getMessage.contains("set_commit_protocol"))
+      assert(VersionedTable.versions(table) == Seq(1L))
+
+      // deliberate migration, then the create-protocol append lands on
+      // the SAME manifest layout the rename history built
+      val rep = Maintenance.setCommitProtocol(table, "create")
+      assert(rep.ok, rep.detail)
+      assert(VersionedTable.commitProtocolOf(table).contains("create"))
+      assert(VersionedTable.append(Seq(2).toDF("x"), table) == 2L)
+      // auto now FOLLOWS the pin (no conf needed in reader/maintenance
+      // sessions)
+      spark.conf.unset(VersionedTable.ProtocolConfKey)
+      assert(VersionedTable.append(Seq(3).toDF("x"), table) == 3L)
+      // and the OLD protocol's conf is refused post-migration
+      spark.conf.set(VersionedTable.ProtocolConfKey, "rename")
+      val e2 = intercept[IllegalArgumentException] {
+        VersionedTable.append(Seq(0).toDF("x"), table)
+      }
+      assert(e2.getMessage.contains("pinned"))
+      spark.conf.unset(VersionedTable.ProtocolConfKey)
+
+      // the mixed history is one coherent table: reads, expiry
+      // liveness, and orphan cleanup all hold
+      assert(VersionedTable.read(spark, table).collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+      assert(VersionedTable.expire(table, keepLast = 1) == Seq(1L, 2L))
+      assert(Maintenance.removeOrphans(spark, table).ok)
+      assert(VersionedTable.read(spark, table).collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+      val (fs, root) = graft.util.Fs.fsFor(s"$table/_versions")
+      assert(!fs.listStatus(root).exists(
+        _.getPath.getName.startsWith(".claim-")))
+      // migration refuses while a commit claim is outstanding
+      val claim = new org.apache.hadoop.fs.Path(root, ".claim-9")
+      val out = fs.create(claim, false)
+      out.write(s"${System.currentTimeMillis()}\n".getBytes); out.close()
+      val r2 = Maintenance.setCommitProtocol(table, "rename")
+      assert(!r2.ok && r2.detail.contains("outstanding"))
+      fs.delete(claim, false)
+    } finally spark.conf.unset(VersionedTable.ProtocolConfKey)
   }
 }

@@ -161,7 +161,8 @@ class ProcedureCatalogSpec extends SparkSpec {
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("create_branch", "create_tag", "drop_branch", "drop_tag",
         "expire_snapshots", "fast_forward", "remove_orphan_files",
-        "repartition_table", "rewrite_data_files", "rewrite_manifests"))
+        "repartition_table", "rewrite_data_files", "rewrite_manifests",
+        "set_commit_protocol"))
     assert(cat.listProcedures(Array("other")).isEmpty)
   }
 }
