@@ -1141,6 +1141,70 @@ object VersionedTable {
     abandonClaim(fs, root, v)
   }
 
+  // ---- branch-targeted row-level rewrites (r15) -----------------------
+  //
+  // Iceberg's branch writes admit full DML; this is that for the WAP
+  // conf: a row-level UPDATE/MERGE/DELETE whose session stages on a
+  // branch commits the rewritten content as the next BRANCH snapshot —
+  // main does not move, untouched branch dirs carry by reference, and
+  // the audit/publish cycle (fast_forward) adopts the result. Base
+  // validation is against the branch HEAD captured at scan time
+  // (None = the branch had no commits and the scan read its fork
+  // base), so a concurrent branch commit fails the publish cleanly —
+  // the same optimistic contract the main-path replace applies.
+
+  /** The branch's newest own commit, if any ([[GraftRowLevelOperation]]
+    * captures it as the rewrite base). */
+  private[graft] def branchHeadVersion(table: String,
+      name: String): Option[Long] = {
+    val (fs, root) = fsFor(table)
+    branchVersionsOn(fs, root, name).lastOption
+  }
+
+  private def replaceBranchContent(fs: FileSystem, root: Path,
+      table: String, what: String, branchName: String,
+      baseHead: Option[Long],
+      keepDataVersions: Seq[Long]): (Seq[Long], Long) => String =
+    (_, next) => {
+      val head = branchVersionsOn(fs, root, branchName).lastOption
+      require(head == baseHead,
+        s"$what($table): branch '$branchName' is at " +
+          s"${head.getOrElse("its fork base")} but this rewrite read " +
+          s"${baseHead.getOrElse("the fork base")} — a concurrent " +
+          "branch commit landed while the rewrite ran; re-run it")
+      val current = branchHeadDirsOn(fs, root, branchName).toSet
+      val unknown = keepDataVersions.filterNot(current)
+      require(unknown.isEmpty,
+        s"$what($table): kept data versions $unknown are not part of " +
+          s"branch '$branchName''s head $current")
+      manifestContent(keepDataVersions :+ next, next)
+    }
+
+  private[graft] def publishStagedReplaceBranch(table: String,
+      stagedDir: String, branchName: String, baseHead: Option[Long],
+      keepDataVersions: Seq[Long]): Long = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "publishStagedReplaceBranch") match {
+      case RenameCommit => ()
+      case CreateCommit => sys.error(
+        s"publishStagedReplaceBranch($table): staged-dir publish " +
+          "renames — under the create protocol row-level writes claim " +
+          "their version up front (publishClaimedReplaceBranch)")
+    }
+    commitStaged(fs, root, new Path(stagedDir), Some(branchName))(
+      replaceBranchContent(fs, root, table, "publishStagedReplaceBranch",
+        branchName, baseHead, keepDataVersions))
+  }
+
+  private[graft] def publishClaimedReplaceBranch(table: String, v: Long,
+      branchName: String, baseHead: Option[Long],
+      keepDataVersions: Seq[Long]): Long = {
+    val (fs, root) = fsFor(table)
+    publishClaimed(fs, root, table, v, Some(branchName))(
+      replaceBranchContent(fs, root, table, "publishClaimedReplaceBranch",
+        branchName, baseHead, keepDataVersions))
+  }
+
   private def manifestContent(dirs: Seq[Long], self: Long,
       extra: Seq[String] = Nil): String = {
     val dirLine =

@@ -731,6 +731,78 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Branch-targeted row-level DML under the WAP conf (r15; Iceberg's
+    * branch writes admit full DML): the audit cycle stages plain-SQL
+    * INSERTs AND a MERGE and a DELETE on the branch — main must not
+    * move until fast_forward publishes (require()d after every
+    * statement), and the MERGE must rewrite ONLY the branch dir its
+    * keys live in, carrying the other staged dirs by reference
+    * (require()d on the branch head's dir list — the q198 contract, on
+    * a branch). The published table aggregates to the oracle's replay
+    * of the same CASE/filter pipeline over raw orders — a branch DML
+    * bug that loses rows, hits main, or rewrites the wrong dirs
+    * hash-mismatches. */
+  def q205WapDml(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#wapdml", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""CREATE TABLE $cat.wapdml AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      val t0 = s"$w/wapdml"
+      s.sql(s"CALL $cat.system.create_branch(table => '$t0', " +
+        "branch => 'stage')").collect()
+      s.conf.set(graft.sql.GraftVersionedTable.WapBranchConfKey, "stage")
+      try {
+        Seq(1, 2).foreach(m => s.sql(
+          s"""INSERT INTO $cat.wapdml
+             |SELECT o_orderkey, o_orderstatus,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 3 = $m""".stripMargin))
+        // MERGE on the branch: zero the price of the %3=2 keys
+        // divisible by 10 — rows living ONLY in the second staged dir
+        s.sql(
+          s"""MERGE INTO $cat.wapdml t
+             |USING (SELECT o_orderkey FROM orders
+             |       WHERE o_orderkey % 3 = 2 AND o_orderkey % 10 = 0) src
+             |ON t.o_orderkey = src.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET
+             |  t.price = CAST(0 AS DECIMAL(18,2))""".stripMargin)
+        require(VersionedTable.versions(t0) == Seq(1L),
+          s"MERGE under WAP must not move main: " +
+            s"${VersionedTable.versions(t0)}")
+        val dirs = VersionedTable.branchDataPaths(t0, "stage")
+          .map(_.split("/v=").last)
+        require(dirs == Seq("1", "2", "4"),
+          "dir-granular branch MERGE must keep untouched dirs by " +
+            s"reference and rewrite only the touched one; got $dirs")
+        // DELETE on the branch (runs the CoW rewrite path — the
+        // metadata-only downgrade stays main-only by design)
+        s.sql(s"DELETE FROM $cat.wapdml " +
+          "WHERE o_orderstatus = 'P' AND o_orderkey % 3 = 1")
+        require(VersionedTable.versions(t0) == Seq(1L),
+          "DELETE under WAP must not move main")
+      } finally s.conf.unset(
+        graft.sql.GraftVersionedTable.WapBranchConfKey)
+      s.sql(s"CALL $cat.system.fast_forward(table => '$t0', " +
+        "branch => 'stage')").collect()
+      s.sql(s"CALL $cat.system.drop_branch(table => '$t0', " +
+        "branch => 'stage')").collect()
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    s.sql(s"SELECT * FROM $cat.wapdml")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Object-store-native commits (r14): the snapshot lifecycle — a full
     * write, two by-reference appends, a metadata-only manifest collapse
     * — committed through the CREATE protocol
@@ -882,7 +954,8 @@ object CdcQueries {
     "q201_conditional_commit" -> (q201ConditionalCommit _),
     "q202_snapshot_tags" -> (q202SnapshotTags _),
     "q203_wap" -> (q203Wap _),
-    "q204_wap_conf" -> (q204WapConf _))
+    "q204_wap_conf" -> (q204WapConf _),
+    "q205_wap_dml" -> (q205WapDml _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -930,6 +1003,26 @@ object CdcQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // branch-targeted DML (r15): the oracle replays the staged
+    // pipeline — whole orders, MERGE's CASE, DELETE's filter — over
+    // raw orders; any branch/main mix-up or lost rewrite diverges
+    "q205_wap_dml" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 2 AND o_orderkey % 10 = 0
+        |      THEN CAST(0 AS DECIMAL(18,2)) ELSE price END AS price
+        |  FROM t),
+        |d AS (
+        |  SELECT * FROM m
+        |  WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 3 = 1))
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
     // the THIRD derivation of the same merge: DSv2 MERGE INTO through
     // the row-level-operation write path must reproduce the portable

@@ -181,15 +181,20 @@ final class GraftVersionedTable(
 
   // ---- writes ---------------------------------------------------------
 
-  /** Row-level DML and TRUNCATE under an ambient WAP branch would
-    * commit to MAIN while every read in the session shows the BRANCH —
-    * refuse rather than let a session mutate what it cannot see. */
-  private def refuseWap(op: String): Unit =
-    wapBranch.foreach(b => throw new IllegalArgumentException(
-      s"$op on $identName while ${GraftVersionedTable.WapBranchConfKey}=" +
-        s"'$b': only INSERT / INSERT OVERWRITE stage onto a branch — " +
-        "unset the conf to run row-level DML on main, or restage the " +
-        "branch content"))
+  /** The WAP branch a write should stage on, validated to EXIST — a
+    * typo'd conf silently staging into a fresh line would lose the
+    * publish (r15: row-level DML routes here too; Iceberg's branch
+    * writes admit full DML, and so does this layer now — the session's
+    * reads already serve the branch, so the statement mutates exactly
+    * what it sees). */
+  private def wapBranchChecked(op: String): Option[String] =
+    wapBranch.map { b =>
+      require(VersionedTable.branches(root).contains(b),
+        s"$op on $identName: ${GraftVersionedTable.WapBranchConfKey}=" +
+          s"'$b' but the table has no such branch — CALL create_branch " +
+          "first")
+      b
+    }
 
   private def refusePinned(op: String): Unit = {
     require(pinnedVersion.isEmpty,
@@ -210,14 +215,8 @@ final class GraftVersionedTable(
         override def toInsertableRelation: sources.InsertableRelation =
           new sources.InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              wapBranch match {
+              wapBranchChecked("write") match {
                 case Some(b) =>
-                  // the WAP conf routes the write to the branch —
-                  // which must exist (a typo'd name silently staging
-                  // into a fresh line would lose the publish)
-                  require(VersionedTable.branches(root).contains(b),
-                    s"spark.graft.wap.branch='$b' but $identName has " +
-                      "no such branch — CALL create_branch first")
                   if (overwriteAll) VersionedTable.writeToBranch(data, root, b)
                   else VersionedTable.appendToBranch(data, root, b)
                 case None =>
@@ -231,8 +230,16 @@ final class GraftVersionedTable(
 
   override def truncateTable(): Boolean = {
     refusePinned("TRUNCATE")
-    refuseWap("TRUNCATE")
-    VersionedTable.truncate(spark, root)
+    wapBranchChecked("TRUNCATE") match {
+      case Some(b) =>
+        // branch truncate = the branch head becomes the empty snapshot
+        // (main untouched) — the full-recompute WAP shape with zero rows
+        VersionedTable.writeToBranch(
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row],
+            schema()), root, b)
+      case None => VersionedTable.truncate(spark, root)
+    }
     true
   }
 
@@ -264,8 +271,13 @@ final class GraftVersionedTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     refusePinned(info.command.toString)
-    refuseWap(info.command.toString)
-    () => new GraftRowLevelOperation(this, root, spark, info.command)
+    // r15: under a WAP branch the whole statement routes onto the
+    // branch — scan reads the branch head (the session's reads already
+    // serve it), the rewrite commits the next BRANCH snapshot, and
+    // fast_forward publishes it; main never moves (Iceberg's
+    // branch-targeted DML). Without the conf: main, as before.
+    val branch = wapBranchChecked(info.command.toString)
+    () => new GraftRowLevelOperation(this, root, spark, info.command, branch)
   }
 
   // ---- DELETE FROM: copy-on-write at data-dir granularity -------------
@@ -276,7 +288,12 @@ final class GraftVersionedTable(
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     refusePinned("DELETE")
-    refuseWap("DELETE")
+    // canDeleteWhere refuses this metadata-only downgrade under a WAP
+    // branch: a branch DELETE runs the row-level rewrite path instead
+    // (dir-granular CoW onto the branch)
+    require(wapBranch.isEmpty,
+      s"DELETE downgrade on $identName under a WAP branch — " +
+        "canDeleteWhere should have refused this path")
     val pred = filters.flatMap(translate).reduceOption(_ && _)
       .getOrElse(lit(true))
     // DIR list deliberately (not dataPaths): the CoW unit is the dir.
@@ -380,23 +397,42 @@ object GraftVersionedTable {
   }
 }
 
+/** Where a row-level rewrite publishes: the next MAIN snapshot
+  * (validated against the base snapshot the scan read) or — under the
+  * WAP conf (r15) — the next BRANCH snapshot (validated against the
+  * branch head the scan read; None = the branch had no commits and
+  * read its fork base). */
+private sealed trait ReplaceTarget
+private final case class MainTarget(baseVersion: Option[Long])
+  extends ReplaceTarget
+private final case class BranchTarget(name: String, baseHead: Option[Long])
+  extends ReplaceTarget
+
 /** One SQL UPDATE / MERGE / untranslatable-DELETE statement: holds the
   * state its scan(s) and write must agree on —
-  *   - the BASE snapshot, captured once, so the main scan, the
-  *     group-filter subquery scan, and the commit's optimistic
-  *     validation all see the same version (a concurrent commit while
-  *     the statement runs fails the publish cleanly);
+  *   - the BASE snapshot (or branch head, under WAP — r15), captured
+  *     once, so the main scan, the group-filter subquery scan, and the
+  *     commit's optimistic validation all see the same version (a
+  *     concurrent commit while the statement runs fails the publish
+  *     cleanly);
   *   - the TOUCHED dir set the runtime group filter proved, which the
   *     write turns into carried-by-reference untouched dirs. */
 private final class GraftRowLevelOperation(
     table: GraftVersionedTable,
     root: String,
     spark: SparkSession,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    wapBranch: Option[String] = None) extends RowLevelOperation {
 
-  private val baseVersion: Option[Long] = VersionedTable.latestVersion(root)
-  private val baseDirs: Seq[String] =
-    VersionedTable.dataDirs(root, baseVersion)
+  private val target: ReplaceTarget = wapBranch match {
+    case Some(b) =>
+      BranchTarget(b, VersionedTable.branchHeadVersion(root, b))
+    case None => MainTarget(VersionedTable.latestVersion(root))
+  }
+  private val baseDirs: Seq[String] = target match {
+    case BranchTarget(b, _) => VersionedTable.branchDataPaths(root, b)
+    case MainTarget(base) => VersionedTable.dataDirs(root, base)
+  }
   private val baseDirVersions: Seq[Long] = baseDirs.map(d =>
     d.substring(d.lastIndexOf("/v=") + 3).toLong)
 
@@ -462,8 +498,8 @@ private final class GraftRowLevelOperation(
   override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new GraftReplaceWrite(root, spark, wi,
-        VersionedTable.partitionColsOf(root), baseVersion,
-        () => keptDirVersions)
+        VersionedTable.partitionColsOf(root), target,
+        () => keptDirVersions, () => touchedDirs)
     }
 }
 
@@ -543,6 +579,10 @@ private final class GraftCowScan(
     }
     val kids = p.children()
     p.name() match {
+      // a condition matching ZERO rows arrives as ALWAYS_FALSE (Spark
+      // folds the empty IN) — no dir is touched, which both restricts
+      // the scan to nothing and lets the write skip the no-op publish
+      case "ALWAYS_FALSE" => Some(Set.empty[Long])
       case "IN" if kids.nonEmpty && isV(kids.head) =>
         val vs = kids.drop(1).map(longOf)
         if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten.toSet)
@@ -578,8 +618,9 @@ private final class GraftReplaceWrite(
     spark: SparkSession,
     info: LogicalWriteInfo,
     partitionCols: Seq[String],
-    baseVersion: Option[Long],
-    keptDirVersions: () => Seq[Long]) extends Write {
+    target: ReplaceTarget,
+    keptDirVersions: () => Seq[Long],
+    touchedDirs: () => Option[Set[Long]]) extends Write {
 
   override def toBatch: BatchWrite = {
     val (fs, _) = graft.util.Fs.fsFor(root)
@@ -603,12 +644,46 @@ private final class GraftReplaceWrite(
     else partitionedBatch(dir, claimed)
   }
 
+  /** Skip the snapshot publish entirely when the statement provably
+    * changed nothing (r15; Iceberg's skip-empty-commit): the runtime
+    * group filter proved ZERO touched dirs AND the rewrite wrote zero
+    * data files (an insert-only MERGE has no touched dirs but DOES
+    * write files, so it still publishes). Without this, a no-match
+    * UPDATE/MERGE commits an empty-delta snapshot — history noise the
+    * dir-granular DELETE path already avoids by short-circuiting. */
+  private def provablyNoop(dir: String): Boolean =
+    touchedDirs().exists(_.isEmpty) && !hasDataFiles(dir)
+
+  private def hasDataFiles(d: String): Boolean = {
+    val (fs, p) = graft.util.Fs.fsFor(d)
+    if (!fs.exists(p)) return false
+    val prefix = p.toString + "/"
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(prefix)
+      found = st.isFile && !rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+    }
+    found
+  }
+
   private def publish(dir: String, claimed: Option[Long]): Unit =
-    claimed match {
-      case Some(v) => VersionedTable.publishClaimedReplace(root, v,
-        baseVersion, keptDirVersions())
-      case None => VersionedTable.publishStagedReplace(root, dir,
-        baseVersion, keptDirVersions())
+    if (provablyNoop(dir)) abortCleanup(dir, claimed)
+    else (target, claimed) match {
+      case (MainTarget(base), Some(v)) =>
+        VersionedTable.publishClaimedReplace(root, v, base,
+          keptDirVersions())
+      case (MainTarget(base), None) =>
+        VersionedTable.publishStagedReplace(root, dir, base,
+          keptDirVersions())
+      case (BranchTarget(b, head), Some(v)) =>
+        VersionedTable.publishClaimedReplaceBranch(root, v, b, head,
+          keptDirVersions())
+      case (BranchTarget(b, head), None) =>
+        VersionedTable.publishStagedReplaceBranch(root, dir, b, head,
+          keptDirVersions())
     }
 
   private def abortCleanup(dir: String, claimed: Option[Long]): Unit =
@@ -639,10 +714,16 @@ private final class GraftReplaceWrite(
         inner.useCommitCoordinator
 
       override def onDataWriterCommit(message: WriterCommitMessage): Unit =
-        inner.onDataWriterCommit(message)
+        message match {
+          case GraftNoRowsMessage => () // zero-row task: no file behind it
+          case m => inner.onDataWriterCommit(m)
+        }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        inner.commit(messages)
+        inner.commit(messages.filter {
+          case GraftNoRowsMessage => false
+          case _ => true
+        })
         // publish: the snapshot becomes visible only here (rename: the
         // staged dir is consumed into v=N; create: the claimed dir's
         // manifest lands)
@@ -686,6 +767,11 @@ private final class GraftReplaceWrite(
   }
 }
 
+/** Commit message of a task that wrote ZERO rows (r15): its writer was
+  * never created, no file exists behind it — the BatchWrite filters
+  * these out before handing the real messages to the parquet commit. */
+private[sql] case object GraftNoRowsMessage extends WriterCommitMessage
+
 /** Adapts the row stream a group-based ReplaceData produces to the
   * parquet data writer. When the operation declares no metadata
   * attributes, ReplaceDataExec falls back to the plain writing task
@@ -711,17 +797,27 @@ private final class GraftReplaceWriterFactory(
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
-    val w = inner.createWriter(partitionId, taskId)
     val stripOp = UnsafeProjection.create(
       dataSchema.fields.zipWithIndex.toSeq.map { case (f, i) =>
         BoundReference(i + 1, f.dataType, f.nullable) })
     new DataWriter[InternalRow] {
+      // LAZY (r15): the parquet writer opens its output file eagerly,
+      // so an eagerly-created writer turns every zero-row task into an
+      // empty data file — noise in normal rewrites, and the reason a
+      // no-match UPDATE could not prove itself a no-op. No row, no
+      // file: the task returns [[GraftNoRowsMessage]] instead.
+      private var w: DataWriter[InternalRow] = null
+      private def writer: DataWriter[InternalRow] = {
+        if (w == null) w = inner.createWriter(partitionId, taskId)
+        w
+      }
       override def write(r: InternalRow): Unit =
-        if (r.numFields == dataSchema.length) w.write(r)
-        else if (r.getInt(0) != 1) w.write(stripOp(r)) // 1 = DELETE op
-      override def commit(): WriterCommitMessage = w.commit()
-      override def abort(): Unit = w.abort()
-      override def close(): Unit = w.close()
+        if (r.numFields == dataSchema.length) writer.write(r)
+        else if (r.getInt(0) != 1) writer.write(stripOp(r)) // 1 = DELETE op
+      override def commit(): WriterCommitMessage =
+        if (w == null) GraftNoRowsMessage else w.commit()
+      override def abort(): Unit = if (w != null) w.abort()
+      override def close(): Unit = if (w != null) w.close()
     }
   }
 }

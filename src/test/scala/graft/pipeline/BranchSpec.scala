@@ -167,7 +167,7 @@ class BranchSpec extends SparkSpec {
 
   test("spark.graft.wap.branch: INSERTs stage onto the branch, reads " +
       "serve it while set, explicit pins beat the conf, row-level DML " +
-      "refuses, and a missing branch fails loudly") {
+      "routes onto the branch (r15), and a missing branch fails loudly") {
     val w = Files.createTempDirectory("graft_br7_").toString
     val table = s"$w/t"
     val cat = s"gwap${System.nanoTime()}"
@@ -186,11 +186,15 @@ class BranchSpec extends SparkSpec {
       // ...but main did NOT move, and explicit pins beat the conf
       assert(VersionedTable.versions(table) == Seq(1L))
       assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").count() == 1)
-      // row-level DML while staged refuses (it would hit main)
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
-      }
-      assert(e.getMessage.contains("wap.branch"))
+      // row-level DML while staged routes onto the BRANCH (r15,
+      // Iceberg's branch-targeted DML): the delete drops k=1 from the
+      // staged line; MAIN keeps it and does not move
+      spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+      assert(spark.sql(s"SELECT k FROM $cat.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      assert(VersionedTable.versions(table) == Seq(1L))
+      assert(VersionedTable.read(spark, table).collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
       // a typo'd branch fails loudly instead of staging into the void
       spark.conf.set(graft.sql.GraftVersionedTable.WapBranchConfKey, "typo")
       val e2 = intercept[Exception] {
@@ -200,10 +204,12 @@ class BranchSpec extends SparkSpec {
     } finally spark.conf.unset(
       graft.sql.GraftVersionedTable.WapBranchConfKey)
 
-    // conf unset: reads serve main again; publish, then verify
+    // conf unset: reads serve main again; publish, then verify the
+    // branch DELETE's result became the table
     assert(spark.sql(s"SELECT * FROM $cat.t").count() == 1)
     VersionedTable.fastForward(table, "stage")
-    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 2)
+    assert(spark.sql(s"SELECT k FROM $cat.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("the whole WAP flow runs under the CREATE protocol") {

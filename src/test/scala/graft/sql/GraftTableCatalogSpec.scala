@@ -622,4 +622,79 @@ class GraftTableCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("immutable"))
   }
+
+  test("a row-level UPDATE/MERGE matching ZERO rows publishes NO " +
+      "snapshot (r15, Iceberg's skip-empty-commit); an insert-only " +
+      "MERGE still publishes") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.n (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.n VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.n VALUES (2, 'b')")
+    val table = s"$w/n"
+    val before = VersionedTable.versions(table)
+
+    // no key matches: the statement provably changed nothing — the
+    // table must not gain a snapshot (deleteWhere already
+    // short-circuited; the CoW rewrite path now does too)
+    spark.sql(s"UPDATE $cat.n SET s = 'x' WHERE k = 99")
+    assert(VersionedTable.versions(table) == before,
+      "a no-match UPDATE must not commit a snapshot")
+    spark.sql(s"MERGE INTO $cat.n t USING (SELECT CAST(99 AS BIGINT) " +
+      "AS k, 'z' AS s) src ON t.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET t.s = src.s")
+    assert(VersionedTable.versions(table) == before,
+      "a no-match MERGE must not commit a snapshot")
+    assert(spark.sql(s"SELECT s FROM $cat.n ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+
+    // an insert-only effect writes rows even though it touches no
+    // existing dir — it MUST still publish
+    spark.sql(s"MERGE INTO $cat.n t USING (SELECT CAST(3 AS BIGINT) " +
+      "AS k, 'c' AS s) src ON t.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET t.s = src.s " +
+      "WHEN NOT MATCHED THEN INSERT (k, s) VALUES (src.k, src.s)")
+    assert(VersionedTable.versions(table).size == before.size + 1)
+    assert(spark.sql(s"SELECT k FROM $cat.n").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("row-level DML under spark.graft.wap.branch rewrites ONLY the " +
+      "touched BRANCH dirs; main never moves until fast_forward (r15)") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.bd (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.bd VALUES (1, 'a')") // main v1
+    val table = s"$w/bd"
+    VersionedTable.createBranch(table, "stage")       // forks at v1
+    spark.conf.set(GraftVersionedTable.WapBranchConfKey, "stage")
+    try {
+      spark.sql(s"INSERT INTO $cat.bd VALUES (2, 'b')") // branch dir v2
+      spark.sql(s"INSERT INTO $cat.bd VALUES (3, 'c')") // branch dir v3
+      // UPDATE touching only k=3 (dir v3): v1 and v2 must carry into
+      // the new branch head BY REFERENCE — dir-granular CoW on the
+      // branch, exactly the main-path q198 contract
+      spark.sql(s"UPDATE $cat.bd SET s = 'C' WHERE k = 3")
+      assert(VersionedTable.versions(table) == Seq(1L),
+        "UPDATE under WAP must not move main")
+      val dirs = VersionedTable.branchDataPaths(table, "stage")
+        .map(_.split("/v=").last)
+      assert(dirs == Seq("1", "2", "4"),
+        s"dir-granular branch UPDATE must keep v1,v2 by reference; got $dirs")
+      assert(spark.sql(s"SELECT s FROM $cat.bd WHERE k = 3")
+        .head().getString(0) == "C")
+      // DELETE routes onto the branch too
+      spark.sql(s"DELETE FROM $cat.bd WHERE k = 2")
+      assert(VersionedTable.versions(table) == Seq(1L))
+      assert(spark.sql(s"SELECT k FROM $cat.bd").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    } finally spark.conf.unset(GraftVersionedTable.WapBranchConfKey)
+    // main still serves the fork state; publish adopts the DML results
+    assert(spark.sql(s"SELECT k FROM $cat.bd").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    VersionedTable.fastForward(table, "stage")
+    assert(spark.sql(s"SELECT k, s FROM $cat.bd ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "C")))
+  }
 }
