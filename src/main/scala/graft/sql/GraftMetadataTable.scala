@@ -43,37 +43,57 @@ final class GraftMetadataTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** `refs`/`history` rows are |refs|/|versions|-bounded driver rows —
+    * a [[LocalScan]] is the right shape. `files` rows are FILE-COUNT
+    * sized, so that view serves as a DISTRIBUTED scan instead (r15): a
+    * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation
+    * plans [[VersionedTable.filesView]]'s executor-side listing —
+    * `SELECT * FROM t.files` on a million-file table never
+    * materializes a driver-side row list (Iceberg's files metadata
+    * table is distributed for the same reason). */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = () => new LocalScan {
-    override def readSchema(): StructType = schema()
-    override def rows(): Array[InternalRow] = {
-      val spark = SparkSession.active
-      if (isRefs)
-        VersionedTable.refs(spark, root).collect().map { r =>
-          InternalRow(
-            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
-            r.getLong(2),
-            r.getTimestamp(3).getTime * 1000L) // micros
-        }
-      else if (isFiles)
-        VersionedTable.filesView(spark, root).collect().map { r =>
-          InternalRow(
-            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-            r.getLong(1),
-            r.getLong(2))
-        }
-      else
-        VersionedTable.history(spark, root).collect().map { r =>
-          InternalRow(
-            r.getLong(0),
-            r.getTimestamp(1).getTime * 1000L, // micros
-            r.getLong(2),
-            r.getBoolean(3))
-        }
+      : ScanBuilder =
+    if (isFiles) () => new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = GraftMetadataTable.FilesSchema
+      override def toV1TableScan[
+          T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        (new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = GraftMetadataTable.FilesSchema
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            VersionedTable.filesView(context.sparkSession, root).rdd
+          override def toString: String = "GraftDistributedFilesRelation"
+        }).asInstanceOf[T]
+      override def description(): String =
+        s"graft files of $root (distributed)"
     }
-    override def description(): String = s"graft $metaName of $root"
-  }
+    else () => new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] = {
+        val spark = SparkSession.active
+        if (isRefs)
+          VersionedTable.refs(spark, root).collect().map { r =>
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+              r.getLong(2),
+              r.getTimestamp(3).getTime * 1000L) // micros
+          }
+        else
+          VersionedTable.history(spark, root).collect().map { r =>
+            InternalRow(
+              r.getLong(0),
+              r.getTimestamp(1).getTime * 1000L, // micros
+              r.getLong(2),
+              r.getBoolean(3))
+          }
+      }
+      override def description(): String = s"graft $metaName of $root"
+    }
 }
 
 object GraftMetadataTable {

@@ -334,6 +334,29 @@ class VersionedTableSpec extends SparkSpec {
     // plain version pair unchanged
     assert(spark.sql(s"SELECT k FROM graft_changes('$table', 1, 3)")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // TAG bounds (r15): refs resolve exactly like VERSION AS OF, and
+    // win over a timestamp parse of the same string; mixed with a
+    // version bound
+    VersionedTable.createTag(table, "base", Some(1L))
+    VersionedTable.createTag(table, "mid", Some(2L))
+    assert(spark.sql(
+        s"SELECT k FROM graft_changes('$table', 'base', 'mid')")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql(s"SELECT k FROM graft_changes('$table', 'base', 3)")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // a BRANCH name refuses with the main-history reason
+    VersionedTable.createBranch(table, "wip")
+    val eb = intercept[Exception] {
+      spark.sql(s"SELECT k FROM graft_changes('$table', 'wip', 3)")
+        .collect()
+    }
+    assert(eb.getMessage.contains("BRANCH"))
+    // an unknown string still reports all three interpretations
+    val eu = intercept[Exception] {
+      spark.sql(s"SELECT k FROM graft_changes('$table', 'nope', 3)")
+        .collect()
+    }
+    assert(eu.getMessage.contains("neither a version, a tag, nor"))
   }
 
   test("rewriteManifests collapses the read side to a file list " +

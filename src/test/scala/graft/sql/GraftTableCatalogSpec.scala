@@ -563,6 +563,22 @@ class GraftTableCatalogSpec extends SparkSpec {
       s"SELECT file_path, data_version, size_bytes FROM $cat.ft.files")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows2.sorted.toSeq == rows.sorted.toSeq)
+    // DISTRIBUTED shape (r15): the files view must plan as a real scan
+    // over the executor-side listing, never a driver-materialized
+    // LocalTableScan — the r14 driver-OOM shape at 100 TB file counts
+    val plan = spark.sql(s"SELECT * FROM $cat.ft.files")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDistributedFilesRelation") &&
+      !plan.contains("LocalTableScan"),
+      s"t.files must be served distributed, got:\n$plan")
+    // the direct form plans the listing as a distributed MapPartitions
+    // over the (small, driver-bounded) SEED list — the only
+    // LocalTableScan allowed is the seed relation feeding it
+    val direct = VersionedTable.filesView(spark, s"$w/ft")
+      .queryExecution.executedPlan.toString
+    assert(direct.contains("MapPartitions") &&
+      direct.contains("DistributedFileListing"),
+      s"filesView must list executor-side, got:\n$direct")
   }
 
   test("per-snapshot schema history: VERSION AS OF a pre-evolution " +
