@@ -227,15 +227,19 @@ object VersionedTable {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     } catch {
-      case scala.util.control.NonFatal(_) =>
-        // lost the create race (or a connector-shaped failure): someone
-        // pinned first — all that matters is that the pin AGREES
-        val pinned = persistedProtocolOn(fs, root)
-        require(pinned.contains(proto),
-          s"commit on $table: a concurrent first commit pinned the " +
-            s"protocol to '${pinned.map(protocolName).getOrElse("?")}' " +
-            s"while this one runs '${protocolName(proto)}' — re-run " +
-            "under the pinned protocol")
+      case scala.util.control.NonFatal(e) =>
+        // lost the create race (or a connector-shaped failure): if
+        // someone pinned first, all that matters is that the pin
+        // AGREES; if nothing is pinned, the failure was a real I/O
+        // error and must surface as itself
+        persistedProtocolOn(fs, root) match {
+          case Some(p) => require(p == proto,
+            s"commit on $table: a concurrent first commit pinned the " +
+              s"protocol to '${protocolName(p)}' while this one runs " +
+              s"'${protocolName(proto)}' — re-run under the pinned " +
+              "protocol")
+          case None => throw e
+        }
     }
   }
 

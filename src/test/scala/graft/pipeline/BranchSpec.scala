@@ -75,6 +75,29 @@ class BranchSpec extends SparkSpec {
     assert(VersionedTable.read(spark, table).count() == 2) // main intact
   }
 
+  test("expiry retains the FORK BASE of an uncommitted branch (r15); " +
+      "once the branch commits, the base manifest may expire while its " +
+      "data stays branch-live") {
+    val table = Files.createTempDirectory("graft_br8_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table)  // v1
+    VersionedTable.createBranch(table, "fresh")    // forks at v1, no commits
+    VersionedTable.write(Seq(2).toDF("x"), table)  // v2 (overwrite)
+    // pre-r15 this dropped v1 and the branch died ('base expired')
+    assert(VersionedTable.expire(table, keepLast = 1).isEmpty)
+    assert(VersionedTable.versions(table) == Seq(1L, 2L))
+    assert(VersionedTable.readBranch(spark, table, "fresh").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // after the branch's first commit its head is a branch manifest:
+    // the base MANIFEST expires normally, its DATA dir stays live via
+    // the branch reference (Iceberg's referenced-snapshot rule)
+    VersionedTable.appendToBranch(Seq(3).toDF("x"), table, "fresh")
+    assert(VersionedTable.expire(table, keepLast = 1) == Seq(1L))
+    assert(VersionedTable.readBranch(spark, table, "fresh").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("main expiry never deletes dirs a live branch references") {
     val table = Files.createTempDirectory("graft_br3_").toString + "/t"
     VersionedTable.write(Seq(1).toDF("x"), table)   // v1
