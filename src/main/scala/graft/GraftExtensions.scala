@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
         "graft_files"),
       pipeline.VersionedTable.filesTvfBuilder))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_partitions"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_partitions"),
+      pipeline.VersionedTable.partitionsTvfBuilder))
     // automatic stats-table file skipping (no-op until a table is
     // registered via StatsPruning.register; idempotent if the session
     // also appended it to experimental.extraOptimizations)

@@ -1934,25 +1934,48 @@ object VersionedTable {
   def filesView(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val (fs, root) = fsFor(table)
-    val vs = versionsOn(fs, root)
-    val seeds: Seq[(String, Boolean)] =
-      version.orElse(vs.lastOption) match {
-        case None =>
-          if (storedSchema(table).isDefined) Seq.empty
-          else throw new IllegalStateException(s"no versions in $table")
-        case Some(v) =>
-          require(vs.contains(v), s"version $v not retained in $table")
-          val content = manifestContentOf(fs, root, v)
-          parseFiles(content) match {
-            case Some(files) =>
-              files.map(rel => (new Path(root, rel).toString, true))
-            case None =>
-              parseDirVersions(content, v)
-                .map(k => (new Path(root, s"v=$k").toString, false))
-          }
-      }
     org.apache.spark.sql.graft.DistributedFileListing
-      .filesDf(spark, root.toString, seeds)
+      .filesDf(spark, root.toString, fileSeeds(fs, root, table, version))
+  }
+
+  /** The per-partition stats view (`SELECT * FROM t.partitions` /
+    * `graft_partitions` TVF — Iceberg's partitions metadata table):
+    * one row per Hive PARTITION of the addressed snapshot with record
+    * count (parquet footers, metadata-only IO), file count, and bytes
+    * — the view a compaction planner reads to find fragmented or
+    * skewed partitions without scanning data. Distributed like
+    * [[filesView]]; the driver sees |partitions| aggregate rows. */
+  def partitionsView(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, root) = fsFor(table)
+    org.apache.spark.sql.graft.DistributedFileListing
+      .partitionsDf(spark, root.toString,
+        fileSeeds(fs, root, table, version))
+  }
+
+  /** The SEED list both distributed metadata views fan out over: the
+    * snapshot's `files=` manifest entries when pre-resolved
+    * ([[rewriteManifests]] — gate-bounded at write time), its data-dir
+    * list otherwise (append-chain bounded). Driver memory is the seed
+    * list ONLY — never a per-file row. */
+  private def fileSeeds(fs: FileSystem, root: Path, table: String,
+      version: Option[Long]): Seq[(String, Boolean)] = {
+    val vs = versionsOn(fs, root)
+    version.orElse(vs.lastOption) match {
+      case None =>
+        if (storedSchema(table).isDefined) Seq.empty
+        else throw new IllegalStateException(s"no versions in $table")
+      case Some(v) =>
+        require(vs.contains(v), s"version $v not retained in $table")
+        val content = manifestContentOf(fs, root, v)
+        parseFiles(content) match {
+          case Some(files) =>
+            files.map(rel => (new Path(root, rel).toString, true))
+          case None =>
+            parseDirVersions(content, v)
+              .map(k => (new Path(root, s"v=$k").toString, false))
+        }
+    }
   }
 
   /** Iceberg's `rollback_to_snapshot` for this layer: make `toVersion`'s
@@ -2229,6 +2252,17 @@ object VersionedTable {
     require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
       "graft_files expects literal arguments: (table_path[, version])")
     filesView(SparkSession.active, exprs.head.eval().toString,
+      exprs.lift(1).map(_.eval().toString.toLong))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_partitions('table'[, version])` — the per-partition stats
+    * ([[partitionsView]]) as a TVF, symmetric with the `.partitions`
+    * metadata table. */
+  def partitionsTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
+      "graft_partitions expects literal arguments: (table_path[, version])")
+    partitionsView(SparkSession.active, exprs.head.eval().toString,
       exprs.lift(1).map(_.eval().toString.toLong))
       .queryExecution.analyzed
   }

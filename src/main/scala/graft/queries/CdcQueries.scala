@@ -803,6 +803,43 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The `.partitions` metadata table (r15; Iceberg's partitions
+    * metadata surface): per-partition record/file/size stats computed
+    * from parquet FOOTERS — metadata-only IO, distributed fan-out, the
+    * view a compaction planner reads to find fragmented or skewed
+    * partitions without scanning data. The fixture is a Hive-
+    * partitioned versioned table built from two INSERT halves of raw
+    * orders (so every partition spans BOTH snapshot dirs —
+    * require()d via file_count ≥ 2); the oracle replays the record
+    * counts as a plain GROUP BY over raw orders, so a footer-count
+    * bug, a partition-identity mix-up, or a lost file
+    * hash-mismatches. */
+  def q206PartitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#pmeta", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val cat = catalogFor(s, w)
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.pmeta (o_orderkey BIGINT, " +
+        "o_orderstatus STRING) PARTITIONED BY (o_orderstatus)")
+      Seq(0, 1).foreach(m => s.sql(
+        s"""INSERT INTO $cat.pmeta
+           |SELECT o_orderkey, o_orderstatus FROM orders
+           |WHERE o_orderkey % 2 = $m""".stripMargin))
+      val t0 = s"$w/pmeta"
+      val stats = VersionedTable.partitionsView(s, t0).collect()
+        .map(r => (r.getString(0), r.getLong(2)))
+      require(stats.nonEmpty && stats.forall(_._2 >= 2L),
+        "every partition must span both appended snapshot dirs " +
+          s"(file_count >= 2); got ${stats.mkString(", ")}")
+      t0
+    })
+    val cat = catalogFor(s, new java.io.File(table).getParent)
+    s.sql(s"SELECT partition, record_count FROM $cat.pmeta.partitions")
+      .orderBy(col("partition"))
+  }
+
   /** Object-store-native commits (r14): the snapshot lifecycle — a full
     * write, two by-reference appends, a metadata-only manifest collapse
     * — committed through the CREATE protocol
@@ -955,7 +992,8 @@ object CdcQueries {
     "q202_snapshot_tags" -> (q202SnapshotTags _),
     "q203_wap" -> (q203Wap _),
     "q204_wap_conf" -> (q204WapConf _),
-    "q205_wap_dml" -> (q205WapDml _))
+    "q205_wap_dml" -> (q205WapDml _),
+    "q206_partitions_meta" -> (q206PartitionsMeta _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -1023,6 +1061,12 @@ object CdcQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(price) AS DOUBLE) AS total_price
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // .partitions metadata (r15): footer-derived record counts must
+    // equal the plain GROUP BY truth over raw orders
+    "q206_partitions_meta" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        |  COUNT(*) AS record_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_sql_merge" -> mergeSql,
     // the THIRD derivation of the same merge: DSv2 MERGE INTO through
     // the row-level-operation write path must reproduce the portable

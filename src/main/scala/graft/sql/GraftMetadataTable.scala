@@ -31,10 +31,12 @@ final class GraftMetadataTable(
 
   private def isRefs: Boolean = metaName == "refs"
   private def isFiles: Boolean = metaName == "files"
+  private def isPartitions: Boolean = metaName == "partitions"
 
   override def schema(): StructType =
     if (isRefs) GraftMetadataTable.RefsSchema
     else if (isFiles) GraftMetadataTable.FilesSchema
+    else if (isPartitions) GraftMetadataTable.PartitionsSchema
     else GraftMetadataTable.HistorySchema
 
   override def properties(): util.Map[String, String] =
@@ -53,8 +55,9 @@ final class GraftMetadataTable(
     * table is distributed for the same reason). */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    if (isFiles) () => new org.apache.spark.sql.connector.read.V1Scan {
-      override def readSchema(): StructType = GraftMetadataTable.FilesSchema
+    if (isFiles || isPartitions)
+      () => new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = schema()
       override def toV1TableScan[
           T <: org.apache.spark.sql.sources.BaseRelation
             with org.apache.spark.sql.sources.TableScan](
@@ -62,14 +65,17 @@ final class GraftMetadataTable(
         (new org.apache.spark.sql.sources.BaseRelation
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = context
-          override def schema: StructType = GraftMetadataTable.FilesSchema
+          override def schema: StructType =
+            GraftMetadataTable.this.schema()
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-            VersionedTable.filesView(context.sparkSession, root).rdd
+            (if (isPartitions)
+              VersionedTable.partitionsView(context.sparkSession, root)
+            else VersionedTable.filesView(context.sparkSession, root)).rdd
           override def toString: String = "GraftDistributedFilesRelation"
         }).asInstanceOf[T]
       override def description(): String =
-        s"graft files of $root (distributed)"
+        s"graft $metaName of $root (distributed)"
     }
     else () => new LocalScan {
       override def readSchema(): StructType = schema()
@@ -99,8 +105,10 @@ final class GraftMetadataTable(
 object GraftMetadataTable {
   /** Recognized metadata-view names (`history` is the TVF's name;
     * `snapshots` the Iceberg spelling; `refs` lists tags and `files`
-    * the current snapshot's data files, r14). */
-  val Names: Set[String] = Set("history", "snapshots", "refs", "files")
+    * the current snapshot's data files, r14; `partitions` the
+    * per-partition stats, r15). */
+  val Names: Set[String] =
+    Set("history", "snapshots", "refs", "files", "partitions")
 
   private[sql] val HistorySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -112,6 +120,13 @@ object GraftMetadataTable {
     StructField("file_path", org.apache.spark.sql.types.StringType,
       nullable = false),
     StructField("data_version", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  private[sql] val PartitionsSchema = StructType(Seq(
+    StructField("partition", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false)))
 
   private[sql] val RefsSchema = StructType(Seq(

@@ -85,4 +85,69 @@ object DistributedFileListing {
       .toDF("file_path", "data_version", "size_bytes")
       .orderBy("file_path")
   }
+
+  /** Per-PARTITION stats for the `.partitions` metadata surface
+    * (Iceberg's partitions table): one row per Hive partition of the
+    * addressed snapshot — `(partition, record_count, file_count,
+    * size_bytes)`, sorted by partition; unpartitioned tables report
+    * one row with partition = ''. Record counts come from parquet
+    * FOOTERS (metadata-only IO, no data pages), read executor-side on
+    * the same distributed fan-out as [[filesDf]] — the driver sees
+    * only the |partitions|-bounded aggregate. A compaction planner
+    * reads this view to find fragmented partitions without scanning a
+    * byte of data. */
+  def partitionsDf(spark: SparkSession, rootStr: String,
+      seeds: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val prefix = rootStr.stripSuffix("/") + "/"
+    val slices = math.max(1,
+      math.min(seeds.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(seeds).repartition(slices)
+      .mapPartitions { it =>
+        it.flatMap { case (p, isFile) =>
+          val qp = new Path(p)
+          val fs = qp.getFileSystem(conf.value)
+          def rowOf(path: Path, len: Long): (String, Long, Long) = {
+            // partition identity = the path segments between the
+            // snapshot dir (v=K) and the file name — '' when the
+            // table lays out flat
+            val segs = path.toString.stripPrefix(prefix).split("/")
+            val part = segs.drop(1).dropRight(1).mkString("/")
+            val records = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(path, conf.value)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }
+            (part, records, len)
+          }
+          if (isFile)
+            scala.util.Try(fs.getFileStatus(qp)).toOption.toSeq
+              .filter(_.isFile).map(st => rowOf(st.getPath, st.getLen))
+          else if (!fs.exists(qp)) Nil
+          else {
+            val out = scala.collection.mutable
+              .ArrayBuffer.empty[(String, Long, Long)]
+            val files = fs.listFiles(qp, true)
+            while (files.hasNext) {
+              val st = files.next()
+              val rel = st.getPath.toString.stripPrefix(prefix)
+              val hidden = rel.split("/").exists(seg =>
+                seg.startsWith("_") || seg.startsWith("."))
+              if (st.isFile && !hidden) out += rowOf(st.getPath, st.getLen)
+            }
+            out
+          }
+        }
+      }
+      .toDF("partition", "records", "bytes")
+      .groupBy("partition")
+      .agg(sum("records").as("record_count"),
+        count("*").as("file_count"),
+        sum("bytes").as("size_bytes"))
+      .orderBy("partition")
+  }
 }

@@ -684,5 +684,8 @@ object VectorFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_files", graft.pipeline.VersionedTable.filesTvfBuilder,
       "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_partitions",
+      graft.pipeline.VersionedTable.partitionsTvfBuilder, "built-in")
   }
 }

@@ -581,6 +581,44 @@ class GraftTableCatalogSpec extends SparkSpec {
       s"filesView must list executor-side, got:\n$direct")
   }
 
+  test("metadata tables: .partitions aggregates per-partition record/" +
+      "file/size stats from parquet footers, distributed (r15)") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.pt (k BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.pt VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql(s"INSERT INTO $cat.pt VALUES (4, 'b'), (5, 'b')")
+    val rows = spark.sql(
+      s"SELECT partition, record_count, file_count, size_bytes " +
+        s"FROM $cat.pt.partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // record counts come from footers and must equal the data's truth
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq(("g=a", 2L), ("g=b", 3L)), rows.mkString(", "))
+    assert(rows.forall(r => r._3 >= 1L && r._4 > 0L))
+    // the TVF serves the same fold, addressable per snapshot
+    graft.expressions.GraftFunctions.register(spark)
+    val v1 = spark.sql(
+      s"SELECT partition, record_count FROM " +
+        s"graft_partitions('$w/pt', 1) ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v1.toSeq == Seq(("g=a", 2L), ("g=b", 1L)))
+    // distributed shape, like .files: no LocalTableScan serves the rows
+    val plan = spark.sql(s"SELECT * FROM $cat.pt.partitions")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDistributedFilesRelation") &&
+      !plan.contains("LocalTableScan"),
+      s"t.partitions must be served distributed, got:\n$plan")
+    // unpartitioned tables report one '' partition
+    spark.sql(s"CREATE TABLE $cat.pf (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.pf VALUES (1)")
+    val flat = spark.sql(
+      s"SELECT partition, record_count FROM $cat.pf.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(flat.toSeq == Seq(("", 1L)))
+  }
+
   test("per-snapshot schema history: VERSION AS OF a pre-evolution " +
       "snapshot serves the schema as of that snapshot, across two " +
       "evolutions") {
