@@ -31,21 +31,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * publish by conditional create, ZERO renames on the commit path —
   * see the protocol-selection comment below.
   *
-  * Concurrency (r14): commits are optimistic. Data is STAGED into a
-  * dot-prefixed temp dir by an ordinary distributed write (no lock
-  * held), then the commit CLAIMS `v=N` with one rename and publishes
-  * the manifest — both inside a per-root driver-side monitor, so every
-  * committer in one driver JVM serializes (Spark manifests commit on
-  * the driver; a `local[*]` or single-driver cluster app gets true
-  * multi-thread safety: two concurrent appends both land, the second's
-  * manifest including the first's dirs). Across DRIVERS the claim
-  * rename and the manifest rename both fail loudly on collision, the
-  * loser's staged data is cleaned up (no orphan), and the commit
-  * retries against the advanced version a bounded number of times —
-  * but the read-version→commit window is not closed across processes:
-  * multi-driver committers still need the catalog CAS this layer
-  * stands in for (the reference's Glue-job model is one writer per
-  * table). */
+  * Concurrency (r14, tightened r15): commits are optimistic. Data is
+  * STAGED into a dot-prefixed temp dir by an ordinary distributed
+  * write (no lock held), then the commit CLAIMS `v=N` with one rename
+  * and publishes the manifest — both inside a per-root driver-side
+  * monitor, so every committer in one driver JVM serializes (Spark
+  * manifests commit on the driver; a `local[*]` or single-driver
+  * cluster app gets true multi-thread safety: two concurrent appends
+  * both land, the second's manifest including the first's dirs).
+  * Across DRIVERS on an atomic-rename filesystem, EVERY commit —
+  * data AND metadata (r15) — claims its number by exactly one dir
+  * rename, a number cannot be claimed while a lower claimed number is
+  * still unmanifested (the exists-wait), and each committer's content
+  * resolves from the version list read in the same claim attempt — so
+  * cross-process commits serialize too: a later manifest always
+  * carries every earlier commit's dirs, and two manifests can never
+  * silently target one number (pre-r15, metadata commits renamed
+  * their manifest unclaimed, and POSIX rename REPLACES — a real
+  * cross-process lost-commit window, now closed). Remaining
+  * cross-driver caveats, documented not hidden: a committer that
+  * CRASHES between claim and publish wedges later commits until
+  * `remove_orphan_files` clears the unmanifested dir (the CREATE
+  * protocol self-reaps via claim TTLs; dir claims carry no timestamp),
+  * and `expire` racing a cross-process in-flight commit can fail that
+  * commit loudly (never silently). The reference's Glue-job model is
+  * one writer per table; both protocols are now strictly stronger. */
 object VersionedTable {
 
   // per-root commit monitor: all manifest mutations on one table root
@@ -871,19 +881,34 @@ object VersionedTable {
 
   /** The RENAME-protocol twin of [[commitMetaCreate]]: one shared
     * metadata-only commit body (global allocation, schema line,
-    * manifest publish) instead of a copy per verb. */
+    * manifest publish) instead of a copy per verb.
+    *
+    * CLAIMS its version like a data commit (r15 — an empty staged dir,
+    * one atomic rename): pre-r15 metadata commits renamed their
+    * manifest in UNCLAIMED, and POSIX rename silently REPLACES files —
+    * two cross-process metadata commits (or a metadata commit racing a
+    * data commit) allocating one number could silently lose a
+    * manifest. With the dir claim exactly one committer owns each
+    * number, manifest renames can never collide, and — because a
+    * number cannot be claimed while a lower claimed number is still
+    * unmanifested (the same exists-wait every data commit applies) —
+    * cross-process rename-protocol commits serialize: a committer's
+    * manifest always resolves every lower-numbered commit's dirs. The
+    * empty claim dir is dropped once the manifest publishes (metadata
+    * manifests carry an explicit data directive, so the dir is never
+    * read; a crash before the drop leaves an empty dir that expiry or
+    * orphan cleanup removes). */
   private def commitMetaRename(fs: FileSystem, root: Path,
-      table: String)(content: (Seq[Long], Long) => String): Long =
-    withCommitLock(root) {
-      ensureProtocolPersisted(fs, root, table, RenameCommit)
-      val vs = versionsOn(fs, root)
-      require(vs.nonEmpty, s"no versions in $table")
-      val next = maxAllocatedOn(fs, root) + 1L
-      val schemaLine =
-        storedSchema(table).map(s => s"schema=${s.json}\n").getOrElse("")
-      commitManifest(fs, root, next, content(vs, next) + schemaLine)
-      next
-    }
+      table: String)(content: (Seq[Long], Long) => String): Long = {
+    require(versionsOn(fs, root).nonEmpty, s"no versions in $table")
+    val stage = new Path(root,
+      s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+    fs.mkdirs(stage)
+    val v = commitStaged(fs, root, stage)(content)
+    try fs.delete(new Path(root, s"v=$v"), true)
+    catch { case scala.util.control.NonFatal(_) => () }
+    v
+  }
 
   /** Protocol-dispatched metadata-only commit. */
   private def commitMeta(fs: FileSystem, root: Path, table: String,

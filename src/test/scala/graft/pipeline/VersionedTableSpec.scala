@@ -359,6 +359,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(eu.getMessage.contains("neither a version, a tag, nor"))
   }
 
+  test("metadata commits CLAIM their version like data commits (r15): " +
+      "a foreign unmanifested v=N dir blocks the number instead of " +
+      "being silently overwritten, and the claim dir drops post-publish") {
+    val table = Files.createTempDirectory("graft_vt16_").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table) // v1
+    VersionedTable.write(Seq((2L, "b")).toDF("k", "v"), table) // v2
+    val (fs, root) = graft.util.Fs.fsFor(table)
+    // a cross-process committer claimed v=3 and is mid-commit: a
+    // metadata commit must NOT publish manifest 3 over that claim
+    // (pre-r15 it renamed its manifest unclaimed — silent replacement)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=3"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.rollback(table, 1L)
+    }
+    assert(e.getMessage.contains("remove_orphan_files"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_versions/3")),
+      "no manifest may land while the number is foreign-claimed")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "v=3"), true)
+    assert(VersionedTable.rollback(table, 1L) == 3L)
+    // the metadata commit's empty claim dir is dropped once published
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=3")))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("rewriteManifests collapses the read side to a file list " +
       "without rewriting data; later appends fall back cleanly") {
     val table = Files.createTempDirectory("graft_vt13_").toString + "/t"
