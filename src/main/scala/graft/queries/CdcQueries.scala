@@ -803,6 +803,54 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** STREAMING READ from a versioned table (r15; Iceberg's streaming
+    * read — the r13 streaming WRITE's mirror, q196): snapshot versions
+    * are the stream's offsets. The fixture commits half of events,
+    * drains the stream into a parquet sink (full starting snapshot),
+    * appends the other half, drains again — the second drain must
+    * deliver EXACTLY the appended rows (require()d by count delta:
+    * offsets resume from the checkpoint, the incremental batch reads
+    * only the added dirs). The drained sink must then replay the
+    * whole-events aggregate the oracle computes — a duplicated or
+    * dropped microbatch hash-mismatches. */
+  def q207StreamRead(s: SparkSession, dir: String): DataFrame = {
+    val out = writeTables.getOrElseUpdate(dir + "#sread", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val t0 = s"$w/src"
+      def drain(): Unit = {
+        val q = s.readStream
+          .format(classOf[org.apache.spark.sql.graft.VersionedStreamProvider]
+            .getName)
+          .load(t0)
+          .writeStream.format("parquet")
+          .option("path", s"$w/out")
+          .option("checkpointLocation", s"$w/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      VersionedTable.write(ev.filter(col("user_id") % 2 === 0), t0)
+      drain()
+      val afterFirst = s.read.parquet(s"$w/out").count()
+      val odd = ev.filter(col("user_id") % 2 =!= 0)
+      VersionedTable.append(odd, t0)
+      drain()
+      val delta = s.read.parquet(s"$w/out").count() - afterFirst
+      require(delta == odd.count(),
+        s"the second drain must deliver exactly the appended rows; " +
+          s"got +$delta of ${odd.count()}")
+      s"$w/out"
+    })
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** The `.partitions` metadata table (r15; Iceberg's partitions
     * metadata surface): per-partition record/file/size stats computed
     * from parquet FOOTERS — metadata-only IO, distributed fan-out, the
@@ -993,7 +1041,8 @@ object CdcQueries {
     "q203_wap" -> (q203Wap _),
     "q204_wap_conf" -> (q204WapConf _),
     "q205_wap_dml" -> (q205WapDml _),
-    "q206_partitions_meta" -> (q206PartitionsMeta _))
+    "q206_partitions_meta" -> (q206PartitionsMeta _),
+    "q207_stream_read" -> (q207StreamRead _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -1195,6 +1244,13 @@ object CdcQueries {
     // the one-shot replay of ALL events: the two-drain streamed table
     // must reproduce it exactly (exactly-once, no drop, no duplicate)
     "q196_stream_versioned" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming READ (r15): the drained sink — full snapshot + one
+    // incremental microbatch — must replay whole events exactly
+    "q207_stream_read" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_users

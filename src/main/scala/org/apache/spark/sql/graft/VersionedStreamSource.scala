@@ -1,0 +1,112 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.VersionedTable
+
+/** STREAMING READ from a versioned table (r15) — Iceberg's streaming
+  * read, completing the loop with the r13 streaming WRITE
+  * ([[graft.pipeline.VersionedTable.appendBatch]]): a versioned table
+  * becomes a Structured Streaming SOURCE whose offsets are snapshot
+  * VERSIONS. The first microbatch serves the full snapshot current at
+  * start; every later microbatch serves exactly the rows APPENDED
+  * between two snapshots ([[VersionedTable.readIncremental]] — the
+  * dirs the newer manifest carries beyond the older's, O(added data),
+  * no diff join, no per-file bookkeeping: the manifest IS the offset
+  * log). Checkpoint restarts resume from the committed version.
+  *
+  * Defined on APPEND-ONLY table evolution, like Iceberg's: an
+  * overwrite/rollback/row-level rewrite between offsets refuses loudly
+  * (readIncremental's non-append check) instead of silently replaying
+  * or dropping rows — restart the stream from a fresh checkpoint after
+  * such a change. Snapshot retention must cover the stream's lag:
+  * expire-ing the last-committed offset's snapshot fails the next
+  * batch loudly (raise retention or restart fresh), never silently.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format(classOf[VersionedStreamProvider].getName)
+  *     .load(tableRoot)
+  * }}}
+  *
+  * Hosted under `org.apache.spark.sql` for the v1 Source interfaces
+  * (`execution.streaming.Source`, `LongOffset`) and the
+  * isStreaming-plan adapter (`Dataset.ofRows` — private[sql]); the v1
+  * Source shape is chosen deliberately: `getBatch` returns a PLAN
+  * (the engine's own parquet scan over the added dirs, full
+  * pushdown/vectorization), where a DSv2 MicroBatchStream would force
+  * hand-rolled partition readers. No Spark source is copied. */
+final class VersionedStreamProvider
+  extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def tableOf(params: Map[String, String]): String = {
+    val table = params.getOrElse("path", throw new IllegalArgumentException(
+      "graft-versioned stream source needs the table root: " +
+        ".load(<versioned table root>) or .option(\"path\", ...)"))
+    require(VersionedTable.isVersioned(table),
+      s"graft-versioned stream source: $table is not a versioned " +
+        "table root (no _versions manifest dir)")
+    table
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = tableOf(parameters)
+    val s = schema
+      .orElse(VersionedTable.storedSchema(table))
+      .getOrElse(VersionedTable.read(ctx.sparkSession, table).schema)
+    (shortName(), s)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new VersionedStreamSource(ctx.sparkSession, tableOf(parameters),
+      sourceSchema(ctx, schema, providerName, parameters)._2)
+}
+
+private final class VersionedStreamSource(
+    spark: org.apache.spark.sql.SparkSession,
+    table: String,
+    override val schema: StructType) extends Source {
+
+  /** The checkpoint log replays offsets as raw-JSON `SerializedOffset`s
+    * on restart — a LongOffset's json is its number. */
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.latestVersion(table).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = versionOf(end)
+    val batch = start.map(versionOf) match {
+      case None => VersionedTable.read(spark, table, Some(to))
+      case Some(from) =>
+        VersionedTable.readIncremental(spark, table, from, to)
+    }
+    // the engine asserts getBatch plans are streaming; flip the parquet
+    // relation's flag exactly as Spark's own FileStreamSource does
+    val plan = batch.queryExecution.analyzed.transformUp {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"VersionedStreamSource[$table]"
+}
