@@ -514,6 +514,18 @@ object ScaleProbe {
     val (c, tRead) = timed { VersionedTable.read(s, table).count() }
     emit("appendchain", "read_all_dirs", tRead, c, dir)
     require(c == nAppends + 1)
+    // r15: the DISTRIBUTED metadata views on the same 151-dir fixture —
+    // the driver holds only the seed list, listing/stat/footer work
+    // runs on executors (the r14 filesView was a driver-side loop)
+    val (nf, tFiles) = timed { VersionedTable.filesView(s, table).count() }
+    emit("appendchain", "files_view_dirs", tFiles, nf, dir)
+    val (np, tParts) = timed {
+      VersionedTable.partitionsView(s, table)
+        .agg(org.apache.spark.sql.functions.sum("record_count"))
+        .head().getLong(0)
+    }
+    emit("appendchain", "partitions_view_dirs", tParts, np, dir)
+    require(np == c, s"partitions record_count must equal row count: $np vs $c")
     // rewrite_manifests (r14): collapse the READ cost without touching
     // data — one listing pass commits a file-list manifest; the re-read
     // must recover most of the dir-listing latency and the data dirs
@@ -529,6 +541,10 @@ object ScaleProbe {
     val (c2, tReadFl) = timed { VersionedTable.read(s, table).count() }
     emit("appendchain", "read_file_list", tReadFl, c2, dir)
     require(c2 == c)
+    // r15: a files= manifest serves the views from PRE-RESOLVED seeds
+    // (one stat per file, zero dir listings)
+    val (nf2, tFiles2) = timed { VersionedTable.filesView(s, table).count() }
+    emit("appendchain", "files_view_filelist", tFiles2, nf2, dir)
     // a full write (compaction) collapses the list back to one dir
     val (_, tCompact) = timed {
       VersionedTable.write(VersionedTable.read(s, table), table)
