@@ -446,7 +446,8 @@ object VersionedTable {
   def write(df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(table)
     val content = (next: Long) =>
-      manifestContent(Seq(next), next, carryBatchLine(fs, root))
+      manifestContent(Seq(next), next, carryBatchLine(fs, root),
+        op = "overwrite")
     protocolFor(fs, table, "write") match {
       case RenameCommit =>
         val stage = stageData(df, root, table)
@@ -1055,7 +1056,8 @@ object VersionedTable {
       val dirs = vs.lastOption
         .map(prev => dataVersionsOn(fs, root, prev) :+ next)
         .getOrElse(Seq(next))
-      manifestContent(dirs, next, carryBatchLine(fs, root))
+      manifestContent(dirs, next, carryBatchLine(fs, root),
+        op = "append")
     }
     protocolFor(fs, table, "append") match {
       case RenameCommit =>
@@ -1096,7 +1098,8 @@ object VersionedTable {
     validate(versionsOn(fs, root)) // cheap pre-check before staging
     val content = (vs: Seq[Long], next: Long) => {
       validate(vs) // re-validated at publish time
-      manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root))
+      manifestContent(keepDataVersions :+ next, next,
+        carryBatchLine(fs, root), op = "replace")
     }
     proto match {
       case RenameCommit =>
@@ -1131,7 +1134,8 @@ object VersionedTable {
       require(unknown.isEmpty,
         s"$what($table): kept data versions $unknown are " +
           s"not part of the current snapshot $current")
-      manifestContent(keepDataVersions :+ next, next, carryBatchLine(fs, root))
+      manifestContent(keepDataVersions :+ next, next,
+        carryBatchLine(fs, root), op = "replace")
     }
 
   private[graft] def publishStagedReplace(table: String, stagedDir: String,
@@ -1206,7 +1210,7 @@ object VersionedTable {
       require(unknown.isEmpty,
         s"$what($table): kept data versions $unknown are not part of " +
           s"branch '$branchName''s head $current")
-      manifestContent(keepDataVersions :+ next, next)
+      manifestContent(keepDataVersions :+ next, next, op = "replace")
     }
 
   private[graft] def publishStagedReplaceBranch(table: String,
@@ -1234,13 +1238,23 @@ object VersionedTable {
         branchName, baseHead, keepDataVersions))
   }
 
+  /** `op` records WHAT KIND of commit this is (Iceberg's snapshot
+    * `operation` field — append/overwrite/replace/…), surfaced by
+    * [[history]]/`.snapshots`; pre-r15 manifests carry no line and
+    * read back as "unknown". */
   private def manifestContent(dirs: Seq[Long], self: Long,
-      extra: Seq[String] = Nil): String = {
+      extra: Seq[String] = Nil, op: String = null): String = {
     val dirLine =
       if (dirs == Seq(self)) Nil else Seq(s"dirs=${dirs.mkString(",")}")
-    (System.currentTimeMillis().toString +: (dirLine ++ extra))
+    val opLine = Option(op).map(o => s"op=$o").toSeq
+    (System.currentTimeMillis().toString +: (dirLine ++ opLine ++ extra))
       .mkString("", "\n", "\n")
   }
+
+  private def parseOp(content: String): Option[String] =
+    content.linesIterator.collectFirst {
+      case l if l.startsWith("op=") => l.stripPrefix("op=").trim
+    }
 
   /** Exactly-once STREAMING append: the foreachBatch body for a
     * `writeStream` whose sink is a versioned table. Structured
@@ -1281,7 +1295,8 @@ object VersionedTable {
         val dirs = vs.lastOption
           .map(prev => dataVersionsOn(fs, root, prev) :+ next)
           .getOrElse(Seq(next))
-        manifestContent(dirs, next, Seq(s"batch=$batchId"))
+        manifestContent(dirs, next, Seq(s"batch=$batchId"),
+          op = "append")
       }
       try Some(proto match {
         case RenameCommit =>
@@ -1552,6 +1567,7 @@ object VersionedTable {
             s"was gathered against $base — re-run")
         (Seq(System.currentTimeMillis().toString,
           s"dirs=${dirVersions.mkString(",")}",
+          "op=rewrite-manifests",
           s"files=${files.mkString("\t")}") ++
           carryBatchLine(fs, root))
           .mkString("", "\n", "\n")
@@ -1828,7 +1844,8 @@ object VersionedTable {
     val proto = protocolFor(fs, table, "appendToBranch")
     branchBaseOn(fs, root, name) // loud existence check before staging
     val content = (_: Seq[Long], next: Long) =>
-      manifestContent(branchHeadDirsOn(fs, root, name) :+ next, next)
+      manifestContent(branchHeadDirsOn(fs, root, name) :+ next, next,
+        op = "append")
     proto match {
       case RenameCommit =>
         commitStaged(fs, root, stageData(df, root, table), Some(name))(content)
@@ -1844,7 +1861,7 @@ object VersionedTable {
     val proto = protocolFor(fs, table, "writeToBranch")
     branchBaseOn(fs, root, name)
     val content = (_: Seq[Long], next: Long) =>
-      manifestContent(Seq(next), next)
+      manifestContent(Seq(next), next, op = "overwrite")
     proto match {
       case RenameCommit =>
         commitStaged(fs, root, stageData(df, root, table), Some(name))(content)
@@ -1911,7 +1928,7 @@ object VersionedTable {
         s"fast_forward('$name') on $table: branch has no commits — " +
           "nothing to publish")
       manifestContent(branchHeadDirsOn(fs, root, name), next,
-        carryBatchLine(fs, root))
+        carryBatchLine(fs, root), op = "fast-forward")
     }
     commitMeta(fs, root, table, proto)(content)
   }
@@ -2026,7 +2043,8 @@ object VersionedTable {
       val directive =
         if (target.size == 1) s"data=${target.head}"
         else s"dirs=${target.mkString(",")}"
-      (Seq(System.currentTimeMillis().toString, directive) ++
+      (Seq(System.currentTimeMillis().toString, directive,
+        "op=rollback") ++
         carryBatchLine(fs, root)).mkString("", "\n", "\n")
     }
     commitMeta(fs, root, table, proto)(content)
@@ -2180,9 +2198,17 @@ object VersionedTable {
     val vs = versionsOn(fs, root)
     import spark.implicits._
     vs.map { v =>
-      (v, new java.sql.Timestamp(commitTimeOn(fs, root, v)),
-        dataVersionOn(fs, root, v), v == vs.last)
-    }.toDF("version", "committed_at", "data_version", "is_current")
+      val content = manifestContentOf(fs, root, v)
+      (v,
+        new java.sql.Timestamp(content.linesIterator.nextOption()
+          .flatMap(_.trim.toLongOption).getOrElse(0L)),
+        parseDirVersions(content, v).last,
+        v == vs.last,
+        // the commit kind (r15, Iceberg's snapshot operation field);
+        // pre-r15 manifests carry no op= line
+        parseOp(content).getOrElse("unknown"))
+    }.toDF("version", "committed_at", "data_version", "is_current",
+      "operation")
   }
 
   private def expireDrop(fs: FileSystem, root: Path, vs: Seq[Long],

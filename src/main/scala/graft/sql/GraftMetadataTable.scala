@@ -95,7 +95,9 @@ final class GraftMetadataTable(
               r.getLong(0),
               r.getTimestamp(1).getTime * 1000L, // micros
               r.getLong(2),
-              r.getBoolean(3))
+              r.getBoolean(3),
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(r.getString(4)))
           }
       }
       override def description(): String = s"graft $metaName of $root"
@@ -114,7 +116,11 @@ object GraftMetadataTable {
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
     StructField("data_version", LongType, nullable = false),
-    StructField("is_current", BooleanType, nullable = false)))
+    StructField("is_current", BooleanType, nullable = false),
+    // the commit kind (r15, Iceberg's snapshot operation field);
+    // "unknown" for pre-r15 manifests
+    StructField("operation", org.apache.spark.sql.types.StringType,
+      nullable = false)))
 
   private[sql] val FilesSchema = StructType(Seq(
     StructField("file_path", org.apache.spark.sql.types.StringType,

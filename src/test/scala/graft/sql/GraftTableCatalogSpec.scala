@@ -530,6 +530,11 @@ class GraftTableCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.mt.history " +
         "WHERE committed_at > TIMESTAMP '2020-01-01'")
       .head().getLong(0) == 3L)
+    // the commit KIND rides each manifest (r15, Iceberg's snapshot
+    // operation field): two INSERT appends, then the rollback
+    assert(spark.sql(s"SELECT operation FROM $cat.mt.history " +
+        "ORDER BY version").collect().map(_.getString(0)).toSeq ==
+      Seq("append", "append", "rollback"))
     // a plain parquet dir has no snapshots to serve
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$w/plainmt")
     intercept[org.apache.spark.sql.AnalysisException] {
