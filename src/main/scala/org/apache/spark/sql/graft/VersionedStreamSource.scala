@@ -71,13 +71,35 @@ final class VersionedStreamProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new VersionedStreamSource(ctx.sparkSession, tableOf(parameters),
-      sourceSchema(ctx, schema, providerName, parameters)._2)
+      sourceSchema(ctx, schema, providerName, parameters)._2,
+      parameters.get(VersionedStreamProvider.MaxVersionsPerBatch)
+        .map { v =>
+          val n = v.toLong
+          require(n >= 1,
+            s"${VersionedStreamProvider.MaxVersionsPerBatch}=$v: must " +
+              "be >= 1")
+          n
+        })
+}
+
+object VersionedStreamProvider {
+  /** Source option bounding how many SNAPSHOTS one microbatch may
+    * span (Iceberg's streaming max-files-per-micro-batch, at this
+    * layer's snapshot granularity): a stream that fell behind a long
+    * append history catches up in bounded batches instead of one
+    * giant batch. Scope, stated honestly: the cap applies from the
+    * run's FIRST PLANNED BATCH onward — the v1 Source API hands the
+    * source no committed offset until a batch plans, so the first
+    * batch after a (re)start is uncapped (for a fresh stream that
+    * batch is the full starting snapshot anyway — one snapshot). */
+  val MaxVersionsPerBatch = "maxVersionsPerBatch"
 }
 
 private final class VersionedStreamSource(
     spark: org.apache.spark.sql.SparkSession,
     table: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   /** The checkpoint log replays offsets as raw-JSON `SerializedOffset`s
     * on restart — a LongOffset's json is its number. */
@@ -86,11 +108,28 @@ private final class VersionedStreamSource(
     case other => other.json.trim.toLong
   }
 
+  /** The newest position THIS stream has planned or committed — the
+    * base the rate limit advances from. Volatile, not checkpointed:
+    * on restart the engine replays the last batch through getBatch
+    * (which re-seeds it) before asking for a new offset. */
+  @volatile private var lastSeen: Option[Long] = None
+
   override def getOffset: Option[Offset] =
-    VersionedTable.latestVersion(table).map(LongOffset(_))
+    (maxVersionsPerBatch, lastSeen) match {
+      case (Some(m), Some(prev)) =>
+        // cap to a RETAINED main version: snapshot numbers are
+        // allocated globally (branches consume numbers too), so
+        // prev + m may not name a main manifest — take the m-th
+        // retained version past prev instead
+        VersionedTable.versions(table).filter(_ > prev)
+          .take(m.toInt).lastOption.orElse(Some(prev))
+          .map(LongOffset(_))
+      case _ => VersionedTable.latestVersion(table).map(LongOffset(_))
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
+    lastSeen = Some(to)
     val batch = start.map(versionOf) match {
       case None => VersionedTable.read(spark, table, Some(to))
       case Some(from) =>
@@ -106,7 +145,7 @@ private final class VersionedStreamSource(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = lastSeen = Some(versionOf(end))
   override def stop(): Unit = ()
   override def toString: String = s"VersionedStreamSource[$table]"
 }

@@ -77,6 +77,36 @@ class VersionedStreamSourceSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("maxVersionsPerBatch bounds catch-up: a backlog of appends " +
+      "drains in multiple rate-limited microbatches, same final rows") {
+    val w = Files.createTempDirectory("graft_vss4_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((0L, "z")).toDF("k", "v"), table)
+    val q = spark.readStream
+      .format(classOf[org.apache.spark.sql.graft.VersionedStreamProvider]
+        .getName)
+      .option(
+        org.apache.spark.sql.graft.VersionedStreamProvider.MaxVersionsPerBatch,
+        "2")
+      .load(table)
+      .writeStream.format("parquet")
+      .option("path", s"$w/out")
+      .option("checkpointLocation", s"$w/cp")
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: the starting snapshot (1 row)
+      (1 to 5).foreach(i => VersionedTable.append(
+        Seq((i.toLong, s"r$i")).toDF("k", "v"), table))
+      q.processAllAvailable() // throttled catch-up: ceil(5/2) batches
+      assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+        .sorted.toSeq == (0L to 5L))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"a 2-version cap over 5 backlogged appends needs >= 3 " +
+          s"catch-up batches after the initial one; got $dataBatches")
+    } finally q.stop()
+  }
+
   test("a non-versioned path refuses at source creation") {
     val w = Files.createTempDirectory("graft_vss3_").toString
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$w/plain")
