@@ -2103,6 +2103,39 @@ object VersionedTable {
         added.map(k => new Path(root, s"v=$k").toString))
   }
 
+  /** [[readIncremental]]'s streaming-tolerant variant (r15; Iceberg's
+    * `streaming-skip-overwrite-snapshots`): walk the RETAINED versions
+    * in `(fromVersion, toVersion]` stepwise and deliver the dirs each
+    * APPEND-ONLY step added, SKIPPING rewrite steps (overwrite /
+    * rollback / row-level replace) entirely — their content is a
+    * correction of already-streamed rows, not new data, exactly
+    * Iceberg's skip-overwrite contract. Retention caveat, stated where
+    * it bites: steps are computed over RETAINED manifests, so expiring
+    * an intermediate version merges its step into the neighbor — if
+    * the merged step then looks like a rewrite it is skipped whole;
+    * keep retention covering the stream's lag (the same rule the
+    * offsets themselves already need). */
+  def readIncrementalSkippingRewrites(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readIncrementalSkippingRewrites: from $fromVersion > to $toVersion")
+    val (fs, root) = fsFor(table)
+    val vs = versionsOn(fs, root)
+    Seq(fromVersion, toVersion).foreach(v =>
+      require(vs.contains(v), s"version $v not retained in $table"))
+    val window = vs.filter(v => v >= fromVersion && v <= toVersion)
+    val added = window.sliding(2).flatMap {
+      case Seq(a, b) =>
+        val da = dataVersionsOn(fs, root, a)
+        val db = dataVersionsOn(fs, root, b)
+        if (da.forall(db.contains)) db.filterNot(da.contains) else Nil
+      case _ => Nil
+    }.toSeq.distinct
+    if (added.isEmpty) read(spark, table, Some(toVersion)).limit(0)
+    else readDirs(spark, table,
+      added.map(k => new Path(root, s"v=$k").toString))
+  }
+
   /** [[readIncremental]] with TIMESTAMP bounds (r14 — the symmetry the
     * time-travel surface has: q197's `TIMESTAMP AS OF` resolves reads,
     * this resolves CHANGE windows): the window is

@@ -154,10 +154,19 @@ final class GraftVersionedTable(
     VersionedTable.partitionColsOf(root)
       .map(c => Expressions.identity(c)).toArray
 
-  override def properties(): util.Map[String, String] =
-    Map("location" -> root,
+  override def properties(): util.Map[String, String] = {
+    // surfaced by SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the pinned
+    // commit protocol (r15) and the current snapshot — the two facts an
+    // operator checks before pointing a second writer at the table
+    val base = Map("location" -> root,
       "format" -> "parquet",
-      "provider" -> "graft").asJava
+      "provider" -> "graft")
+    val pin = VersionedTable.commitProtocolOf(root)
+      .map("graft.commit-protocol" -> _)
+    val cur = VersionedTable.latestVersion(root)
+      .map(v => "graft.current-version" -> v.toString)
+    (base ++ pin ++ cur).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(

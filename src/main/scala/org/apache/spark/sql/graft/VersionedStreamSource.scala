@@ -79,7 +79,9 @@ final class VersionedStreamProvider
             s"${VersionedStreamProvider.MaxVersionsPerBatch}=$v: must " +
               "be >= 1")
           n
-        })
+        },
+      parameters.get(VersionedStreamProvider.SkipNonAppendSnapshots)
+        .exists(_.toBoolean))
 }
 
 object VersionedStreamProvider {
@@ -93,13 +95,23 @@ object VersionedStreamProvider {
     * batch after a (re)start is uncapped (for a fresh stream that
     * batch is the full starting snapshot anyway — one snapshot). */
   val MaxVersionsPerBatch = "maxVersionsPerBatch"
+
+  /** Source option (default false): SKIP rewrite snapshots (overwrite /
+    * rollback / row-level replace) instead of failing the batch —
+    * Iceberg's `streaming-skip-overwrite-snapshots`. A rewrite's
+    * content is a correction of already-streamed rows; with the option
+    * on, the stream delivers only the dirs append-only steps added and
+    * carries on past corrections. Off by default because silently
+    * skipping data is a policy the user must opt into. */
+  val SkipNonAppendSnapshots = "skipNonAppendSnapshots"
 }
 
 private final class VersionedStreamSource(
     spark: org.apache.spark.sql.SparkSession,
     table: String,
     override val schema: StructType,
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    skipNonAppend: Boolean = false) extends Source {
 
   /** The checkpoint log replays offsets as raw-JSON `SerializedOffset`s
     * on restart — a LongOffset's json is its number. */
@@ -132,6 +144,9 @@ private final class VersionedStreamSource(
     lastSeen = Some(to)
     val batch = start.map(versionOf) match {
       case None => VersionedTable.read(spark, table, Some(to))
+      case Some(from) if skipNonAppend =>
+        VersionedTable.readIncrementalSkippingRewrites(spark, table,
+          from, to)
       case Some(from) =>
         VersionedTable.readIncremental(spark, table, from, to)
     }

@@ -535,6 +535,11 @@ class GraftTableCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT operation FROM $cat.mt.history " +
         "ORDER BY version").collect().map(_.getString(0)).toSeq ==
       Seq("append", "append", "rollback"))
+    // SHOW TBLPROPERTIES surfaces the protocol pin + current snapshot
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.mt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.commit-protocol").contains("rename"))
+    assert(props.get("graft.current-version").contains("3"))
     // a plain parquet dir has no snapshots to serve
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$w/plainmt")
     intercept[org.apache.spark.sql.AnalysisException] {

@@ -107,6 +107,37 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("skipNonAppendSnapshots=true carries the stream past rewrites, " +
+      "delivering only append-added dirs (Iceberg's skip-overwrite)") {
+    val w = Files.createTempDirectory("graft_vss5_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table) // v1
+    def drainSkip(): Unit = {
+      val q = spark.readStream
+        .format(classOf[org.apache.spark.sql.graft.VersionedStreamProvider]
+          .getName)
+        .option(org.apache.spark.sql.graft.VersionedStreamProvider
+          .SkipNonAppendSnapshots, "true")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", s"$w/out")
+        .option("checkpointLocation", s"$w/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainSkip() // initial: full snapshot {1}
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table)  // v2 +{2}
+    VersionedTable.write(Seq((9L, "z")).toDF("k", "v"), table)   // v3 REWRITE
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table)  // v4 +{3}
+    drainSkip()
+    // the append steps' rows arrive; the overwrite's correction does
+    // NOT (its content replaces already-streamed rows, Iceberg's
+    // skip-overwrite contract) — and the stream did not fail
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("a non-versioned path refuses at source creation") {
     val w = Files.createTempDirectory("graft_vss3_").toString
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$w/plain")
