@@ -134,7 +134,8 @@ private final class VersionedStreamSource(
         // prev + m may not name a main manifest — take the m-th
         // retained version past prev instead
         VersionedTable.versions(table).filter(_ > prev)
-          .take(m.toInt).lastOption.orElse(Some(prev))
+          .take(math.min(m, Int.MaxValue.toLong).toInt)
+          .lastOption.orElse(Some(prev))
           .map(LongOffset(_))
       case _ => VersionedTable.latestVersion(table).map(LongOffset(_))
     }

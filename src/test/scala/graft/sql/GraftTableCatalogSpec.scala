@@ -721,6 +721,17 @@ class GraftTableCatalogSpec extends SparkSpec {
     assert(VersionedTable.versions(table).size == before.size + 1)
     assert(spark.sql(s"SELECT k FROM $cat.n").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // PARTITIONED tables skip no-op commits too (the partitioned
+    // staging path reconciles a never-created staging dir)
+    spark.sql(s"CREATE TABLE $cat.np (k BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.np VALUES (1, 'a')")
+    val beforeP = VersionedTable.versions(s"$w/np")
+    spark.sql(s"UPDATE $cat.np SET k = 5 WHERE k = 42")
+    assert(VersionedTable.versions(s"$w/np") == beforeP,
+      "a no-match UPDATE on a partitioned table must not commit")
+    assert(spark.sql(s"SELECT k FROM $cat.np").head().getLong(0) == 1L)
   }
 
   test("row-level DML under spark.graft.wap.branch rewrites ONLY the " +
