@@ -2335,8 +2335,11 @@ object VersionedTable {
   def filesTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
     require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
       "graft_files expects literal arguments: (table_path[, version])")
-    filesView(SparkSession.active, exprs.head.eval().toString,
-      exprs.lift(1).map(_.eval().toString.toLong))
+    val table = exprs.head.eval().toString
+    // a version id or a TAG — the same ref resolution VERSION AS OF
+    // and graft_version apply (r15)
+    filesView(SparkSession.active, table,
+      exprs.lift(1).map(e => resolveRef(table, e.eval().toString)))
       .queryExecution.analyzed
   }
 
@@ -2346,8 +2349,9 @@ object VersionedTable {
   def partitionsTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
     require(exprs.nonEmpty && exprs.size <= 2 && exprs.forall(_.foldable),
       "graft_partitions expects literal arguments: (table_path[, version])")
-    partitionsView(SparkSession.active, exprs.head.eval().toString,
-      exprs.lift(1).map(_.eval().toString.toLong))
+    val table = exprs.head.eval().toString
+    partitionsView(SparkSession.active, table,
+      exprs.lift(1).map(e => resolveRef(table, e.eval().toString)))
       .queryExecution.analyzed
   }
 

@@ -614,6 +614,15 @@ class GraftTableCatalogSpec extends SparkSpec {
         s"graft_partitions('$w/pt', 1) ORDER BY partition").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(v1.toSeq == Seq(("g=a", 2L), ("g=b", 1L)))
+    // TAG refs resolve in the per-snapshot TVFs too (r15 ref symmetry)
+    VersionedTable.createTag(s"$w/pt", "first", Some(1L))
+    assert(spark.sql("SELECT partition, record_count FROM " +
+        s"graft_partitions('$w/pt', 'first') ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == v1.toSeq)
+    assert(spark.sql(s"SELECT count(*) FROM graft_files('$w/pt', 'first')")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM graft_files('$w/pt', 1)")
+        .head().getLong(0))
     // distributed shape, like .files: no LocalTableScan serves the rows
     val plan = spark.sql(s"SELECT * FROM $cat.pt.partitions")
       .queryExecution.executedPlan.toString
