@@ -563,6 +563,19 @@ object Maintenance {
         e.toString)
     }
 
+  def expireBranchSnapshots(tableDir: String, branch: String,
+      keepLast: Int): Report =
+    try {
+      val dropped =
+        VersionedTable.expireBranchSnapshots(tableDir, branch, keepLast)
+      Report(tableDir, "expire_branch_snapshots", ok = true,
+        if (dropped.isEmpty) "noop: nothing to expire"
+        else s"expired branch '$branch' snapshots ${dropped.mkString(",")}")
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "expire_branch_snapshots", ok = false, e.toString)
+    }
+
   /** Deliberate commit-protocol migration (r15): re-pin the table's
     * persisted protocol. The everyday path never needs this — the pin
     * is written at first commit and `auto` follows it; this verb is

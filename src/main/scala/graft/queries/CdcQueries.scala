@@ -821,9 +821,9 @@ object CdcQueries {
       val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
       val t0 = s"$w/src"
       def drain(): Unit = {
+        // the short name resolves via META-INF/services (r16)
         val q = s.readStream
-          .format(classOf[org.apache.spark.sql.graft.VersionedStreamProvider]
-            .getName)
+          .format("graft-versioned")
           .load(t0)
           .writeStream.format("parquet")
           .option("path", s"$w/out")
@@ -842,6 +842,57 @@ object CdcQueries {
       require(delta == odd.count(),
         s"the second drain must deliver exactly the appended rows; " +
           s"got +$delta of ${odd.count()}")
+      s"$w/out"
+    })
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** STREAMING READ FROM A CHOSEN SNAPSHOT (r16; Iceberg's
+    * `start-snapshot-id` / `stream-from-timestamp`): `startingVersion`
+    * makes the stream's FIRST batch the incremental read
+    * `(start, current]` instead of the full starting snapshot — the
+    * "changes from now on" shape that never replays a 100 TB table.
+    * The fixture writes the EVEN-user events as v1, appends the odd
+    * users in two halves (v2, v3), and streams with
+    * `startingVersion=1`: the drained sink must contain EXACTLY the
+    * odd rows (require()d by count — one even row leaking in, or one
+    * odd row dropped, fails structurally), and the sink's aggregate
+    * must replay the oracle's odd-only aggregate over raw events — an
+    * off-by-one-snapshot start (inclusive where exclusive is promised,
+    * or vice versa) hash-mismatches. */
+  def q208StreamReadFrom(s: SparkSession, dir: String): DataFrame = {
+    val out = writeTables.getOrElseUpdate(dir + "#sreadfrom", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val t0 = s"$w/src"
+      val v1 = VersionedTable.write(
+        ev.filter(col("user_id") % 2 === 0), t0)
+      VersionedTable.append(
+        ev.filter(col("user_id") % 4 === 1), t0)
+      VersionedTable.append(
+        ev.filter(col("user_id") % 4 === 3), t0)
+      val q = s.readStream
+        .format("graft-versioned")
+        .option(org.apache.spark.sql.graft.VersionedStreamProvider
+          .StartingVersion, v1.toString)
+        .load(t0)
+        .writeStream.format("parquet")
+        .option("path", s"$w/out")
+        .option("checkpointLocation", s"$w/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val odd = ev.filter(col("user_id") % 2 =!= 0).count()
+      val got = s.read.parquet(s"$w/out").count()
+      require(got == odd,
+        s"startingVersion=$v1 must deliver exactly the rows appended " +
+          s"after v$v1 (the odd users, $odd rows) — got $got")
       s"$w/out"
     })
     s.read.parquet(out)
@@ -1042,7 +1093,8 @@ object CdcQueries {
     "q204_wap_conf" -> (q204WapConf _),
     "q205_wap_dml" -> (q205WapDml _),
     "q206_partitions_meta" -> (q206PartitionsMeta _),
-    "q207_stream_read" -> (q207StreamRead _))
+    "q207_stream_read" -> (q207StreamRead _),
+    "q208_stream_read_from" -> (q208StreamReadFrom _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -1255,6 +1307,15 @@ object CdcQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming read FROM A CHOSEN SNAPSHOT (r16): startingVersion=v1
+    // (the even users) means the sink holds exactly the odd users —
+    // the oracle replays that aggregate from raw events
+    "q208_stream_read_from" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |FROM events WHERE user_id % 2 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q169 fixture's commit sequence: v1 good, v2 bad, v3 = rollback
     // redirect at v1's data and current — three literal rows
     "q186_snapshot_history" ->

@@ -25,7 +25,8 @@ import graft.pipeline.VersionedTable
 final class GraftMetadataTable(
     identName: String,
     root: String,
-    metaName: String) extends Table with SupportsRead {
+    metaName: String,
+    pinned: Option[Long] = None) extends Table with SupportsRead {
 
   override def name(): String = identName
 
@@ -69,9 +70,16 @@ final class GraftMetadataTable(
             GraftMetadataTable.this.schema()
           override def buildScan()
               : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            // `pinned` (r16): `t.files VERSION AS OF v` serves the
+            // HISTORICAL snapshot's listing — the same per-snapshot
+            // addressing the graft_files/graft_partitions TVFs already
+            // take as their second argument, so the two front doors
+            // stay symmetric
             (if (isPartitions)
-              VersionedTable.partitionsView(context.sparkSession, root)
-            else VersionedTable.filesView(context.sparkSession, root)).rdd
+              VersionedTable.partitionsView(context.sparkSession, root,
+                pinned)
+            else VersionedTable.filesView(context.sparkSession, root,
+              pinned)).rdd
           override def toString: String = "GraftDistributedFilesRelation"
         }).asInstanceOf[T]
       override def description(): String =

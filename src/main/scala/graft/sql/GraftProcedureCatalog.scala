@@ -130,17 +130,27 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
     new GraftVersionedTable(ident.toString, dir, pinned, SparkSession.active)
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    // Iceberg-style METADATA TABLES (r14): `SELECT * FROM cat.ns.t.history`
-    // resolves here as Identifier(ns :+ t, "history") — when the parent
-    // is a versioned root and the name is a known metadata view, serve
-    // it (same rows as the graft_history TVF, by construction)
+  /** The (parent dir, metadata view name) when `ident` names an
+    * Iceberg-style metadata table of a versioned root —
+    * `Identifier(ns :+ t, "history")` for `cat.ns.t.history`. */
+  private def metadataTableOf(ident: Identifier): Option[(String, String)] = {
     val metaName = ident.name().toLowerCase(java.util.Locale.ROOT)
     if (GraftMetadataTable.Names(metaName) && ident.namespace().nonEmpty) {
       val parentDir = (warehouseOrThrow +: ident.namespace()).mkString("/")
       val (fs, p) = graft.util.Fs.fsFor(parentDir)
       if (fs.exists(p) && VersionedTable.isVersioned(parentDir))
-        return new GraftMetadataTable(ident.toString, parentDir, metaName)
+        Some((parentDir, metaName))
+      else None
+    } else None
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES (r14): `SELECT * FROM cat.ns.t.history`
+    // resolves here as Identifier(ns :+ t, "history") — when the parent
+    // is a versioned root and the name is a known metadata view, serve
+    // it (same rows as the graft_history TVF, by construction)
+    metadataTableOf(ident).foreach { case (parentDir, metaName) =>
+      return new GraftMetadataTable(ident.toString, parentDir, metaName)
     }
     loadVia(ident) { dir =>
       if (VersionedTable.isVersioned(dir)) versionedTable(ident, dir, None)
@@ -148,11 +158,37 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
     }
   }
 
+  /** `t.files VERSION AS OF v` / `TIMESTAMP AS OF ts` (r16): the
+    * snapshot-addressed metadata views serve the HISTORICAL listing —
+    * symmetric with the `graft_files`/`graft_partitions` TVFs' version
+    * argument. `history`/`refs` are whole-table surfaces with no
+    * per-snapshot meaning, so pinning them refuses loudly instead of
+    * silently serving the current rows under a pinned-looking query. */
+  private def metadataTableAt(ident: Identifier, parentDir: String,
+      metaName: String, v: Long): Table = {
+    require(metaName == "files" || metaName == "partitions",
+      s"VERSION/TIMESTAMP AS OF on metadata table '$metaName': only " +
+        "'files' and 'partitions' are snapshot-addressed — " +
+        "'history'/'refs' describe the whole table")
+    require(VersionedTable.versions(parentDir).contains(v),
+      s"version $v not retained in $parentDir")
+    new GraftMetadataTable(ident.toString, parentDir, metaName, Some(v))
+  }
+
   /** `VERSION AS OF v` — only meaningful on a versioned root. A
     * non-numeric ref resolves as a TAG, then a BRANCH (r14: `VERSION AS
     * OF 'audited-2026-07'` / `VERSION AS OF 'wap-staging'`, Iceberg's
     * ref spelling). */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    metadataTableOf(ident).foreach { case (parentDir, metaName) =>
+      val v = version.toLongOption
+        .orElse(VersionedTable.tagVersion(parentDir, version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' on metadata table '$metaName': " +
+            s"neither a snapshot id nor a tag on $parentDir (branch " +
+            "heads are not main snapshots — fast_forward first)"))
+      return metadataTableAt(ident, parentDir, metaName, v)
+    }
     loadVia(ident) { dir =>
       require(VersionedTable.isVersioned(dir),
         s"$dir is not a versioned table: VERSION AS OF needs a " +
@@ -168,9 +204,14 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
             s"nor a branch on $dir")
       }
     }
+  }
 
   /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    metadataTableOf(ident).foreach { case (parentDir, metaName) =>
+      return metadataTableAt(ident, parentDir, metaName,
+        VersionedTable.versionAt(parentDir, timestampMicros / 1000L))
+    }
     loadVia(ident) { dir =>
       require(VersionedTable.isVersioned(dir),
         s"$dir is not a versioned table: TIMESTAMP AS OF needs a " +
@@ -178,6 +219,7 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
       versionedTable(ident, dir,
         Some(VersionedTable.versionAt(dir, timestampMicros / 1000L)))
     }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = (warehouseOrThrow +: namespace).mkString("/")
@@ -556,6 +598,22 @@ object GraftProcedureCatalog {
       Seq(Maintenance.dropBranch(str(input, 0), str(input, 1)))
   }
 
+  private object ExpireBranchSnapshots extends MaintProc(
+    "expire_branch_snapshots",
+    "per-branch retention (Iceberg's per-ref min-snapshots-to-keep): " +
+      "drop a branch's staged snapshots except the newest retain_last " +
+      "— head and fork base survive, main is untouched; dirs exclusive " +
+      "to the dropped branch snapshots are reclaimed",
+    Array(
+      p("table", StringType),
+      p("branch", StringType),
+      p("retain_last", IntegerType, "1"))) {
+    override protected def run(spark: SparkSession,
+        input: InternalRow): Seq[Maintenance.Report] =
+      Seq(Maintenance.expireBranchSnapshots(str(input, 0), str(input, 1),
+        input.getInt(2)))
+  }
+
   private object SetCommitProtocol extends MaintProc("set_commit_protocol",
     "deliberately migrate a table's pinned commit protocol " +
       "(rename | create) — the pin is set at first commit and a " +
@@ -578,5 +636,6 @@ object GraftProcedureCatalog {
     "create_branch" -> CreateBranch,
     "fast_forward" -> FastForward,
     "drop_branch" -> DropBranch,
+    "expire_branch_snapshots" -> ExpireBranchSnapshots,
     "set_commit_protocol" -> SetCommitProtocol)
 }

@@ -110,23 +110,27 @@ object DistributedFileListing {
         it.flatMap { case (p, isFile) =>
           val qp = new Path(p)
           val fs = qp.getFileSystem(conf.value)
-          def rowOf(path: Path, len: Long): (String, Long, Long) = {
+          // a file can vanish between the listing/stat and the footer
+          // read (a racing expire/compaction — the exact race filesDf
+          // tolerates by dropping missing files): Try and drop, never
+          // fail the whole view over a file that no longer exists
+          def rowOf(path: Path,
+              len: Long): Option[(String, Long, Long)] = {
             // partition identity = the path segments between the
             // snapshot dir (v=K) and the file name — '' when the
             // table lays out flat
             val segs = path.toString.stripPrefix(prefix).split("/")
             val part = segs.drop(1).dropRight(1).mkString("/")
-            val records = {
+            scala.util.Try {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
                 .fromPath(path, conf.value)
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
               try r.getRecordCount finally r.close()
-            }
-            (part, records, len)
+            }.toOption.map(records => (part, records, len))
           }
           if (isFile)
             scala.util.Try(fs.getFileStatus(qp)).toOption.toSeq
-              .filter(_.isFile).map(st => rowOf(st.getPath, st.getLen))
+              .filter(_.isFile).flatMap(st => rowOf(st.getPath, st.getLen))
           else if (!fs.exists(qp)) Nil
           else {
             val out = scala.collection.mutable
@@ -137,7 +141,8 @@ object DistributedFileListing {
               val rel = st.getPath.toString.stripPrefix(prefix)
               val hidden = rel.split("/").exists(seg =>
                 seg.startsWith("_") || seg.startsWith("."))
-              if (st.isFile && !hidden) out += rowOf(st.getPath, st.getLen)
+              if (st.isFile && !hidden)
+                rowOf(st.getPath, st.getLen).foreach(out += _)
             }
             out
           }

@@ -28,10 +28,13 @@ import graft.pipeline.VersionedTable
   * expire-ing the last-committed offset's snapshot fails the next
   * batch loudly (raise retention or restart fresh), never silently.
   *
-  * Usage:
+  * Usage (the short name resolves via the
+  * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`
+  * registration, r16):
   * {{{
   *   spark.readStream
-  *     .format(classOf[VersionedStreamProvider].getName)
+  *     .format("graft-versioned")
+  *     .option("startingVersion", "12")   // or a tag; optional (r16)
   *     .load(tableRoot)
   * }}}
   *
@@ -81,7 +84,8 @@ final class VersionedStreamProvider
           n
         },
       parameters.get(VersionedStreamProvider.SkipNonAppendSnapshots)
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      VersionedStreamProvider.resolveStart(tableOf(parameters), parameters))
 }
 
 object VersionedStreamProvider {
@@ -93,7 +97,11 @@ object VersionedStreamProvider {
     * run's FIRST PLANNED BATCH onward — the v1 Source API hands the
     * source no committed offset until a batch plans, so the first
     * batch after a (re)start is uncapped (for a fresh stream that
-    * batch is the full starting snapshot anyway — one snapshot). */
+    * batch is the full starting snapshot anyway — one snapshot).
+    * Exception (r16): with [[StartingVersion]]/[[StartingTimestamp]]
+    * the rate base is seeded from the chosen start, so the catch-up
+    * from a historical start — the one first batch that can span many
+    * snapshots — IS capped. */
   val MaxVersionsPerBatch = "maxVersionsPerBatch"
 
   /** Source option (default false): SKIP rewrite snapshots (overwrite /
@@ -104,6 +112,53 @@ object VersionedStreamProvider {
     * carries on past corrections. Off by default because silently
     * skipping data is a policy the user must opt into. */
   val SkipNonAppendSnapshots = "skipNonAppendSnapshots"
+
+  /** Source option (r16; Iceberg's streaming `start-snapshot-id`): the
+    * snapshot VERSION or TAG the stream starts AFTER — the first batch
+    * becomes the incremental read `(startingVersion, current]` instead
+    * of the full starting snapshot, so "changes from now on" on a
+    * 100 TB table never eats a full-table first batch. The start must
+    * still be RETAINED (the incremental read resolves against its
+    * manifest): a start behind retention refuses loudly at stream
+    * start. Branch names refuse — stream offsets are main-history
+    * versions, and a branch head is not one (fast_forward first).
+    * Exclusive semantics, stated plainly: rows of the start snapshot
+    * itself are NOT delivered; to replay from the table's beginning,
+    * omit the option. */
+  val StartingVersion = "startingVersion"
+
+  /** Source option (r16; Iceberg's `stream-from-timestamp`): epoch
+    * MILLIS — resolved to the newest snapshot committed at-or-before
+    * the timestamp (the same resolution `TIMESTAMP AS OF` applies),
+    * then treated exactly like [[StartingVersion]]. Mutually exclusive
+    * with it. */
+  val StartingTimestamp = "startingTimestamp"
+
+  /** Resolve the starting options to a main-history version. */
+  private[graft] def resolveStart(table: String,
+      parameters: Map[String, String]): Option[Long] = {
+    val byVersion = parameters.get(StartingVersion)
+    val byTs = parameters.get(StartingTimestamp)
+    require(byVersion.isEmpty || byTs.isEmpty,
+      s"$StartingVersion and $StartingTimestamp are mutually exclusive")
+    val start = byVersion.map { ref =>
+      require(!VersionedTable.branches(table).contains(ref),
+        s"$StartingVersion='$ref' is a BRANCH — stream offsets are " +
+          "main-history versions and a branch head is not one; " +
+          "fast_forward first, then start from the published version " +
+          "(versions and tags resolve directly)")
+      VersionedTable.resolveRef(table, ref)
+    }.orElse(byTs.map { ts =>
+      val ms = ts.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$StartingTimestamp='$ts': expected epoch millis"))
+      VersionedTable.versionAt(table, ms)
+    })
+    start.foreach(v => require(VersionedTable.versions(table).contains(v),
+      s"$StartingVersion/$StartingTimestamp resolved to snapshot $v, " +
+        s"which is not retained on $table — raise retention or start " +
+        "the stream without a starting option"))
+    start
+  }
 }
 
 private final class VersionedStreamSource(
@@ -111,7 +166,8 @@ private final class VersionedStreamSource(
     table: String,
     override val schema: StructType,
     maxVersionsPerBatch: Option[Long] = None,
-    skipNonAppend: Boolean = false) extends Source {
+    skipNonAppend: Boolean = false,
+    startingVersion: Option[Long] = None) extends Source {
 
   /** The checkpoint log replays offsets as raw-JSON `SerializedOffset`s
     * on restart — a LongOffset's json is its number. */
@@ -123,8 +179,11 @@ private final class VersionedStreamSource(
   /** The newest position THIS stream has planned or committed — the
     * base the rate limit advances from. Volatile, not checkpointed:
     * on restart the engine replays the last batch through getBatch
-    * (which re-seeds it) before asking for a new offset. */
-  @volatile private var lastSeen: Option[Long] = None
+    * (which re-seeds it) before asking for a new offset. Seeded from
+    * `startingVersion` (r16), which also lets the rate cap apply to
+    * the catch-up from a chosen start — the one case where the first
+    * batch spans many snapshots. */
+  @volatile private var lastSeen: Option[Long] = startingVersion
 
   override def getOffset: Option[Offset] =
     (maxVersionsPerBatch, lastSeen) match {
@@ -143,17 +202,46 @@ private final class VersionedStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     lastSeen = Some(to)
-    val batch = start.map(versionOf) match {
+    // a run's FIRST batch (no committed offset) starts from the chosen
+    // startingVersion when one was given (r16 — "changes from now on"
+    // never replays the full 100 TB snapshot); without one it serves
+    // the full snapshot at `to`, the pre-r16 contract
+    val batch = start.map(versionOf).orElse(startingVersion) match {
       case None => VersionedTable.read(spark, table, Some(to))
+      case Some(from) if from == to =>
+        VersionedTable.read(spark, table, Some(to)).limit(0)
       case Some(from) if skipNonAppend =>
         VersionedTable.readIncrementalSkippingRewrites(spark, table,
           from, to)
       case Some(from) =>
         VersionedTable.readIncremental(spark, table, from, to)
     }
+    // SCHEMA PIN across evolution (r16): the engine fixed this source's
+    // schema at stream start, but an ALTER TABLE ADD COLUMN mid-stream
+    // makes later incremental batches plan with the EVOLVED table
+    // schema. Additive evolution is served by projecting the batch back
+    // to the pinned columns (the added column carries no data this
+    // stream was promised); anything else — a pinned column missing or
+    // type-changed — refuses loudly rather than letting the engine
+    // misalign rows against the pinned schema. Restart the stream to
+    // adopt the evolved schema.
+    val reconciled =
+      if (batch.schema == schema) batch
+      else {
+        val batchFields = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+        val broken = schema.fields.filterNot(f =>
+          batchFields.get(f.name).contains(f.dataType))
+        if (broken.nonEmpty) throw new IllegalStateException(
+          s"versioned stream over $table: the table's schema evolved " +
+            s"incompatibly mid-stream — pinned column(s) " +
+            s"${broken.map(_.name).mkString(", ")} missing or " +
+            "type-changed in the current table schema; restart the " +
+            "stream from a fresh checkpoint to adopt the new schema")
+        batch.select(schema.fieldNames.toIndexedSeq.map(batch.col): _*)
+      }
     // the engine asserts getBatch plans are streaming; flip the parquet
     // relation's flag exactly as Spark's own FileStreamSource does
-    val plan = batch.queryExecution.analyzed.transformUp {
+    val plan = reconciled.queryExecution.analyzed.transformUp {
       case lr: LogicalRelation if !lr.isStreaming =>
         lr.copy(isStreaming = true)
     }

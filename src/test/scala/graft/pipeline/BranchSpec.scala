@@ -235,6 +235,69 @@ class BranchSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("per-branch retention (r16): expire_branch_snapshots drops " +
+      "staged snapshots past retain_last — head + fork base survive, " +
+      "main untouched, only branch-exclusive dirs reclaimed") {
+    val table = Files.createTempDirectory("graft_br7_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table) // main v1
+    VersionedTable.createBranch(table, "audit")
+    // four staged snapshots: branch manifests v2..v5, each carrying the
+    // fork-point dir (v1) by reference plus its own
+    (2 to 5).foreach(i =>
+      VersionedTable.appendToBranch(Seq(i).toDF("x"), table, "audit"))
+    assert(VersionedTable.branches(table) == Map("audit" -> 5L))
+    val (fs, root) = graft.util.Fs.fsFor(table)
+
+    val dropped = VersionedTable.expireBranchSnapshots(table, "audit", 2)
+    assert(dropped == Seq(2L, 3L))
+    // head chain intact: the branch still reads its full content — the
+    // RETAINED head manifest carries every needed dir by reference
+    assert(VersionedTable.readBranch(spark, table, "audit").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    assert(VersionedTable.branches(table) == Map("audit" -> 5L))
+    // main untouched; fork base record survives
+    assert(VersionedTable.versions(table) == Seq(1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_versions/branch-audit/.base")))
+    // NO data dir fell: every staged dir is still referenced by the
+    // retained head manifest (dropping old manifests is metadata-only
+    // while the head carries their dirs forward)
+    (2 to 5).foreach(k => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(root, s"v=$k")), s"v=$k"))
+
+    // a branch whose RETAINED manifests no longer reference an old
+    // exclusive dir reclaims it: overwrite the branch (head = only its
+    // own dir), then expire to the head — the old staged dirs fall,
+    // main's v1 stays (main-referenced)
+    VersionedTable.writeToBranch(Seq(9).toDF("x"), table, "audit") // v6
+    val dropped2 = VersionedTable.expireBranchSnapshots(table, "audit", 1)
+    assert(dropped2 == Seq(4L, 5L))
+    (2 to 5).foreach(k => assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(root, s"v=$k")),
+      s"v=$k must be reclaimed — no retained manifest references it"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v=1")))
+    assert(VersionedTable.readBranch(spark, table, "audit").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+
+    // keepLast floors at 1: the head can never expire
+    assert(VersionedTable.expireBranchSnapshots(table, "audit", 0) == Nil)
+    assert(VersionedTable.branches(table) == Map("audit" -> 6L))
+
+    // the SQL CALL front door drives the same verb
+    val cat = s"graft_br7cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      new java.io.File(table).getParent)
+    val report = spark.sql(s"CALL $cat.system.expire_branch_snapshots(" +
+      s"table => '$table', branch => 'audit', retain_last => 1)")
+      .collect()
+    assert(report.exists(_.getBoolean(2)),
+      s"CALL must report ok: ${report.mkString(", ")}")
+  }
+
   test("the whole WAP flow runs under the CREATE protocol") {
     spark.conf.set(VersionedTable.ProtocolConfKey, "create")
     try {

@@ -98,18 +98,25 @@ class CreateProtocolSpec extends SparkSpec {
         VersionedTable.write(Seq(1).toDF("x"), table)
         // a committer in another process claimed v2 and died long ago
         // (epoch-0 creation time — well past the TTL), leaving a
-        // half-written data dir behind
+        // half-written data dir behind. Liveness (r16) is the YOUNGEST
+        // signal — the fixture's dir was physically just created, so
+        // the TTL must age past it too (real crash debris has old
+        // mtimes everywhere; a test fabricates age via a short TTL).
         val (fs, root) = graft.util.Fs.fsFor(table)
         val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
         val out = fs.create(claim, false)
         out.write("0\n".getBytes); out.close()
         fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=2"))
+        spark.conf.set(VersionedTable.ClaimTtlConfKey, "200")
+        Thread.sleep(300)
 
         // pre-r15 this append ERRORED pointing at remove_orphan_files;
         // the publish wait now reaps the TTL-expired claim itself — the
         // append lands with zero operator intervention, and the crashed
         // committer's claim marker AND orphaned data dir are gone
-        val v = VersionedTable.append(Seq(2).toDF("x"), table)
+        val v =
+          try VersionedTable.append(Seq(2).toDF("x"), table)
+          finally spark.conf.unset(VersionedTable.ClaimTtlConfKey)
         assert(v == 3L, s"append must allocate past the dead claim: $v")
         assert(VersionedTable.read(spark, table).collect()
           .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
@@ -140,6 +147,63 @@ class CreateProtocolSpec extends SparkSpec {
         fs.delete(young, false)
         fs.delete(new org.apache.hadoop.fs.Path(root, "v=9"), true)
       } finally spark.conf.unset(VersionedTable.ForeignWaitConfKey)
+    }
+  }
+
+  test("claim liveness (r16): a timestamp-old claim with a FRESH " +
+      "liveness signal (heartbeat sidecar, in-flight file mtimes) " +
+      "survives a concurrent publish AND remove_orphan_files; a truly " +
+      "cold claim still reaps") {
+    withCreateProtocol {
+      spark.conf.set(VersionedTable.ForeignWaitConfKey, "800")
+      try {
+        val table = Files.createTempDirectory("graft_cp7_").toString + "/t"
+        VersionedTable.write(Seq(1).toDF("x"), table)
+        val (fs, root) = graft.util.Fs.fsFor(table)
+        // a LIVE cross-process committer mid-long-write: its claim line
+        // says epoch 0 (far past any TTL — the r15 fixed-TTL reaper
+        // would destroy it), but its heartbeat sidecar is fresh and its
+        // executors are still landing task files under v=2
+        val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
+        val out = fs.create(claim, false)
+        out.write("some-foreign-token\n0\n".getBytes); out.close()
+        val hb = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2.hb")
+        val o2 = fs.create(hb, false); o2.write("0\n".getBytes); o2.close()
+        val inflight = new org.apache.hadoop.fs.Path(root,
+          "v=2/_temporary/0/part-inflight")
+        fs.mkdirs(inflight.getParent)
+        val f = fs.create(inflight, false); f.write(1); f.close()
+
+        // a concurrent publish must WAIT (bounded, loud) — never reap a
+        // claim that shows life, whatever its timestamp says
+        val e = intercept[IllegalArgumentException] {
+          VersionedTable.append(Seq(2).toDF("x"), table)
+        }
+        assert(e.getMessage.contains(VersionedTable.ClaimTtlConfKey))
+        assert(fs.exists(claim) && fs.exists(inflight),
+          "a live claim's marker and in-flight data must survive a " +
+            "blocked publish")
+        assert(Maintenance.removeOrphans(spark, table).ok)
+        assert(fs.exists(claim) && fs.exists(inflight),
+          "...and the orphan walk")
+
+        // heartbeat gone + file mtimes cold: NOW it is crash debris —
+        // the next publish self-reaps it with zero operator intervention
+        fs.delete(hb, false)
+        spark.conf.set(VersionedTable.ClaimTtlConfKey, "200")
+        Thread.sleep(300)
+        val v =
+          try VersionedTable.append(Seq(3).toDF("x"), table)
+          finally spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+        assert(v == 3L)
+        assert(!fs.exists(claim))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=2")))
+        assert(VersionedTable.read(spark, table).collect()
+          .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+      } finally {
+        spark.conf.unset(VersionedTable.ForeignWaitConfKey)
+        spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+      }
     }
   }
 

@@ -476,4 +476,40 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.create(
       Files.createTempDirectory("graft_vt9d_").toString + "/t", vSchema)
   }
+
+  test("rename-protocol self-heal (r16, CreateProtocolSpec parity): a " +
+      "crashed committer's unmanifested v=N dir un-wedges later commits " +
+      "once COLD; a fresh dir still blocks loudly (a live committer's " +
+      "claim-to-manifest window)") {
+    val table = Files.createTempDirectory("graft_vt10_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table) // v1
+    val (fs, root) = graft.util.Fs.fsFor(table)
+    // crash debris: a committer renamed its stage to v=2 and died
+    // before its manifest landed — exactly the wedge the pre-r16
+    // contract documented as needing a manual remove_orphan_files
+    val orphan = new org.apache.hadoop.fs.Path(root, "v=2/part-dead")
+    fs.mkdirs(orphan.getParent)
+    val o = fs.create(orphan, false); o.write(1); o.close()
+
+    // FRESH dir: may be a live committer milliseconds from its
+    // manifest — the claim loop must refuse loudly, never reap
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq(2).toDF("x"), table)
+    }
+    assert(e.getMessage.contains("cannot claim data dir"))
+    assert(fs.exists(orphan),
+      "a fresh unmanifested dir must survive the claim loop")
+
+    // COLD dir (every mtime past the TTL): the same commit self-heals,
+    // reuses the number, and the table is whole
+    spark.conf.set(VersionedTable.ClaimTtlConfKey, "200")
+    Thread.sleep(300)
+    try {
+      val v = VersionedTable.append(Seq(2).toDF("x"), table)
+      assert(v == 2L, s"the reaped number must be reused: $v")
+      assert(!fs.exists(orphan))
+      assert(VersionedTable.read(spark, table).collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    } finally spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+  }
 }

@@ -591,6 +591,69 @@ class GraftTableCatalogSpec extends SparkSpec {
       s"filesView must list executor-side, got:\n$direct")
   }
 
+  test("metadata tables VERSION/TIMESTAMP AS OF (r16): .files and " +
+      ".partitions serve the HISTORICAL snapshot — agreeing with the " +
+      "TVFs' version argument — and history/refs refuse the pin") {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = freshCatalog(w)
+    spark.sql(s"CREATE TABLE $cat.mt (k BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.mt VALUES (1, 'a'), (2, 'b')")
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.mt VALUES (3, 'b')")
+
+    graft.expressions.GraftFunctions.register(spark)
+    // the two front doors must agree AT THE HISTORICAL VERSION — the
+    // TVF's second argument and the metadata table's VERSION AS OF are
+    // one resolution by construction
+    val tvf = spark.sql("SELECT partition, record_count, file_count " +
+        s"FROM graft_partitions('$w/mt', 1) ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val meta = spark.sql("SELECT partition, record_count, file_count " +
+        s"FROM $cat.mt.partitions VERSION AS OF 1 ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(meta.toSeq == tvf.toSeq && meta.nonEmpty,
+      s"metadata table must equal the TVF at v1: $meta vs $tvf")
+    // ...and differ from the current snapshot (v2 added a g=b file)
+    val cur = spark.sql("SELECT partition, record_count FROM " +
+        s"$cat.mt.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(cur.toSeq == Seq(("g=a", 1L), ("g=b", 2L)))
+    assert(meta.map(r => (r._1, r._2)).toSeq ==
+      Seq(("g=a", 1L), ("g=b", 1L)))
+
+    // .files pins too, tags resolve, TIMESTAMP AS OF resolves like the
+    // data table's
+    val filesV1 = spark.sql(
+      s"SELECT count(*) FROM $cat.mt.files VERSION AS OF 1")
+      .head().getLong(0)
+    assert(filesV1 == spark.sql(
+      s"SELECT count(*) FROM graft_files('$w/mt', 1)").head().getLong(0))
+    assert(filesV1 < spark.sql(s"SELECT count(*) FROM $cat.mt.files")
+      .head().getLong(0))
+    VersionedTable.createTag(s"$w/mt", "first", Some(1L))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.mt.files VERSION AS OF 'first'")
+      .head().getLong(0) == filesV1)
+    val ts = new java.sql.Timestamp(afterV1).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.mt.files TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == filesV1)
+
+    // whole-table surfaces refuse the pin rather than silently serving
+    // current rows under a pinned-looking query
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.mt.history VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("snapshot-addressed"))
+    // an unretained version is an analysis-time error
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.mt.files VERSION AS OF 99").collect()
+    }
+    assert(e2.getMessage.contains("not retained"))
+  }
+
   test("metadata tables: .partitions aggregates per-partition record/" +
       "file/size stats from parquet footers, distributed (r15)") {
     val w = java.nio.file.Files.createTempDirectory("graft_cat_").toString

@@ -160,9 +160,9 @@ class ProcedureCatalogSpec extends SparkSpec {
     val cat = new GraftProcedureCatalog
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("create_branch", "create_tag", "drop_branch", "drop_tag",
-        "expire_snapshots", "fast_forward", "remove_orphan_files",
-        "repartition_table", "rewrite_data_files", "rewrite_manifests",
-        "set_commit_protocol"))
+        "expire_branch_snapshots", "expire_snapshots", "fast_forward",
+        "remove_orphan_files", "repartition_table", "rewrite_data_files",
+        "rewrite_manifests", "set_commit_protocol"))
     assert(cat.listProcedures(Array("other")).isEmpty)
   }
 }

@@ -147,4 +147,165 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("versioned") ||
       Option(e.getCause).exists(_.getMessage.contains("versioned")))
   }
+
+  // ---- startingVersion / startingTimestamp (r16) -----------------------
+
+  private def drainFrom(table: String, out: String, cp: String,
+      options: Map[String, String]): Unit = {
+    // the SHORT NAME resolves via META-INF/services (r16) — using it
+    // here keeps the registration itself under test
+    val reader = spark.readStream.format("graft-versioned")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("startingVersion: the first batch is the incremental read " +
+      "(start, current] — never the full snapshot; a tag resolves the " +
+      "same way; later appends still stream") {
+    val w = Files.createTempDirectory("graft_vss6_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table) // v1
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table)          // v2
+    VersionedTable.append(Seq((4L, "d")).toDF("k", "v"), table)          // v3
+
+    // start AFTER v1: rows of v1 are NOT delivered (exclusive start)
+    drainFrom(table, s"$w/out", s"$w/cp",
+      Map("startingVersion" -> "1"))
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(3L, 4L),
+      "the first batch must be (v1, v3], not the full snapshot")
+
+    // the stream continues normally from its checkpoint
+    VersionedTable.append(Seq((5L, "e")).toDF("k", "v"), table)
+    drainFrom(table, s"$w/out", s"$w/cp",
+      Map("startingVersion" -> "1"))
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(3L, 4L, 5L))
+
+    // a TAG resolves like VERSION AS OF
+    VersionedTable.createTag(table, "base", Some(2L))
+    drainFrom(table, s"$w/out2", s"$w/cp2",
+      Map("startingVersion" -> "base"))
+    assert(spark.read.parquet(s"$w/out2").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(4L, 5L))
+  }
+
+  test("startingTimestamp resolves to the snapshot current at the " +
+      "timestamp; options are mutually exclusive; a start behind " +
+      "retention refuses loudly") {
+    val w = Files.createTempDirectory("graft_vss7_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table) // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table) // v2
+
+    // ts between v1 and v2 resolves the start to v1 → delivers (v1, v2]
+    drainFrom(table, s"$w/out", s"$w/cp",
+      Map("startingTimestamp" -> afterV1.toString))
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .toSeq == Seq(2L))
+
+    def mentions(t: Throwable, needle: String): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains(needle)) ||
+        mentions(t.getCause, needle))
+    val both = intercept[Exception] {
+      drainFrom(table, s"$w/outx", s"$w/cpx",
+        Map("startingVersion" -> "1",
+          "startingTimestamp" -> afterV1.toString))
+    }
+    assert(mentions(both, "mutually exclusive"))
+
+    // expire v1, then start from it: loud refusal naming retention
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table) // v3
+    VersionedTable.expire(table, keepLast = 2)                  // drops v1
+    val gone = intercept[Exception] {
+      drainFrom(table, s"$w/outy", s"$w/cpy",
+        Map("startingVersion" -> "1"))
+    }
+    def mentionsRetention(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m =>
+        m.contains("not retained") || m.contains("retention")) ||
+        mentionsRetention(t.getCause))
+    assert(mentionsRetention(gone))
+  }
+
+  test("startingVersion caps catch-up too: maxVersionsPerBatch rates " +
+      "the FIRST batch when a start is given") {
+    val w = Files.createTempDirectory("graft_vss8_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((0L, "z")).toDF("k", "v"), table) // v1
+    (1 to 4).foreach(i => VersionedTable.append(
+      Seq((i.toLong, s"r$i")).toDF("k", "v"), table))          // v2..v5
+    val q = spark.readStream.format("graft-versioned")
+      .option("startingVersion", "1")
+      .option(
+        org.apache.spark.sql.graft.VersionedStreamProvider.MaxVersionsPerBatch,
+        "2")
+      .load(table)
+      .writeStream.format("parquet")
+      .option("path", s"$w/out")
+      .option("checkpointLocation", s"$w/cp")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+        .sorted.toSeq == (1L to 4L))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2,
+        s"a 2-version cap over a 4-version catch-up from the start " +
+          s"needs >= 2 batches; got $dataBatches")
+    } finally q.stop()
+  }
+
+  // ---- schema pin across evolution (r16) --------------------------------
+
+  test("additive evolution mid-stream: later batches PROJECT back to " +
+      "the pinned schema; an incompatible pin refuses loudly") {
+    val w = Files.createTempDirectory("graft_vss9_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)
+    drainFrom(table, s"$w/out", s"$w/cp", Map.empty)
+    assert(spark.read.parquet(s"$w/out").columns.sorted.toSeq ==
+      Seq("k", "v"))
+
+    // the table evolves ADDITIVELY mid-stream: a new column appears in
+    // the appended dir — the pinned stream keeps serving (k, v), the
+    // extra column carries no promise to this stream
+    VersionedTable.append(
+      Seq((2L, "b", true)).toDF("k", "v", "w"), table)
+    drainFrom(table, s"$w/out", s"$w/cp", Map.empty)
+    val got = spark.read.parquet(s"$w/out")
+    assert(got.columns.sorted.toSeq == Seq("k", "v"),
+      "the pinned stream must keep its start-time schema")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // an INCOMPATIBLE pin (a column typed differently than the table
+    // serves) refuses loudly at the batch instead of misaligning rows
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-versioned")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", s"$w/out3")
+        .option("checkpointLocation", s"$w/cp3")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def mentionsEvolved(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("missing or type-changed")) ||
+        mentionsEvolved(t.getCause))
+    assert(mentionsEvolved(e))
+  }
 }

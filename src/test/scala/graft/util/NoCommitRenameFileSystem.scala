@@ -63,6 +63,14 @@ final class NoCommitRenameFileSystem extends RawLocalFileSystem {
 
   override def listStatus(f: Path): Array[FileStatus] =
     super.listStatus(f).map(sanitize)
+
+  // the simulated store's create(overwrite=false) IS its conditional
+  // create (single-JVM local O_EXCL-backed), so it reports the
+  // capability a real conditional-PUT connector would — exercising the
+  // CREATE protocol's r16 capability gate instead of bypassing it
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    capability == "fs.capability.conditional.create" ||
+      super.hasPathCapability(path, capability)
 }
 
 object NoCommitRenameFileSystem {
