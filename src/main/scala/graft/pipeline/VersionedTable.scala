@@ -48,13 +48,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * carries every earlier commit's dirs, and two manifests can never
   * silently target one number (pre-r15, metadata commits renamed
   * their manifest unclaimed, and POSIX rename REPLACES — a real
-  * cross-process lost-commit window, now closed). Remaining
-  * cross-driver caveats, documented not hidden: a committer that
-  * CRASHES between claim and publish wedges later commits until
-  * `remove_orphan_files` clears the unmanifested dir (the CREATE
-  * protocol self-reaps via claim TTLs; dir claims carry no timestamp),
-  * and `expire` racing a cross-process in-flight commit can fail that
-  * commit loudly (never silently). The reference's Glue-job model is
+  * cross-process lost-commit window, now closed). A committer that
+  * CRASHES between claim and publish self-heals on BOTH protocols
+  * (r16): its claim/dir is reaped by the next blocked commit once
+  * every LIVENESS signal — claim timestamp, heartbeat sidecar, newest
+  * mtime under the claimed dir — is past the TTL, so a live slow
+  * writer is never destroyed and a dead one never wedges the table.
+  * Remaining cross-driver caveat, documented not hidden: `expire`
+  * racing a cross-process in-flight commit can fail that commit
+  * loudly (never silently). The reference's Glue-job model is
   * one writer per table; both protocols are now strictly stronger. */
 object VersionedTable {
 
@@ -768,10 +770,26 @@ object VersionedTable {
       }
       if (collided && got < 0) {
         stuck += 1
+        // self-heal (r16, the commitStaged twin): a v=next dir with NO
+        // claim marker (a marker would have advanced `next`) is an
+        // orphan — a claimer whose marker was reaped but whose dir
+        // survived, or foreign debris. Reap it once COLD; a fresh dir
+        // keeps the bounded loud wait.
+        if (stuck >= 2) {
+          val reaped = withCommitLock(root) {
+            val l = listVersionsDir(fs, root)
+            !l.versions.contains(lastNext) && !l.claims.contains(lastNext) &&
+              claimAgeMs(fs, root, lastNext) >= claimTtlMs &&
+              fs.delete(new Path(root, s"v=$lastNext"), true)
+          }
+          if (reaped) stuck = 0
+        }
         require(stuck < 5,
           s"cannot claim version $lastNext on $table after $stuck " +
             "attempts with no concurrent commit advancing it — a " +
-            "crashed committer left a stale claim or data dir " +
+            "live committer is mid-write (its debris self-reaps once " +
+            s"cold for $ClaimTtlConfKey) or a crashed committer left " +
+            "a stale claim or data dir " +
             "(CALL graft.system.remove_orphan_files)")
         Thread.sleep(50L * stuck) // outside the lock: siblings keep committing
       }
@@ -1222,6 +1240,18 @@ object VersionedTable {
     claimsOn(fs, root).foreach { k =>
       removed += reapClaimEntries(fs, root, k, manifested, live, owned)
     }
+    // heartbeat sidecars whose claim marker is GONE (a racing final
+    // beat after a publish's cleanup) are inert debris — sweep them
+    val claimsLeft = claimsOn(fs, root).toSet
+    if (fs.exists(manifestDir(root)))
+      fs.listStatus(manifestDir(root)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".claim-") && n.endsWith(".hb") &&
+            !n.stripPrefix(".claim-").stripSuffix(".hb").toLongOption
+              .exists(claimsLeft)) {
+          fs.delete(st.getPath, false); removed += 1
+        }
+      }
     // claims that survived the TTL guard still OWN their data dir —
     // the orphan-dir sweep must not pull it out from under them
     val surviving = claimsOn(fs, root).toSet
