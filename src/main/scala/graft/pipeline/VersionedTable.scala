@@ -539,8 +539,10 @@ object VersionedTable {
           // it here instead of wedging every later commit until a
           // manual remove_orphan_files (r15 verdict, missing #3).
           if (stuck >= 2) {
+            // beyond every main/branch manifest and claim = pure orphan
+            // (see claimVersion's twin)
             val reaped = withCommitLock(root) {
-              !versionsOn(fs, root).contains(lastNext) &&
+              maxAllocatedOn(fs, root) + 1L == lastNext &&
                 claimAgeMs(fs, root, lastNext) >= claimTtlMs &&
                 fs.delete(new Path(root, s"v=$lastNext"), true)
             }
@@ -776,9 +778,12 @@ object VersionedTable {
         // survived, or foreign debris. Reap it once COLD; a fresh dir
         // keeps the bounded loud wait.
         if (stuck >= 2) {
+          // `maxAllocatedOn + 1 == lastNext` ⟺ the number is beyond
+          // every MAIN manifest, BRANCH manifest, and claim — a pure
+          // orphan dir (a branch manifest landing for this number
+          // advances the allocator and skips the reap)
           val reaped = withCommitLock(root) {
-            val l = listVersionsDir(fs, root)
-            !l.versions.contains(lastNext) && !l.claims.contains(lastNext) &&
+            maxAllocatedOn(fs, root) + 1L == lastNext &&
               claimAgeMs(fs, root, lastNext) >= claimTtlMs &&
               fs.delete(new Path(root, s"v=$lastNext"), true)
           }
