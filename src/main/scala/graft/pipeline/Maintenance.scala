@@ -564,10 +564,10 @@ object Maintenance {
     }
 
   def expireBranchSnapshots(tableDir: String, branch: String,
-      keepLast: Int): Report =
+      keepLast: Int, olderThanMillis: Option[Long] = None): Report =
     try {
-      val dropped =
-        VersionedTable.expireBranchSnapshots(tableDir, branch, keepLast)
+      val dropped = VersionedTable.expireBranchSnapshots(
+        tableDir, branch, keepLast, olderThanMillis)
       Report(tableDir, "expire_branch_snapshots", ok = true,
         if (dropped.isEmpty) "noop: nothing to expire"
         else s"expired branch '$branch' snapshots ${dropped.mkString(",")}")

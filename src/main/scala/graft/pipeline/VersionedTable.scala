@@ -2215,7 +2215,7 @@ object VersionedTable {
     * to the dropped branch manifests fall. Returns the dropped branch
     * versions. */
   def expireBranchSnapshots(table: String, name: String,
-      keepLast: Int): Seq[Long] = {
+      keepLast: Int, olderThanMillis: Option[Long] = None): Seq[Long] = {
     val (fs, root) = fsFor(table)
     protocolFor(fs, table, "expireBranchSnapshots")
     requireValidTagName(name)
@@ -2223,7 +2223,17 @@ object VersionedTable {
       require(fs.exists(branchManifestDir(root, name)),
         s"no branch '$name' on $table")
       val bvs = branchVersionsOn(fs, root, name)
-      val keep = bvs.takeRight(math.max(1, keepLast)).toSet
+      // `older_than` (Iceberg's max-ref-age sibling): additionally keep
+      // everything committed at-or-after the timestamp — the newest
+      // keepLast (floored at 1: the head can never expire) survive
+      // regardless of age, exactly expire_snapshots' parameter contract
+      val keep = bvs.takeRight(math.max(1, keepLast)).toSet ++
+        olderThanMillis.map(ts => bvs.filter { v =>
+          graft.util.Fs.readSmallFileFs(fs,
+            new Path(branchManifestDir(root, name), v.toString))
+            .linesIterator.nextOption()
+            .flatMap(_.trim.toLongOption).getOrElse(0L) >= ts
+        }.toSet).getOrElse(Set.empty)
       val drop = bvs.filterNot(keep)
       if (drop.nonEmpty) {
         def dirsOf(b: String, v: Long): Seq[Long] =

@@ -600,18 +600,23 @@ object GraftProcedureCatalog {
 
   private object ExpireBranchSnapshots extends MaintProc(
     "expire_branch_snapshots",
-    "per-branch retention (Iceberg's per-ref min-snapshots-to-keep): " +
-      "drop a branch's staged snapshots except the newest retain_last " +
-      "— head and fork base survive, main is untouched; dirs exclusive " +
-      "to the dropped branch snapshots are reclaimed",
+    "per-branch retention (Iceberg's per-ref min-snapshots-to-keep / " +
+      "max-ref-age): drop a branch's staged snapshots except the " +
+      "newest retain_last; older_than additionally keeps everything " +
+      "committed at-or-after the timestamp — head and fork base " +
+      "survive, main is untouched; dirs exclusive to the dropped " +
+      "branch snapshots are reclaimed",
     Array(
       p("table", StringType),
       p("branch", StringType),
-      p("retain_last", IntegerType, "1"))) {
+      p("retain_last", IntegerType, "1"),
+      p("older_than", TimestampType, "NULL"))) {
     override protected def run(spark: SparkSession,
         input: InternalRow): Seq[Maintenance.Report] =
       Seq(Maintenance.expireBranchSnapshots(str(input, 0), str(input, 1),
-        input.getInt(2)))
+        input.getInt(2),
+        // TimestampType arrives as epoch MICROS
+        if (input.isNullAt(3)) None else Some(input.getLong(3) / 1000L)))
   }
 
   private object SetCommitProtocol extends MaintProc("set_commit_protocol",

@@ -14,11 +14,16 @@ import graft.pipeline.VersionedTable
   * ([[graft.pipeline.VersionedTable.appendBatch]]): a versioned table
   * becomes a Structured Streaming SOURCE whose offsets are snapshot
   * VERSIONS. The first microbatch serves the full snapshot current at
-  * start; every later microbatch serves exactly the rows APPENDED
-  * between two snapshots ([[VersionedTable.readIncremental]] — the
-  * dirs the newer manifest carries beyond the older's, O(added data),
-  * no diff join, no per-file bookkeeping: the manifest IS the offset
-  * log). Checkpoint restarts resume from the committed version.
+  * start — or, with `startingVersion`/`startingTimestamp` (r16), the
+  * incremental read after the chosen snapshot ("changes from now on",
+  * never a full-table replay); every later microbatch serves exactly
+  * the rows APPENDED between two snapshots
+  * ([[VersionedTable.readIncremental]] — the dirs the newer manifest
+  * carries beyond the older's, O(added data), no diff join, no
+  * per-file bookkeeping: the manifest IS the offset log). Checkpoint
+  * restarts resume from the committed version. The source schema is
+  * PINNED at stream start: additive table evolution mid-stream is
+  * served by projection, anything else refuses loudly (r16).
   *
   * Defined on APPEND-ONLY table evolution, like Iceberg's: an
   * overwrite/rollback/row-level rewrite between offsets refuses loudly
@@ -72,8 +77,9 @@ final class VersionedStreamProvider
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new VersionedStreamSource(ctx.sparkSession, tableOf(parameters),
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(parameters)
+    new VersionedStreamSource(ctx.sparkSession, table,
       sourceSchema(ctx, schema, providerName, parameters)._2,
       parameters.get(VersionedStreamProvider.MaxVersionsPerBatch)
         .map { v =>
@@ -85,7 +91,9 @@ final class VersionedStreamProvider
         },
       parameters.get(VersionedStreamProvider.SkipNonAppendSnapshots)
         .exists(_.toBoolean),
-      VersionedStreamProvider.resolveStart(tableOf(parameters), parameters))
+      VersionedStreamProvider.pinnedStart(ctx.sparkSession, metadataPath,
+        table, parameters))
+  }
 }
 
 object VersionedStreamProvider {
@@ -117,14 +125,19 @@ object VersionedStreamProvider {
     * snapshot VERSION or TAG the stream starts AFTER — the first batch
     * becomes the incremental read `(startingVersion, current]` instead
     * of the full starting snapshot, so "changes from now on" on a
-    * 100 TB table never eats a full-table first batch. The start must
-    * still be RETAINED (the incremental read resolves against its
-    * manifest): a start behind retention refuses loudly at stream
-    * start. Branch names refuse — stream offsets are main-history
-    * versions, and a branch head is not one (fast_forward first).
-    * Exclusive semantics, stated plainly: rows of the start snapshot
-    * itself are NOT delivered; to replay from the table's beginning,
-    * omit the option. */
+    * 100 TB table never eats a full-table first batch. The literal
+    * `latest` resolves to the snapshot current at the checkpoint's
+    * FIRST start — the exact "changes from now on" spelling, no
+    * version lookup needed. The resolved start is PINNED per
+    * checkpoint (see [[pinnedStart]]); edit the option all you like,
+    * the checkpoint replays the stream it promised.
+    * The start must still be RETAINED (the incremental read resolves
+    * against its manifest): a start behind retention refuses loudly at
+    * stream start. Branch names refuse — stream offsets are
+    * main-history versions, and a branch head is not one
+    * (fast_forward first). Exclusive semantics, stated plainly: rows
+    * of the start snapshot itself are NOT delivered; to replay from
+    * the table's beginning, omit the option. */
   val StartingVersion = "startingVersion"
 
   /** Source option (r16; Iceberg's `stream-from-timestamp`): epoch
@@ -141,13 +154,18 @@ object VersionedStreamProvider {
     val byTs = parameters.get(StartingTimestamp)
     require(byVersion.isEmpty || byTs.isEmpty,
       s"$StartingVersion and $StartingTimestamp are mutually exclusive")
-    val start = byVersion.map { ref =>
-      require(!VersionedTable.branches(table).contains(ref),
-        s"$StartingVersion='$ref' is a BRANCH — stream offsets are " +
-          "main-history versions and a branch head is not one; " +
-          "fast_forward first, then start from the published version " +
-          "(versions and tags resolve directly)")
-      VersionedTable.resolveRef(table, ref)
+    val start = byVersion.map {
+      case "latest" => VersionedTable.latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$StartingVersion=latest on $table: the table has no " +
+            "snapshots yet — omit the option to stream from the first"))
+      case ref =>
+        require(!VersionedTable.branches(table).contains(ref),
+          s"$StartingVersion='$ref' is a BRANCH — stream offsets are " +
+            "main-history versions and a branch head is not one; " +
+            "fast_forward first, then start from the published version " +
+            "(versions and tags resolve directly)")
+        VersionedTable.resolveRef(table, ref)
     }.orElse(byTs.map { ts =>
       val ms = ts.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"$StartingTimestamp='$ts': expected epoch millis"))
@@ -158,6 +176,44 @@ object VersionedStreamProvider {
         s"which is not retained on $table — raise retention or start " +
         "the stream without a starting option"))
     start
+  }
+
+  /** The start is resolved ONCE PER CHECKPOINT and pinned under the
+    * stream's metadata path (the FileStreamSource pattern): a restart
+    * must replay exactly the stream the checkpoint's write-ahead
+    * offsets describe, and a re-resolved start would not — `latest`
+    * resolves to a NEWER snapshot than a replayed-but-uncommitted
+    * first batch's end offset (from > to, a crash), and an option
+    * edited between restarts would silently re-deliver or skip rows.
+    * Pinning makes start options immutable per checkpoint, exactly
+    * like the engine's own source options: to change the start, start
+    * a fresh checkpoint. Absence of a start is pinned too (`none`),
+    * so ADDING the option to a live checkpoint is equally inert. */
+  private[graft] def pinnedStart(spark: org.apache.spark.sql.SparkSession,
+      metadataPath: String, table: String,
+      parameters: Map[String, String]): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-starting-version")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def readPin(): Option[Long] = {
+      val s = graft.util.Fs.readSmallFileFs(fs, p).trim
+      if (s == "none") None else Some(s.toLong)
+    }
+    if (fs.exists(p)) readPin()
+    else {
+      val resolved = resolveStart(table, parameters)
+      fs.mkdirs(p.getParent)
+      try {
+        val out = fs.create(p, false)
+        try out.write(resolved.map(_.toString).getOrElse("none")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        resolved
+      } catch {
+        // lost a concurrent-first-start race: the winner's pin rules
+        case _: java.io.IOException => readPin()
+      }
+    }
   }
 }
 

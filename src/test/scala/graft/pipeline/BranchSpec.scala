@@ -285,6 +285,17 @@ class BranchSpec extends SparkSpec {
     assert(VersionedTable.expireBranchSnapshots(table, "audit", 0) == Nil)
     assert(VersionedTable.branches(table) == Map("audit" -> 6L))
 
+    // older_than (max-ref-age sibling): snapshots committed at-or-after
+    // the timestamp survive regardless of retain_last
+    VersionedTable.appendToBranch(Seq(10).toDF("x"), table, "audit") // v7
+    val beforeLast = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.appendToBranch(Seq(11).toDF("x"), table, "audit") // v8
+    assert(VersionedTable.expireBranchSnapshots(table, "audit", 1,
+      Some(beforeLast)) == Seq(6L, 7L),
+      "only snapshots committed before the timestamp may drop")
+    assert(VersionedTable.branches(table) == Map("audit" -> 8L))
+
     // the SQL CALL front door drives the same verb
     val cat = s"graft_br7cat"
     spark.conf.set(s"spark.sql.catalog.$cat",

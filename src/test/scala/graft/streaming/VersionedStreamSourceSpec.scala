@@ -194,6 +194,19 @@ class VersionedStreamSourceSpec extends SparkSpec {
       Map("startingVersion" -> "base"))
     assert(spark.read.parquet(s"$w/out2").collect().map(_.getLong(0))
       .sorted.toSeq == Seq(4L, 5L))
+
+    // the literal 'latest': "changes from now on" — nothing until the
+    // next append, then exactly it
+    drainFrom(table, s"$w/out3", s"$w/cp3",
+      Map("startingVersion" -> "latest"))
+    // the sink may not exist yet, or hold only an empty first batch
+    assert(scala.util.Try(spark.read.parquet(s"$w/out3").count())
+      .getOrElse(0L) == 0L)
+    VersionedTable.append(Seq((6L, "f")).toDF("k", "v"), table)
+    drainFrom(table, s"$w/out3", s"$w/cp3",
+      Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(s"$w/out3").collect().map(_.getLong(0))
+      .toSeq == Seq(6L))
   }
 
   test("startingTimestamp resolves to the snapshot current at the " +
