@@ -556,8 +556,7 @@ object Maintenance {
     try {
       VersionedTable.dropBranch(tableDir, branch)
       Report(tableDir, "drop_branch", ok = true,
-        s"dropped branch '$branch' (exclusive dirs reclaimable via " +
-          "remove_orphan_files)")
+        s"dropped branch '$branch' (exclusive dirs reclaimed inline)")
     } catch {
       case e: Throwable => Report(tableDir, "drop_branch", ok = false,
         e.toString)

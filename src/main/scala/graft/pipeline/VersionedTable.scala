@@ -2189,9 +2189,14 @@ object VersionedTable {
     commitMeta(fs, root, table, proto)(content)
   }
 
-  /** Drop a branch. Its exclusive data dirs become orphans —
-    * `remove_orphan_files` reclaims them (dirs adopted by a
-    * fast-forward are main-referenced and stay). */
+  /** Drop a branch, reclaiming its EXCLUSIVE data dirs inline (dirs
+    * adopted by a fast-forward or referenced by another branch are
+    * live and stay). Inline — not deferred to `remove_orphan_files` —
+    * because a branch can hold the globally-HIGHEST version numbers
+    * (r16, randomized-model catch): dropping its manifests while its
+    * dirs linger would let the allocator re-issue those numbers, and
+    * the next commit would collide with a fresh-mtime orphan it can
+    * neither wait out nor cold-reap. */
   def dropBranch(table: String, name: String): Unit = {
     val (fs, root) = fsFor(table)
     protocolFor(fs, table, "dropBranch")
@@ -2199,7 +2204,22 @@ object VersionedTable {
     withCommitLock(root) {
       require(fs.exists(branchManifestDir(root, name)),
         s"no branch '$name' on $table")
+      val mine = branchVersionsOn(fs, root, name).flatMap { v =>
+        parseDirVersions(graft.util.Fs.readSmallFileFs(fs,
+          new Path(branchManifestDir(root, name), v.toString)), v)
+      }.toSet
+      val live = versionsOn(fs, root)
+        .flatMap(dataVersionsOn(fs, root, _)).toSet ++
+        branchNamesOn(fs, root).filter(_ != name)
+          .flatMap { b =>
+            branchVersionsOn(fs, root, b).flatMap { v =>
+              parseDirVersions(graft.util.Fs.readSmallFileFs(fs,
+                new Path(branchManifestDir(root, b), v.toString)), v)
+            }
+          }
       fs.delete(branchManifestDir(root, name), true)
+      (mine -- live).toSeq.sorted.foreach(k =>
+        fs.delete(new Path(root, s"v=$k"), true))
     }
   }
 

@@ -590,8 +590,8 @@ object GraftProcedureCatalog {
   }
 
   private object DropBranch extends MaintProc("drop_branch",
-    "drop a branch; its exclusive data dirs become reclaimable via " +
-      "remove_orphan_files",
+    "drop a branch; its exclusive data dirs are reclaimed inline " +
+      "(main-adopted or other-branch-referenced dirs stay)",
     Array(p("table", StringType), p("branch", StringType))) {
     override protected def run(spark: SparkSession,
         input: InternalRow): Seq[Maintenance.Report] =

@@ -101,10 +101,10 @@ class VersionedTableProps extends SparkSpec {
     }
   }
 
-  /** The branch variant (r15): random fork / branch-append /
-    * branch-write / fast_forward / drop ops mixed into the main
-    * sequence, with the model tracking each branch's fork base and
-    * committed head. Pins the r15 invariants under arbitrary
+  /** The branch variant (r15; +per-branch retention r16): random fork /
+    * branch-append / branch-write / fast_forward / drop /
+    * expire_branch_snapshots ops mixed into the main sequence, with
+    * the model tracking each branch's fork base and committed head. Pins the r15 invariants under arbitrary
     * interleavings: global version allocation across lines (the
     * returned version numbers ARE the model keys), uncommitted-branch
     * fork bases expiry-proof, committed branches readable after their
@@ -135,7 +135,7 @@ class VersionedTableProps extends SparkSpec {
     (1 to steps).foreach { step =>
       val current: Seq[Long] =
         model.maxByOption(_._1).map(_._2).getOrElse(Seq.empty)
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(3))
           val v = VersionedTable.write(df(rows), table)
@@ -196,6 +196,16 @@ class VersionedTableProps extends SparkSpec {
           val name = pick()
           VersionedTable.dropBranch(table, name)
           branches -= name
+        case 10 if branches.nonEmpty => // per-branch retention (r16)
+          // model-INVISIBLE by contract: the head (and so the branch's
+          // readable content), the fork-base record, main's versions,
+          // and the branch set must all be unchanged — the post-step
+          // asserts prove it against arbitrary prior stage/publish
+          // interleavings, incl. that no data dir a retained manifest
+          // (main's, another branch's, this head's) references was
+          // reclaimed out from under it
+          VersionedTable.expireBranchSnapshots(table, pick(),
+            keepLast = 1 + rnd.nextInt(3))
         case _ => ()
       }
       assert(VersionedTable.versions(table) == model.keys.toSeq.sorted,
