@@ -112,8 +112,10 @@ object DistributedFileListing {
           val fs = qp.getFileSystem(conf.value)
           // a file can vanish between the listing/stat and the footer
           // read (a racing expire/compaction — the exact race filesDf
-          // tolerates by dropping missing files): Try and drop, never
-          // fail the whole view over a file that no longer exists
+          // tolerates by dropping missing files): drop VANISHED files,
+          // but a file that still exists and fails its footer read is
+          // CORRUPT — that surfaces loudly, never as silently-missing
+          // stats
           def rowOf(path: Path,
               len: Long): Option[(String, Long, Long)] = {
             // partition identity = the path segments between the
@@ -126,7 +128,11 @@ object DistributedFileListing {
                 .fromPath(path, conf.value)
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
               try r.getRecordCount finally r.close()
-            }.toOption.map(records => (part, records, len))
+            } match {
+              case scala.util.Success(records) => Some((part, records, len))
+              case scala.util.Failure(e) =>
+                if (fs.exists(path)) throw e else None
+            }
           }
           if (isFile)
             scala.util.Try(fs.getFileStatus(qp)).toOption.toSeq

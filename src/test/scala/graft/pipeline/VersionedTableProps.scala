@@ -248,4 +248,12 @@ class VersionedTableProps extends SparkSpec {
       "match the model at every step") {
     Seq(3L, 11L).foreach(runModel(_, steps = 30, withTags = true))
   }
+
+  test("the BRANCH gate holds under the CREATE commit protocol (r16): " +
+      "claimed staging, branch publishes, retention, and drops " +
+      "interleave against the model") {
+    spark.conf.set(VersionedTable.ProtocolConfKey, "create")
+    try Seq(5L, 13L).foreach(runBranchModel(_, steps = 40))
+    finally spark.conf.unset(VersionedTable.ProtocolConfKey)
+  }
 }
