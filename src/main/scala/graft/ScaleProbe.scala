@@ -448,13 +448,17 @@ object ScaleProbe {
     emit("refswap", "append_rename", tAppR, m, dir)
 
     // the SAME base + slice under the CREATE protocol: the reading is
-    // rename-append plus claim + conditional-create publish overhead
+    // rename-append plus claim + conditional-create publish overhead.
+    // The WHOLE table lives under the protocol from its first commit —
+    // the r15 protocol pin refuses mixing (a rename-pinned base cannot
+    // take a create-protocol append), which is itself the contract.
     val t2 = tmp("graft-probe-refs-cp-") + "/li"
-    VersionedTable.write(li, t2)
     s.conf.set(VersionedTable.ProtocolConfKey, "create")
     val tAppC =
-      try timed { VersionedTable.append(slice, t2) }._2
-      finally s.conf.unset(VersionedTable.ProtocolConfKey)
+      try {
+        VersionedTable.write(li, t2)
+        timed { VersionedTable.append(slice, t2) }._2
+      } finally s.conf.unset(VersionedTable.ProtocolConfKey)
     emit("refswap", "append_create_protocol", tAppC, m, dir)
 
     // WAP: staging commit, then the metadata-only publish
