@@ -101,15 +101,13 @@ object VersionedStreamProvider {
     * span (Iceberg's streaming max-files-per-micro-batch, at this
     * layer's snapshot granularity): a stream that fell behind a long
     * append history catches up in bounded batches instead of one
-    * giant batch. Scope, stated honestly: the cap applies from the
-    * run's FIRST PLANNED BATCH onward — the v1 Source API hands the
-    * source no committed offset until a batch plans, so the first
-    * batch after a (re)start is uncapped (for a fresh stream that
-    * batch is the full starting snapshot anyway — one snapshot).
-    * Exception (r16): with [[StartingVersion]]/[[StartingTimestamp]]
-    * the rate base is seeded from the chosen start, so the catch-up
-    * from a historical start — the one first batch that can span many
-    * snapshots — IS capped. */
+    * giant batch. Enforced through the engine's admission-control
+    * ReadLimit machinery (r16 — the source declares
+    * SupportsAdmissionControl, the FileStreamSource shape), so the cap
+    * applies to EVERY planned batch of every run, including the first
+    * after a restart; the only uncapped batch is a fresh stream's
+    * full-starting-snapshot batch, which spans exactly one snapshot by
+    * construction. */
   val MaxVersionsPerBatch = "maxVersionsPerBatch"
 
   /** Source option (default false): SKIP rewrite snapshots (overwrite /
@@ -223,11 +221,17 @@ private final class VersionedStreamSource(
     override val schema: StructType,
     maxVersionsPerBatch: Option[Long] = None,
     skipNonAppend: Boolean = false,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, Offset => OffsetV2}
 
   /** The checkpoint log replays offsets as raw-JSON `SerializedOffset`s
-    * on restart — a LongOffset's json is its number. */
-  private def versionOf(o: Offset): Long = o match {
+    * on restart — a LongOffset's json is its number. (`execution
+    * .streaming.Offset` extends the connector Offset, so one parser
+    * serves both faces.) */
+  private def versionOf(o: OffsetV2): Long = o match {
     case LongOffset(v) => v
     case other => other.json.trim.toLong
   }
@@ -241,19 +245,69 @@ private final class VersionedStreamSource(
     * batch spans many snapshots. */
   @volatile private var lastSeen: Option[Long] = startingVersion
 
-  override def getOffset: Option[Offset] =
-    (maxVersionsPerBatch, lastSeen) match {
-      case (Some(m), Some(prev)) =>
-        // cap to a RETAINED main version: snapshot numbers are
-        // allocated globally (branches consume numbers too), so
-        // prev + m may not name a main manifest — take the m-th
-        // retained version past prev instead
-        VersionedTable.versions(table).filter(_ > prev)
-          .take(math.min(m, Int.MaxValue.toLong).toInt)
-          .lastOption.orElse(Some(prev))
-          .map(LongOffset(_))
-      case _ => VersionedTable.latestVersion(table).map(LongOffset(_))
+  // ---- admission control (r16): the engine-governed rate/drain path.
+  // The source declares SupportsAdmissionControl +
+  // SupportsTriggerAvailableNow (the FileStreamSource shape), so:
+  //   - maxVersionsPerBatch rides the engine's ReadLimit machinery
+  //     (ReadMaxFiles reinterpreted at this source's granularity:
+  //     max VERSIONS per microbatch), applied from the FIRST planned
+  //     batch of every run — the pre-r16 "first batch uncapped" v1
+  //     caveat is gone;
+  //   - Trigger.AvailableNow is handled natively instead of the
+  //     engine's single-batch fallback (and its uncommitted-batch
+  //     caveat): the end version is FIXED at prepare time, the run
+  //     drains to it in rate-limited batches and stops, appends
+  //     landing mid-run wait for the next run.
+
+  /** End version fixed when an AvailableNow run starts; None outside
+    * AvailableNow runs. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = VersionedTable.latestVersion(table)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch
+      .map(m => ReadLimit.maxFiles(math.min(m, Int.MaxValue.toLong).toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: OffsetV2,
+      limit: ReadLimit): OffsetV2 = {
+    val prev = Option(startOffset).map(versionOf)
+      .orElse(lastSeen).orElse(startingVersion)
+    val target = prev match {
+      case Some(p) =>
+        // cap to RETAINED main versions: snapshot numbers are allocated
+        // globally (branches consume numbers too), so p + m may not
+        // name a main manifest — take the m-th retained version past p
+        val ahead0 = VersionedTable.versions(table).filter(_ > p)
+        val ahead = availableNowEnd
+          .map(e => ahead0.filter(_ <= e)).getOrElse(ahead0)
+        val capped = limit match {
+          case mf: ReadMaxFiles => ahead.take(mf.maxFiles())
+          case _ => ahead
+        }
+        capped.lastOption.orElse(Some(p))
+      case None =>
+        // first batch of a fresh (un-started) stream: the full current
+        // snapshot — one snapshot, no cap to apply
+        val latest = VersionedTable.latestVersion(table)
+        availableNowEnd
+          .map(e => latest.map(math.min(_, e))).getOrElse(latest)
     }
+    target.foreach(t => lastSeen = Some(t))
+    target.map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    VersionedTable.latestVersion(table).map(LongOffset(_)).orNull
+
+  /** Not called by the engine once SupportsAdmissionControl is
+    * declared; kept coherent (delegating to the governed path) rather
+    * than throwing, for any non-engine caller. */
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(lastSeen.map(LongOffset(_)).orNull,
+      getDefaultReadLimit)).map(o => LongOffset(versionOf(o)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)

@@ -277,6 +277,40 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a backlog in rate-limited batches " +
+      "NATIVELY (r16 admission control — no single-batch fallback): " +
+      "the end is fixed at run start, every batch respects the cap") {
+    val w = Files.createTempDirectory("graft_vss10_").toString
+    val table = s"$w/t"
+    VersionedTable.write(Seq((0L, "z")).toDF("k", "v"), table)
+    def drainCapped(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft-versioned")
+        .option(org.apache.spark.sql.graft.VersionedStreamProvider
+          .MaxVersionsPerBatch, "2")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", s"$w/out")
+        .option("checkpointLocation", s"$w/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    drainCapped() // initial: the full starting snapshot (one batch)
+    (1 to 5).foreach(i => VersionedTable.append(
+      Seq((i.toLong, s"r$i")).toDF("k", "v"), table))
+    // ONE AvailableNow run must catch the 5-version backlog up in
+    // ceil(5/2) capped batches — the pre-r16 fallback was a single
+    // uncapped batch (with an uncommitted-batch caveat to boot)
+    val q2 = drainCapped()
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .sorted.toSeq == (0L to 5L))
+    val dataBatches = q2.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3,
+      s"AvailableNow must respect the 2-version cap; got $dataBatches " +
+        "data batches")
+  }
+
   // ---- schema pin across evolution (r16) --------------------------------
 
   test("additive evolution mid-stream: later batches PROJECT back to " +
