@@ -902,6 +902,51 @@ object CdcQueries {
       .orderBy(col("event_type"))
   }
 
+  /** PER-BRANCH RETENTION under the oracle (r16;
+    * `expire_branch_snapshots` — Iceberg's per-ref
+    * min-snapshots-to-keep): the fixture writes a third of orders as
+    * main v1, stages the remaining thirds as THREE branch snapshots,
+    * expires the branch to retain_last=1 (two staged manifests drop —
+    * metadata-only, since the retained head carries every dir by
+    * reference; require()d), publishes via fast_forward, and drops the
+    * branch. The final table must reproduce the WHOLE-orders aggregate
+    * the oracle computes — a retention bug that reclaims a dir the
+    * retained head still references loses rows and hash-mismatches. */
+  def q209BranchRetention(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#bret", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val t0 = s"$w/bret"
+      VersionedTable.write(od.filter(col("o_orderkey") % 4 === 0), t0)
+      VersionedTable.createBranch(t0, "ret")
+      (1 to 3).foreach(m => VersionedTable.appendToBranch(
+        od.filter(col("o_orderkey") % 4 === m), t0, "ret"))
+      val dropped = VersionedTable.expireBranchSnapshots(t0, "ret", 1)
+      require(dropped.size == 2,
+        s"retain_last=1 over three staged snapshots must drop two " +
+          s"manifests; dropped $dropped")
+      require(VersionedTable.branches(t0)("ret") > 0L &&
+        VersionedTable.versions(t0) == Seq(1L),
+        "retention must leave the head and never move main")
+      VersionedTable.fastForward(t0, "ret")
+      val dirs = VersionedTable.dataDirs(t0).map(_.split("/v=").last)
+      require(dirs == Seq("1", "2", "3", "4"),
+        "the published head must carry every staged dir by reference " +
+          s"(retention was metadata-only); got $dirs")
+      VersionedTable.dropBranch(t0, "ret")
+      t0
+    })
+    VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The `.partitions` metadata table (r15; Iceberg's partitions
     * metadata surface): per-partition record/file/size stats computed
     * from parquet FOOTERS — metadata-only IO, distributed fan-out, the
@@ -1094,7 +1139,8 @@ object CdcQueries {
     "q205_wap_dml" -> (q205WapDml _),
     "q206_partitions_meta" -> (q206PartitionsMeta _),
     "q207_stream_read" -> (q207StreamRead _),
-    "q208_stream_read_from" -> (q208StreamReadFrom _))
+    "q208_stream_read_from" -> (q208StreamReadFrom _),
+    "q209_branch_retention" -> (q209BranchRetention _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -1307,6 +1353,15 @@ object CdcQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-branch retention (r16): expire to the head, publish, drop —
+    // the table must still reproduce the whole-orders aggregate (a
+    // retention bug that reclaims a head-referenced dir loses rows)
+    "q209_branch_retention" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming read FROM A CHOSEN SNAPSHOT (r16): startingVersion=v1
     // (the even users) means the sink holds exactly the odd users —
     // the oracle replays that aggregate from raw events

@@ -283,10 +283,16 @@ private final class VersionedStreamSource(
         val ahead0 = VersionedTable.versions(table).filter(_ > p)
         val ahead = availableNowEnd
           .map(e => ahead0.filter(_ <= e)).getOrElse(ahead0)
-        val capped = limit match {
-          case mf: ReadMaxFiles => ahead.take(mf.maxFiles())
-          case _ => ahead
+        // a composite limit caps at its tightest member (the engine
+        // composes limits in some trigger modes — FileStreamSource
+        // unwraps the same way)
+        def capOf(l: ReadLimit): Option[Int] = l match {
+          case mf: ReadMaxFiles => Some(mf.maxFiles())
+          case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+            c.getReadLimits.toSeq.flatMap(capOf).minOption
+          case _ => None
         }
+        val capped = capOf(limit).map(ahead.take).getOrElse(ahead)
         capped.lastOption.orElse(Some(p))
       case None =>
         // first batch of a fresh (un-started) stream: the full current
