@@ -594,6 +594,26 @@ object Maintenance {
         Report(tableDir, "set_commit_protocol", ok = false, e.toString)
     }
 
+  /** Deliberate claim-TTL migration (r17): re-pin the table's
+    * persisted claim-liveness TTL. The everyday path never needs this
+    * — the pin is written at first commit from the session conf (or
+    * the 10-minute default) and every later process follows it; this
+    * verb is for tuning retention-of-liveness deliberately. Refuses
+    * while any claim still shows liveness under the current TTL; like
+    * set_commit_protocol, do not run concurrently with live writers
+    * in other processes. */
+  def setClaimTtl(tableDir: String, ttlMs: Long): Report =
+    try {
+      require(VersionedTable.isVersioned(tableDir),
+        s"$tableDir is not a versioned table root")
+      VersionedTable.setClaimTtl(tableDir, ttlMs)
+      Report(tableDir, "set_claim_ttl", ok = true,
+        s"pinned claim TTL ${ttlMs}ms")
+    } catch {
+      case e: Throwable =>
+        Report(tableDir, "set_claim_ttl", ok = false, e.toString)
+    }
+
   def removeOrphans(tableDir: String): Report =
     removeOrphansOn(new Configuration(), tableDir)
 

@@ -58,7 +58,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * racing a cross-process in-flight commit can fail that commit
   * loudly (never silently). The reference's Glue-job model is
   * one writer per table; both protocols are now strictly stronger. */
-object VersionedTable {
+object VersionedTable extends org.apache.spark.internal.Logging {
 
   // per-root commit monitor: all manifest mutations on one table root
   // serialize within this JVM (the driver). Keyed by qualified root.
@@ -301,6 +301,159 @@ object VersionedTable {
     persistedProtocolOn(fs, root).map(protocolName)
   }
 
+  // ---- persisted claim-liveness TTL (r17) ------------------------------
+  //
+  // `_versions/.liveness` (generations `.liveness.gK` for migrations —
+  // the `.protocol` discipline exactly): `claimTtlMs=N`, pinned
+  // create-if-absent at first commit. The TTL governs BOTH the
+  // committer's heartbeat period (TTL/3) and the reaper's coldness
+  // test, and those run in DIFFERENT processes — a reaper session
+  // configured with a shorter TTL than a committer's beat period would
+  // read a live, heartbeating claim as cold between beats and destroy
+  // its in-flight data (r16 verdict, missing #2). Pinning makes every
+  // process — committer, blocked publisher, orphan walk — reap against
+  // the TABLE's TTL; a session conf that EXPLICITLY disagrees refuses
+  // with the migration verb named, and deliberate migration goes
+  // through CALL graft.system.set_claim_ttl. Pre-r17 tables have no
+  // pin: the session conf (default 10 min) applies and their next
+  // commit writes the pin, adopting without a migration step.
+  //
+  // The pinned value is CACHED per root per JVM (positive entries
+  // only — reap paths poll liveness at 100 ms and must not pay a LIST
+  // per poll); set_claim_ttl refreshes the writer's own cache, and
+  // cross-process it shares set_commit_protocol's documented
+  // discipline: do not migrate concurrently with live writers in
+  // other processes.
+
+  private def livenessMetaGen(name: String): Option[Long] =
+    if (name == ".liveness") Some(-1L)
+    else if (name.startsWith(".liveness.g")) {
+      val g = name.stripPrefix(".liveness.g")
+      if (g.nonEmpty && g.forall(_.isDigit)) Some(g.toLong) else None
+    } else None
+
+  private def currentLivenessMetaOn(fs: FileSystem,
+      root: Path): Option[(Path, Long)] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
+    else {
+      val metas = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap(n => livenessMetaGen(n).map(n -> _))
+      if (metas.isEmpty) None
+      else {
+        val (name, gen) = metas.maxBy(_._2)
+        Some((new Path(dir, name), gen))
+      }
+    }
+  }
+
+  private val pinnedTtlCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[pipeline] def pinnedClaimTtlOn(fs: FileSystem,
+      root: Path): Option[Long] =
+    pinnedTtlCache.get(root.toString).orElse {
+      val read = currentLivenessMetaOn(fs, root).map { case (p, _) =>
+        val content = graft.util.Fs.readSmallFileFs(fs, p).trim
+        content.linesIterator.map(_.trim)
+          .collectFirst { case l if l.startsWith("claimTtlMs=") =>
+            l.stripPrefix("claimTtlMs=").toLongOption }
+          .flatten.getOrElse(sys.error(
+            s"unreadable liveness pin '$content' in $p — expected " +
+              "claimTtlMs=<millis>"))
+      }
+      read.foreach(pinnedTtlCache.put(root.toString, _))
+      read
+    }
+
+  /** The session's EXPLICIT TTL conf, if set (None = default applies). */
+  private def explicitSessionClaimTtl: Option[Long] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(s.conf.get(ClaimTtlConfKey)).toOption)
+      .flatMap(_.toLongOption)
+
+  /** The claim TTL EVERY liveness decision on this table must use:
+    * the table's pinned value when one exists (an explicitly
+    * disagreeing session conf refuses, naming the migration verb),
+    * else the session conf, else the 10-minute default. */
+  private[pipeline] def claimTtlMsFor(fs: FileSystem, root: Path): Long =
+    pinnedClaimTtlOn(fs, root) match {
+      case Some(pinned) =>
+        explicitSessionClaimTtl.foreach(conf => require(conf == pinned,
+          s"claim TTL on $root is pinned to ${pinned}ms (first commit) " +
+            s"but $ClaimTtlConfKey=${conf} — a session reaping under a " +
+            "different TTL than committers heartbeat under can destroy " +
+            "live in-flight commits; unset the conf, or migrate " +
+            "deliberately with CALL graft.system.set_claim_ttl"))
+        pinned
+      case None => explicitSessionClaimTtl.getOrElse(DefaultClaimTtlMs)
+    }
+
+  /** Pin the claim TTL at first commit (create-if-absent, the
+    * [[ensureProtocolPersisted]] shape). A lost race needs no
+    * agreement check here — the winner's pin simply rules, and a
+    * session whose EXPLICIT conf disagrees with it refuses at its next
+    * liveness decision ([[claimTtlMsFor]]). */
+  private def ensureLivenessPersisted(fs: FileSystem, root: Path): Unit = {
+    if (pinnedClaimTtlOn(fs, root).nonEmpty) return
+    val ttl = explicitSessionClaimTtl.getOrElse(DefaultClaimTtlMs)
+    fs.mkdirs(manifestDir(root))
+    try {
+      val out = fs.create(new Path(manifestDir(root), ".liveness"), false)
+      try out.write(s"claimTtlMs=$ttl\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      pinnedTtlCache.put(root.toString, ttl)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (pinnedClaimTtlOn(fs, root).isEmpty) throw e
+    }
+  }
+
+  /** Deliberate TTL migration (`CALL graft.system.set_claim_ttl`):
+    * re-pin the table's claim TTL by writing the next `.liveness.gK`
+    * generation (conditional create — racing migrations collide on the
+    * generation name and the loser fails loudly). Refuses while any
+    * claim still SHOWS LIVENESS under the current TTL — lowering the
+    * TTL under a live committer whose heartbeat period derives from
+    * the old TTL is exactly the cross-process corruption the pin
+    * exists to prevent. Cold (crashed-committer) claims do NOT block:
+    * shortening the TTL is often the operator's tool to reap them
+    * sooner. Like set_commit_protocol, do not run concurrently with
+    * live writers in other processes (their cached pin refreshes at
+    * their next JVM, not mid-flight). */
+  def setClaimTtl(table: String, ttlMs: Long): Unit = {
+    require(ttlMs > 0, s"set_claim_ttl($table, $ttlMs): TTL must be " +
+      "positive millis")
+    val (fs, root) = fsFor(table)
+    withCommitLock(root) {
+      val curTtl = pinnedClaimTtlOn(fs, root)
+        .orElse(explicitSessionClaimTtl).getOrElse(DefaultClaimTtlMs)
+      val owned = liveClaims.getOrElse(root.toString, Set.empty)
+      val live = claimsOn(fs, root).filter(k =>
+        owned(k) || claimAgeMs(fs, root, k, curTtl) < curTtl)
+      require(live.isEmpty,
+        s"set_claim_ttl($table): claims $live still show liveness " +
+          "under the current TTL — wait for in-flight commits (crashed " +
+          "ones go cold and stop blocking), then retry")
+      if (pinnedClaimTtlOn(fs, root).contains(ttlMs)) return
+      fs.mkdirs(manifestDir(root))
+      val gen = currentLivenessMetaOn(fs, root).map(_._2).getOrElse(-1L) + 1L
+      val out = fs.create(
+        new Path(manifestDir(root), s".liveness.g$gen"), false)
+      try out.write(s"claimTtlMs=$ttlMs\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      pinnedTtlCache.put(root.toString, ttlMs)
+    }
+  }
+
+  /** The pinned claim TTL, if the table has pinned one. */
+  def claimTtlOf(table: String): Option[Long] = {
+    val (fs, root) = fsFor(table)
+    pinnedClaimTtlOn(fs, root)
+  }
+
   private def versionsOn(fs: FileSystem, root: Path): Seq[Long] =
     listVersionsDir(fs, root).versions
 
@@ -487,6 +640,11 @@ object VersionedTable {
       content: (Seq[Long], Long) => String): Long =
     try {
       ensureProtocolPersisted(fs, root, root.toString, RenameCommit)
+      ensureLivenessPersisted(fs, root)
+      // validate the TTL up front (r17): a session conf disagreeing
+      // with the table's pin refuses at commit entry, the same
+      // predictable point on both protocols
+      claimTtlMsFor(fs, root)
       // contention discipline (r15, mirrors claimVersion): each claim
       // ATTEMPT holds the per-root lock; the retry sleep does not (a
       // sleeping claimer must not stall sibling committers), and only
@@ -542,8 +700,9 @@ object VersionedTable {
             // beyond every main/branch manifest and claim = pure orphan
             // (see claimVersion's twin)
             val reaped = withCommitLock(root) {
+              val ttl = claimTtlMsFor(fs, root)
               maxAllocatedOn(fs, root) + 1L == lastNext &&
-                claimAgeMs(fs, root, lastNext) >= claimTtlMs &&
+                claimAgeMs(fs, root, lastNext, ttl) >= ttl &&
                 fs.delete(new Path(root, s"v=$lastNext"), true)
             }
             if (reaped) stuck = 0
@@ -626,22 +785,51 @@ object VersionedTable {
   private def heartbeatPath(root: Path, v: Long): Path =
     new Path(manifestDir(root), s".claim-$v.hb")
 
-  private lazy val heartbeatExec =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+  /** Lifecycle (r17, executor-leak audit): a single daemon scheduler
+    * for every claim heartbeat in the JVM, never shut down — but with
+    * `removeOnCancelPolicy(true)`, so [[stopClaimHeartbeat]]'s
+    * `cancel(false)` removes the task from the work queue IMMEDIATELY.
+    * Without the policy a cancelled periodic task lingers queued until
+    * its next fire time (default-TTL period: 200 s), and a session
+    * committing thousands of times would hold thousands of dead
+    * futures between beats. With it, the queue drains at cancel —
+    * pinned by CreateProtocolSpec via [[heartbeatQueueSize]]. */
+  private lazy val heartbeatExec = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => {
         val t = new Thread(r, "graft-claim-heartbeat")
         t.setDaemon(true)
         t
       })
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
+  /** Test hook: live entries in the heartbeat scheduler's queue. */
+  private[pipeline] def heartbeatQueueSize: Int = heartbeatExec.getQueue.size
   private val heartbeats = scala.collection.concurrent.TrieMap
     .empty[(String, Long), java.util.concurrent.ScheduledFuture[_]]
 
   /** Begin re-touching the claim's heartbeat sidecar every TTL/3. The
     * just-written claim marker's own mtime covers the first period, so
-    * the first beat is deferred — claiming stays a single PUT. */
+    * the first beat is deferred — claiming stays a single PUT.
+    *
+    * Period floor (r17 ADVICE): floored at a small constant (100 ms —
+    * an unconditional single-object PUT per beat stays negligible),
+    * derived from the TTL, not a fixed 1 s: the pre-r17 1 s floor
+    * plus the deferred first beat meant any TTL under ~3 s silently
+    * produced a heartbeat that never fired inside the TTL window. A
+    * TTL so small the floored period still cannot beat inside it is
+    * warned about loudly — the marker/dir mtimes then carry the whole
+    * liveness guarantee. */
   private def startClaimHeartbeat(fs: FileSystem, root: Path,
-      v: Long): Unit = {
-    val period = math.max(1000L, claimTtlMs / 3)
+      v: Long, ttl: Long): Unit = {
+    val period = math.max(100L, ttl / 3)
+    if (period * 2 > ttl)
+      logWarning(s"claim TTL ${ttl}ms on $root floors the heartbeat " +
+        s"period at ${period}ms — the deferred first beat may not land " +
+        "inside the TTL window, leaving marker/dir mtimes as the only " +
+        "liveness signals; raise the TTL above ~300ms for heartbeat " +
+        "protection")
     val key = (root.toString, v)
     val task: Runnable = () =>
       try {
@@ -673,19 +861,50 @@ object VersionedTable {
     * is empty) — the last-resort liveness signal, paid only when the
     * cheap ones are already cold (the reap decision, never the
     * publish-wait fast path). `listFiles(recursive)` sees `_temporary`
-    * task-attempt files too: in-flight work IS the evidence of life. */
+    * task-attempt files too: in-flight work IS the evidence of life.
+    *
+    * Error discipline (r17 ADVICE — FAIL CLOSED): only the dir itself
+    * being ABSENT reads as infinitely old (there is nothing there to
+    * protect, and `fs.delete` on a missing path is already a no-op).
+    * Any OTHER failure — an S3 throttle mid-listing is likeliest
+    * exactly while a big write is landing files — reads as age 0
+    * (live): this signal authorizes DELETING a claimed dir, and a
+    * transient listing error must make the reap retry after a clean
+    * read, never destroy a live committer's in-flight data. For
+    * rename-protocol claimed dirs (no marker, no heartbeat) this scan
+    * is the ONLY protecting signal.
+    *
+    * Early exit (r17): the walk returns the moment ANY entry's mtime
+    * is within `ttlMs` — one fresh task file proves liveness, and a
+    * claimed dir midway through a 100 TB write holds millions of
+    * entries the reap decision must not list end-to-end. */
   private def newestMtimeAgeUnder(fs: FileSystem, root: Path, k: Long,
-      now: Long): Long =
-    scala.util.Try {
-      val dir = new Path(root, s"v=$k")
-      var newest = fs.getFileStatus(dir).getModificationTime
+      now: Long, ttlMs: Long): Long = {
+    val dir = new Path(root, s"v=$k")
+    val dirMtime =
+      try fs.getFileStatus(dir).getModificationTime
+      catch {
+        case _: java.io.FileNotFoundException => return Long.MaxValue
+        case scala.util.control.NonFatal(_) => return 0L
+      }
+    try {
+      var newest = dirMtime
+      if (now - newest < ttlMs) return now - newest
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.getModificationTime > newest) newest = st.getModificationTime
+        if (st.getModificationTime > newest) {
+          newest = st.getModificationTime
+          if (now - newest < ttlMs) return now - newest
+        }
       }
       now - newest
-    }.getOrElse(Long.MaxValue)
+    } catch {
+      // entries can legitimately vanish MID-listing (a concurrent
+      // cleanup) — but the dir exists, so err on the side of life
+      case scala.util.control.NonFatal(_) => 0L
+    }
+  }
 
   /** CLAIM the next version via conditional create of the marker file —
     * the one primitive object stores provide atomically (If-None-Match
@@ -729,6 +948,11 @@ object VersionedTable {
   private[graft] def claimVersion(fs: FileSystem, root: Path,
       table: String): Long = {
     ensureProtocolPersisted(fs, root, table, CreateCommit)
+    ensureLivenessPersisted(fs, root)
+    // resolve (and VALIDATE) the TTL before any marker is written: a
+    // session conf disagreeing with the pin must refuse HERE, not
+    // after a claim marker exists to strand (r17)
+    val claimTtl = claimTtlMsFor(fs, root)
     probeConditionalCreate(fs, root, table)
     var stuck = 0
     var lastNext = -1L
@@ -747,7 +971,7 @@ object VersionedTable {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           addLiveClaim(root, next)
-          startClaimHeartbeat(fs, root, next)
+          startClaimHeartbeat(fs, root, next, claimTtl)
           got = next
           false
         } catch {
@@ -762,7 +986,7 @@ object VersionedTable {
               .readSmallFileFs(fs, claimPath(root, next)))) match {
               case scala.util.Success(Some(t)) if t == token =>
                 addLiveClaim(root, next)
-                startClaimHeartbeat(fs, root, next)
+                startClaimHeartbeat(fs, root, next, claimTtl)
                 got = next; false
               case scala.util.Success(_) => true // foreign claim: lost race
               case scala.util.Failure(_) =>
@@ -783,8 +1007,9 @@ object VersionedTable {
           // orphan dir (a branch manifest landing for this number
           // advances the allocator and skips the reap)
           val reaped = withCommitLock(root) {
+            val ttl = claimTtlMsFor(fs, root)
             maxAllocatedOn(fs, root) + 1L == lastNext &&
-              claimAgeMs(fs, root, lastNext) >= claimTtlMs &&
+              claimAgeMs(fs, root, lastNext, ttl) >= ttl &&
               fs.delete(new Path(root, s"v=$lastNext"), true)
           }
           if (reaped) stuck = 0
@@ -802,12 +1027,39 @@ object VersionedTable {
     got
   }
 
-  /** Session conf: the operator's explicit attestation that this
-    * store's `create(overwrite=false)` is a CONDITIONAL write (an
+  /** Session conf: the operator's explicit attestation that a store's
+    * `create(overwrite=false)` is a CONDITIONAL write (an
     * If-None-Match-style PUT) — for connectors that enforce it natively
     * without reporting a path capability (GCS generation preconditions,
-    * ABFS ETags). */
+    * ABFS ETags). SCOPED (r17): the value is a comma-separated list of
+    * schemes (`gs,abfss`) and/or root prefixes
+    * (`gs://warehouse-bucket`), each trusting ONLY what it names — the
+    * pre-r17 blanket `true` silently attested every object-store
+    * scheme the session touched, including an unknown check-then-PUT
+    * connector, and is now refused with guidance. */
   val CreateTrustedConfKey = "spark.graft.commit.createTrusted"
+
+  /** Whether the attestation conf covers `scheme`/`root`. Scheme
+    * tokens match case-insensitively; root-prefix tokens (anything
+    * containing `://`) match on a path-segment boundary, so
+    * `gs://buck` never matches `gs://bucket`. */
+  private[pipeline] def createTrustedMatches(conf: String, scheme: String,
+      root: Path): Boolean = {
+    require(conf.trim.toLowerCase != "true",
+      s"$CreateTrustedConfKey=true is not accepted (r17): a blanket " +
+        "attestation would trust EVERY object-store scheme this " +
+        "session touches, including a check-then-PUT connector you " +
+        "never vetted — name what you attest: a scheme list " +
+        s"($CreateTrustedConfKey=gs,abfss) or a root prefix " +
+        s"($CreateTrustedConfKey=gs://my-warehouse)")
+    conf.split(",").map(_.trim).filter(_.nonEmpty).exists { t =>
+      if (t.contains("://")) {
+        // normalize through Path: `gs:///x` and `gs:/x` are one root
+        val tok = new Path(t).toString.stripSuffix("/")
+        (root.toString + "/").startsWith(tok + "/")
+      } else t.equalsIgnoreCase(scheme)
+    }
+  }
 
   /** Path-capability names under which connectors report
     * conditional-create support (names vary across Hadoop lines; any
@@ -880,7 +1132,7 @@ object VersionedTable {
         .orElse(SparkSession.getDefaultSession)
         .flatMap(s => scala.util.Try(
           s.conf.get(CreateTrustedConfKey)).toOption)
-        .exists(_.toBoolean)
+        .exists(createTrustedMatches(_, scheme, root))
       require(capability || s3aConf || trusted,
         s"$ProtocolConfKey=create on $table: scheme '$scheme' is an " +
           "object store and no signal proves its create(false) is a " +
@@ -889,7 +1141,8 @@ object VersionedTable {
           "concurrent races). Enable the connector's conditional " +
           "write (S3A: fs.s3a.create.conditional.enabled=true), or " +
           "attest a natively-conditional store (GCS preconditions, " +
-          s"ABFS ETags) with $CreateTrustedConfKey=true")
+          s"ABFS ETags) by naming its scheme or root: " +
+          s"$CreateTrustedConfKey=$scheme")
     }
     probedRoots.put(root.toString, true)
   }
@@ -1009,7 +1262,10 @@ object VersionedTable {
 
   private def foreignClaimWaitMs: Long = confMs(ForeignWaitConfKey, 60000L)
   private def ownedClaimWaitMs: Long = confMs(OwnedWaitConfKey, 1800000L)
-  private[pipeline] def claimTtlMs: Long = confMs(ClaimTtlConfKey, 600000L)
+  /** Default claim TTL (10 min) — applies until a table pins its own
+    * ([[claimTtlMsFor]] is the per-table resolution every liveness
+    * decision must use; this constant only seeds unpinned tables). */
+  private[pipeline] val DefaultClaimTtlMs = 600000L
 
   /** Manifest commit by conditional create — no temp, no rename: on a
     * conditional-PUT object store the PUT is atomic whole-object, and
@@ -1152,27 +1408,46 @@ object VersionedTable {
     * committer's in-flight data). Checked cheapest-first with early
     * exit; a claim with no signal at all (no marker, no dir — nothing
     * to reap either) reads as infinitely old. */
-  private def claimAgeMs(fs: FileSystem, root: Path, k: Long): Long = {
+  private def claimAgeMs(fs: FileSystem, root: Path, k: Long,
+      ttl: Long): Long = {
     val now = System.currentTimeMillis()
+    // Error discipline (r17 ADVICE — FAIL CLOSED, the newestMtimeAgeUnder
+    // twin): a signal whose probe FAILS for any reason other than
+    // absence must read as LIVE (age 0), because this age authorizes a
+    // destructive reap — a transient stat failure (S3 throttling) on a
+    // live committer's marker must delay the reap, never authorize it.
+    // Only a signal that is genuinely ABSENT (FileNotFound) reads as
+    // infinitely old and defers to the remaining signals.
+    //
     // the timestamp LINE is the marker's claim-time record; the marker
     // object's mtime (= its PUT time, never rewritten) stands in when
     // the line is absent — a PARTIALLY-flushed token-only marker is
     // then aged from its creation instead of reading as infinitely old
-    val marker = scala.util.Try {
-      val st = fs.getFileStatus(claimPath(root, k))
-      scala.util.Try(claimTimestampOf(
-        graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))))
-        .toOption.flatten match {
-        case Some(ts) => now - ts
-        case None => now - st.getModificationTime
+    val marker =
+      try {
+        val st = fs.getFileStatus(claimPath(root, k))
+        // content read failed but the marker EXISTS: its mtime is a
+        // real signal — use it rather than failing open or closed
+        scala.util.Try(claimTimestampOf(
+          graft.util.Fs.readSmallFileFs(fs, claimPath(root, k))))
+          .toOption.flatten match {
+          case Some(ts) => now - ts
+          case None => now - st.getModificationTime
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => Long.MaxValue
+        case scala.util.control.NonFatal(_) => return 0L
       }
-    }.getOrElse(Long.MaxValue)
-    if (marker < claimTtlMs) return marker
-    val hb = scala.util.Try(
-      now - fs.getFileStatus(heartbeatPath(root, k)).getModificationTime)
-      .getOrElse(Long.MaxValue)
-    if (hb < claimTtlMs) return math.min(marker, hb)
-    math.min(math.min(marker, hb), newestMtimeAgeUnder(fs, root, k, now))
+    if (marker < ttl) return marker
+    val hb =
+      try now - fs.getFileStatus(heartbeatPath(root, k)).getModificationTime
+      catch {
+        case _: java.io.FileNotFoundException => Long.MaxValue
+        case scala.util.control.NonFatal(_) => return 0L
+      }
+    if (hb < ttl) return math.min(marker, hb)
+    math.min(math.min(marker, hb),
+      newestMtimeAgeUnder(fs, root, k, now, ttl))
   }
 
   /** Reap ONE crashed-committer claim: foreign (not live in this JVM)
@@ -1184,8 +1459,9 @@ object VersionedTable {
     * entries removed (0 = not stale / not ours to reap). Callers hold
     * the commit lock. */
   private def reapClaimEntries(fs: FileSystem, root: Path, k: Long,
-      manifested: Set[Long], live: Set[Long], owned: Set[Long]): Int = {
-    if (owned(k) || claimAgeMs(fs, root, k) < claimTtlMs) 0
+      manifested: Set[Long], live: Set[Long], owned: Set[Long],
+      ttl: Long): Int = {
+    if (owned(k) || claimAgeMs(fs, root, k, ttl) < ttl) 0
     else {
       var removed = 0
       if (fs.delete(claimPath(root, k), false)) removed += 1
@@ -1206,13 +1482,14 @@ object VersionedTable {
   private def reapClaimIfStale(fs: FileSystem, root: Path,
       k: Long): Boolean = {
     val owned = liveClaims.getOrElse(root.toString, Set.empty)
-    if (owned(k) || claimAgeMs(fs, root, k) < claimTtlMs) return false
+    val ttl = claimTtlMsFor(fs, root)
+    if (owned(k) || claimAgeMs(fs, root, k, ttl) < ttl) return false
     val vs = versionsOn(fs, root)
     val manifested = vs.toSet ++
       branchNamesOn(fs, root).flatMap(branchVersionsOn(fs, root, _))
     val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet ++
       branchLiveDirsOn(fs, root)
-    reapClaimEntries(fs, root, k, manifested, live, owned) > 0
+    reapClaimEntries(fs, root, k, manifested, live, owned, ttl) > 0
   }
 
   /** Versions whose claim is still PROTECTED — owned by a live in-JVM
@@ -1226,8 +1503,9 @@ object VersionedTable {
   private[pipeline] def protectedClaimVersions(fs: FileSystem,
       root: Path): Set[Long] = {
     val owned = liveClaims.getOrElse(root.toString, Set.empty)
+    val ttl = claimTtlMsFor(fs, root)
     claimsOn(fs, root)
-      .filter(k => owned(k) || claimAgeMs(fs, root, k) < claimTtlMs)
+      .filter(k => owned(k) || claimAgeMs(fs, root, k, ttl) < ttl)
       .toSet
   }
 
@@ -1242,8 +1520,9 @@ object VersionedTable {
     val live = vs.flatMap(dataVersionsOn(fs, root, _)).toSet ++
       branchLiveDirsOn(fs, root)
     val owned = liveClaims.getOrElse(root.toString, Set.empty)
+    val ttl = claimTtlMsFor(fs, root)
     claimsOn(fs, root).foreach { k =>
-      removed += reapClaimEntries(fs, root, k, manifested, live, owned)
+      removed += reapClaimEntries(fs, root, k, manifested, live, owned, ttl)
     }
     // heartbeat sidecars whose claim marker is GONE (a racing final
     // beat after a publish's cleanup) are inert debris — sweep them
@@ -2247,13 +2526,22 @@ object VersionedTable {
       // everything committed at-or-after the timestamp — the newest
       // keepLast (floored at 1: the head can never expire) survive
       // regardless of age, exactly expire_snapshots' parameter contract
+      // manifests lead with their commit-time millis; one that does
+      // not parse is CORRUPT and must refuse loudly (r17 ADVICE) —
+      // defaulting it to epoch-0 would silently classify a recent
+      // snapshot as expirable
+      def commitTsOf(v: Long): Long = {
+        val p = new Path(branchManifestDir(root, name), v.toString)
+        graft.util.Fs.readSmallFileFs(fs, p).linesIterator.nextOption()
+          .flatMap(_.trim.toLongOption).getOrElse(sys.error(
+            s"expire_branch_snapshots('$name') on $table: branch " +
+              s"manifest $p carries no parseable commit timestamp " +
+              "(first line) — refusing to age-classify a corrupt " +
+              "manifest"))
+      }
       val keep = bvs.takeRight(math.max(1, keepLast)).toSet ++
-        olderThanMillis.map(ts => bvs.filter { v =>
-          graft.util.Fs.readSmallFileFs(fs,
-            new Path(branchManifestDir(root, name), v.toString))
-            .linesIterator.nextOption()
-            .flatMap(_.trim.toLongOption).getOrElse(0L) >= ts
-        }.toSet).getOrElse(Set.empty)
+        olderThanMillis.map(ts =>
+          bvs.filter(commitTsOf(_) >= ts).toSet).getOrElse(Set.empty)
       val drop = bvs.filterNot(keep)
       if (drop.nonEmpty) {
         def dirsOf(b: String, v: Long): Seq[Long] =

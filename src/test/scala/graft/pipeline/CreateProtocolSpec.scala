@@ -99,24 +99,23 @@ class CreateProtocolSpec extends SparkSpec {
         // a committer in another process claimed v2 and died long ago
         // (epoch-0 creation time — well past the TTL), leaving a
         // half-written data dir behind. Liveness (r16) is the YOUNGEST
-        // signal — the fixture's dir was physically just created, so
-        // the TTL must age past it too (real crash debris has old
-        // mtimes everywhere; a test fabricates age via a short TTL).
+        // signal, and the TTL is PINNED at first commit (r17) — so the
+        // fixture fabricates genuinely OLD mtimes (real crash debris
+        // has old mtimes everywhere) instead of shrinking the TTL,
+        // which a pinned table now refuses.
         val (fs, root) = graft.util.Fs.fsFor(table)
         val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
         val out = fs.create(claim, false)
         out.write("0\n".getBytes); out.close()
-        fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=2"))
-        spark.conf.set(VersionedTable.ClaimTtlConfKey, "200")
-        Thread.sleep(300)
+        val dead = new org.apache.hadoop.fs.Path(root, "v=2")
+        fs.mkdirs(dead)
+        fs.setTimes(dead, 1000L, -1L)
 
         // pre-r15 this append ERRORED pointing at remove_orphan_files;
         // the publish wait now reaps the TTL-expired claim itself — the
         // append lands with zero operator intervention, and the crashed
         // committer's claim marker AND orphaned data dir are gone
-        val v =
-          try VersionedTable.append(Seq(2).toDF("x"), table)
-          finally spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+        val v = VersionedTable.append(Seq(2).toDF("x"), table)
         assert(v == 3L, s"append must allocate past the dead claim: $v")
         assert(VersionedTable.read(spark, table).collect()
           .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
@@ -188,13 +187,13 @@ class CreateProtocolSpec extends SparkSpec {
           "...and the orphan walk")
 
         // heartbeat gone + file mtimes cold: NOW it is crash debris —
-        // the next publish self-reaps it with zero operator intervention
+        // the next publish self-reaps it with zero operator
+        // intervention. Age is fabricated via setTimes (r17: the TTL
+        // is pinned at first commit; a shrunk session conf refuses)
         fs.delete(hb, false)
-        spark.conf.set(VersionedTable.ClaimTtlConfKey, "200")
-        Thread.sleep(300)
-        val v =
-          try VersionedTable.append(Seq(3).toDF("x"), table)
-          finally spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+        fs.setTimes(inflight, 1000L, -1L)
+        fs.setTimes(new org.apache.hadoop.fs.Path(root, "v=2"), 1000L, -1L)
+        val v = VersionedTable.append(Seq(3).toDF("x"), table)
         assert(v == 3L)
         assert(!fs.exists(claim))
         assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=2")))
@@ -202,7 +201,6 @@ class CreateProtocolSpec extends SparkSpec {
           .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
       } finally {
         spark.conf.unset(VersionedTable.ForeignWaitConfKey)
-        spark.conf.unset(VersionedTable.ClaimTtlConfKey)
       }
     }
   }
@@ -372,5 +370,185 @@ class CreateProtocolSpec extends SparkSpec {
       assert(!r2.ok && r2.detail.contains("outstanding"))
       fs.delete(claim, false)
     } finally spark.conf.unset(VersionedTable.ProtocolConfKey)
+  }
+
+  test("claim-TTL PIN (r17): the first commit pins the TTL in table " +
+      "metadata; a session whose conf explicitly disagrees cannot " +
+      "even attempt a reap (the r16-verdict conf-drift corruption); " +
+      "set_claim_ttl refuses under a live claim and migrates once it " +
+      "is cold; heartbeat scheduler queue drains after commits") {
+    withCreateProtocol {
+      spark.conf.set(VersionedTable.ForeignWaitConfKey, "600")
+      try {
+        val table = Files.createTempDirectory("graft_cp8_").toString + "/t"
+        VersionedTable.write(Seq(1).toDF("x"), table)
+        // pinned at first commit from the session default (10 min)
+        assert(VersionedTable.claimTtlOf(table).contains(600000L))
+        val (fs, root) = graft.util.Fs.fsFor(table)
+        assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+          "_versions/.liveness")))
+
+        // a LIVE foreign committer: epoch-0 claim line (slow write,
+        // way past any TTL) but a FRESH heartbeat
+        val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
+        val out = fs.create(claim, false)
+        out.write("foreign-token\n0\n".getBytes); out.close()
+        val hb = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2.hb")
+        val o2 = fs.create(hb, false); o2.write("x".getBytes); o2.close()
+
+        // the r16-verdict hazard: a reaper session configured with a
+        // TTL far below the committer's (whose beat period derives
+        // from the PINNED one) would read the live claim as cold
+        // between beats. The pin refuses the disagreeing conf up
+        // front, naming the migration verb — before any claim marker
+        // of our own is written
+        spark.conf.set(VersionedTable.ClaimTtlConfKey, "100")
+        val e = intercept[IllegalArgumentException] {
+          VersionedTable.append(Seq(2).toDF("x"), table)
+        }
+        assert(e.getMessage.contains("set_claim_ttl"))
+        assert(fs.exists(claim) && fs.exists(hb),
+          "the live claim must be untouched by the refused session")
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+          "_versions/.claim-3")),
+          "the refusal must fire before our own claim is written")
+
+        // an AGREEING conf proceeds — and then waits out the live
+        // foreign claim (bounded, loud), never reaping it
+        spark.conf.set(VersionedTable.ClaimTtlConfKey, "600000")
+        val e2 = intercept[IllegalArgumentException] {
+          VersionedTable.append(Seq(2).toDF("x"), table)
+        }
+        assert(e2.getMessage.contains(VersionedTable.ClaimTtlConfKey))
+        assert(fs.exists(claim) && fs.exists(hb))
+        spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+
+        // migration refuses while the claim still shows liveness —
+        // re-pinning a shorter TTL under a live old-TTL committer is
+        // exactly the corruption the pin exists to prevent
+        val r = Maintenance.setClaimTtl(table, 300L)
+        assert(!r.ok && r.detail.contains("liveness"), r.detail)
+
+        // heartbeat gone, no data dir, epoch-0 line: cold — the
+        // deliberate migration now pins a new generation
+        fs.delete(hb, false)
+        val r2 = Maintenance.setClaimTtl(table, 120000L)
+        assert(r2.ok, r2.detail)
+        assert(VersionedTable.claimTtlOf(table).contains(120000L))
+        assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+          "_versions/.liveness.g0")))
+
+        // the cold claim self-reaps under the migrated TTL; the commit
+        // lands and the heartbeat scheduler's queue is DRAINED (r17:
+        // removeOnCancelPolicy — no dead futures linger between beats)
+        val v = VersionedTable.append(Seq(2).toDF("x"), table)
+        assert(v == 3L)
+        assert(!fs.exists(claim))
+        assert(VersionedTable.read(spark, table).collect()
+          .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+        assert(VersionedTable.heartbeatQueueSize == 0,
+          "stopClaimHeartbeat must remove the cancelled task from the " +
+            "scheduler queue immediately")
+      } finally {
+        spark.conf.unset(VersionedTable.ForeignWaitConfKey)
+        spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+      }
+    }
+  }
+
+  test("liveness dir walk (r17): early-exits on the first fresh entry " +
+      "instead of listing the claimed dir end-to-end; a transient " +
+      "listing failure FAILS CLOSED (claim reads live); only genuine " +
+      "coldness authorizes the reap") {
+    import graft.util.CountingLivenessFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcnt.impl",
+      classOf[CountingLivenessFileSystem].getName)
+    val table = "graftcnt://" +
+      Files.createTempDirectory("graft_cnt_").toString + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table)
+    val (fs, root) = graft.util.Fs.fsFor(table)
+
+    // foreign claim with an epoch-0 line and NO heartbeat: the dir
+    // walk is the deciding liveness signal
+    val claim = new org.apache.hadoop.fs.Path(root, "_versions/.claim-2")
+    val out = fs.create(claim, false)
+    out.write("foreign-token\n0\n".getBytes); out.close()
+    val dir = new org.apache.hadoop.fs.Path(root, "v=2")
+    fs.mkdirs(dir)
+    val files = (1 to 20).map { i =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"part-$i")
+      val o = fs.create(p, false); o.write(1); o.close(); p
+    }
+    // dir mtime old, FILES fresh — a committer mid-write whose task
+    // files are landing right now
+    fs.setTimes(dir, 1000L, -1L)
+
+    CountingLivenessFileSystem.listedEntries.set(0L)
+    assert(VersionedTable.protectedClaimVersions(fs, root) == Set(2L),
+      "fresh task files must read as liveness")
+    assert(CountingLivenessFileSystem.listedEntries.get() <= 1L,
+      "the walk must short-circuit on the first fresh entry, not " +
+        s"list all 20 (listed ${CountingLivenessFileSystem
+          .listedEntries.get()})")
+
+    // everything genuinely old now — but the listing THROWS (an S3
+    // throttle mid-decision): FAIL CLOSED, the claim reads live and
+    // the reap waits for a clean read
+    files.foreach(fs.setTimes(_, 1000L, -1L))
+    fs.setTimes(dir, 1000L, -1L)
+    CountingLivenessFileSystem.failListFiles.set(true)
+    try assert(VersionedTable.protectedClaimVersions(fs, root) == Set(2L),
+      "a transient listing failure must never authorize a reap")
+    finally CountingLivenessFileSystem.failListFiles.set(false)
+
+    // clean read, genuinely cold: the claim is reapable
+    assert(VersionedTable.protectedClaimVersions(fs, root).isEmpty)
+  }
+
+  test("scoped conditional-create attestation (r17): the gate demands " +
+      "a signal NAMING this scheme or root — a blanket `true` and an " +
+      "attestation for a different store both refuse; scheme and " +
+      "root-prefix forms admit exactly what they name") {
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+      classOf[FakeObjectStoreFileSystem].getName)
+    withCreateProtocol {
+      val local = Files.createTempDirectory("graft_att_").toString
+      val table = s"s3a://$local/t"
+      def attempt(): Unit = VersionedTable.write(Seq(1).toDF("x"), table)
+
+      // no positive signal: the fake s3a store reports no capability
+      // and no conditional-create conf — refuse, naming the conf
+      val e0 = intercept[IllegalArgumentException] { attempt() }
+      assert(e0.getMessage.contains(VersionedTable.CreateTrustedConfKey))
+
+      // the pre-r17 blanket form is refused WITH guidance, not honored
+      spark.conf.set(VersionedTable.CreateTrustedConfKey, "true")
+      val e1 = intercept[IllegalArgumentException] { attempt() }
+      assert(e1.getMessage.contains("name what you attest"))
+
+      // attesting a DIFFERENT store must not admit this one
+      spark.conf.set(VersionedTable.CreateTrustedConfKey, "gs")
+      val e2 = intercept[IllegalArgumentException] { attempt() }
+      assert(e2.getMessage.contains(VersionedTable.CreateTrustedConfKey))
+
+      // a root prefix that is NOT a prefix of this root (and the
+      // segment-boundary case: a string prefix of the bucket) refuses
+      spark.conf.set(VersionedTable.CreateTrustedConfKey,
+        s"s3a://$local-other")
+      val e3 = intercept[IllegalArgumentException] { attempt() }
+      assert(e3.getMessage.contains(VersionedTable.CreateTrustedConfKey))
+
+      // naming the scheme admits it
+      spark.conf.set(VersionedTable.CreateTrustedConfKey, "abfss,s3a")
+      attempt()
+      assert(VersionedTable.read(spark, table).count() == 1)
+
+      // the per-root form admits exactly the named subtree
+      val t2 = s"s3a://$local/t2"
+      spark.conf.set(VersionedTable.CreateTrustedConfKey, s"s3a://$local")
+      VersionedTable.write(Seq(1, 2).toDF("x"), t2)
+      assert(VersionedTable.read(spark, t2).count() == 2)
+      spark.conf.unset(VersionedTable.CreateTrustedConfKey)
+    }
   }
 }

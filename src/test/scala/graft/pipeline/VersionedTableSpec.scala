@@ -501,15 +501,15 @@ class VersionedTableSpec extends SparkSpec {
       "a fresh unmanifested dir must survive the claim loop")
 
     // COLD dir (every mtime past the TTL): the same commit self-heals,
-    // reuses the number, and the table is whole
-    spark.conf.set(VersionedTable.ClaimTtlConfKey, "200")
-    Thread.sleep(300)
-    try {
-      val v = VersionedTable.append(Seq(2).toDF("x"), table)
-      assert(v == 2L, s"the reaped number must be reused: $v")
-      assert(!fs.exists(orphan))
-      assert(VersionedTable.read(spark, table).collect()
-        .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
-    } finally spark.conf.unset(VersionedTable.ClaimTtlConfKey)
+    // reuses the number, and the table is whole. Age is fabricated via
+    // setTimes (r17: the TTL is pinned at first commit; a shrunk
+    // session conf refuses)
+    fs.setTimes(orphan, 1000L, -1L)
+    fs.setTimes(orphan.getParent, 1000L, -1L)
+    val v = VersionedTable.append(Seq(2).toDF("x"), table)
+    assert(v == 2L, s"the reaped number must be reused: $v")
+    assert(!fs.exists(orphan))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 }
