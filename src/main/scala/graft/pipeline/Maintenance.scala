@@ -715,15 +715,57 @@ object Maintenance {
     Report(tableDir, "expire_snapshots", ok = true,
       s"no-op on parquet tables (retention=${retentionDays}d applies on Iceberg)")
 
+  /** Per-branch retention POLICY for the nightly driver (r17): on each
+    * versioned table, branches matching `branchPattern` (glob — `*`
+    * and `?`) keep their newest `retainLast` staged snapshots plus, if
+    * `maxAgeMillis` is set, everything younger than that age. The
+    * first matching policy wins; unmatched branches are untouched.
+    * Closes the r16 gap where the verb existed but no nightly pass
+    * applied it, so a long-lived audit branch pinned storage until
+    * someone remembered the CALL. */
+  final case class BranchRetention(branchPattern: String,
+      retainLast: Int, maxAgeMillis: Option[Long] = None) {
+    private val regex = java.util.regex.Pattern.compile(
+      branchPattern.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      })
+    def matches(branch: String): Boolean = regex.matcher(branch).matches()
+  }
+
+  /** Apply the first matching retention policy to every branch of a
+    * versioned table — one Report per expired branch, discovery
+    * errors isolated like every other maintenance action. */
+  private def branchRetentionReports(dir: String,
+      policies: Seq[BranchRetention]): Seq[Report] =
+    if (policies.isEmpty) Nil
+    else try {
+      if (!VersionedTable.isVersioned(dir)) Nil
+      else VersionedTable.branches(dir).keys.toSeq.sorted.flatMap { b =>
+        policies.find(_.matches(b)).map(p =>
+          expireBranchSnapshots(dir, b, p.retainLast,
+            p.maxAgeMillis.map(System.currentTimeMillis() - _)))
+      }
+    } catch {
+      case e: Throwable => Seq(Report(dir, "expire_branch_snapshots",
+        ok = false, e.toString))
+    }
+
   /** M4: per-table isolation driver — run all actions on every table,
-    * continue on error (reference: glue-jobs/iceberg_maintenance.py:46-84). */
+    * continue on error (reference: glue-jobs/iceberg_maintenance.py:46-84).
+    * `branchRetention` (r17) additionally applies per-branch snapshot
+    * retention to matching branches of each versioned table. */
   def runAll(spark: SparkSession, tableDirs: Seq[String],
-      targetFileBytes: Long = 256L * 1024 * 1024): Seq[Report] =
+      targetFileBytes: Long = 256L * 1024 * 1024,
+      branchRetention: Seq[BranchRetention] = Nil): Seq[Report] =
     tableDirs.flatMap { dir =>
       Seq(
         expireSnapshots(dir),
         compact(spark, dir, targetFileBytes),
-        removeOrphans(spark, dir))
+        removeOrphans(spark, dir)) ++
+        branchRetentionReports(dir, branchRetention)
     }
 
   /** A registered streamed-state dir and its fold action — what the
@@ -910,12 +952,13 @@ object Maintenance {
   def maintainAll(spark: SparkSession, tableDirs: Seq[String],
       streamStates: Seq[StreamState] = Nil,
       targetFileBytes: Long = 256L * 1024 * 1024,
-      discoverStateRoots: Seq[String] = Nil): Seq[Report] = {
+      discoverStateRoots: Seq[String] = Nil,
+      branchRetention: Seq[BranchRetention] = Nil): Seq[Report] = {
     // discovery augments (never replaces) the explicit registry; a state
     // both passed and discovered compacts once — dedup on the dir
     val all = (streamStates ++ discoverStreamStates(discoverStateRoots))
       .groupBy(_.stateDir).toSeq.sortBy(_._1).map(_._2.head)
-    runAll(spark, tableDirs, targetFileBytes) ++
+    runAll(spark, tableDirs, targetFileBytes, branchRetention) ++
       compactStreamStates(spark, all)
   }
 

@@ -66,7 +66,13 @@ object VersionedTable extends org.apache.spark.internal.Logging {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def withCommitLock[T](root: Path)(body: => T): T =
     commitLocks.getOrElseUpdate(root.toString, new Object)
-      .synchronized(body)
+      .synchronized {
+        // every manifest mutation on this root runs under the lock, so
+        // dropping the poll cache here makes same-JVM readers exact
+        // (r17; over-invalidation on lock-holding reads just re-lists)
+        try body
+        finally versionsListingCache.remove(root.toString)
+      }
 
   private def confOf(): Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -553,6 +559,51 @@ object VersionedTable extends org.apache.spark.internal.Logging {
   }
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
+
+  // ---- mtime-validated listing cache for per-trigger polls (r17) ------
+  //
+  // A streaming source calls `versions(table)` on EVERY microbatch
+  // plan; at second-scale triggers against an object store that is a
+  // steady billable LIST per trigger even when nothing changed.
+  // `versionsCached` answers from ONE `getFileStatus` of `_versions`
+  // when (a) the dir mtime is unchanged, (b) the cached listing was
+  // taken after the mtime had SETTLED (older than the granularity
+  // slack — a listing racing a same-tick commit is never trusted), and
+  // (c) the entry is younger than a hard expiry (bounds staleness
+  // under pathological clock skew between writer store-mtimes and this
+  // reader's clock). Same-JVM commits invalidate eagerly (every
+  // manifest mutation runs under withCommitLock); cross-process
+  // commits bump the dir mtime and force a re-list on the next poll.
+
+  private final case class VersionsCacheEntry(mtime: Long,
+      listedAt: Long, versions: Seq[Long])
+  private val versionsListingCache =
+    scala.collection.concurrent.TrieMap.empty[String, VersionsCacheEntry]
+  private val MtimeSettleSlackMs = 2000L
+  private val VersionsCacheExpiryMs = 30000L
+
+  /** [[versions]] through the poll cache: same result, ≤1 stat per
+    * call while the manifest dir is quiet. The surface the versioned
+    * stream source's per-trigger offset discovery uses. */
+  def versionsCached(table: String): Seq[Long] = {
+    val (fs, root) = fsFor(table)
+    val dir = manifestDir(root)
+    val now = System.currentTimeMillis()
+    val mtime =
+      try fs.getFileStatus(dir).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    versionsListingCache.get(root.toString) match {
+      case Some(e) if e.mtime == mtime &&
+          e.listedAt > mtime + MtimeSettleSlackMs &&
+          now - e.listedAt < VersionsCacheExpiryMs =>
+        e.versions
+      case _ =>
+        val vs = versionsOn(fs, root)
+        versionsListingCache.put(root.toString,
+          VersionsCacheEntry(mtime, now, vs))
+        vs
+    }
+  }
 
   /** (root -> (newest manifest version, its batch marker)) — the
     * marker-carry invariant makes the NEWEST manifest authoritative
@@ -2424,6 +2475,46 @@ object VersionedTable extends org.apache.spark.internal.Logging {
         val (base, _) = branchBaseOn(fs, root, name)
         read(spark, table, Some(base))
     }
+  }
+
+  /** Branch snapshot history: (branch version, committed-at millis),
+    * oldest first — the per-ref sibling of the `.history` surface;
+    * what a retention policy reads to pick an `older_than` boundary.
+    * A manifest with no parseable leading timestamp refuses loudly
+    * (corrupt metadata is never silently age-classified, r17). */
+  def branchHistory(table: String, name: String): Seq[(Long, Long)] = {
+    val (fs, root) = fsFor(table)
+    requireValidTagName(name)
+    require(fs.exists(branchManifestDir(root, name)),
+      s"no branch '$name' on $table")
+    branchVersionsOn(fs, root, name).map { v =>
+      val p = new Path(branchManifestDir(root, name), v.toString)
+      val ts = graft.util.Fs.readSmallFileFs(fs, p).linesIterator
+        .nextOption().flatMap(_.trim.toLongOption).getOrElse(sys.error(
+          s"branch manifest $p carries no parseable commit timestamp " +
+            "(first line)"))
+      (v, ts)
+    }
+  }
+
+  /** Read a BRANCH at one of its own retained snapshots — version-as-of
+    * on the ref (Iceberg addresses a ref's history the same way). The
+    * snapshot must still be retained on the branch: per-branch expiry
+    * makes an addressed-but-dropped manifest refuse loudly, never
+    * silently serve the head. */
+  def readBranchAt(spark: SparkSession, table: String, name: String,
+      version: Long): DataFrame = {
+    val (fs, root) = fsFor(table)
+    val bvs = branchVersionsOn(fs, root, name)
+    require(bvs.contains(version),
+      s"branch '$name' on $table has no retained snapshot $version " +
+        s"(retained: ${bvs.mkString(", ")})")
+    val content = graft.util.Fs.readSmallFileFs(fs,
+      new Path(branchManifestDir(root, name), version.toString))
+    readDirs(spark, table,
+      parseDirVersions(content, version)
+        .map(k => new Path(root, s"v=$k").toString),
+      parseSchema(content))
   }
 
   /** The branch head's scan paths + per-branch schema — what the DSv2

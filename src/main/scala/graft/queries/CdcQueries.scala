@@ -947,6 +947,60 @@ object CdcQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** PER-BRANCH RETENTION, `older_than` leg (r17; q209's sibling —
+    * Iceberg's per-ref max-snapshot-age): the fixture stages THREE
+    * branch snapshots with strictly increasing manifest timestamps,
+    * then expires with retain_last=1 PLUS older_than = the SECOND
+    * snapshot's commit time. At-or-after semantics must keep exactly
+    * {second, third}: a boundary bug (`>` instead of `>=`) also drops
+    * the second, the fixture's require fails, and the addressed read
+    * below refuses — all surfacing as a correctness error. The query
+    * reads the branch AT the kept boundary snapshot (version-as-of on
+    * the ref, r17's readBranchAt), which must reproduce the
+    * three-quarter orders aggregate the oracle replays from raw
+    * orders — so a retention bug that reclaims a dir the kept
+    * manifest still references also hash-mismatches. */
+  def q210BranchRetentionAge(s: SparkSession, dir: String): DataFrame = {
+    val table = writeTables.getOrElseUpdate(dir + "#bage", {
+      rollbackCleanupHook
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rollback-").toString
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val t0 = s"$w/bage"
+      VersionedTable.write(od.filter(col("o_orderkey") % 4 === 0), t0)
+      VersionedTable.createBranch(t0, "reta")
+      (1 to 3).foreach { m =>
+        VersionedTable.appendToBranch(
+          od.filter(col("o_orderkey") % 4 === m), t0, "reta")
+        Thread.sleep(5) // distinct manifest millis — the boundary needs
+                        // a strict order to be meaningful
+      }
+      val hist = VersionedTable.branchHistory(t0, "reta")
+      require(hist.size == 3 &&
+        hist.map(_._2) == hist.map(_._2).sorted &&
+        hist.map(_._2).distinct.size == 3,
+        s"fixture needs strictly increasing manifest timestamps: $hist")
+      val dropped = VersionedTable.expireBranchSnapshots(
+        t0, "reta", 1, Some(hist(1)._2))
+      require(dropped == Seq(hist.head._1),
+        "older_than = ts(second) must drop exactly the first staged " +
+          s"snapshot (at-or-after keeps the boundary); dropped $dropped")
+      require(VersionedTable.branchHistory(t0, "reta").map(_._1) ==
+        hist.tail.map(_._1),
+        "the boundary and head snapshots must survive")
+      t0
+    })
+    // the kept BOUNDARY snapshot is the older of the two survivors
+    val boundary = VersionedTable.branchHistory(table, "reta").head._1
+    VersionedTable.readBranchAt(s, table, "reta", boundary)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The `.partitions` metadata table (r15; Iceberg's partitions
     * metadata surface): per-partition record/file/size stats computed
     * from parquet FOOTERS — metadata-only IO, distributed fan-out, the
@@ -1140,7 +1194,8 @@ object CdcQueries {
     "q206_partitions_meta" -> (q206PartitionsMeta _),
     "q207_stream_read" -> (q207StreamRead _),
     "q208_stream_read_from" -> (q208StreamReadFrom _),
-    "q209_branch_retention" -> (q209BranchRetention _))
+    "q209_branch_retention" -> (q209BranchRetention _),
+    "q210_branch_retention_age" -> (q210BranchRetentionAge _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -1362,6 +1417,16 @@ object CdcQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // older_than retention (r17): the branch read AT the kept boundary
+    // snapshot = main quarter + first two staged quarters of orders —
+    // the oracle replays exactly that three-quarter slice
+    "q210_branch_retention_age" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 4 <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming read FROM A CHOSEN SNAPSHOT (r16): startingVersion=v1
     // (the even users) means the sink holds exactly the odd users —
     // the oracle replays that aggregate from raw events

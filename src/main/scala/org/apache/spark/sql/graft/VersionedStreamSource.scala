@@ -279,8 +279,12 @@ private final class VersionedStreamSource(
       case Some(p) =>
         // cap to RETAINED main versions: snapshot numbers are allocated
         // globally (branches consume numbers too), so p + m may not
-        // name a main manifest — take the m-th retained version past p
-        val ahead0 = VersionedTable.versions(table).filter(_ > p)
+        // name a main manifest — take the m-th retained version past p.
+        // CACHED (r17): per-trigger polls answer from one stat of the
+        // manifest dir while it is quiet, instead of a LIST per
+        // trigger; same-JVM commits invalidate eagerly, cross-process
+        // commits bump the dir mtime
+        val ahead0 = VersionedTable.versionsCached(table).filter(_ > p)
         val ahead = availableNowEnd
           .map(e => ahead0.filter(_ <= e)).getOrElse(ahead0)
         // a composite limit caps at its tightest member (the engine
@@ -297,7 +301,7 @@ private final class VersionedStreamSource(
       case None =>
         // first batch of a fresh (un-started) stream: the full current
         // snapshot — one snapshot, no cap to apply
-        val latest = VersionedTable.latestVersion(table)
+        val latest = VersionedTable.versionsCached(table).lastOption
         availableNowEnd
           .map(e => latest.map(math.min(_, e))).getOrElse(latest)
     }
@@ -306,7 +310,8 @@ private final class VersionedStreamSource(
   }
 
   override def reportLatestOffset(): OffsetV2 =
-    VersionedTable.latestVersion(table).map(LongOffset(_)).orNull
+    VersionedTable.versionsCached(table).lastOption
+      .map(LongOffset(_)).orNull
 
   /** Not called by the engine once SupportsAdmissionControl is
     * declared; kept coherent (delegating to the governed path) rather

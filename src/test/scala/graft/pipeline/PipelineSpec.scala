@@ -787,4 +787,45 @@ class PipelineSpec extends SparkSpec {
     writeStateMeta(dir, StateMeta("cms", Seq("b")))
     assert(readStateMeta(dir).contains(StateMeta("cms", Seq("b"))))
   }
+
+  test("nightly branch-retention policy (r17): runAll expires matching " +
+      "branches by glob pattern; head, fork base, and unmatched " +
+      "branches survive") {
+    import spark.implicits._
+    val table = tmpDir() + "/t"
+    VersionedTable.write(Seq(1).toDF("x"), table) // main v1 = fork base
+    VersionedTable.createBranch(table, "audit-a")
+    VersionedTable.createBranch(table, "keep-me")
+    (1 to 3).foreach(i => VersionedTable.appendToBranch(
+      Seq(i * 10).toDF("x"), table, "audit-a"))
+    (1 to 2).foreach(i => VersionedTable.appendToBranch(
+      Seq(i + 100).toDF("x"), table, "keep-me"))
+
+    val reports = Maintenance.runAll(spark, Seq(table),
+      branchRetention = Seq(Maintenance.BranchRetention("audit-*", 1)))
+    val bret = reports.filter(_.action == "expire_branch_snapshots")
+    assert(bret.size == 1 && bret.head.ok, bret.mkString("; "))
+    assert(bret.head.detail.contains("audit-a"))
+
+    // the matched branch holds only its head; the unmatched branch and
+    // main are untouched
+    assert(VersionedTable.branchHistory(table, "audit-a").size == 1)
+    assert(VersionedTable.branchHistory(table, "keep-me").size == 2)
+    assert(VersionedTable.versions(table) == Seq(1L))
+    // retention was metadata-only: the retained head still serves the
+    // full branch content (staged dirs carried by reference)
+    assert(VersionedTable.readBranch(spark, table, "audit-a").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 10, 20, 30))
+    assert(VersionedTable.read(spark, table).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+
+    // a policy with max age keeps young snapshots even beyond
+    // retain_last: everything just committed is younger than one hour
+    val r2 = Maintenance.runAll(spark, Seq(table),
+      branchRetention = Seq(Maintenance.BranchRetention("keep-*", 1,
+        maxAgeMillis = Some(3600 * 1000L))))
+    assert(r2.filter(_.action == "expire_branch_snapshots")
+      .forall(r => r.ok && r.detail.contains("noop")))
+    assert(VersionedTable.branchHistory(table, "keep-me").size == 2)
+  }
 }

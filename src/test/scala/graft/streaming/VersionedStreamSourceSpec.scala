@@ -355,4 +355,49 @@ class VersionedStreamSourceSpec extends SparkSpec {
         mentionsEvolved(t.getCause))
     assert(mentionsEvolved(e))
   }
+
+  // ---- per-trigger listing cost (r17) -----------------------------------
+
+  test("offset discovery rides the mtime-validated cache: no-new-data " +
+      "polls cost one stat of the manifest dir, not a LIST per " +
+      "trigger; a new commit is seen immediately") {
+    import graft.util.CountingLivenessFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcnt.impl",
+      classOf[CountingLivenessFileSystem].getName)
+    val local = Files.createTempDirectory("graft_vss10_").toString
+    val table = s"graftcnt://$local/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), table)
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), table)
+
+    // the stream itself runs end-to-end on the counting store
+    val w = Files.createTempDirectory("graft_vss10o_").toString
+    drain(table, s"$w/out", s"$w/cp")
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+
+    // let the manifest dir mtime SETTLE past the granularity slack,
+    // then poll the way latestOffset does: the first poll re-lists
+    // (fills the cache), every later no-new-data poll is list-free
+    Thread.sleep(2200)
+    VersionedTable.versionsCached(table)
+    CountingLivenessFileSystem.manifestDirLists.set(0L)
+    (1 to 5).foreach { _ =>
+      assert(VersionedTable.versionsCached(table) == Seq(1L, 2L))
+    }
+    assert(CountingLivenessFileSystem.manifestDirLists.get() == 0L,
+      "no-new-data polls must answer from the stat-validated cache " +
+        s"(paid ${CountingLivenessFileSystem.manifestDirLists.get()} " +
+        "LISTs)")
+
+    // a new commit invalidates (same-JVM eagerly; cross-process via
+    // the dir mtime): the next poll sees v3 with a fresh list
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), table)
+    assert(VersionedTable.versionsCached(table) == Seq(1L, 2L, 3L),
+      "a fresh commit must be visible to the very next poll")
+
+    // and the drained stream picks up exactly the appended rows
+    drain(table, s"$w/out", s"$w/cp")
+    assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

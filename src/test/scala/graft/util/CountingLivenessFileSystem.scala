@@ -35,8 +35,11 @@ final class CountingLivenessFileSystem extends RawLocalFileSystem {
   override def getFileStatus(f: Path): FileStatus =
     sanitize(super.getFileStatus(f))
 
-  override def listStatus(f: Path): Array[FileStatus] =
+  override def listStatus(f: Path): Array[FileStatus] = {
+    if (f.getName == "_versions")
+      CountingLivenessFileSystem.manifestDirLists.incrementAndGet()
     super.listStatus(f).map(sanitize)
+  }
 
   override def listFiles(f: Path,
       recursive: Boolean): RemoteIterator[LocatedFileStatus] = {
@@ -58,6 +61,9 @@ object CountingLivenessFileSystem {
   val Uri: URI = URI.create("graftcnt:///")
   /** Entries consumed by `listFiles` iterations since last reset. */
   val listedEntries = new AtomicLong(0L)
+  /** `listStatus` calls on a `_versions` manifest dir since reset —
+    * what a streaming trigger's offset discovery pays per poll. */
+  val manifestDirLists = new AtomicLong(0L)
   /** When set, every `listFiles` call throws (simulated throttle). */
   val failListFiles = new AtomicBoolean(false)
 }
