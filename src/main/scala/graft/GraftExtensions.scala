@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_refs"),
       pipeline.VersionedTable.refsTvfBuilder))
     e.injectTableFunction((
+      FunctionIdentifier("graft_branch_history"),
+      new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
+        "graft_branch_history"),
+      pipeline.VersionedTable.branchHistoryTvfBuilder))
+    e.injectTableFunction((
       FunctionIdentifier("graft_files"),
       new ExpressionInfo(pipeline.VersionedTable.getClass.getName,
         "graft_files"),

@@ -584,7 +584,15 @@ object VersionedTable extends org.apache.spark.internal.Logging {
 
   /** [[versions]] through the poll cache: same result, ≤1 stat per
     * call while the manifest dir is quiet. The surface the versioned
-    * stream source's per-trigger offset discovery uses. */
+    * stream source's per-trigger offset discovery uses.
+    *
+    * A store that reports NO real directory mtime (S3-style pseudo-dir
+    * statuses read 0/negative) cannot validate the cache at all —
+    * there, every poll re-lists (exactly the pre-cache behavior,
+    * correctness first) rather than serving entries whose only bound
+    * is the 30 s hard expiry: a frozen mtime would otherwise delay a
+    * cross-process commit's visibility to a stream by up to that
+    * expiry on every batch, not just under clock skew. */
   def versionsCached(table: String): Seq[Long] = {
     val (fs, root) = fsFor(table)
     val dir = manifestDir(root)
@@ -592,6 +600,7 @@ object VersionedTable extends org.apache.spark.internal.Logging {
     val mtime =
       try fs.getFileStatus(dir).getModificationTime
       catch { case _: java.io.FileNotFoundException => return Nil }
+    if (mtime <= 0L) return versionsOn(fs, root)
     versionsListingCache.get(root.toString) match {
       case Some(e) if e.mtime == mtime &&
           e.listedAt > mtime + MtimeSettleSlackMs &&
@@ -2504,6 +2513,18 @@ object VersionedTable extends org.apache.spark.internal.Logging {
     * silently serve the head. */
   def readBranchAt(spark: SparkSession, table: String, name: String,
       version: Long): DataFrame = {
+    val (dirs, schema) = branchDataPathsAt(table, name, version)
+    readDirs(spark, table, dirs, schema)
+  }
+
+  /** A branch's RETAINED snapshot resolved to (scan dirs, schema as of
+    * that snapshot) — what [[readBranchAt]] and the DSv2 catalog's
+    * `VERSION AS OF '<branch>@<v>'` pin both bind to. An
+    * addressed-but-expired snapshot refuses loudly, never silently
+    * serves the head. */
+  private[graft] def branchDataPathsAt(table: String, name: String,
+      version: Long)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
     val (fs, root) = fsFor(table)
     val bvs = branchVersionsOn(fs, root, name)
     require(bvs.contains(version),
@@ -2511,9 +2532,8 @@ object VersionedTable extends org.apache.spark.internal.Logging {
         s"(retained: ${bvs.mkString(", ")})")
     val content = graft.util.Fs.readSmallFileFs(fs,
       new Path(branchManifestDir(root, name), version.toString))
-    readDirs(spark, table,
-      parseDirVersions(content, version)
-        .map(k => new Path(root, s"v=$k").toString),
+    (parseDirVersions(content, version)
+      .map(k => new Path(root, s"v=$k").toString),
       parseSchema(content))
   }
 
@@ -2665,8 +2685,19 @@ object VersionedTable extends org.apache.spark.internal.Logging {
         case Some(v) => read(spark, table, Some(v))
         case None if branches(table).contains(ref) =>
           readBranch(spark, table, ref)
+        case None if ref.contains('@') =>
+          // '<branch>@<v>': one of the branch's RETAINED snapshots
+          // (r17) — ref names cannot contain '@', so unambiguous
+          val (b, at) = ref.splitAt(ref.lastIndexOf('@'))
+          val v = at.drop(1).toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"'$ref': expected '<branch>@<snapshot id>'"))
+          require(branches(table).contains(b),
+            s"'$ref': no branch '$b' on $table")
+          readBranchAt(spark, table, b, v)
         case None => throw new IllegalArgumentException(
-          s"'$ref' is neither a snapshot id, a tag, nor a branch on " +
+          s"'$ref' is neither a snapshot id, a tag, nor a branch " +
+            s"(nor '<branch>@<v>') on " +
             s"$table (tags: ${tags(table).keys.toSeq.sorted.mkString(", ")}; " +
             s"branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})")
       }
@@ -3026,6 +3057,23 @@ object VersionedTable extends org.apache.spark.internal.Logging {
     require(exprs.size == 1 && exprs.head.foldable,
       "graft_history expects one literal argument: (table_path)")
     history(SparkSession.active, exprs.head.eval().toString)
+      .queryExecution.analyzed
+  }
+
+  /** `graft_branch_history('table', 'branch')` — [[branchHistory]] as
+    * a TVF: one row per RETAINED branch snapshot `(version,
+    * committed_at)`, oldest first — where a retention policy reads its
+    * `older_than` boundary from SQL, and the address book for
+    * `VERSION AS OF '<branch>@<v>'`. */
+  def branchHistoryTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 2 && exprs.forall(_.foldable),
+      "graft_branch_history expects literal arguments: " +
+        "(table_path, branch)")
+    val spark = SparkSession.active
+    import spark.implicits._
+    branchHistory(exprs.head.eval().toString, exprs(1).eval().toString)
+      .map { case (v, ts) => (v, new java.sql.Timestamp(ts)) }
+      .toDF("version", "committed_at")
       .queryExecution.analyzed
   }
 

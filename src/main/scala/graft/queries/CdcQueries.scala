@@ -961,7 +961,33 @@ object CdcQueries {
     * orders — so a retention bug that reclaims a dir the kept
     * manifest still references also hash-mismatches. */
   def q210BranchRetentionAge(s: SparkSession, dir: String): DataFrame = {
-    val table = writeTables.getOrElseUpdate(dir + "#bage", {
+    val table = bageTable(s, dir)
+    // the kept BOUNDARY snapshot is the older of the two survivors
+    val boundary = VersionedTable.branchHistory(table, "reta").head._1
+    VersionedTable.readBranchAt(s, table, "reta", boundary)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The SQL face of the same address (r17): `graft_version('/t',
+    * '<branch>@<v>')` — the TVF's ref contract extended to a branch's
+    * RETAINED snapshot, exactly what q210 reads through the Scala API.
+    * Gates the `'b@v'` parse + resolution path end to end under the
+    * same raw-orders oracle. */
+  def q211BranchAtSql(s: SparkSession, dir: String): DataFrame = {
+    val table = bageTable(s, dir)
+    graft.expressions.GraftFunctions.register(s)
+    val boundary = VersionedTable.branchHistory(table, "reta").head._1
+    s.sql(s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+      "CAST(SUM(price) AS DOUBLE) AS total_price " +
+      s"FROM graft_version('$table', 'reta@$boundary') " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  private def bageTable(s: SparkSession, dir: String): String =
+    writeTables.getOrElseUpdate(dir + "#bage", {
       rollbackCleanupHook
       val w = java.nio.file.Files
         .createTempDirectory("graft-rollback-").toString
@@ -992,14 +1018,6 @@ object CdcQueries {
         "the boundary and head snapshots must survive")
       t0
     })
-    // the kept BOUNDARY snapshot is the older of the two survivors
-    val boundary = VersionedTable.branchHistory(table, "reta").head._1
-    VersionedTable.readBranchAt(s, table, "reta", boundary)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("price")).cast("double").as("total_price"))
-      .orderBy(col("o_orderstatus"))
-  }
 
   /** The `.partitions` metadata table (r15; Iceberg's partitions
     * metadata surface): per-partition record/file/size stats computed
@@ -1195,7 +1213,8 @@ object CdcQueries {
     "q207_stream_read" -> (q207StreamRead _),
     "q208_stream_read_from" -> (q208StreamReadFrom _),
     "q209_branch_retention" -> (q209BranchRetention _),
-    "q210_branch_retention_age" -> (q210BranchRetentionAge _))
+    "q210_branch_retention_age" -> (q210BranchRetentionAge _),
+    "q211_branch_at_sql" -> (q211BranchAtSql _))
 
   val oracles: Map[String, String] = Map(
     // the create-protocol table is the three-way slice UNION of raw
@@ -1421,6 +1440,15 @@ object CdcQueries {
     // snapshot = main quarter + first two staged quarters of orders —
     // the oracle replays exactly that three-quarter slice
     "q210_branch_retention_age" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 4 <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SQL face of the same address (r17): graft_version('t','b@v')
+    // must serve exactly the snapshot q210 reads via the Scala API
+    "q211_branch_at_sql" ->
       """SELECT o_orderstatus,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -178,7 +178,9 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
   /** `VERSION AS OF v` — only meaningful on a versioned root. A
     * non-numeric ref resolves as a TAG, then a BRANCH (r14: `VERSION AS
     * OF 'audited-2026-07'` / `VERSION AS OF 'wap-staging'`, Iceberg's
-    * ref spelling). */
+    * ref spelling), then as `'<branch>@<v>'` — one of the branch's
+    * RETAINED snapshots (r17), the read surface per-branch retention
+    * keeps addressable. */
   override def loadTable(ident: Identifier, version: String): Table = {
     metadataTableOf(ident).foreach { case (parentDir, metaName) =>
       val v = version.toLongOption
@@ -199,9 +201,25 @@ class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog
         case None if VersionedTable.branches(dir).contains(version) =>
           new GraftVersionedTable(ident.toString, dir, None,
             SparkSession.active, branchPin = Some(version))
+        case None if version.contains('@') =>
+          // `VERSION AS OF '<branch>@<v>'` (r17): one of the branch's
+          // RETAINED snapshots — what per-branch retention keeps
+          // addressable. Ref names cannot contain '@', so the split is
+          // unambiguous; an expired or never-staged v refuses in the
+          // resolver with the retained list named.
+          val (b, at) = version.splitAt(version.lastIndexOf('@'))
+          val v = at.drop(1).toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$version': expected " +
+                "'<branch>@<snapshot id>'"))
+          require(VersionedTable.branches(dir).contains(b),
+            s"VERSION AS OF '$version': no branch '$b' on $dir")
+          new GraftVersionedTable(ident.toString, dir, None,
+            SparkSession.active, branchPin = Some(b),
+            branchPinAt = Some(v))
         case None => throw new IllegalArgumentException(
           s"VERSION AS OF '$version': neither a snapshot id nor a tag " +
-            s"nor a branch on $dir")
+            s"nor a branch (nor '<branch>@<v>') on $dir")
       }
     }
   }

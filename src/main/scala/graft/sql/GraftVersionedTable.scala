@@ -48,7 +48,8 @@ final class GraftVersionedTable(
     root: String,
     pinnedVersion: Option[Long],
     spark: SparkSession,
-    branchPin: Option[String] = None)
+    branchPin: Option[String] = None,
+    branchPinAt: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -74,7 +75,12 @@ final class GraftVersionedTable(
     * manifest carries one (rewrite_manifests, r14 — zero dir
     * listings), the data-dir list otherwise. */
   private def dataPaths: Seq[String] = branchPin.orElse(wapReadBranch) match {
-    case Some(b) => VersionedTable.branchDataPaths(root, b)
+    case Some(b) => branchPinAt match {
+      // `VERSION AS OF 'b@v'` (r17): the branch's RETAINED snapshot v,
+      // not its head — an expired v refuses loudly in the resolver
+      case Some(v) => VersionedTable.branchDataPathsAt(root, b, v)._1
+      case None => VersionedTable.branchDataPaths(root, b)
+    }
     case None => VersionedTable.dataPaths(root, pinnedVersion)
   }
 
@@ -92,7 +98,12 @@ final class GraftVersionedTable(
   private def effectiveSchema
       : Option[org.apache.spark.sql.types.StructType] =
     (branchPin.orElse(wapReadBranch), pinnedVersion) match {
-      case (Some(b), _) => VersionedTable.branchSchema(root, b)
+      case (Some(b), _) => branchPinAt match {
+        // schema as of the branch snapshot, not the branch head —
+        // a pre-ADD-COLUMN branch snapshot reads its own columns
+        case Some(v) => VersionedTable.branchDataPathsAt(root, b, v)._2
+        case None => VersionedTable.branchSchema(root, b)
+      }
       case (None, Some(v)) => VersionedTable.schemaAt(root, v)
       case _ => VersionedTable.storedSchema(root)
     }
@@ -210,7 +221,8 @@ final class GraftVersionedTable(
       s"$op on $identName VERSION AS OF ${pinnedVersion.get}: snapshots " +
         "are immutable — write to the table, not to a point in its history")
     require(branchPin.isEmpty,
-      s"$op on $identName VERSION AS OF '${branchPin.getOrElse("")}': " +
+      s"$op on $identName VERSION AS OF '${branchPin.getOrElse("")}" +
+        branchPinAt.fold("")("@" + _) + "': " +
         "branch relations are read-only here — stage branch commits " +
         "with appendToBranch/writeToBranch, publish with fast_forward")
   }

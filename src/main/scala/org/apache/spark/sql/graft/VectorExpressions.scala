@@ -682,6 +682,9 @@ object VectorFunctions {
       "graft_refs", graft.pipeline.VersionedTable.refsTvfBuilder,
       "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_branch_history",
+      graft.pipeline.VersionedTable.branchHistoryTvfBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_files", graft.pipeline.VersionedTable.filesTvfBuilder,
       "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

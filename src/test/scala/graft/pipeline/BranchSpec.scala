@@ -309,6 +309,78 @@ class BranchSpec extends SparkSpec {
       s"CALL must report ok: ${report.mkString(", ")}")
   }
 
+  test("a branch's RETAINED history is addressable (r17): " +
+      "VERSION AS OF '<branch>@<v>' ≡ readBranchAt, serves the " +
+      "snapshot's own schema, refuses writes and expired snapshots") {
+    val w = Files.createTempDirectory("graft_br8_").toString
+    val table = s"$w/t"
+    val cat = s"gbat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftProcedureCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    // a DECLARED table: each commit embeds the schema current at
+    // commit time, so a branch snapshot staged BEFORE the ALTER must
+    // read back its own (pre-evolution) columns
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a')") // main v1
+    VersionedTable.createBranch(table, "hist")
+    VersionedTable.appendToBranch(Seq((2L, "b")).toDF("k", "v"),
+      table, "hist") // branch v2, schema (k, v)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra BIGINT")
+    VersionedTable.appendToBranch(
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra"), table, "hist") // v3
+    val hist = VersionedTable.branchHistory(table, "hist").map(_._1)
+    assert(hist == Seq(2L, 3L))
+
+    // the NON-head snapshot v2: same rows as readBranchAt, and the
+    // schema AS OF that snapshot (no 'extra' column yet)
+    val sql2 = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'hist@2'")
+    assert(sql2.columns.toSeq == Seq("k", "v"))
+    assert(sql2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(VersionedTable.readBranchAt(spark, table, "hist", 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the head via @: identical to the plain branch pin
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'hist@3'")
+      .columns.toSeq == Seq("k", "v", "extra"))
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'hist@3'")
+      .count() ==
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'hist'").count())
+    // the TVFs ride the same ref contract; graft_branch_history is
+    // the SQL address book (where an older_than boundary reads from)
+    graft.expressions.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT * FROM graft_version('$table', 'hist@2')")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.sql(
+      s"SELECT version FROM graft_branch_history('$table', 'hist')")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+
+    // writes refuse on the pinned-branch-snapshot relation
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VERSION AS OF 'hist@2' VALUES " +
+        "(9, 'z')")
+    }
+    // a typo'd branch and a malformed id refuse loudly
+    assert(intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t VERSION AS OF 'nope@2'").collect())
+      .getMessage.contains("no branch 'nope'"))
+    assert(intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t VERSION AS OF 'hist@x'").collect())
+      .getMessage.contains("<branch>@<snapshot id>"))
+
+    // expire the older snapshot: the @2 address must now refuse with
+    // the retained list named — never silently serve the head
+    assert(VersionedTable.expireBranchSnapshots(table, "hist", 1)
+      == Seq(2L))
+    val gone = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t VERSION AS OF 'hist@2'").collect())
+    assert(gone.getMessage.contains("no retained snapshot 2"))
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'hist@3'")
+      .count() == 3)
+    assert(spark.sql(
+      s"SELECT version FROM graft_branch_history('$table', 'hist')")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("the whole WAP flow runs under the CREATE protocol") {
     spark.conf.set(VersionedTable.ProtocolConfKey, "create")
     try {

@@ -399,5 +399,21 @@ class VersionedStreamSourceSpec extends SparkSpec {
     drain(table, s"$w/out", s"$w/cp")
     assert(spark.read.parquet(s"$w/out").collect().map(_.getLong(0))
       .sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // a store with NO real dir mtime (S3-style pseudo-dir statuses
+    // read 0) cannot validate the cache: every poll re-lists —
+    // correctness-first fallback to the pre-cache behavior, never a
+    // staleness window bounded only by the hard expiry
+    CountingLivenessFileSystem.zeroDirMtimes.set(true)
+    try {
+      VersionedTable.versionsCached(table) // any stale entry refreshes
+      CountingLivenessFileSystem.manifestDirLists.set(0L)
+      (1 to 3).foreach { _ =>
+        assert(VersionedTable.versionsCached(table) == Seq(1L, 2L, 3L))
+      }
+      assert(CountingLivenessFileSystem.manifestDirLists.get() == 3L,
+        "a frozen-mtime store must re-list on every poll (paid " +
+          s"${CountingLivenessFileSystem.manifestDirLists.get()} LISTs)")
+    } finally CountingLivenessFileSystem.zeroDirMtimes.set(false)
   }
 }

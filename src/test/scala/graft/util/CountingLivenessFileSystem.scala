@@ -32,8 +32,14 @@ final class CountingLivenessFileSystem extends RawLocalFileSystem {
       else FsPermission.getFileDefault,
       null, null, st.getPath)
 
-  override def getFileStatus(f: Path): FileStatus =
-    sanitize(super.getFileStatus(f))
+  override def getFileStatus(f: Path): FileStatus = {
+    val st = sanitize(super.getFileStatus(f))
+    // simulate an S3-style pseudo-directory status: no real mtime
+    if (CountingLivenessFileSystem.zeroDirMtimes.get() && st.isDirectory)
+      new FileStatus(st.getLen, true, st.getReplication, st.getBlockSize,
+        0L, 0L, FsPermission.getDirDefault, null, null, st.getPath)
+    else st
+  }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     if (f.getName == "_versions")
@@ -66,4 +72,8 @@ object CountingLivenessFileSystem {
   val manifestDirLists = new AtomicLong(0L)
   /** When set, every `listFiles` call throws (simulated throttle). */
   val failListFiles = new AtomicBoolean(false)
+  /** When set, directory statuses carry mtime 0 — an S3-style
+    * pseudo-dir whose mtime never moves (the listing cache must then
+    * refuse to validate and re-list every poll). */
+  val zeroDirMtimes = new AtomicBoolean(false)
 }
