@@ -16,6 +16,58 @@ import org.apache.spark.sql.SparkSession
   * that throws reports the string "err" instead of a bogus ~0s time. */
 object Bench {
 
+  /** Samples `/proc/stat` hypervisor CPU-steal time alongside the run
+    * (r17): on this benching box the host steals CPU in BURSTS of up
+    * to ~16% of all cores, completely invisible to loadavg (which
+    * counts only our own runnable threads) — a contaminated run can
+    * read 1.7× with a 0.16 start loadavg. Emitting the run's own
+    * steal percentage (and the worst 15 s window) inside the JSON
+    * artifact makes every bench self-adjudicating: a high
+    * `steal_max15s_pct` explains an elevated total without needing a
+    * parallel sampler. Returns None off Linux / when unreadable. */
+  private final class StealMeter {
+    // (steal ticks, total ticks) from the aggregate cpu line
+    private def sample(): Option[(Long, Long)] =
+      try {
+        val line = java.nio.file.Files
+          .lines(java.nio.file.Paths.get("/proc/stat"))
+          .filter(_.startsWith("cpu ")).findFirst()
+        if (!line.isPresent) None
+        else {
+          val f = line.get.trim.split("\\s+").drop(1).map(_.toLong)
+          if (f.length < 8) None else Some((f(7), f.sum))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private val start = sample()
+    @volatile private var maxWindowPct = 0.0
+    private val sampler = new Thread(() => {
+      var prev = sample()
+      while (true) {
+        Thread.sleep(15000)
+        val cur = sample()
+        for ((p, c) <- prev.zip(cur)) {
+          val dTot = c._2 - p._2
+          if (dTot > 0) {
+            val pct = 100.0 * (c._1 - p._1) / dTot
+            if (pct > maxWindowPct) maxWindowPct = pct
+          }
+        }
+        prev = cur
+      }
+    }, "graft-bench-steal-meter")
+    sampler.setDaemon(true)
+    if (start.nonEmpty) sampler.start()
+
+    /** `"steal_pct":p,"steal_max15s_pct":m,` or "" when unavailable. */
+    def jsonField(): String =
+      start.zip(sample()).map { case (s, e) =>
+        val dTot = e._2 - s._2
+        val pct = if (dTot > 0) 100.0 * (e._1 - s._1) / dTot else 0.0
+        f""""steal_pct":$pct%.2f,"steal_max15s_pct":$maxWindowPct%.2f,"""
+      }.getOrElse("")
+  }
+
   /** Free every persisted/localCheckpointed block synchronously before
     * the next query runs. The ContextCleaner only drops a checkpointed
     * RDD's blocks after the JVM GCs its reference — asynchronous and
@@ -48,6 +100,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val stealMeter = new StealMeter
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -334,7 +387,7 @@ object Bench {
     val stageField = gates
       .map { case (n, _, s) => "\"" + n + "\":" + stagesJson(s) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,$gateFields"stages":$stageField,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,${stealMeter.jsonField()}"errors":$errs,$gateFields"stages":$stageField,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // survive log-tail truncation: the full line as a file artifact
     try {
