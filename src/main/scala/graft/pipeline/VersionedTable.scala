@@ -3064,7 +3064,9 @@ object VersionedTable extends org.apache.spark.internal.Logging {
     * a TVF: one row per RETAINED branch snapshot `(version,
     * committed_at)`, oldest first — where a retention policy reads its
     * `older_than` boundary from SQL, and the address book for
-    * `VERSION AS OF '<branch>@<v>'`. */
+    * `VERSION AS OF '<branch>@<v>'`. Driver cost is |retained branch
+    * versions| manifest reads — the same budget every per-branch
+    * expiry pass already has, bounded by retention. */
   def branchHistoryTvfBuilder: Seq[Expression] => LogicalPlan = exprs => {
     require(exprs.size == 2 && exprs.forall(_.foldable),
       "graft_branch_history expects literal arguments: " +
