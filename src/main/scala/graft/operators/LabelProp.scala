@@ -39,12 +39,19 @@ object LabelProp {
     * exchanging the static |E|-row edge table; join strategy never
     * changes the min-label values. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, broadcastMaxNodes: Long = 4000000L): DataFrame = {
+      iters: Int, broadcastMaxNodes: Long = 4000000L,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges
+    // `assumeDistinct` (r17): min-label propagation is idempotent in
+    // edge multiplicity, so duplicates can never change RESULTS here —
+    // the defensive distinct exists only to keep iteration cost O(|E|)
+    // when callers pass duplicate-heavy streams. A caller whose edge
+    // construction is structurally duplicate-free (q158) skips that
+    // full-|E| exchange + hash agg.
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))

@@ -1471,7 +1471,12 @@ object ExtQueries {
       .distinct()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
+    // assumeDistinct: `pairs` is distinct and the two union branches
+    // live in disjoint node spaces (a < 100000 ≤ b), so the union is
+    // structurally duplicate-free — the operator's defensive distinct
+    // would re-shuffle all |E| rows to remove nothing (guide §2.4).
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 3,
+      assumeDistinct = true)
   }
 
   /** HashMin label propagation on the q142 graph: 4 exact iterations of
@@ -1488,7 +1493,9 @@ object ExtQueries {
       .distinct()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    graft.operators.LabelProp.run(edges, "src", "dst", iters = 4)
+    // same structural-uniqueness argument as q142 (disjoint node spaces)
+    graft.operators.LabelProp.run(edges, "src", "dst", iters = 4,
+      assumeDistinct = true)
   }
 
   /** Exact per-node triangle counts on the part co-occurrence graph

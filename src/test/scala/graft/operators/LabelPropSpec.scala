@@ -72,4 +72,17 @@ class LabelPropSpec extends SparkSpec {
       assert((labels(x) == labels(y)) == (comp(x) == comp(y)),
         s"partition mismatch at ($x, $y)")
   }
+
+  test("assumeDistinct on a duplicate-free edge set is bit-identical " +
+      "to the defensive-distinct path (r17)") {
+    val rnd = new scala.util.Random(9)
+    val e = sym(Seq.fill(40)(
+      (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(p => p._1 != p._2).distinct).distinct
+    def m(ad: Boolean) = LabelProp
+      .run(e.toDF("src", "dst"), "src", "dst", iters = 4,
+        assumeDistinct = ad)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(true) == m(false) && m(true) == local(e, 4))
+  }
 }

@@ -68,4 +68,16 @@ class PageRankSpec extends SparkSpec {
     assert(got(2L) == 150000L + 85L * (1000000L / 2L) / 100L)
     assert(got(2L) == got(3L))
   }
+
+  test("assumeDistinct on a duplicate-free edge set is bit-identical " +
+      "to the defensive-distinct path (r17)") {
+    val rnd = new scala.util.Random(5)
+    val e = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .distinct
+    def m(ad: Boolean) = PageRank
+      .run(e.toDF("src", "dst"), "src", "dst", iters = 3,
+        assumeDistinct = ad)
+      .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(true) == m(false) && m(true) == local(e, 3))
+  }
 }

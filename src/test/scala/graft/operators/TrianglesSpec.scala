@@ -80,7 +80,7 @@ class TrianglesSpec extends SparkSpec {
       // equality against an explicit-arg run below
       val confGated = Triangles
         .perNode(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
-          "src", "dst")
+          "src", "dst", intersectMaxEdges = 0L)
         .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(confGated == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
       // and the conf is genuinely consulted: an unparseable value fails
@@ -94,11 +94,58 @@ class TrianglesSpec extends SparkSpec {
     // semantics never depend on the gate (advisory filter discipline)
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
     val withBloom = Triangles
-      .perNode(e.toDF("src", "dst"), "src", "dst", bloomMaxEdges = 1000000L)
+      .perNode(e.toDF("src", "dst"), "src", "dst", bloomMaxEdges = 1000000L,
+        intersectMaxEdges = 0L)
       .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val noBloom = Triangles
-      .perNode(e.toDF("src", "dst"), "src", "dst", bloomMaxEdges = 0L)
+      .perNode(e.toDF("src", "dst"), "src", "dst", bloomMaxEdges = 0L,
+        intersectMaxEdges = 0L)
       .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(withBloom == noBloom && withBloom == run(e))
+  }
+
+  test("edge-iterator path == wedge/bloom path == brute force (r17)") {
+    // the r17 merge-intersection fast path must be indistinguishable
+    // from the wedge enumeration on every graph shape: random, skewed,
+    // and triangle-free
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val e = Seq.fill(150)(
+        (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      val df = e.toDF("src", "dst")
+      def m(iGate: Long) = Triangles
+        .perNode(df, "src", "dst", intersectMaxEdges = iGate)
+        .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaIntersect = m(1000000L) // forced on (edge count ≪ gate)
+      val viaWedges = m(0L)          // forced off
+      assert(viaIntersect == viaWedges, s"path drift at seed=$seed")
+      assert(viaIntersect == local(e), s"brute-force drift at seed=$seed")
+    }
+    // triangle-free graph: both paths return zero rows (not a crash on
+    // the empty-checkpoint edge)
+    val path2 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Triangles.perNode(path2, "src", "dst",
+      intersectMaxEdges = 1000000L).rows.isEmpty)
+    assert(Triangles.perNode(path2, "src", "dst",
+      intersectMaxEdges = 0L).rows.isEmpty)
+  }
+
+  test("intersect gate: conf knob overrides derivation, argument wins") {
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // derived default: bloom gate / 13
+    assert(Triangles.resolveIntersectGate(spark, Triangles.DeriveGate) ==
+      Triangles.derivedGate(spark) / 13L)
+    spark.conf.set(Triangles.IntersectGateConfKey, "7")
+    try {
+      assert(Triangles.resolveIntersectGate(spark,
+        Triangles.DeriveGate) == 7L)
+      // explicit argument still wins over the conf
+      assert(Triangles.resolveIntersectGate(spark, 42L) == 42L)
+      // a conf-disabled intersect path (0) still answers correctly
+      spark.conf.set(Triangles.IntersectGateConfKey, "0")
+      assert(Triangles.perNode(df, "src", "dst")
+        .rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally spark.conf.unset(Triangles.IntersectGateConfKey)
   }
 }
