@@ -27,20 +27,32 @@ object Components {
     * label propagation takes over. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
       driverThreshold: Long = 1000000L): DataFrame = {
-    val cached = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .cache()
-    val n = cached.count()
-    val out =
-      if (n <= driverThreshold) driverUnionFind(cached)
-      else starContract(cached, maxIters)
-    cached.unpersist()
-    out
+    val typed = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // Size gate and edge collection in ONE bounded action (r17): a
+    // limit(threshold+1) collect pulls at most threshold+1 rows of
+    // driver memory (16 MB at the 1M default) via incremental
+    // executeTake — upstream shuffle stages materialize once and are
+    // reused across its partition attempts — where the previous
+    // cache → count → collect → unpersist shape paid two full passes
+    // plus block-manager churn on EVERY near-dup query. Which rows
+    // land in the overflow probe is immaterial: it only picks the
+    // path, and union-find ≡ star contraction is property-pinned.
+    val head = typed.limit(driverThreshold.toInt + 1).collect()
+    if (head.length <= driverThreshold)
+      driverUnionFind(typed.sparkSession, head)
+    else {
+      // rare big-graph path: now it pays for a cache (the distributed
+      // rounds rescan the edge set), exactly like before
+      val cached = typed.cache()
+      try starContract(cached, maxIters) finally cached.unpersist()
+    }
   }
 
-  private def driverUnionFind(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

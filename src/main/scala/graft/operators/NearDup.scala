@@ -450,14 +450,18 @@ object NearDup {
   def jaccardPairsOverTokens(tokens: DataFrame, idCol: String,
       threshold: Double, maxDocFreq: Long): DataFrame = {
     // Repartition on the token hash BEFORE the set-dedup: hash
-    // partitioning by sh satisfies the (id, sh) grouping distribution, so
-    // the distinct adds no exchange, and every consumer below (df-guard,
-    // semi-join, self-join) keys on `sh` and reuses this single exchange —
-    // the tokenize pipeline runs once, not 3×.
+    // partitioning by sh satisfies the (id, sh) grouping distribution,
+    // so the distinct adds no exchange. The result is CHECKPOINTED
+    // (r17): exchange reuse between the df-guard branch and the
+    // semi-join branch does not survive AQE's per-branch planning —
+    // stage profiling showed the tokenize→explode→hash pipeline and
+    // its exchange executing twice (two identical map stages per run).
+    // One materialization of the 16-byte (id, sh) rows ends that.
     val exploded = tokens
       .select(col(idCol), col("sh"))
       .repartition(col("sh"))
       .distinct()
+      .localCheckpoint()
     val rare = exploded.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
