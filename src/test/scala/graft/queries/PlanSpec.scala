@@ -105,11 +105,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q159 triangles: bloom semi-join reduction guards the closing join") {
+  test("q159 triangles: edge-iterator path under the default gate " +
+      "(no wedge stream, no bloom, no closing join)") {
     val p = plan("q159_triangles")
-    // the wedge stream is filtered by might_contain BEFORE the closing
-    // join's exchange — without it 20x the triangle count crosses the wire
-    assert(p.contains("might_contain"), p)
+    // sf0.001 is far below the derived intersect gate, so the plan must
+    // be the Chiba–Nishizeki form: a Union of two scans over the
+    // checkpointed (u, v, ws, n) intersections — the wedge Generate
+    // (slice over the neighbor array), the bloom filter and the closing
+    // join are all legitimately absent. graft_sorted_intersect itself
+    // executes while materializing the ws checkpoint, so the FINAL plan
+    // is checked by shape (SortedIntersectSpec pins the expression).
+    assert(!p.contains("might_contain"), p)
+    assert(!p.contains("slice("), p)         // wedge-stream generator
+    assert(!p.contains("Join"), p)           // closing join eliminated
+    assert(p.contains("Union"), p)
+    assert(p.split("Scan ExistingRDD").length >= 3, p) // ws scanned twice
+  }
+
+  test("q159 triangles: bloom semi-join guards the closing join when the " +
+      "edge-iterator path is disabled") {
+    val key = graft.operators.Triangles.IntersectGateConfKey
+    spark.conf.set(key, "0")
+    try {
+      val p = plan("q159_triangles")
+      // the wedge stream is filtered by might_contain BEFORE the closing
+      // join's exchange — without it 20x the triangle count crosses the wire
+      assert(p.contains("might_contain"), p)
+    } finally spark.conf.unset(key)
   }
 
   test("q108 outliers broadcast the per-group moments over the scan") {
