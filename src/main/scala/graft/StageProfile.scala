@@ -57,10 +57,46 @@ object StageProfile {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
+      .foreach(spark.conf.set(graft.util.Ckpt.ConfKey, _))
+    // exploratory runtime confs: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val rec = new Recorder
     spark.sparkContext.addSparkListener(rec)
+    // SPARK_GRAFT_DUMP_PLANS=<dir>: write every executed plan (including
+    // the checkpoint-materialization jobs the final plan hides) to
+    // numbered files — the only way to attribute stages of multi-action
+    // operators to their operators
+    sys.env.get("SPARK_GRAFT_DUMP_PLANS").foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = {
+            val i = n.incrementAndGet()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"plan_$i%03d_$f.txt"),
+              qe.executedPlan.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          override def onFailure(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+    }
 
     val warmupDir = "/root/testdata/sf0.001"
+    // profile the SAME physical layout the bench times (size-gated split
+    // unless SPARK_GRAFT_SPLIT_INPUT=0 — see Bench.splitInputCopy)
+    val dataDir: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SPLIT_INPUT", "1") != "1") sfDir
+      else Bench.splitInputCopy(spark, sfDir)
+
     names.foreach { name =>
       // warmup: JIT + codegen at tiny scale, then once unrecorded at sfDir
       try SparkEntry.queries(name)(spark, warmupDir).count()
@@ -69,8 +105,9 @@ object StageProfile {
 
       (1 to reps).foreach { rep =>
         rec.clear()
+        val t0Epoch = System.currentTimeMillis()
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        SparkEntry.queries(name)(spark, dataDir).count()
         val total = (System.nanoTime() - t0) / 1e6
         println(f"\n==== $name rep $rep: total $total%.0f ms ====")
         val js = rec.jobs.toArray(Array.empty[(Int, Long, Long)]).sortBy(_._2)
@@ -83,7 +120,9 @@ object StageProfile {
             prevEnd = math.max(prevEnd, e)
           }
           val inJobs = js.map { case (_, s, e) => e - s }.sum
-          println(f"jobs=${js.length} firstJobLag=${(js.head._2 - (t0 / 1000000))}%d ms " +
+          // epoch base: listener event times are epoch millis, so the lag
+          // must subtract an epoch start, not the nanoTime origin
+          println(f"jobs=${js.length} firstJobLag=${js.head._2 - t0Epoch}%d ms " +
             f"inJobs=$inJobs ms interJobGaps=$gapSum ms")
         }
         rec.stages.toArray(Array.empty[rec.St]).sortBy(-_.wallMs).take(14)
