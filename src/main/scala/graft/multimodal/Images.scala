@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.util.Ckpt.CkptOps
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
@@ -449,7 +450,7 @@ object Images {
       (id, g.width, g.height, dhash64(g), f.grad_sum, f.n_px)
     }.toDF("image_id", "width_px", "height_px", "dhash", "grad_sum",
         "n_px")
-      .localCheckpoint()
+      .ckpt()
     stat("decoded", scored)
     val informative = scored.filter(
       col("grad_sum") >= col("n_px") * lit(minEdgePerPx))

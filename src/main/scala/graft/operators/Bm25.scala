@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,7 +78,7 @@ object Bm25 {
     // pass (checkpointed — two consumers) serves scoring AND df.
     val post = postings(docs, idCol, textCol)
       .filter(col("term").isin(query.distinct: _*))
-      .localCheckpoint()
+      .ckpt()
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     scoreAndRank(post, dfreq, stats(docs, idCol, textCol), idCol, k)
   }
@@ -116,7 +117,7 @@ object Bm25 {
     // df(t): the filter is per-term, so it commutes with the per-term count.
     val post = postings(docs, idCol, textCol)
       .filter(col("term").isin(termList: _*))
-      .localCheckpoint()
+      .ckpt()
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val scored = post
       .join(broadcast(dfreq), Seq("term"))
@@ -144,7 +145,7 @@ object Bm25 {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val post = postings(docs, idCol, textCol)
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
-      .localCheckpoint() // one tokenize pass feeds postings AND df
+      .ckpt() // one tokenize pass feeds postings AND df
     post.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     post.groupBy(col("bucket"), col("term"))
@@ -225,7 +226,7 @@ object Bm25 {
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(qBuckets: _*) &&
         col("term").isin(terms: _*))
-      .localCheckpoint() // one pruned scan feeds df AND scoring
+      .ckpt() // one pruned scan feeds df AND scoring
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val statsDf = spark.read.parquet(s"$path/doclen")
       .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__l"))

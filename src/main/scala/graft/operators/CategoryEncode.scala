@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,7 +30,7 @@ object CategoryEncode {
       s"maxCategories must be positive, got $maxCategories")
     val counts = df.filter(col(c).isNotNull)
       .groupBy(col(c).as("value")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .ckpt()
     val nCats = counts.count()
     require(nCats <= maxCategories,
       s"column $c has $nCats distinct values (> $maxCategories): " +

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -38,7 +39,12 @@ object Components {
     // plus block-manager churn on EVERY near-dup query. Which rows
     // land in the overflow probe is immaterial: it only picks the
     // path, and union-find ≡ star contraction is property-pinned.
-    val head = typed.limit(driverThreshold.toInt + 1).collect()
+    // clamp: a Long threshold ≥ Int.MaxValue would overflow `.toInt + 1`
+    // into a negative limit; past ~2^31 rows the driver path is out of
+    // the question anyway, so saturating at Int.MaxValue−1 keeps the
+    // probe a plain over-threshold detector
+    val probe = math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1
+    val head = typed.limit(probe).collect()
     if (head.length <= driverThreshold)
       driverUnionFind(typed.sparkSession, head)
     else {
@@ -80,7 +86,7 @@ object Components {
   private def starContract(pairs: DataFrame, maxIters: Int): DataFrame = {
     val nodes = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
-      .localCheckpoint()
+      .ckpt()
 
     def canon(e: DataFrame): DataFrame =
       e.filter(col("a") =!= col("b"))
@@ -108,7 +114,7 @@ object Components {
     // localCheckpoint per round truncates the lineage — an iterative plan
     // otherwise grows exponentially round over round.
     var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
-      .localCheckpoint()
+      .ckpt()
     var prev = fingerprint(edges)
     var iter = 0
     var converged = prev._1 == 0L
@@ -125,7 +131,7 @@ object Components {
       val small = canon(
         large.join(smins, Seq("u")).select(col("v").as("a"), col("m").as("b"))
           .unionAll(smins.select(col("u").as("a"), col("m").as("b"))))
-        .localCheckpoint()
+        .ckpt()
       val sig = fingerprint(small)
       edges = small
       converged = sig == prev

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -80,7 +81,7 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame = {
     val ev = NearDup.shingleRows(eval, idCol, textCol, n)
       .select(xxhash64(col("shingle")).as("sh")).distinct()
-      .localCheckpoint() // two consumers: the filter build + exact verify
+      .ckpt() // two consumers: the filter build + exact verify
     val bloom = ev.stat.bloomFilter("sh", expectedEvalShingles, fpp)
     val bytes = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bytes)

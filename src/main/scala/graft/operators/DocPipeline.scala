@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -64,7 +65,7 @@ object DocPipeline {
     stat("quality_filter", qualityOk)
 
     val exactDeduped = Dedup.exactKeepFirst(qualityOk, textCol, idCol)
-      .localCheckpoint()
+      .ckpt()
     stat("exact_dedup", exactDeduped)
 
     val pairs = NearDup.minhashPairs(exactDeduped, idCol, textCol,

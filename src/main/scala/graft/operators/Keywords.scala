@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,7 +45,7 @@ object Keywords {
       .filter(length(col("term")) >= minTokenLen)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckpt()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(desc("score_ppm"), col("term"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,10 +38,18 @@ object LabelProp {
     * `broadcastMaxNodes`: same gate as [[PageRank.run]] — under it,
     * each iteration broadcasts the |V|-row label state instead of
     * exchanging the static |E|-row edge table; join strategy never
-    * changes the min-label values. */
+    * changes the min-label values.
+    *
+    * `materializePerIteration = false` (same contract as
+    * [[PageRank.run]]): skip the per-iteration localCheckpoint and run
+    * all K iterations as one lazy composite — identical values, and for
+    * small FIXED K it removes K materialization barriers and their
+    * block write/read cycles (q158 at 4 iterations measured 1.5× on the
+    * post-split bench); the default keeps lineage O(1) for arbitrary K. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, broadcastMaxNodes: Long = 4000000L,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      materializePerIteration: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // `assumeDistinct` (r17): min-label propagation is idempotent in
     // edge multiplicity, so duplicates can never change RESULTS here —
@@ -52,11 +61,12 @@ object LabelProp {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
     val e = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+      .ckpt()
+    // one explode pass, not a 2-arm union — same block-read halving as
+    // PageRank.run's nodes derivation
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val fits = nodes.count() <= broadcastMaxNodes
     def state(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var labels = nodes.select(col("node"), col("node").as("label"))
@@ -64,11 +74,11 @@ object LabelProp {
       val incoming = e.join(state(labels), e("src") === labels("node"))
         .select(col("dst").as("node"), col("label").as("nl"))
         .groupBy(col("node")).agg(min(col("nl")).as("m"))
-      labels = labels.join(state(incoming), Seq("node"), "left")
+      val next = labels.join(state(incoming), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("m"), col("label")))
             .as("label"))
-        .localCheckpoint()
+      labels = if (materializePerIteration) next.ckpt() else next
     }
     labels
   }

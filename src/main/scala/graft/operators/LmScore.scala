@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,7 +32,7 @@ object LmScore {
       .select(col(idCol),
         split(col("shingle"), " ").getItem(0).as("w1"),
         col("shingle").as("bg"))
-      .localCheckpoint()
+      .ckpt()
     val c12 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
     bg.join(c12, Seq("bg"))
@@ -71,14 +72,14 @@ object LmScore {
       .select(explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
+      .ckpt()
     val c12 = NearDup.shingleRows(df, idCol, textCol, 2)
       .select(split(col("shingle"), " ").getItem(0).as("w1"),
         split(col("shingle"), " ").getItem(1).as("w2"),
         col("shingle").as("bg"))
       .groupBy(col("bg"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
-      .localCheckpoint()
+      .ckpt()
     // both sides are one-row aggregates; broadcast explicitly so a
     // refactor can never silently inflate this into a real cross join
     val totals = uni.agg(sum(col("cu")).as("__nt"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -166,10 +167,25 @@ object NearDup {
     // into a single WindowExec (one shuffle by doc id), where a
     // groupBy + join-back would cost two exchanges and a join for the
     // same rows (measured ~2x on the pairs family).
+    //
+    // The doc-id exchange is pinned to the session's configured shuffle
+    // parallelism (explicit-N repartition on the SAME key the window
+    // needs — no extra exchange, it just opts this one out of AQE
+    // coalescing): everything downstream of the window — the band
+    // self-join, candidate dedup and the Jaccard verify probes — fuses
+    // into the window's whole-stage, and its cost is join fan-out and
+    // per-pair probe work, not bytes, so AQE's byte-based coalescing
+    // misjudges it badly (at sf0.1 a 1 MB exchange collapsed the whole
+    // chain to ONE task of 1.1 s while 31 cores idled). At production
+    // shuffle sizes the exchange is at or above the configured partition
+    // count anyway, so pinning changes nothing there.
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val rows = adj.withColumn("__adj",
-      array((0 until bands).map(j =>
-        max(when(col(bandCol) === j, col("__k"))).over(byDoc)): _*))
+    val rows = adj
+      .repartition(ids.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
+      .withColumn("__adj",
+        array((0 until bands).map(j =>
+          max(when(col(bandCol) === j, col("__k"))).over(byDoc)): _*))
     val small = rows.filter(col("__bn") <= maxBucketSize)
     val a = small.select(col(bandCol), col("__k"),
       col(idCol).as("id_a"), col("__adj").as("__adja"))
@@ -232,7 +248,7 @@ object NearDup {
     // is strictly cheaper (measured 0.75 s → 0.57 s on the sf0.1
     // front end).
     val ex = explodedShingles(df, idCol, textCol, shingleSize)
-      .localCheckpoint()
+      .ckpt()
     val k = bands * rowsPerBand
     // checkpoint: the signature table feeds several consumers (both
     // self-join sides, cell stats, adjusted arrays); physical exchange
@@ -242,7 +258,7 @@ object NearDup {
       .agg(array((0 until k).map { seed =>
         min(xxhash64(lit(seed), col("sh")))
       }: _*).as("sig"))
-      .localCheckpoint()
+      .ckpt()
     val ids = sigs.select(col(idCol),
       posexplode(bandHashArray(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "band_hash")))
@@ -407,7 +423,7 @@ object NearDup {
     // one long per doc, several consumers — same checkpoint rationale as
     // minhashPairs
     val sigs = signatures.select(col(idCol), col(sigCol).as("sig"))
-      .localCheckpoint()
+      .ckpt()
     val banded = sigs.select(col(idCol), posexplode(
       array((0 until bands).map(b => slice(col("sig"), b)): _*))
       .as(Seq("band", "band_val")))
@@ -461,7 +477,7 @@ object NearDup {
       .select(col(idCol), col("sh"))
       .repartition(col("sh"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val rare = exploded.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
@@ -470,7 +486,7 @@ object NearDup {
     // checkpointing it makes the tokenize→shingle→distinct→df-guard
     // lineage run exactly once instead of per consumer.
     val indexed = exploded.join(rare, Seq("sh"), "left_semi")
-      .localCheckpoint()
+      .ckpt()
     // One pass: the co-occurrence join itself yields the common-shingle
     // count per pair (map-side partial count), so candidate pairs are never
     // materialized separately and the index is never re-joined.

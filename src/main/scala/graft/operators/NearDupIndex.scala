@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -131,7 +132,7 @@ object NearDupIndex {
     val banded = NearDup.minhashBands(batch, idCol, textCol, p.shingleSize,
         p.bands, p.rowsPerBand)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
-      .localCheckpoint() // batch is small; bands feed two join branches
+      .ckpt() // batch is small; bands feed two join branches
     // per-batch cell stats roll up to the global stats at probe time —
     // an O(|cells|·|batches|) agg, never O(corpus)
     val cellsRaw = readIdxTable(spark, s"$root/cells", excludeBatchId)
@@ -156,7 +157,7 @@ object NearDupIndex {
     // verify: meet the batch's shingle sets with the STORED inverted
     // index, restricted to candidate old ids
     val newEx = NearDup.explodedShingles(batch, idCol, textCol,
-      p.shingleSize).localCheckpoint()
+      p.shingleSize).ckpt()
     val newSizes = newEx.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_new"))
       .select(col(idCol).as("new_id"), col("n_new"))
@@ -240,9 +241,9 @@ object NearDupIndex {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint()
+        val b = batch.ckpt()
         val exact = Dedup.exactKeepFirst(b, textCol, idCol)
-          .localCheckpoint()
+          .ckpt()
         val pairs = NearDup.minhashPairs(exact, idCol, textCol,
           shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
         val batchClean =
@@ -260,7 +261,7 @@ object NearDupIndex {
               .select(col("new_id").as(idCol)).distinct()
             batchClean.join(hits, Seq(idCol), "left_anti")
           }
-        val nv = novel.localCheckpoint() // feeds five writes
+        val nv = novel.ckpt() // feeds five writes
         def land(df: DataFrame, table: String,
             partCols: Seq[String] = Nil): Unit =
           df.withColumn("batch_id", lit(batchId))
@@ -269,13 +270,13 @@ object NearDupIndex {
             .partitionBy("batch_id" +: partCols: _*)
             .parquet(s"$root/$table")
         val bandedNv = NearDup.minhashBands(nv, idCol, textCol,
-          shingleSize, bands, rowsPerBand).localCheckpoint()
+          shingleSize, bands, rowsPerBand).ckpt()
         land(bandedNv, "bands", Seq("band"))
         land(bandedNv.groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id")),
           "cells")
         val exNv = NearDup.explodedShingles(nv, idCol, textCol,
-          shingleSize).localCheckpoint()
+          shingleSize).ckpt()
         land(exNv, "shingles")
         land(nv.select(col(idCol)), "accepted")
         land(exNv.groupBy(col(idCol)).agg(count(lit(1)).as("n")), "docs")
@@ -342,7 +343,7 @@ object NearDupIndex {
     val cells = spark.read.parquet(s"$root/cells")
       .groupBy(col("band"), col("band_hash"))
       .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))
-      .localCheckpoint() // sever from the dir being swapped
+      .ckpt() // sever from the dir being swapped
     fs.delete(hp("cells.new"), true)
     cells.withColumn("batch_id", lit(sentinel))
       .write.mode("overwrite").partitionBy("batch_id")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -70,16 +71,19 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
     val e = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+      .ckpt()
+    // one explode pass over the checkpointed edges, not a 2-arm union:
+    // each union arm re-reads the full edge blocks (2 × ~96 MB at q142's
+    // sf0.1 sizes); explode emits both endpoints in a single pass and
+    // the distinct partial-aggregates map-side either way
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     // out-degree folded onto each edge ONCE: an iteration is then one
     // shuffle join + one partial agg, not two joins
     val withDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
-      .localCheckpoint()
+      .ckpt()
     val base = (100L - dampingPct) * 10000L
     val fits = nodes.count() <= broadcastMaxNodes
     def state(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
@@ -94,7 +98,7 @@ object PageRank {
         .select(col("node"),
           expr(s"CAST($base + ($dampingPct * coalesce(s, 0)) DIV 100 " +
             "AS BIGINT)").as("rank_ppm"))
-      ranks = if (materializePerIteration) next.localCheckpoint() else next
+      ranks = if (materializePerIteration) next.ckpt() else next
     }
     ranks
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -193,7 +194,7 @@ object Profile {
       s"percents must be in [1, 100], got $percents")
     val spark = df.sparkSession
     import spark.implicits._
-    val h = histogram(df, c, buckets).localCheckpoint()
+    val h = histogram(df, c, buckets).ckpt()
     val cum = h.withColumn("cum",
       sum(col("n")).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("bin"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -285,7 +286,7 @@ object Similarity {
     // vectors from the source scan — vectors are never duplicated into
     // the checkpoint.
     val ids = df.select(col(idCol).as("__id"), bucketArr.as("__bks"))
-      .localCheckpoint()
+      .ckpt()
       .select(col("__id"), posexplode(col("__bks")).as(Seq("__band", "__bkt")))
     NearDup.bandedCandidates(ids, "__id", "__band", "__bkt", bands,
         maxBucketSize)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -145,10 +146,27 @@ object Triangles {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-      .localCheckpoint()
-    val deg = und.select(col("a").as("n"))
-      .union(und.select(col("b").as("n")))
+      .ckpt()
+    // one explode pass, not a 2-arm union: each union arm is a separate
+    // full read of the checkpointed edge blocks (~98 MB at sf0.1 — the
+    // profiler showed this stage reading 196 MB); explode emits both
+    // endpoints from a single pass and the partial agg dedups map-side
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // count() is a cheap block-manager scan on the checkpointed table
+    // and is the exact statistic every gate decision needs. Counted on
+    // `und`, BEFORE the orientation join: orientation maps each
+    // undirected edge to exactly one oriented row (no filter, no dedup),
+    // so |und| == |oriented| — and knowing it here lets the orientation
+    // join pick its build side deliberately instead of from the
+    // checkpointed table's static estimate (the planner was observed
+    // BROADCASTING the |E|-row edge table and streaming the degree
+    // table: a driver-side hash build of 1.2 M rows to avoid a 1.8 MB
+    // exchange, guide §3.1 backwards).
+    val nEdges = und.count()
+    val gate = resolveGate(edges.sparkSession, bloomMaxEdges)
+    val iGate = resolveIntersectGate(edges.sparkSession, intersectMaxEdges)
     // orient low-(d, n) → high-(d, n): struct comparison gives the
     // lexicographic (degree, id) total order directly
     // dv (degree of the edge's high endpoint) rides along so wedge tips
@@ -156,9 +174,18 @@ object Triangles {
     // edge is oriented by — each tip pair is then emitted exactly once,
     // already in closing-edge orientation (halves the wedge volume vs
     // emitting both orders and letting the join discard one).
+    // Build side: deg has |V| ≤ 2|E| rows of 16 bytes — under the bloom
+    // gate (|E| bounded by the broadcast budget) broadcast it EXPLICITLY
+    // and reuse the one relation for both endpoint joins (rename the
+    // payload after each join, as with `adj` below); above the gate
+    // leave the planner free — at that scale both sides are huge and
+    // sort-merge is the right call anyway.
+    val degB = if (nEdges <= gate && gate > 0L) broadcast(deg) else deg
     val oriented = und
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .join(degB, col("a") === col("n"))
+      .withColumnRenamed("d", "da").drop("n")
+      .join(degB, col("b") === col("n"))
+      .withColumnRenamed("d", "db").drop("n")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
@@ -166,12 +193,7 @@ object Triangles {
             struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .localCheckpoint()
-    // count() is a cheap block-manager scan on the checkpointed table
-    // and is the exact statistic the bloom decision needs
-    val nEdges = oriented.count()
-    val gate = resolveGate(edges.sparkSession, bloomMaxEdges)
-    val iGate = resolveIntersectGate(edges.sparkSession, intersectMaxEdges)
+      .ckpt()
     // EDGE-ITERATOR fast path (Chiba–Nishizeki / Schank–Wagner forward
     // algorithm — the merge-intersection formulation of the same
     // degree-oriented enumeration): when the whole oriented adjacency
@@ -193,20 +215,40 @@ object Triangles {
       val adj = oriented.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs"))
         .select(col("u").as("k"), col("nbrs"))
-      val ws = oriented.select(col("u"), col("v"))
-        .join(broadcast(adj.select(col("k"), col("nbrs").as("anu"))),
-          col("u") === col("k")).drop("k")
-        .join(broadcast(adj.select(col("k"), col("nbrs").as("anv"))),
-          col("v") === col("k")).drop("k")
+      // ONE broadcast relation probed by both joins (rename the payload
+      // AFTER each join, so the two broadcast subtrees stay canonically
+      // identical and ReuseExchange ships the adjacency once) — the
+      // aliased-before-join form built two separate broadcast exchanges,
+      // doubling peak broadcast memory near the gate
+      val adjB = broadcast(adj)
+      // repartition before the intersect stage: AQE sizes the upstream
+      // plan by SHUFFLE BYTES and coalesces the ≤12 MB oriented-edge
+      // exchange to a handful of partitions, but the per-row work here
+      // is a full Σ(|N⁺(u)|+|N⁺(v)|) merge — 130 M merge steps at sf0.1
+      // were running on 3 tasks (2.4 s CPU, 0.8 s wall). The gate
+      // BOUNDS the edge set (this branch only runs when |E| fits the
+      // broadcast budget), so one extra exchange of the bounded set is
+      // always cheap relative to the intersection compute it fans out.
+      val wsAll = oriented.select(col("u"), col("v"))
+        .repartition(col("u"))
+        .join(adjB, col("u") === col("k"))
+        .withColumnRenamed("nbrs", "anu").drop("k")
+        .join(adjB, col("v") === col("k"))
+        .withColumnRenamed("nbrs", "anv").drop("k")
         .select(col("u"), col("v"),
           org.apache.spark.sql.graft.ArrayFunctions
             .sortedIntersect(col("anu"), col("anv")).as("ws"))
         .withColumn("n", size(col("ws")).cast("long"))
-        .filter(col("n") > 0L)
-        // two consumers (corner counts, w explode) — same checkpoint
-        // rationale as `oriented`; holds one row per triangle-closing
-        // edge only
-        .localCheckpoint()
+        // checkpoint BEFORE the n > 0 filter: filtering first pushes the
+        // predicate into the join as size(intersect) > 0, and the
+        // projection then re-evaluates the intersect for every surviving
+        // row — the checkpoint is a pushdown barrier, so each edge's
+        // intersection is computed exactly once (the empty-intersection
+        // rows the blocks now hold are 24-byte rows with empty arrays)
+        .ckpt()
+      // two consumers (corner counts, w explode) — same checkpoint
+      // rationale as `oriented`
+      val ws = wsAll.filter(col("n") > 0L)
       return ws
         .select(explode(array(
           struct(col("u").as("node"), col("n").as("c")),

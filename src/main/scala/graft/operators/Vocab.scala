@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,7 +29,7 @@ object Vocab {
     val toks = df
       .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol)))
         .as(Seq("pos", "tok")))
-      .localCheckpoint()
+      .ckpt()
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("tok")).limit(k)
       .select(col("tok"), lit(1).as("__inv"))

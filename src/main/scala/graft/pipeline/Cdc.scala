@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +66,7 @@ object Cdc {
     // pin the change set: if `changes` reads a live/non-deterministic
     // source, the rows the cardinality check validated must be the rows
     // the merge writes (also saves recomputing the plan per consumer)
-    val ch = changes.localCheckpoint()
+    val ch = changes.ckpt()
     val dups = ch.groupBy(keyCols(keys): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dups == 0,
@@ -102,7 +103,7 @@ object Cdc {
     // migration checks validated must be the snapshot the merge writes —
     // otherwise duplicates can slip through while the checks pass. Also
     // saves re-evaluating the change plan for each of its four consumers.
-    val ch = changes.localCheckpoint()
+    val ch = changes.ckpt()
     val dups = ch.groupBy(keyCols(keys): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dups == 0,
@@ -126,7 +127,7 @@ object Cdc {
     // checkpoint: the merge result feeds BOTH the write and the
     // emptied-partition check below; recomputing it per consumer would
     // double the merge work.
-    val merged = merge(base, ch, keys, deleteCol).localCheckpoint()
+    val merged = merge(base, ch, keys, deleteCol).ckpt()
     Medallion.overwritePartitions(merged, wh, zone, name, Seq(partitionCol))
     // Dynamic overwrite only replaces partitions PRESENT in the written
     // frame: a touched partition whose rows were all deleted has no rows
