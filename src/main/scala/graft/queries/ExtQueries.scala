@@ -1458,25 +1458,60 @@ object ExtQueries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** Guard for the q142/q158 `assumeDistinct` structural-uniqueness
+    * argument: the two union branches are duplicate-free only while the
+    * supplier id space stays below the +100000 customer offset
+    * (suppkeys = 10k×SF in TPC-H, so the bound holds through SF 10 and
+    * breaks silently past it — duplicate directed edges would then
+    * double-count in PageRank). One narrow column scan per (process,
+    * dir), cached like the other per-dir fixtures; trips loudly instead
+    * of returning wrong ranks. */
+  private val nodeSpaceChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def requireDisjointNodeSpaces(s: SparkSession, dir: String): Unit = {
+    val ok = nodeSpaceChecked.getOrElseUpdate(dir, {
+      val m = t(s, dir, "lineitem").agg(max(col("l_suppkey"))).head().getLong(0)
+      m <= 100000L
+    })
+    require(ok,
+      s"q142/q158 node spaces collide at this SF (max l_suppkey > 100000): " +
+        "the +100000 customer offset no longer separates supplier and " +
+        "customer ids, so the union is not structurally duplicate-free — " +
+        "assumeDistinct would silently double-count edges")
+  }
+
   /** Fixed-point PageRank over the supplier↔customer interaction graph
     * (symmetric edges from lineitem⋈orders; customers offset by 100000
     * into a shared node space). 3 exact integer-ppm iterations — the
     * oracle unrolls the same three joins and matches bit-for-bit. */
   def q142PageRank(s: SparkSession, dir: String): DataFrame = {
+    requireDisjointNodeSpaces(s, dir)
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("l_suppkey").as("a"),
         (col("o_custkey") + lit(100000L)).as("b"))
       .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // assumeDistinct: `pairs` is distinct and the two union branches
-    // live in disjoint node spaces (a < 100000 ≤ b), so the union is
-    // structurally duplicate-free — the operator's defensive distinct
-    // would re-shuffle all |E| rows to remove nothing (guide §2.4).
+    // symmetrize with ONE explode, not a 2-arm union: union arms do not
+    // share plan subtrees, so the union form derived the lineitem⋈orders
+    // join + distinct TWICE before the operator's edge checkpoint could
+    // materialize it (guide §2.4 — same row multiset, half the work)
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // assumeDistinct: `pairs` is distinct and the two explode branches
+    // live in disjoint node spaces (a < 100000 ≤ b, guarded above), so
+    // the symmetrized set is structurally duplicate-free — the
+    // operator's defensive distinct would re-shuffle all |E| rows to
+    // remove nothing (guide §2.4).
+    // fixed 3 iterations → lazy composite (no per-iteration checkpoint):
+    // identical values, 27 → 15 jobs, measured 2.5 → 1.7 s warm solo on
+    // the post-split bench; the operator default stays checkpointed for
+    // unbounded iteration counts
     graft.operators.PageRank.run(edges, "src", "dst", iters = 3,
-      assumeDistinct = true)
+      materializePerIteration = false, assumeDistinct = true)
   }
 
   /** HashMin label propagation on the q142 graph: 4 exact iterations of
@@ -1485,17 +1520,23 @@ object ExtQueries {
     * oracle unrolls the same 4 joins; labels are node ids, so every
     * iteration is integer-exact on any engine. */
   def q158LabelProp(s: SparkSession, dir: String): DataFrame = {
+    requireDisjointNodeSpaces(s, dir)
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("l_suppkey").as("a"),
         (col("o_custkey") + lit(100000L)).as("b"))
       .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // same structural-uniqueness argument as q142 (disjoint node spaces)
+    // one-explode symmetrization + structural uniqueness: same
+    // derivation-sharing and disjoint-node-space arguments as q142
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // fixed 4 iterations → lazy composite (no per-iteration checkpoint),
+    // same rationale and measurement as q142
     graft.operators.LabelProp.run(edges, "src", "dst", iters = 4,
-      assumeDistinct = true)
+      assumeDistinct = true, materializePerIteration = false)
   }
 
   /** Exact per-node triangle counts on the part co-occurrence graph

@@ -30,4 +30,24 @@ class QueriesSpec extends SparkSpec {
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q142/q158 node-space guard trips on a colliding key space") {
+    // assumeDistinct's structural-uniqueness argument requires
+    // suppkey ≤ 100000 (< the customer offset); at a synthetic SF where
+    // suppliers collide with the offset space, the guard must throw
+    // loudly rather than let PageRank silently double-count edges
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-collide-sf-").toString
+    Seq((1L, 200001L), (2L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, 10L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q142_pagerank")(spark, d).count()
+    }
+    assert(e.getMessage.contains("node spaces collide"), e.getMessage)
+  }
 }

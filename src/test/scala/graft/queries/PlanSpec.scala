@@ -134,6 +134,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("q27 pins the banded-candidates window exchange to the configured " +
+      "parallelism (REPARTITION_BY_NUM, exempt from byte-based coalescing)") {
+    val p = plan("q27_minhash_pairs")
+    // the whole candidate+verify chain fuses into the window's stage;
+    // an AQE-coalesced 1-partition exchange serializes it (r18: one
+    // 1.1 s task while 31 cores idled)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
   test("q108 outliers broadcast the per-group moments over the scan") {
     val p = plan("q108_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
