@@ -2948,7 +2948,15 @@ object VersionedTable extends org.apache.spark.internal.Logging {
   }
 
   /** Commit wall-clock of a manifested version (the first manifest
-    * line, epoch millis — written by [[write]]/[[rollback]]). */
+    * line, epoch millis — written by [[write]]/[[rollback]]).
+    *
+    * FAIL-CLOSED on an unparseable timestamp: both consumers make
+    * destructive or binding decisions from this value (`expireOlderThan`
+    * deletes snapshots older than a cutoff; `timestampAsOf` resolves a
+    * read), and the old `getOrElse(0L)` fallback made a corrupt manifest
+    * read as infinitely OLD — i.e. first in line for expiry. Every
+    * manifest this code ever wrote starts with the epoch-millis line, so
+    * an unparseable one is corruption, not a legacy format. */
   private def commitTimeOn(fs: FileSystem, root: Path, v: Long): Long = {
     val in = fs.open(new Path(manifestDir(root), v.toString))
     val content =
@@ -2956,7 +2964,10 @@ object VersionedTable extends org.apache.spark.internal.Logging {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     content.linesIterator.nextOption()
-      .flatMap(_.trim.toLongOption).getOrElse(0L)
+      .flatMap(_.trim.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest $v of $root has no parseable commit timestamp; " +
+          "refusing to time-resolve or expire against a corrupt manifest"))
   }
 
   /** Snapshot history — the `table$snapshots` metadata surface
