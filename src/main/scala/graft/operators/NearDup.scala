@@ -473,9 +473,16 @@ object NearDup {
     // stage profiling showed the tokenize→explode→hash pipeline and
     // its exchange executing twice (two identical map stages per run).
     // One materialization of the 16-byte (id, sh) rows ends that.
+    // pinned to the session's configured shuffle parallelism (same
+    // rationale as bandedCandidates' window pin): the checkpointed
+    // index's partition count IS the parallelism of the co-occurrence
+    // self-join map side, and AQE's byte-based coalescing of this
+    // ~3 MB exchange was capping it at 2 tasks while the join work is
+    // posting-list fan-out, not bytes
     val exploded = tokens
       .select(col(idCol), col("sh"))
-      .repartition(col("sh"))
+      .repartition(tokens.sparkSession.sessionState.conf.numShufflePartitions,
+        col("sh"))
       .distinct()
       .ckpt()
     val rare = exploded.groupBy("sh")

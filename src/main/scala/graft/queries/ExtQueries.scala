@@ -1189,7 +1189,13 @@ object ExtQueries {
       val tbl = s"$d/orders"
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      o.repartition(8).write.parquet(tbl)
+      // cluster the fragments BY THE PROBE COLUMN (hash, not range: the
+      // files then have wide, overlapping min/max ranges, so the BLOOM
+      // is what prunes — the point of the demo) — keyless round-robin
+      // spread each custkey's ~10 rows across files in a layout-
+      // dependent way, and a multi-file source (the r18 bench split)
+      // made the `scanned < 8` pruning assertion flaky
+      o.repartition(8, col("o_custkey")).write.parquet(tbl)
       val statsDir = s"$d/stats"
       graft.operators.FileIndex.buildStatsWithBloom(s, tbl,
           rangeCols = Seq("o_custkey"), bloomCols = Seq("o_custkey"),
