@@ -106,6 +106,15 @@ object Bench {
   def splitInputCopy(spark: SparkSession, sfDir: String): String = {
     val target = sys.env.getOrElse("SPARK_GRAFT_SPLIT_TARGET_BYTES",
       "524288").toLong.max(65536L)
+    // eligibility floor: only tables with MULTIPLE MBs of single-file
+    // decode work split at all. Splitting the 2-3 MB orders/events
+    // tables was measured as a pure tax on the versioned-table/CDC
+    // family (each query's per-dir warehouse build re-scans its split
+    // source: q206 +0.5 s, q201 +0.3 s, q190 +0.2 s in a like-for-like
+    // subset A/B) with no offsetting win — their scans cost ~0.1 s
+    // single-task. At sf0.1 only lineitem (10.8 MB, the 600 k-row
+    // decode that dominates q02 and the graph edge builds) clears it.
+    val eligible = 8L * target
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_split_")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.util.Fs.deleteRecursively(tmp.toFile)))
@@ -114,7 +123,7 @@ object Bench {
       val src = new java.io.File(s"$sfDir/$n.parquet")
       if (src.exists()) {
         val nFiles = math.min(64L, src.length() / target).toInt
-        if (nFiles >= 2)
+        if (src.length() >= eligible && nFiles >= 2)
           Tables.load(spark, sfDir, n).repartition(nFiles)
             .write.mode("overwrite").parquet(s"$tmp/$n.parquet")
         else

@@ -422,7 +422,10 @@ object Images {
     NearDup.jaccardPairsOverTokens(
       hashFrames(frames, videoIdCol, frameIdxCol, bytesCol)
         .select(col("video_id"), col("dhash").as("sh")),
-      "video_id", threshold, maxDocFreq)
+      "video_id", threshold, maxDocFreq,
+      // frame-hash sets are tiny and postings cheap — the exchange pin
+      // is a pure fan-out tax here (see jaccardPairsOverTokens)
+      pinParallelism = false)
 
   final case class CleanReport(stages: Seq[(String, Long)],
       cleaned: DataFrame)

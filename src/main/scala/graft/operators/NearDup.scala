@@ -154,7 +154,7 @@ object NearDup {
     * Output: unique (id_a < id_b) candidate pairs. */
   private[operators] def bandedCandidates(ids: DataFrame, idCol: String,
       bandCol: String, bucketCol: String, bands: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, pinParallelism: Boolean = true): DataFrame = {
     val stats = ids.groupBy(col(bandCol), col(bucketCol))
       .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"))
     val adj = ids.join(stats, Seq(bandCol, bucketCol))
@@ -168,21 +168,30 @@ object NearDup {
     // groupBy + join-back would cost two exchanges and a join for the
     // same rows (measured ~2x on the pairs family).
     //
-    // The doc-id exchange is pinned to the session's configured shuffle
-    // parallelism (explicit-N repartition on the SAME key the window
-    // needs — no extra exchange, it just opts this one out of AQE
-    // coalescing): everything downstream of the window — the band
-    // self-join, candidate dedup and the Jaccard verify probes — fuses
-    // into the window's whole-stage, and its cost is join fan-out and
-    // per-pair probe work, not bytes, so AQE's byte-based coalescing
-    // misjudges it badly (at sf0.1 a 1 MB exchange collapsed the whole
-    // chain to ONE task of 1.1 s while 31 cores idled). At production
-    // shuffle sizes the exchange is at or above the configured partition
-    // count anyway, so pinning changes nothing there.
+    // `pinParallelism`: the doc-id exchange is pinned to the session's
+    // configured shuffle parallelism (explicit-N repartition on the
+    // SAME key the window needs — no extra exchange, it just opts this
+    // one out of AQE coalescing). Everything downstream of the window —
+    // the band self-join, candidate dedup and the caller's verify —
+    // fuses into the window's whole-stage, so when the verify does
+    // HEAVY per-pair work (minhash's inverted-index probes are
+    // O(|shingles|) per pair, cosine is O(dim)) AQE's byte-based
+    // coalescing misjudges it badly: at sf0.1 a 1 MB exchange collapsed
+    // q27's whole chain to ONE task of 1.1 s while 31 cores idled.
+    // Callers whose verify is O(1) per pair (hamming: one bit_count)
+    // pass false — there the stage really is bytes-proportional,
+    // coalescing judges it correctly, and the pin was measured as a
+    // pure ~0.1-0.3 s/query fan-out tax on the simhash/image/audio
+    // family. At production shuffle sizes the exchange meets the
+    // configured partition count either way.
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val rows = adj
-      .repartition(ids.sparkSession.sessionState.conf.numShufflePartitions,
-        col(idCol))
+    val fanned =
+      if (pinParallelism)
+        adj.repartition(
+          ids.sparkSession.sessionState.conf.numShufflePartitions,
+          col(idCol))
+      else adj
+    val rows = fanned
       .withColumn("__adj",
         array((0 until bands).map(j =>
           max(when(col(bandCol) === j, col("__k"))).over(byDoc)): _*))
@@ -427,7 +436,11 @@ object NearDup {
     val banded = sigs.select(col(idCol), posexplode(
       array((0 until bands).map(b => slice(col("sig"), b)): _*))
       .as(Seq("band", "band_val")))
-    bandedCandidates(banded, idCol, "band", "band_val", bands, maxBucketSize)
+    // pinParallelism = false: the hamming verify is one bit_count per
+    // pair, so the fused stage IS bytes-proportional and AQE's
+    // coalescing judges it correctly (see bandedCandidates)
+    bandedCandidates(banded, idCol, "band", "band_val", bands, maxBucketSize,
+      pinParallelism = false)
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("__sa")),
         Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("__sb")),
@@ -464,7 +477,8 @@ object NearDup {
     * joins on per-frame perceptual hashes through exactly this). Same
     * `maxDocFreq` guard, same one-pass co-occurrence count. */
   def jaccardPairsOverTokens(tokens: DataFrame, idCol: String,
-      threshold: Double, maxDocFreq: Long): DataFrame = {
+      threshold: Double, maxDocFreq: Long,
+      pinParallelism: Boolean = true): DataFrame = {
     // Repartition on the token hash BEFORE the set-dedup: hash
     // partitioning by sh satisfies the (id, sh) grouping distribution,
     // so the distinct adds no exchange. The result is CHECKPOINTED
@@ -473,16 +487,20 @@ object NearDup {
     // stage profiling showed the tokenize→explode→hash pipeline and
     // its exchange executing twice (two identical map stages per run).
     // One materialization of the 16-byte (id, sh) rows ends that.
-    // pinned to the session's configured shuffle parallelism (same
-    // rationale as bandedCandidates' window pin): the checkpointed
-    // index's partition count IS the parallelism of the co-occurrence
-    // self-join map side, and AQE's byte-based coalescing of this
-    // ~3 MB exchange was capping it at 2 tasks while the join work is
-    // posting-list fan-out, not bytes
-    val exploded = tokens
-      .select(col(idCol), col("sh"))
-      .repartition(tokens.sparkSession.sessionState.conf.numShufflePartitions,
-        col("sh"))
+    // `pinParallelism` (same rationale and caller contract as
+    // bandedCandidates' window pin): the checkpointed index's partition
+    // count IS the parallelism of the co-occurrence self-join map side,
+    // and AQE's byte-based coalescing of this ~3 MB exchange was
+    // capping q29 at 2 tasks while the join work is posting-list
+    // fan-out, not bytes. Callers with tiny token sets and cheap
+    // postings (video frame-hash sets) pass false.
+    val base = tokens.select(col(idCol), col("sh"))
+    val exploded =
+      (if (pinParallelism)
+        base.repartition(
+          tokens.sparkSession.sessionState.conf.numShufflePartitions,
+          col("sh"))
+      else base.repartition(col("sh")))
       .distinct()
       .ckpt()
     val rare = exploded.groupBy("sh")
